@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per capability pillar (wordcount/MapReduce,
+# relational agg, join, window, dedup, similarity, text analysis).
+HEADLINE = [
+    "word_count",
+    "word_count_sorted",
+]
+
+
+def main() -> None:
+    from mapreduce_rust_spark import registry
+    from mapreduce_rust_spark.session import get_spark
+
+    spark = get_spark("mapreduce_rust_spark-bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footers once with the cheapest query
+    qs[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # force full execution
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

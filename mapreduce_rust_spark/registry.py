@@ -1,0 +1,53 @@
+"""Central query registry: name -> (spark_fn, oracle_sql | None).
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
+this. Every operator the engine claims is registered here so the
+driver's DuckDB comparison covers it; ops that aren't ANSI-SQL
+expressible register ``None`` (driver falls back to rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_rust_spark.operators import wordcount
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name {name!r}")
+    _REGISTRY[name] = (fn, oracle)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# --- registrations -----------------------------------------------------
+
+register("word_count", wordcount.word_count, wordcount.WORD_COUNT_ORACLE)
+register("word_count_sorted", wordcount.word_count_sorted,
+         wordcount.WORD_COUNT_SORTED_ORACLE)
+
+
+def _late_registrations() -> None:
+    """Import operator modules that self-register (kept lazy so a
+    broken experimental module can't take down the whole registry
+    during development; failures surface in tests)."""
+    from mapreduce_rust_spark.operators import relational  # noqa: F401
+
+
+try:
+    _late_registrations()
+except ImportError:
+    pass

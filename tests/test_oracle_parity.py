@@ -1,0 +1,32 @@
+"""Every registry query with an oracle must match DuckDB at sf0.01 —
+the local mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_rust_spark import registry
+from tests.conftest import SF_CORRECT
+from tests.oracle import assert_matches_oracle
+
+CASES = sorted(registry.oracles().keys())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_matches_oracle(spark, duck, name):
+    fn = registry.queries()[name]
+    sql = registry.oracles()[name]
+    assert_matches_oracle(spark, duck, fn, sql, SF_CORRECT)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_all_queries_have_entries(spark):
+    qs = registry.queries()
+    assert len(qs) >= 2
+    for name in registry.oracles():
+        assert name in qs
