@@ -1,0 +1,127 @@
+"""``run_job`` — the reference's MapReduce contract, Spark-native.
+
+The reference's entire user API is two closures
+(``/root/reference/src/mr/worker.rs:16-25``):
+
+    map:    &str -> Vec<KeyValue>            (one call per input split)
+    reduce: (&str, Vec<&str>) -> String      (one call per key)
+
+plus a job-shape parameter ``reduce_n`` (shuffle fan-in). Its physical
+plan (worker.rs:142-193) is: whole-split map → hash-partition
+``hash(key) % R`` (worker.rs:111-115) → per-partition text-file
+shuffle → per-partition lexicographic key sort (worker.rs:162-164) →
+single-pass sort-based grouping calling the reduce closure per key
+(worker.rs:169-184).
+
+Here the same contract runs on Spark's shuffle machinery:
+
+- ``flatMap(map_fn)`` over input splits (scheduling, retries,
+  speculative execution: Spark built-ins replace coordinator.rs
+  entirely).
+- ``repartitionAndSortWithinPartitions(R)`` — exactly the reference's
+  hash-shuffle + per-partition key sort, but spill-capable (the
+  reference holds each bucket fully in RAM, worker.rs:79-109).
+- a streaming ``mapPartitions`` group runner — the same single-pass
+  sort-agg, with the reference's last-group-drop bug FIXED (the
+  reference never flushes the final key group per partition,
+  worker.rs:169-184; we flush it).
+
+This path exists for contract parity and for genuinely imperative
+user closures. Anything expressible as DataFrame ops should use those
+instead (Catalyst then adds map-side partial aggregation, which this
+contract — like the reference — cannot have, because ``reduce_fn``
+sees the complete value list per key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.rdd import portable_hash
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MapFn = Callable[[str], Iterable[tuple[str, str]]]
+ReduceFn = Callable[[str, list[str]], str]
+
+# The reference's sole record type KeyValue{key,value} (src/lib.rs:9-15).
+KV_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("value", T.StringType(), True),
+])
+
+
+def _ensure_self_shipping() -> None:
+    """Pickle this package BY VALUE so user jobs run on Python workers
+    that don't have the engine on their import path (e.g. when the
+    harness imports ``__spark_entry__.py`` by file path). Module-level
+    functions are otherwise pickled by reference and the worker-side
+    import fails. On a real cluster a pip install or ``sc.addPyFile``
+    is the durable route; this makes local/embedded use just work.
+    """
+    import mapreduce_rust_spark
+    try:
+        from pyspark import cloudpickle
+        cloudpickle.register_pickle_by_value(mapreduce_rust_spark)
+    except Exception:
+        pass  # already registered / vendored API moved — harmless
+
+
+def _group_runner(reduce_fn: ReduceFn) -> Callable[[Iterator[tuple[str, str]]], Iterator[tuple[str, str]]]:
+    """Single streaming pass over a key-sorted partition, calling
+    ``reduce_fn`` once per key group — the reference's reduce loop
+    (worker.rs:169-184) with the final group correctly flushed."""
+
+    def run(part: Iterator[tuple[str, str]]) -> Iterator[tuple[str, str]]:
+        cur_key: str | None = None
+        values: list[str] = []
+        for k, v in part:
+            if cur_key is not None and k != cur_key:
+                yield cur_key, reduce_fn(cur_key, values)
+                values = []
+            cur_key = k
+            values.append(v)
+        if cur_key is not None:  # the flush the reference forgot
+            yield cur_key, reduce_fn(cur_key, values)
+
+    return run
+
+
+def run_job(
+    spark: SparkSession,
+    splits,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Run a MapReduce job over ``splits`` (an iterable/RDD of input
+    strings — the analog of the reference's one-file-per-map-task
+    inputs, worker.rs:65-77). Returns a ``key,value`` string DataFrame.
+    """
+    _ensure_self_shipping()
+    sc = spark.sparkContext
+    rdd = splits if hasattr(splits, "flatMap") else sc.parallelize(list(splits))
+    out = (
+        rdd
+        .flatMap(map_fn)
+        # hash(key) % R shuffle + per-partition key sort, spill-capable
+        .repartitionAndSortWithinPartitions(
+            numPartitions=num_partitions, partitionFunc=portable_hash)
+        .mapPartitions(_group_runner(reduce_fn), preservesPartitioning=True)
+    )
+    return spark.createDataFrame(out, schema=KV_SCHEMA)
+
+
+def run_job_df(
+    df: DataFrame,
+    text_col: str,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """``run_job`` where each row of ``df[text_col]`` is one input
+    split — the fixture-table adapter (documents.text plays the role
+    of a ``gut-{id}.txt`` file's contents)."""
+    spark = df.sparkSession
+    splits = df.select(text_col).rdd.map(lambda r: r[0])
+    return run_job(spark, splits, map_fn, reduce_fn, num_partitions)

@@ -39,6 +39,11 @@ register("word_count", wordcount.word_count, wordcount.WORD_COUNT_ORACLE)
 register("word_count_sorted", wordcount.word_count_sorted,
          wordcount.WORD_COUNT_SORTED_ORACLE)
 
+from mapreduce_rust_spark.operators import mapreduce_compat  # noqa: E402
+
+register("mr_word_count", mapreduce_compat.mr_word_count,
+         mapreduce_compat.MR_WORD_COUNT_ORACLE)
+
 
 def _late_registrations() -> None:
     """Import operator modules that self-register (kept lazy so a
