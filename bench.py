@@ -24,6 +24,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "word_count",
     "word_count_sorted",
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "sessionize_events",
+    "tumbling_event_counts",
 ]
 
 

@@ -1,0 +1,717 @@
+"""Relational operator library (SURVEY.md §2b) — every standard
+operator category the reference lacks, expressed Catalyst-first.
+
+The reference has no joins, windows, rollups, set ops, or scalar
+function library (SURVEY.md §2b: all rows "absent"); its only
+dataflow is scan→flatMap→shuffle→sort-agg (worker.rs:142-193). Here
+each capability is a declarative DataFrame/SQL plan so Catalyst
+supplies pushdown, pruning, partial aggregation, join selection and
+AQE. Scale notes are on each operator.
+
+Oracle discipline (the driver hash-compares Spark vs DuckDB):
+- identical column aliases on both sides
+- NO floating-point rounding: per-row double expressions pass through
+  bit-identical; shuffled aggregates go through ``dsum``/``davg``
+  (sum in DECIMAL — exact, order-independent — then cast back to
+  double), because ROUND() on doubles hits .005 ties where the two
+  engines' rounding modes disagree
+- ints derived from functions cast to long (DuckDB returns BIGINT)
+- no raw timestamps in output — date strings or epoch bigints
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table, register_views
+
+# Money-ish fixture columns have ≤6 decimal digits, so DECIMAL(18,6)
+# captures each row exactly; the decimal SUM is then order-independent
+# integer arithmetic and casts back to the same double on any engine.
+DEC_MONEY = "decimal(18,6)"
+# For irrational per-row values (sqrt/ln) a deeper scale keeps the
+# cast far from any tie; sums stay exact.
+DEC_FINE = "decimal(27,12)"
+
+
+def dsum(col: Column, dec: str = DEC_MONEY) -> Column:
+    """Order-independent, engine-portable double sum (see module doc).
+    SQL mirror: CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)."""
+    return F.sum(col.cast(dec)).cast("double")
+
+
+def davg(col: Column, dec: str = DEC_MONEY) -> Column:
+    """Engine-portable mean: exact decimal sum, double division.
+    SQL mirror: CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)."""
+    return dsum(col, dec) / F.count(F.lit(1))
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- scans / projection / filter ---------------------------------------
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection — both reach the parquet scan
+    (PushedFilters / ReadSchema; at 100 TB this is the difference
+    between reading 2 columns and reading 11)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 48) & (F.col("l_discount") >= 0.05))
+          .select(
+              "l_orderkey", "l_linenumber", "l_quantity",
+              (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .alias("disc_price"))
+    )
+
+
+FILTER_PROJECT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+WHERE l_quantity >= 48 AND l_discount >= 0.05
+"""
+
+
+# --- aggregation --------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregate.
+    Catalyst plans map-side combine automatically — the optimization
+    the reference structurally cannot do (it shuffles one record per
+    row, wc.rs:11)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+              F.sum("l_quantity").alias("sum_qty"),
+              dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+              dsum(disc_price).alias("sum_disc_price"),
+              dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+              F.avg("l_quantity").alias("avg_qty"),
+              davg(F.col("l_extendedprice")).alias("avg_price"),
+              davg(F.col("l_discount")).alias("avg_disc"),
+              F.count("*").alias("count_order"),
+          )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       AVG(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand+two-phase under Catalyst; the
+    100 TB alternative is approx_count_distinct, see the sketch ops)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+          .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+               F.countDistinct("l_partkey").alias("n_part"),
+               F.count("*").alias("n_rows"))
+    )
+
+
+AGG_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity").alias("sum_qty"),
+               F.count("*").alias("n"))
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity").alias("sum_qty"),
+               F.count("*").alias("n"))
+    )
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame route — demonstrates the SQL front door)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (avoids the extra
+    distinct-values job — mandatory at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+          .pivot("l_linestatus", ["O", "F"])
+          .agg(F.sum("l_quantity"))
+          .select(F.col("l_returnflag"),
+                  F.col("O").alias("qty_o"), F.col("F").alias("qty_f"))
+    )
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o,
+       SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- joins --------------------------------------------------------------
+
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact⋈orders⋈customer⋈nation⋈region. nation/region
+    are broadcast (they never grow with SF); the fact-side joins
+    shuffle on their keys and AQE picks strategy / splits skew."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
+          .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .groupBy("r_name", "n_name")
+          .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue"),
+               F.count("*").alias("n_items"))
+    )
+
+
+JOIN_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0))
+                  .alias("total_spent"))
+    )
+
+
+JOIN_LEFT_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+         AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) — no fact columns materialized, no row
+    multiplication; the scalable form of 'has at least one'."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+                .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+                .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def join_theta_qty_gt_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + theta residual (quantity > size). The equi key
+    carries the shuffle; the theta predicate evaluates post-match —
+    never plan a pure theta join as a cross product at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part),
+                (li.l_partkey == part.p_partkey) & (li.l_quantity > part.p_size))
+          .groupBy("p_brand")
+          .agg(F.count("*").alias("n"),
+               F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+JOIN_THETA_ORACLE = """
+SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+"""
+
+
+# --- windows ------------------------------------------------------------
+
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable top-k (no global
+    sort; each group ranks within its shuffle partition). Deterministic
+    tiebreak on o_orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                           F.col("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 3)
+                  .select("o_custkey", "o_orderkey", "o_totalprice",
+                          F.col("rn").cast("long").alias("rn")))
+
+
+WINDOW_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum; summed in DECIMAL because windowed double sums are
+    association-order-sensitive across engines (DuckDB segment trees)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC_MONEY)).over(w)
+         .cast("double").alias("running_total"))
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .alias("delta_prev"))
+
+
+WINDOW_LAG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       o_totalprice - LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_prev
+FROM orders
+"""
+
+
+def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return part.select(
+        "p_partkey", "p_brand",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"))
+
+
+WINDOW_RANK_ORACLE = """
+SELECT p_partkey, p_brand,
+       RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+FROM part
+"""
+
+
+# --- set ops / distinct / sort-limit -------------------------------------
+
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+SET_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics — Spark ``subtract``): customers who
+    placed urgent orders but never high-priority ones."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.subtract(high)
+
+
+SET_EXCEPT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+def set_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL then re-aggregate (union is metadata-only in Spark —
+    no shuffle until the groupBy)."""
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    high = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "2-HIGH")
+    return (urgent.unionByName(high)
+                  .groupBy("o_orderpriority")
+                  .agg(F.count("*").alias("n")))
+
+
+SET_UNION_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n FROM (
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderpriority = '2-HIGH'
+) GROUP BY o_orderpriority
+"""
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+DISTINCT_ORACLE = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit plans as TakeOrderedAndProject —
+    per-partition heaps + driver merge of k rows, NOT a global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+                  .limit(10)
+                  .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+TOPK_GLOBAL_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- scalar function library --------------------------------------------
+
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%"))
+            .select(
+                "p_partkey",
+                F.upper("p_type").alias("type_u"),
+                F.length("p_name").cast("long").alias("name_len"),
+                F.substring("p_name", 1, 5).alias("name_pre5"),
+                F.regexp_replace("p_brand", "Brand", "B").alias("brand_s"),
+                F.concat_ws("/", "p_brand", "p_type").alias("brand_type"))
+    )
+
+
+STRING_FUNCS_ORACLE = """
+SELECT p_partkey, UPPER(p_type) AS type_u, LENGTH(p_name) AS name_len,
+       SUBSTRING(p_name, 1, 5) AS name_pre5,
+       REGEXP_REPLACE(p_brand, 'Brand', 'B') AS brand_s,
+       CONCAT(p_brand, '/', p_type) AS brand_type
+FROM part WHERE p_name LIKE '%a%'
+"""
+
+
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("o_year"),
+                       F.month("o_orderdate").cast("long").alias("o_month"))
+              .agg(F.count("*").alias("n_orders"),
+                   dsum(F.col("o_totalprice")).alias("sum_total"),
+                   F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"))
+    )
+
+
+DATE_FUNCS_ORACLE = """
+SELECT YEAR(o_orderdate) AS o_year, MONTH(o_orderdate) AS o_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total,
+       MIN(STRFTIME(o_orderdate, '%Y-%m-%d')) AS first_day
+FROM orders GROUP BY 1, 2
+"""
+
+
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function sweep. Only IEEE-exact / correctly-rounded ops
+    (sqrt, abs, *, /) are oracle-checked — transcendentals (ln, pow,
+    exp) are NOT correctly rounded and differ across libm
+    implementations by ulps, which no portable rounding fixes."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Scales chosen so sum × 10^scale < 2^53: keeps the DECIMAL→DOUBLE
+    # cast single-rounded on both engines (DuckDB's int128 path
+    # double-rounds above that).
+    return (
+        li.groupBy("l_returnflag")
+          .agg(dsum(F.sqrt("l_quantity"), "decimal(27,8)").alias("sum_sqrt_qty"),
+               davg(F.col("l_discount") * F.col("l_discount"), DEC_FINE)
+                 .alias("avg_disc_sq"),
+               dsum(F.abs(F.col("l_tax") - 0.04), DEC_FINE).alias("sum_abs_tax_dev"),
+               dsum(F.col("l_extendedprice") / (1 + F.col("l_tax")), "decimal(27,4)")
+                 .alias("sum_price_pretax"))
+    )
+
+
+MATH_FUNCS_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(SQRT(l_quantity) AS DECIMAL(27,8))) AS DOUBLE) AS sum_sqrt_qty,
+       CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS avg_disc_sq,
+       CAST(SUM(CAST(ABS(l_tax - 0.04) AS DECIMAL(27,12))) AS DOUBLE) AS sum_abs_tax_dev,
+       CAST(SUM(CAST(l_extendedprice / (1 + l_tax) AS DECIMAL(27,4))) AS DOUBLE) AS sum_price_pretax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_max(toks).alias("max_token"))
+
+
+ARRAY_FUNCS_ORACLE = """
+SELECT doc_id,
+       LEN(toks) AS n_tokens,
+       LEN(list_distinct(toks)) AS n_distinct,
+       toks[1] AS first_token,
+       list_max(toks) AS max_token
+FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents)
+"""
+
+
+def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+          .groupBy("event_type")
+          .agg(F.count("*").alias("n"),
+               F.avg("k").alias("avg_k"),
+               F.max("k").alias("max_k"))
+    )
+
+
+JSON_FUNCS_ORACLE = """
+SELECT event_type, COUNT(*) AS n, AVG(k) AS avg_k, MAX(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# --- subqueries (SQL front door) -----------------------------------------
+
+def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+    """)
+
+
+SCALAR_SUBQUERY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+def in_subquery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """)
+
+
+IN_SUBQUERY_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+# --- event-time (batch) ---------------------------------------------------
+
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over event time (batch form of the
+    streaming slice; epoch-aligned both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+          .agg(F.count("*").alias("n"),
+               dsum(F.col("value"), DEC_FINE).alias("sum_value"))
+          .select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+                  "event_type", "n", "sum_value")
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    session counter — one shuffle on user_id, scales linearly."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess)
+    return (sess.groupBy("user_id")
+                .agg(F.sum("new_sess").alias("n_sessions"),
+                     F.count("*").alias("n_events")))
+
+
+SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL
+               OR CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+REGISTRATIONS: list[tuple[str, object, str | None]] = [
+    ("filter_project", filter_project, FILTER_PROJECT_ORACLE),
+    ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
+    ("agg_distinct_suppliers", agg_distinct_suppliers, AGG_DISTINCT_ORACLE),
+    ("rollup_qty", rollup_qty, ROLLUP_ORACLE),
+    ("cube_qty", cube_qty, CUBE_ORACLE),
+    ("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_ORACLE),
+    ("pivot_status_qty", pivot_status_qty, PIVOT_ORACLE),
+    ("join_revenue_by_nation", join_revenue_by_nation, JOIN_REVENUE_ORACLE),
+    ("join_left_order_counts", join_left_order_counts, JOIN_LEFT_ORACLE),
+    ("join_semi_customers", join_semi_customers, JOIN_SEMI_ORACLE),
+    ("join_anti_customers", join_anti_customers, JOIN_ANTI_ORACLE),
+    ("join_theta_qty_gt_size", join_theta_qty_gt_size, JOIN_THETA_ORACLE),
+    ("window_topk_orders", window_topk_orders, WINDOW_TOPK_ORACLE),
+    ("window_running_total", window_running_total, WINDOW_RUNNING_ORACLE),
+    ("window_lag_delta", window_lag_delta, WINDOW_LAG_ORACLE),
+    ("window_rank_parts", window_rank_parts, WINDOW_RANK_ORACLE),
+    ("set_intersect_nations", set_intersect_nations, SET_INTERSECT_ORACLE),
+    ("set_except_customers", set_except_customers, SET_EXCEPT_ORACLE),
+    ("set_union_counts", set_union_counts, SET_UNION_ORACLE),
+    ("distinct_segments", distinct_segments, DISTINCT_ORACLE),
+    ("topk_orders_global", topk_orders_global, TOPK_GLOBAL_ORACLE),
+    ("string_funcs_part", string_funcs_part, STRING_FUNCS_ORACLE),
+    ("date_funcs_orders", date_funcs_orders, DATE_FUNCS_ORACLE),
+    ("math_funcs_lineitem", math_funcs_lineitem, MATH_FUNCS_ORACLE),
+    ("array_funcs_docs", array_funcs_docs, ARRAY_FUNCS_ORACLE),
+    ("json_funcs_events", json_funcs_events, JSON_FUNCS_ORACLE),
+    ("scalar_subquery_orders", scalar_subquery_orders, SCALAR_SUBQUERY_ORACLE),
+    ("in_subquery_lineitem", in_subquery_lineitem, IN_SUBQUERY_ORACLE),
+    ("tumbling_event_counts", tumbling_event_counts, TUMBLING_ORACLE),
+    ("sessionize_events", sessionize_events, SESSIONIZE_ORACLE),
+]

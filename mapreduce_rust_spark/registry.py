@@ -40,19 +40,10 @@ register("word_count_sorted", wordcount.word_count_sorted,
          wordcount.WORD_COUNT_SORTED_ORACLE)
 
 from mapreduce_rust_spark.operators import mapreduce_compat  # noqa: E402
+from mapreduce_rust_spark.operators import relational  # noqa: E402
 
 register("mr_word_count", mapreduce_compat.mr_word_count,
          mapreduce_compat.MR_WORD_COUNT_ORACLE)
 
-
-def _late_registrations() -> None:
-    """Import operator modules that self-register (kept lazy so a
-    broken experimental module can't take down the whole registry
-    during development; failures surface in tests)."""
-    from mapreduce_rust_spark.operators import relational  # noqa: F401
-
-
-try:
-    _late_registrations()
-except ImportError:
-    pass
+for _name, _fn, _oracle in relational.REGISTRATIONS:
+    register(_name, _fn, _oracle)

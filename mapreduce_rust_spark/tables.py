@@ -30,9 +30,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of one fixture table (pushdown/pruning capable)."""
+    """Columnar scan of one fixture table (pushdown/pruning capable).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; read it as long nanos (legacy conf, runtime-settable)
+    and convert with integer division — ns epochs ≈ 1.7e18 overflow
+    double precision, so no float math on the raw value.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (spark.read.parquet(table_path(sf_dir, name))
+                .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

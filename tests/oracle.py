@@ -22,7 +22,9 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 canon_row.append("<NULL>")
             elif isinstance(v, float):
-                canon_row.append(f"{v:.9g}")
+                # full precision: catch every cross-engine ulp diff the
+                # driver's value hash could catch
+                canon_row.append(repr(v))
             elif isinstance(v, pd.Timestamp):
                 canon_row.append(v.isoformat())
             else:
