@@ -29,6 +29,13 @@ HEADLINE = [
     "window_topk_orders",
     "sessionize_events",
     "tumbling_event_counts",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "knn_bruteforce",
+    "exact_dedup_docs",
+    "quality_score_docs",
+    "lang_id_docs",
+    "multimodal_features",
 ]
 
 

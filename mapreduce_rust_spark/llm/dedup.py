@@ -1,0 +1,285 @@
+"""Deduplication operators over ``documents`` — exact and near-dup.
+
+All hashing is md5-derived so every stage has an exact DuckDB oracle
+(Spark ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` — a portable 60-bit
+hash). At 100 TB none of these operators ever forms a cross product:
+
+- exact: one hash-groupBy on a 32-byte digest (shuffle keyed on the
+  digest, trivially parallel; digest-first also dodges wide-row skew).
+- MinHash-LSH: shingle→signature→band→bucket-join. Work per doc is
+  O(shingles×k); candidate generation is b hash-joins on band keys —
+  the banding trades recall for never comparing non-colliding pairs.
+- n-gram Jaccard: inverted-index self-join on shingles (pairs share
+  ≥1 shingle), not all-pairs. Hot shingles should be stop-worded /
+  df-capped at scale (df cap keeps the join from quadratic blowup on
+  boilerplate).
+- SimHash: per-token hash → per-bit majority → 60-bit signature;
+  two groupBys, linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+N_PERM = 16      # MinHash permutations
+N_BANDS = 4      # LSH bands (r = N_PERM // N_BANDS rows per band)
+JACCARD_T = 0.3  # near-dup verification threshold
+SHINGLE_W = 3    # word-shingle width
+
+
+def _md5int60(col) -> F.Column:
+    """Portable 60-bit hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingles(toks_col) -> F.Column:
+    """Distinct word 3-shingles over a tokens array column; empty
+    array for docs under 3 tokens."""
+    n = F.size(toks_col)
+    return F.when(
+        n >= SHINGLE_W,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_W - 1)),
+            lambda i: F.array_join(F.slice(toks_col, i, SHINGLE_W), " "))),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) inverted-index input. The regex split is
+    materialized as its own column FIRST: referencing the split
+    expression inside the per-element shingle lambda would re-run the
+    regex once per shingle (measured ~5x slower)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+    return toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("s"))
+
+
+# --- exact dedup ----------------------------------------------------------
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup: groups by sha256(text), keeps the
+    min doc_id as representative. One shuffle on the digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_sha"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT sha256(text) AS content_sha,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash signatures → LSH banding → candidate
+    bucket join → exact-Jaccard verification at ``JACCARD_T``.
+
+    Candidates are generated ONLY for docs colliding in ≥1 band
+    (never all-pairs); verification joins candidates back to the
+    shingle index. Returns (doc_a, doc_b, jaccard).
+
+    The shingle index feeds four plan branches (signatures, sizes,
+    both verify probes); persist it once instead of recomputing —
+    at scale this is the materialized inverted index every dedup
+    pass shares. Spark evicts it LRU when memory is needed."""
+    sh = _shingle_table(spark, sf_dir).persist()
+
+    # signatures: min over shingles of h_p(s) = md5int60(p || ':' || s)
+    hashed = sh.select(
+        "doc_id",
+        *[_md5int60(F.concat(F.lit(f"{p}:"), F.col("s"))).alias(f"h{p}")
+          for p in range(N_PERM)])
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{p}").alias(f"m{p}") for p in range(N_PERM)])
+
+    # banding: band key = comma-joined signature slice
+    r = N_PERM // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.col(f"m{b * r + i}").cast("string")
+                                   for i in range(r)]).alias("key"))
+            for b in range(N_BANDS)])).alias("bk"))
+    bands = bands.select("doc_id", "bk.band", "bk.key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+
+    # exact-Jaccard verification restricted to CANDIDATES (never the
+    # full shingle self-join — hot shingles make that quadratic):
+    # explode each candidate pair by doc_a's shingles, probe doc_b's.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    shb = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    common = (cand.join(sha, "doc_a")
+                  .join(shb, ["doc_b", "s"])
+                  .groupBy("doc_a", "doc_b")
+                  .agg(F.count("*").alias("c")))
+    jac = (common
+               .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+               .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+               .withColumn("jaccard",
+                           F.col("c").cast("double")
+                           / (F.col("na") + F.col("nb") - F.col("c")))
+               .filter(F.col("jaccard") >= JACCARD_T)
+               .select("doc_a", "doc_b", "jaccard"))
+    return jac
+
+
+def _oracle_shingles_cte() -> str:
+    return f"""
+toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_W - 1}], ' ') AS s
+       FROM toks, UNNEST(range(1, len(t) - {SHINGLE_W - 2})) AS u(i)
+       WHERE len(t) >= {SHINGLE_W})
+"""
+
+
+MINHASH_LSH_ORACLE = f"""
+WITH {_oracle_shingles_cte()},
+hp AS (SELECT doc_id, p,
+              MIN(CAST('0x' || substr(md5(p || ':' || s), 1, 15) AS BIGINT)) AS m
+       FROM sh, UNNEST(range(0, {N_PERM})) AS t(p)
+       GROUP BY doc_id, p),
+bands AS (SELECT doc_id, p // {N_PERM // N_BANDS} AS band,
+                 string_agg(m::VARCHAR, ',' ORDER BY p) AS key
+          FROM hp GROUP BY doc_id, p // {N_PERM // N_BANDS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM cand
+JOIN common USING (doc_a, doc_b)
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
+"""
+
+
+# --- n-gram Jaccard (exhaustive inverted-index form) -----------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs at ``JACCARD_T`` via the shingle inverted
+    index (ground truth for the LSH recall tests)."""
+    sh = _shingle_table(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (sh.alias("x").join(sh.alias("y"),
+                                 (F.col("x.s") == F.col("y.s"))
+                                 & (F.col("x.doc_id") < F.col("y.doc_id")))
+                .groupBy(F.col("x.doc_id").alias("doc_a"),
+                         F.col("y.doc_id").alias("doc_b"))
+                .agg(F.count("*").alias("c")))
+    return (common
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+            .withColumn("jaccard",
+                        F.col("c").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("c")))
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_oracle_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc (per-bit weighted majority over token
+    hashes, multiplicity-weighted), emitted as a bitstring. Linear:
+    explode tokens×bits, two aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+               .filter(F.col("tok") != ""))
+    h = tok.select("doc_id", _md5int60(F.col("tok")).alias("hv"))
+    bits = (h.select("doc_id", "hv",
+                     F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
+             .withColumn("contrib", F.expr("(shiftright(hv, b) & 1) * 2 - 1"))
+             .groupBy("doc_id", "b")
+             .agg(F.sum("contrib").alias("s")))
+    return (bits.groupBy("doc_id")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("b", "s"))),
+                        lambda x: F.when(x["s"] >= 0, "1").otherwise("0")),
+                    "").alias("simhash")))
+
+
+SIMHASH_ORACLE = """
+WITH tk AS (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+      FROM tk WHERE tok <> ''),
+bx AS (SELECT doc_id, b, SUM(((hv >> b) & 1) * 2 - 1) AS s
+       FROM h, UNNEST(range(0, 60)) AS t(b) GROUP BY doc_id, b)
+SELECT doc_id,
+       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM bx GROUP BY doc_id
+"""
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-block cosine near-dup: ``label`` is the blocking key
+    (at scale: an IVF/LSH cell id), so pair formation is per-block,
+    never all-pairs across the corpus."""
+    from mapreduce_rust_spark.functions.vector import cosine, to_double
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("e"))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .withColumn("sim", cosine(F.col("a.e"), F.col("b.e")))
+             .filter(F.col("sim") >= 0.35)
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b")))
+
+
+EMBEDDING_NEARDUP_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
+REGISTRATIONS = [
+    ("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_ORACLE),
+    ("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_LSH_ORACLE),
+    ("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
+    ("simhash_docs", simhash_docs, SIMHASH_ORACLE),
+    ("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_ORACLE),
+]

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing — opaque ``binary`` payloads with typed
+metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The fixtures carry no real image/audio bytes, so the payload is
+fabricated deterministically (UTF-8 bytes of ``documents.text``) and
+the *decode* step is stubbed: ``decode_image_stub`` raises
+``NotImplementedError`` when asked for a real decode and otherwise
+produces deterministic fake features. What IS real and tested is the
+Spark-side plumbing a 100 TB multimodal pipeline needs:
+
+- schema: ``payload binary`` + metadata columns,
+- partition-friendly batch iteration (``mapInPandas`` sees Arrow
+  record batches, never whole partitions in one object),
+- a UDF signature that streams batches and appends feature columns.
+
+Swap ``_fake_features`` for PIL/librosa/ffmpeg calls and the operator
+is production-shaped (the container has no media libs — import-gated).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, payload_bytes long, payload_sha string, "
+    "fake_width long, fake_height long"
+)
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the fabricated binary payload column + typed metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"))
+
+
+def _fake_features(payload: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in for a real media decode."""
+    n = payload.str.len().astype("int64")
+    return pd.DataFrame({
+        "fake_width": (n % 1024) + 1,
+        "fake_height": (n % 768) + 1,
+    })
+
+
+def decode_image_stub(payload: bytes) -> object:
+    """Real decode entry point — not available in this container."""
+    raise NotImplementedError(
+        "media decode requires PIL/ffmpeg; use _fake_features for the "
+        "deterministic test path")
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: streams Arrow batches, appends features.
+    Never materializes more than one batch — the shape that holds at
+    arbitrary partition sizes."""
+    import hashlib
+    for pdf in batches:
+        feats = _fake_features(pdf["payload"])
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "payload_bytes": pdf["payload"].str.len().astype("int64"),
+            "payload_sha": pdf["payload"].map(
+                lambda b: hashlib.sha256(b).hexdigest()),
+            "fake_width": feats["fake_width"],
+            "fake_height": feats["fake_height"],
+        })
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction end-to-end: fabricate payload →
+    mapInPandas decode-stub → typed feature columns."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()  # _feature_batches must pickle by value
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+# DuckDB mirrors the fabricated payload exactly: UTF-8 bytes of text.
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       sha256(text) AS payload_sha,
+       CAST(octet_length(encode(text)) % 1024 + 1 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) % 768 + 1 AS BIGINT) AS fake_height
+FROM documents
+"""
+
+
+REGISTRATIONS = [
+    ("multimodal_features", multimodal_features, MULTIMODAL_ORACLE),
+]

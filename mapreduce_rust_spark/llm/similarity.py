@@ -1,0 +1,121 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``knn_bruteforce`` — exact cosine top-k for a small query set:
+  broadcast the queries against the corpus (the corpus is never
+  shuffled; work is a single scan × |Q|), rank per query with a
+  deterministic tiebreak. This is the oracle-checkable baseline.
+- ``knn_lsh`` — the scale path: sign-random-projection bucketing
+  (deterministic md5-derived hyperplanes), candidates only within
+  the query's bucket. Sub-linear candidate sets; recall measured in
+  tests against the brute-force baseline. At 100 TB the bucket id
+  becomes the shuffle/partition key and each bucket fits an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.vector import cosine, dot, to_double
+from mapreduce_rust_spark.tables import load_table
+
+K = 5
+N_QUERIES = 10   # vec_id < 10 are the probe set
+N_PLANES = 4     # LSH sign bits → 16 buckets
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("e"))
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors (cosine) for each query vector.
+    Output: (query_id, neighbor_id, rank) — similarity itself is
+    excluded from the checked output because cross-engine cosine
+    differs in final ulps; ranking is stable on this data."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    cand = (F.broadcast(q).crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                                F.col("e").alias("ne")))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", cosine(F.col("qe"), F.col("ne"))))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= K)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("long").alias("rank")))
+
+
+KNN_BRUTEFORCE_ORACLE = f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           n.embedding::DOUBLE[]) DESC,
+                    n.vec_id) AS rank
+  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+WHERE rank <= {K}
+"""
+
+
+def _bucket(e_col) -> F.Column:
+    """Sign-random-projection bucket id: bit p = sign(<e, w_p>) where
+    hyperplane w_p has deterministic ±1 weights from md5(p:d) parity.
+    Pure column expressions — portable and JVM-evaluated."""
+    bits = []
+    for p in range(N_PLANES):
+        # weight for dim d: +1 if md5("p:d") first hex nibble is even
+        proj = F.aggregate(
+            F.zip_with(
+                e_col,
+                F.transform(F.sequence(F.lit(0), F.size(e_col) - 1),
+                            lambda d: F.when(
+                                F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"),
+                                                                  d.cast("string"))), 1, 1),
+                                       16, 10).cast("int") % 2 == 0,
+                                F.lit(1.0)).otherwise(F.lit(-1.0))),
+                lambda x, w: x * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k with multi-probe: each query probes its own
+    bucket plus every Hamming-1 neighbor bucket (near vectors most
+    often differ in exactly one sign bit). Candidates stay sub-linear:
+    (1+N_PLANES)/2^N_PLANES of the corpus per query. No oracle
+    (approximation is implementation-defined); tests measure recall
+    against ``knn_bruteforce``."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    probes = F.array(F.col("bucket"),
+                     *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                       for p in range(N_PLANES)])
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+                    F.explode(probes).alias("qb")))
+    cand = (F.broadcast(q)
+            .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("e").alias("ne"), F.col("bucket")),
+                  F.col("qb") == F.col("bucket"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", cosine(F.col("qe"), F.col("ne"))))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= K)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("long").alias("rank")))
+
+
+REGISTRATIONS = [
+    ("knn_bruteforce", knn_bruteforce, KNN_BRUTEFORCE_ORACLE),
+    ("knn_lsh", knn_lsh, None),  # approximate — recall-tested, rows-only check
+]

@@ -1,0 +1,185 @@
+"""Text-analysis operators over ``documents`` — the generalization of
+the reference's one text transform (wc.rs tokenizer) into the
+feature family a training-data pipeline needs: token statistics,
+quality scoring, language ID, fingerprinting. Everything is built
+from ``pyspark.sql.functions`` (codegen'd, no Python), and every
+score is exact per-row arithmetic so the DuckDB oracles match
+bit-for-bit. All linear scans — trivially 100 TB-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.text import PUNCT_RE, WS_RE, fingerprint, normalized
+from mapreduce_rust_spark.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately minimal & disjoint-ish; real pipelines plug fastText
+# etc. behind the same operator shape.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "las", "una", "por", "con", "para", "como"),
+}
+
+
+def _tok_table(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        F.explode(F.split("text", WS_RE)).alias("tok"))
+                .filter(F.col("tok") != ""))
+
+
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total, distinct, type-token ratio, mean token
+    length — the per-document shape statistics."""
+    tok = _tok_table(spark, sf_dir)
+    return (tok.groupBy("doc_id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.countDistinct("tok").alias("n_distinct"),
+                    (F.countDistinct("tok").cast("double") / F.count("*"))
+                    .alias("ttr"),
+                    (F.sum(F.length("tok")).cast("double") / F.count("*"))
+                    .alias("mean_tok_len")))
+
+
+TOKEN_STATS_ORACLE = """
+SELECT doc_id, COUNT(*) AS n_tokens,
+       COUNT(DISTINCT tok) AS n_distinct,
+       COUNT(DISTINCT tok) * 1.0 / COUNT(*) AS ttr,
+       CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS mean_tok_len
+FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents)
+WHERE tok <> ''
+GROUP BY doc_id
+"""
+
+
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length band + punctuation ratio +
+    stopword ratio, combined with exact double arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_chars = F.length(txt).cast("double")
+    n_punct = (F.length(txt) - F.length(F.regexp_replace(txt, PUNCT_RE, ""))) \
+        .cast("double")
+    toks = F.filter(F.split(txt, WS_RE), lambda t: t != F.lit(""))
+    n_tokens = F.size(toks).cast("double")
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    length_ok = ((n_tokens >= 10) & (n_tokens <= 100000)).cast("int").cast("double")
+    score = 0.4 * length_ok + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"))
+
+
+_SW_EN_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+QUALITY_SCORE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+              AS DOUBLE) AS n_punct,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, n_punct,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN ({_SW_EN_SQL}))) AS DOUBLE) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+       0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.4 * (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)
+       + 0.2 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+         AS quality_score
+FROM m
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: per-language stopword hit counts,
+    argmax with a fixed precedence (en>de>fr>es), 'unknown' when no
+    stopword hits at all."""
+    tok = _tok_table(spark, sf_dir)
+    aggs = [
+        F.sum(F.col("tok").isin(*words).cast("int")).alias(f"n_{lang}")
+        for lang, words in STOPWORDS.items()
+    ]
+    counts = tok.groupBy("doc_id").agg(*aggs)
+    n = {lang: F.col(f"n_{lang}") for lang in STOPWORDS}
+    pred = (
+        F.when(n["en"] + n["de"] + n["fr"] + n["es"] == 0, "unknown")
+         .when((n["en"] >= n["de"]) & (n["en"] >= n["fr"]) & (n["en"] >= n["es"]), "en")
+         .when((n["de"] >= n["fr"]) & (n["de"] >= n["es"]), "de")
+         .when(n["fr"] >= n["es"], "fr")
+         .otherwise("es"))
+    return counts.select("doc_id", pred.alias("pred_lang"),
+                         *[F.col(f"n_{lang}").cast("long").alias(f"n_{lang}")
+                           for lang in STOPWORDS])
+
+
+def _sw_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+LANG_ID_ORACLE = f"""
+WITH tk AS (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tok IN ({_sw_sql('en')}) THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(SUM(CASE WHEN tok IN ({_sw_sql('de')}) THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+         CAST(SUM(CASE WHEN tok IN ({_sw_sql('fr')}) THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+         CAST(SUM(CASE WHEN tok IN ({_sw_sql('es')}) THEN 1 ELSE 0 END) AS BIGINT) AS n_es
+  FROM tk WHERE tok <> '' GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN n_en + n_de + n_fr + n_es = 0 THEN 'unknown'
+            WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+            WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+            WHEN n_fr >= n_es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       n_en, n_de, n_fr, n_es
+FROM c
+"""
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc fingerprint over normalized text (md5) plus
+    the raw-content sha256 — the join keys for cross-corpus dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp_norm"),
+        F.sha2(F.col("text"), 256).alias("sha_raw"))
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fp_norm,
+       sha256(text) AS sha_raw
+FROM documents
+"""
+
+
+REGISTRATIONS = [
+    ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
+    ("quality_score_docs", quality_score_docs, QUALITY_SCORE_ORACLE),
+    ("lang_id_docs", lang_id_docs, LANG_ID_ORACLE),
+    ("fingerprint_docs", fingerprint_docs, FINGERPRINT_ORACLE),
+]

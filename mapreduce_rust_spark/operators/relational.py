@@ -593,6 +593,28 @@ GROUP BY event_type
 """
 
 
+# --- approximate sketches --------------------------------------------------
+
+def sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counting — the 100 TB substitute for
+    exact COUNT(DISTINCT) (no expand, one pass, mergeable sketches).
+    No oracle: sketch estimates are implementation-defined; accuracy
+    is asserted against the exact count in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+                   F.count("*").alias("n_rows")))
+
+
+def sketch_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna) over extendedprice —
+    mergeable, single-pass; tested against exact quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+         .alias("approx_p50_p90_p99"))
+
+
 # --- subqueries (SQL front door) -----------------------------------------
 
 def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,6 +732,8 @@ REGISTRATIONS: list[tuple[str, object, str | None]] = [
     ("math_funcs_lineitem", math_funcs_lineitem, MATH_FUNCS_ORACLE),
     ("array_funcs_docs", array_funcs_docs, ARRAY_FUNCS_ORACLE),
     ("json_funcs_events", json_funcs_events, JSON_FUNCS_ORACLE),
+    ("sketch_distinct_parts", sketch_distinct_parts, None),
+    ("sketch_quantile_price", sketch_quantile_price, None),
     ("scalar_subquery_orders", scalar_subquery_orders, SCALAR_SUBQUERY_ORACLE),
     ("in_subquery_lineitem", in_subquery_lineitem, IN_SUBQUERY_ORACLE),
     ("tumbling_event_counts", tumbling_event_counts, TUMBLING_ORACLE),

@@ -47,3 +47,9 @@ register("mr_word_count", mapreduce_compat.mr_word_count,
 
 for _name, _fn, _oracle in relational.REGISTRATIONS:
     register(_name, _fn, _oracle)
+
+from mapreduce_rust_spark.llm import dedup, multimodal, similarity, textanalysis  # noqa: E402
+
+for _mod in (dedup, similarity, textanalysis, multimodal):
+    for _name, _fn, _oracle in _mod.REGISTRATIONS:
+        register(_name, _fn, _oracle)

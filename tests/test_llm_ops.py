@@ -1,0 +1,85 @@
+"""M3 — LLM-pipeline operators: properties the oracle can't check
+(LSH recall, sketch accuracy, multimodal plumbing shape)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_minhash_candidates_superset_check(spark):
+    """Every MinHash-verified pair must appear in the exhaustive
+    n-gram Jaccard ground truth (banding can miss pairs, never
+    invent them — verification filters false positives)."""
+    from mapreduce_rust_spark.llm.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, SF_CORRECT).collect()}
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, SF_CORRECT).collect()}
+    assert lsh <= truth
+    assert truth, "fixture should contain planted near-dups"
+    recall = len(lsh) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall} too low (b=4,r=4 @ jaccard>=0.3)"
+
+
+def test_knn_lsh_recall(spark):
+    from mapreduce_rust_spark.llm.similarity import knn_bruteforce, knn_lsh
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(spark, SF_CORRECT).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in knn_lsh(spark, SF_CORRECT).collect()}
+    assert approx, "LSH kNN returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # 4 hyperplanes / 16 buckets over random data: modest recall is
+    # expected; the point is the bucketing machinery works.
+    assert recall > 0.2, f"recall {recall}"
+
+
+def test_sketches_close_to_exact(spark):
+    from mapreduce_rust_spark.operators.relational import (
+        sketch_distinct_parts, sketch_quantile_price)
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    exact = {r.l_returnflag: r.n
+             for r in li.groupBy("l_returnflag")
+                        .agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    for r in sketch_distinct_parts(spark, SF_CORRECT).collect():
+        assert abs(r.approx_parts - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.1
+    [q] = sketch_quantile_price(spark, SF_CORRECT).collect()
+    p50, p90, p99 = q.approx_p50_p90_p99
+    exact_q = li.approxQuantile("l_extendedprice", [0.5, 0.9, 0.99], 0.0)
+    assert abs(p50 - exact_q[0]) / exact_q[0] < 0.05
+    assert p50 < p90 < p99
+
+
+def test_multimodal_batch_shape(spark):
+    """mapInPandas must stream batches (plumbing check) and produce
+    deterministic fake features."""
+    from mapreduce_rust_spark.llm.multimodal import multimodal_features, with_payload
+    out = multimodal_features(spark, SF_SMOKE)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert len(rows) == docs.count()
+    r0 = min(rows, key=lambda r: r.doc_id)
+    t0 = docs.filter(F.col("doc_id") == r0.doc_id).collect()[0].text
+    assert r0.payload_bytes == len(t0.encode())
+    assert r0.fake_width == (len(t0.encode()) % 1024) + 1
+    # binary payload schema survives
+    p = with_payload(docs)
+    assert dict(p.dtypes)["payload"] == "binary"
+
+
+def test_decode_stub_gated(spark):
+    from mapreduce_rust_spark.llm.multimodal import decode_image_stub
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
+
+
+def test_exact_dedup_counts(spark):
+    """Fixture has no exact dups: every group size 1; operator must
+    still collapse a synthetic duplicate."""
+    from mapreduce_rust_spark.llm.dedup import exact_dedup_docs
+    out = exact_dedup_docs(spark, SF_CORRECT)
+    assert out.filter(F.col("n_copies") > 1).count() == 0
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(5)
+    doubled = docs.unionByName(docs)
+    dd = (doubled.groupBy(F.sha2("text", 256).alias("h"))
+                 .agg(F.count("*").alias("n")))
+    assert dd.filter(F.col("n") != 2).count() == 0
