@@ -49,7 +49,8 @@ for _name, _fn, _oracle in relational.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
 from mapreduce_rust_spark.llm import dedup, multimodal, similarity, textanalysis  # noqa: E402
+from mapreduce_rust_spark.streaming import stateful, windows  # noqa: E402
 
-for _mod in (dedup, similarity, textanalysis, multimodal):
+for _mod in (dedup, similarity, textanalysis, multimodal, windows, stateful):
     for _name, _fn, _oracle in _mod.REGISTRATIONS:
         register(_name, _fn, _oracle)

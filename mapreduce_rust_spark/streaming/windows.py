@@ -1,0 +1,161 @@
+"""Event-time streaming operators over ``events``.
+
+Execution model: ``readStream`` over the parquet fixture with an
+explicit schema (``ts`` arrives as raw nanos — same adapter story as
+the batch path), ``Trigger.AvailableNow`` to drain the source
+deterministically, memory sink, then the materialized table is
+returned. In production the source is Kafka/files-in-motion and the
+sink is a real table — the dataflow in the middle is identical, and
+that's the part these operators define.
+
+Watermarks: every aggregation declares ``withWatermark`` so the state
+store is bounded (late data beyond the watermark is dropped — the
+100 TB requirement; unbounded state OOMs long before that). With
+AvailableNow + complete/update output the fixture results stay
+deterministic and batch-equivalent, which is what the oracles check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_rust_spark.operators.relational import DEC_FINE
+from mapreduce_rust_spark.tables import table_path
+
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+WATERMARK = "10 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream source wants a directory/glob, not a bare file —
+    # glob to the single fixture file (prod: a landing directory)
+    return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+                 .parquet(table_path(sf_dir, "events") + "*")
+                 .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
+
+
+def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Drain the stream into a memory sink and return the result.
+
+    The state store allocates one task per shuffle partition per
+    micro-batch; a vanilla session's 200 is pathological for the
+    fixture (and for any small topic). Pin a sane value for the
+    stream's lifetime, restore afterwards — streaming queries bind
+    confs at start, so this can't leak into the caller's queries.
+    """
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism * 2))
+        q = (df.writeStream.outputMode(mode)
+               .format("memory").queryName(name)
+               .trigger(availableNow=True)
+               .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with watermark, complete
+    mode (deterministic under AvailableNow). Batch-equivalent to
+    ``tumbling_event_counts`` — and checked against the same oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (ev.withWatermark("ts", WATERMARK)
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("value").cast(DEC_FINE)).cast("double")
+                   .alias("sum_value")))
+    out = _run_to_table(agg, "stream_tumbling", "complete")
+    return out.select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+                      "event_type", "n", "sum_value")
+
+
+STREAM_TUMBLING_ORACLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour / 15 min slide): each event lands in 4
+    overlapping windows."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (ev.withWatermark("ts", WATERMARK)
+             .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+             .agg(F.count("*").alias("n")))
+    out = _run_to_table(agg, "stream_sliding", "complete")
+    return out.select(F.unix_timestamp(F.col("w.start")).alias("win_start"), "n")
+
+
+# each event belongs to exactly 4 slide offsets of its 15-min bucket
+STREAM_SLIDING_ORACLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT)
+         - k * 900 AS win_start,
+       COUNT(*) AS n
+FROM events, UNNEST(range(0, 4)) AS t(k)
+GROUP BY 1
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — the
+    streaming-native form of ``sessionize_events``. Session end =
+    last event + gap (Spark's session_window contract)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (ev.withWatermark("ts", WATERMARK)
+             .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+             .agg(F.count("*").alias("n_events")))
+    out = _run_to_table(agg, "stream_sessions", "complete")
+    return out.select("user_id",
+                      F.unix_timestamp(F.col("w.start")).alias("sess_start"),
+                      F.unix_timestamp(F.col("w.end")).alias("sess_end"),
+                      "n_events")
+
+
+STREAM_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+               OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS sess_start,
+       CAST(FLOOR(epoch(MAX(ts) + INTERVAL '30 minutes')) AS BIGINT) AS sess_end,
+       COUNT(*) AS n_events
+FROM islands GROUP BY user_id, sess_id
+"""
+
+
+REGISTRATIONS = [
+    ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
+    ("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_ORACLE),
+    ("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE),
+]
