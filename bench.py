@@ -36,6 +36,8 @@ HEADLINE = [
     "quality_score_docs",
     "lang_id_docs",
     "multimodal_features",
+    "asof_last_error",
+    "stream_tumbling_counts",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Temporal join operators Spark lacks natively (SURVEY.md §2b joins
+row: 'as-of/range need window or custom logic').
+
+``asof_last_error`` — the canonical as-of join, composed from
+built-ins instead of a Pandas ``merge_asof`` (option (a) of the
+custom-operator ladder): union-free single-pass window. For each
+event, the most recent strictly-earlier 'error' event of the same
+user. One shuffle on the partition key, sorted within partitions —
+exactly the plan a dedicated as-of operator would produce, and it
+scales as far as the window partition fits (salt the key if one user
+dominates).
+
+Tie note: ordering is (ts, event_id); with equal timestamps the
+window form ranks by event_id while a pure ``er.ts < e.ts`` oracle
+would exclude same-ts errors. Event timestamps are microsecond-unique
+in the fixtures, so semantics agree; a production operator would pin
+one contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return (ev.withColumn("last_error_ts", F.last(err_ts, ignorenulls=True).over(w))
+              .select("event_id", "user_id",
+                      F.col("ts").cast("long").alias("ts_epoch"),
+                      F.col("last_error_ts").cast("long").alias("last_error_epoch")))
+
+
+ASOF_ORACLE = """
+SELECT e.event_id, e.user_id,
+       CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+       CAST(FLOOR(epoch(er.ts)) AS BIGINT) AS last_error_epoch
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') er
+  ON e.user_id = er.user_id AND e.ts > er.ts
+"""
+
+
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions: parse props into map<string,bigint>, read
+    through map_keys/element_at (SURVEY.md §2b 'map functions')."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"))
+
+
+MAP_FUNCS_ORACLE = """
+SELECT event_id,
+       CAST(LEN(json_keys(props)) AS BIGINT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
+REGISTRATIONS = [
+    ("asof_last_error", asof_last_error, ASOF_ORACLE),
+    ("map_funcs_events", map_funcs_events, MAP_FUNCS_ORACLE),
+]

@@ -1,0 +1,77 @@
+"""Physical-plan audits — the properties that decide 100 TB viability.
+
+These pin the plan shape so a refactor can't silently regress:
+filters/projections must reach the parquet scan, small dims must
+broadcast, aggregates must have a partial (map-side) phase, global
+top-k must not globally sort, and JVM-expressible operators must not
+contain Python evaluation.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    from mapreduce_rust_spark.operators.relational import filter_project
+    df = filter_project(spark, SF_CORRECT)
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [" in scan and "GreaterThanOrEqual(l_quantity" in scan
+    # column pruning: only the 5 needed columns in ReadSchema
+    assert "l_comment" not in scan
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount"):
+        assert col in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    from mapreduce_rust_spark.operators.relational import join_revenue_by_nation
+    plan = _plan(join_revenue_by_nation(spark, SF_CORRECT))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+
+
+def test_agg_has_partial_phase(spark):
+    """The map-side combine the reference lacks (SURVEY.md §4) must be
+    in the plan: HashAggregate appears as partial+final pairs."""
+    from mapreduce_rust_spark.operators.wordcount import word_count
+    plan = _plan(word_count(spark, SF_CORRECT))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_global_topk_avoids_global_sort(spark):
+    from mapreduce_rust_spark.operators.relational import topk_orders_global
+    plan = _plan(topk_orders_global(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_jvm_operators_have_no_python(spark):
+    """Everything except the MapReduce-contract path and the explicit
+    Pandas operators must stay JVM-side (no Python row evaluation)."""
+    from mapreduce_rust_spark import registry
+    python_ok = {"mr_word_count", "multimodal_features", "stateful_user_totals"}
+    streaming = {"stream_tumbling_counts", "stream_sliding_counts",
+                 "stream_session_windows"}
+    for name, fn in registry.queries().items():
+        if name in python_ok | streaming:
+            continue
+        plan = _plan(fn(spark, SF_CORRECT))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+            f"{name} fell off the JVM path"
+
+
+def test_wholestage_codegen_on_hot_path(spark):
+    from mapreduce_rust_spark.operators.relational import q1_pricing_summary
+    df = q1_pricing_summary(spark, SF_CORRECT)
+    df.collect()  # AQE finalizes (and codegens) THIS plan only on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # whole-stage codegen renders as '*(n)' stage markers on operators
+    assert "*(" in plan, "no whole-stage-codegen spans on the Q1 hot path"

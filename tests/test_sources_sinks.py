@@ -1,0 +1,65 @@
+"""Source/sink roundtrips: csv, json, text, kv-text, parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_rust_spark import sources
+from tests.conftest import SF_SMOKE
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("score", T.DoubleType()),
+])
+
+ROWS = [(1, "a", 1.5), (2, "b", -2.0), (3, "c,with,commas", 0.0)]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    p = str(tmp_path / "csv")
+    df.write.mode("overwrite").option("header", True).csv(p)
+    back = sources.read_csv(spark, p, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    p = str(tmp_path / "json")
+    df.write.mode("overwrite").json(p)
+    back = sources.read_json(spark, p, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+
+
+def test_text_scan_with_split_identity(spark, tmp_path):
+    (tmp_path / "gut-0.txt").write_text("hello world\nfoo\n")
+    (tmp_path / "gut-1.txt").write_text("bar\n")
+    df = sources.read_text(spark, str(tmp_path / "gut-*.txt"))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r.split_file.endswith((".txt",)) for r in rows)
+    assert {r.value for r in rows} == {"hello world", "foo", "bar"}
+
+
+def test_kv_text_roundtrip(spark, tmp_path):
+    from mapreduce_rust_spark.sinks import write_kv_text
+    df = spark.createDataFrame([("k1", "7"), ("k2", "9")], ["key", "value"])
+    p = str(tmp_path / "kv")
+    write_kv_text(df, p, num_partitions=2)
+    back = sources.read_kv_text(spark, p)
+    assert sorted(map(tuple, back.collect())) == [("k1", "7"), ("k2", "9")]
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = str(tmp_path / "parts")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(p)
+    back = spark.read.parquet(p)
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter must prune directories
+    pruned = back.filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+    assert "PartitionFilters" in plan or "lang=en" in plan
