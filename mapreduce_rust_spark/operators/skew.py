@@ -1,0 +1,68 @@
+"""Skew-mitigation utilities — the manual levers for when AQE's
+skew-join splitting isn't available or isn't enough (e.g. a shuffled
+aggregation on a power-law key, or a join where one key holds >>1
+partition of rows).
+
+``salted_join``: replicate the small side ``n_salts`` times and give
+each big-side row a deterministic salt, so one hot key's rows spread
+over ``n_salts`` reducers instead of one. Identical results to the
+plain join — proven by an oracle-checked registry query that routes a
+real join through it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.operators.relational import dsum
+from mapreduce_rust_spark.tables import load_table
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``key`` with salting.
+
+    big side: salt = pmod(hash(whole row key + a spreading column),
+    n_salts) — deterministic, uniform. small side: exploded copy per
+    salt. The join key becomes (key, salt); result columns match the
+    plain join (salt dropped).
+
+    Only big-side-preserving joins are valid: the small side is
+    replicated per salt, so right/full would duplicate unmatched
+    small-side rows n_salts times."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(f"salted_join supports big-side-preserving joins only, got {how!r}")
+    salt = F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt)
+    small_s = (small.withColumn("__salt",
+                                F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))))
+    out = big_s.join(small_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-nation revenue routed through ``salted_join`` — the
+    oracle proves salting preserves join semantics exactly."""
+    orders = load_table(spark, sf_dir, "orders") \
+        .withColumnRenamed("o_custkey", "c_custkey")
+    cust = load_table(spark, sf_dir, "customer")
+    j = salted_join(orders, cust.select("c_custkey", "c_mktsegment"),
+                    "c_custkey", n_salts=8)
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n_orders"),
+                  dsum(F.col("o_totalprice")).alias("revenue")))
+
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+REGISTRATIONS = [
+    ("salted_join_revenue", salted_join_revenue, SALTED_JOIN_ORACLE),
+]

@@ -1,0 +1,60 @@
+"""Skew + bucketing machinery: salted join equivalence under an
+artificially skewed key, and bucketed tables joining without a
+shuffle (the 100 TB co-location story)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """Skew every row onto one key: salted result must still equal the
+    plain join exactly."""
+    from mapreduce_rust_spark.operators.skew import salted_join
+    big = (spark.range(20000)
+           .select(F.lit(7).alias("k"),
+                   (F.col("id") % 100).alias("v")))          # one hot key
+    small = spark.createDataFrame([(7, "hot"), (8, "cold")], ["k", "tag"])
+    plain = big.join(small, "k").groupBy("tag").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(big, small, "k").groupBy("tag").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # and the salt formula really spreads the hot key
+    salt = F.pmod(F.hash(F.col("k"), F.monotonically_increasing_id()), F.lit(8))
+    assert big.select(salt.alias("s")).distinct().count() > 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """bucketBy co-locates both sides: the sort-merge join must read
+    bucketed scans with NO Exchange on the join key."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+    (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+           .sortBy("o_custkey").option("path", str(tmp_path / "b_orders"))
+           .saveAsTable("b_orders"))
+    (cust.write.mode("overwrite").bucketBy(8, "c_custkey")
+         .sortBy("c_custkey").option("path", str(tmp_path / "b_cust"))
+         .saveAsTable("b_cust"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("b_orders")
+             .join(spark.table("b_cust"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment").agg(F.count("*").alias("n")))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # no exchange below the join (bucketed scans are pre-partitioned)
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
