@@ -593,6 +593,42 @@ GROUP BY event_type
 """
 
 
+def agg_collect_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate with deterministic output: sorted distinct
+    set rendered as a joined string (portable across engines, unlike
+    raw array ordering)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+                .agg(F.array_join(F.array_sort(F.collect_set("source")), ",")
+                      .alias("sources"),
+                     F.count("*").alias("n_docs")))
+
+
+AGG_COLLECT_ORACLE = """
+SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def percentile_exact_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based; the exact
+    counterpart of the sketch path — fine at one-group scope, use
+    percentile_approx when grouped by a high-cardinality key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"))
+
+
+PERCENTILE_EXACT_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- approximate sketches --------------------------------------------------
 
 def sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,6 +768,8 @@ REGISTRATIONS: list[tuple[str, object, str | None]] = [
     ("math_funcs_lineitem", math_funcs_lineitem, MATH_FUNCS_ORACLE),
     ("array_funcs_docs", array_funcs_docs, ARRAY_FUNCS_ORACLE),
     ("json_funcs_events", json_funcs_events, JSON_FUNCS_ORACLE),
+    ("agg_collect_sources", agg_collect_sources, AGG_COLLECT_ORACLE),
+    ("percentile_exact_price", percentile_exact_price, PERCENTILE_EXACT_ORACLE),
     ("sketch_distinct_parts", sketch_distinct_parts, None),
     ("sketch_quantile_price", sketch_quantile_price, None),
     ("scalar_subquery_orders", scalar_subquery_orders, SCALAR_SUBQUERY_ORACLE),
