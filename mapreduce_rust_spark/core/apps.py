@@ -29,4 +29,20 @@ def wc_reduce(key: str, values: list[str]) -> str:
     return str(len(values))
 
 
-APPS = {"wc": (wc_map, wc_reduce)}
+def wc_combine(key: str, values: list[str]) -> str:
+    """Map-side partial count: emits the partition-local SUM so the
+    shuffle carries one record per (partition, word). Pairs with
+    ``wc_reduce_sum`` on the reduce side."""
+    return str(sum(int(v) for v in values))
+
+
+def wc_reduce_sum(key: str, values: list[str]) -> str:
+    """Reduce for combined runs: values are partial counts, so SUM
+    (plain ``len`` would be wrong after combining)."""
+    return str(sum(int(v) for v in values))
+
+
+APPS = {
+    "wc": (wc_map, wc_reduce),
+    "wc_combined": (wc_map, wc_reduce_sum),
+}

@@ -51,10 +51,12 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     through map_keys/element_at (SURVEY.md §2b 'map functions')."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
+    # try_element_at: NULL (not an ANSI error) when the key is absent,
+    # mirroring json_extract_string's NULL
     return ev.select(
         "event_id",
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
-        F.element_at(m, "k").alias("k_value"))
+        F.try_element_at(m, F.lit("k")).alias("k_value"))
 
 
 MAP_FUNCS_ORACLE = """

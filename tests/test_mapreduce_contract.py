@@ -74,6 +74,27 @@ def test_property_identity_map_concat_reduce(spark, pairs):
     assert got == simulate(splits, map_fn, reduce_fn)
 
 
+def test_combiner_path_matches_uncombined(spark):
+    """Map-side combine must not change results, only shuffle volume."""
+    from mapreduce_rust_spark.core.apps import wc_combine, wc_reduce_sum
+    splits = ["a b a", "b b c", "a"]
+    plain = {r["key"]: r["value"]
+             for r in run_job(spark, splits, wc_map, wc_reduce, 3).collect()}
+    combined = {r["key"]: r["value"]
+                for r in run_job(spark, splits, wc_map, wc_reduce_sum, 3,
+                                 combine_fn=wc_combine).collect()}
+    assert combined == plain == {"a": "3", "b": "3", "c": "1"}
+
+
+def test_char_ngrams_expression(spark):
+    from mapreduce_rust_spark.functions.text import char_ngrams
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("Ab, cd!",)], ["t"])
+    [row] = df.select(char_ngrams(F.col("t"), 3).alias("g")).collect()
+    # normalized('Ab, cd!') == 'ab cd' → 3-grams
+    assert row.g == ["ab ", "b c", " cd"]
+
+
 def test_text_sink_reference_framing(spark, tmp_path):
     from mapreduce_rust_spark.sinks import write_kv_text
     df = spark.createDataFrame(

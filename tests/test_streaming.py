@@ -43,6 +43,53 @@ def test_stateful_totals_match_batch(spark):
     assert got == want
 
 
+def test_stateful_survives_multiple_microbatches(spark, tmp_path):
+    """The stateful operator's final fold must be batch-count
+    independent: split the source into 2 files, force 1 file per
+    micro-batch, and the totals must still match the batch count."""
+    import shutil
+    from pyspark.sql import types as T
+    from mapreduce_rust_spark.streaming.stateful import (
+        OUT_SCHEMA, STATE_SCHEMA, _update_user_state)
+    from mapreduce_rust_spark.streaming.windows import EVENTS_RAW_SCHEMA
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # split the fixture into two files (raw ns longs preserved)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    half1 = raw.filter(F.col("event_id") % 2 == 0)
+    half2 = raw.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(str(src / "p1"))
+    half2.coalesce(1).write.parquet(str(src / "p2"))
+
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/p*/*.parquet")
+              .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+              .select("user_id", "value"))
+    updated = (stream.groupBy("user_id")
+               .applyInPandasWithState(_update_user_state, OUT_SCHEMA,
+                                       STATE_SCHEMA, "update",
+                                       GroupStateTimeout.NoTimeout))
+    for q in spark.streams.active:
+        if q.name == "multi_batch_test":
+            q.stop()
+    q = (updated.writeStream.outputMode("update").format("memory")
+         .queryName("multi_batch_test").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("multi_batch_test")
+    assert q.lastProgress is not None
+    got = {r.user_id: r.n for r in
+           out.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()}
+    want = {r.user_id: r.n for r in
+            raw.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
 def test_watermark_bounds_state(spark):
     """The windowed agg must declare an event-time watermark (bounded
     state at scale); assert it's present in the analyzed plan."""
