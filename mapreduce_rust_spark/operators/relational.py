@@ -453,6 +453,100 @@ SELECT o_orderpriority, COUNT(*) AS n FROM (
 """
 
 
+def set_intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicities preserved)."""
+    a = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A") \
+        .select(F.col("l_suppkey").alias("k"))
+    b = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R") \
+        .select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
+SET_INTERSECT_ALL_ORACLE = """
+SELECT k, COUNT(*) AS n FROM (
+  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT ALL
+  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+) GROUP BY k
+"""
+
+
+def set_except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL."""
+    a = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A") \
+        .select(F.col("l_suppkey").alias("k"))
+    b = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R") \
+        .select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
+SET_EXCEPT_ALL_ORACLE = """
+SELECT k, COUNT(*) AS n FROM (
+  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+  EXCEPT ALL
+  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+) GROUP BY k
+"""
+
+
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: customer vs supplier per-nation counts, both
+    null sides preserved."""
+    c = (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+         .agg(F.count("*").alias("n_cust")))
+    s = (_t(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 5000)
+         .groupBy("s_nationkey").agg(F.count("*").alias("n_supp")))
+    return (c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+             .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+                     F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                     F.coalesce("n_supp", F.lit(0)).alias("n_supp")))
+
+
+JOIN_FULL_OUTER_ORACLE = """
+WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+      WHERE s_acctbal > 5000 GROUP BY 1)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""
+
+
+def join_cross_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (dim × dim only — a fact-side cross join is
+    never acceptable at scale)."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("a"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("b"))
+    return r.crossJoin(r2).filter(F.col("a") < F.col("b"))
+
+
+JOIN_CROSS_ORACLE = """
+SELECT a.r_name AS a, b.r_name AS b FROM region a, region b
+WHERE a.r_name < b.r_name
+"""
+
+
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UDTF shape) — token with its 1-based
+    position, small doc subset."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.col("text"), r"\s+")
+    return (docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+                .select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "tok")
+                .filter(F.col("tok") != ""))
+
+
+POSEXPLODE_ORACLE = """
+SELECT doc_id, u.pos, u.tok
+FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS l
+      FROM documents WHERE doc_id < 20),
+LATERAL (SELECT l[i] AS tok, i AS pos
+         FROM UNNEST(generate_series(1, len(l))) AS g(i)) u
+WHERE u.tok <> ''
+"""
+
+
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
@@ -761,6 +855,11 @@ REGISTRATIONS: list[tuple[str, object, str | None]] = [
     ("set_intersect_nations", set_intersect_nations, SET_INTERSECT_ORACLE),
     ("set_except_customers", set_except_customers, SET_EXCEPT_ORACLE),
     ("set_union_counts", set_union_counts, SET_UNION_ORACLE),
+    ("set_intersect_all_keys", set_intersect_all_keys, SET_INTERSECT_ALL_ORACLE),
+    ("set_except_all_keys", set_except_all_keys, SET_EXCEPT_ALL_ORACLE),
+    ("join_full_outer_nations", join_full_outer_nations, JOIN_FULL_OUTER_ORACLE),
+    ("join_cross_regions", join_cross_regions, JOIN_CROSS_ORACLE),
+    ("posexplode_tokens", posexplode_tokens, POSEXPLODE_ORACLE),
     ("distinct_segments", distinct_segments, DISTINCT_ORACLE),
     ("topk_orders_global", topk_orders_global, TOPK_GLOBAL_ORACLE),
     ("string_funcs_part", string_funcs_part, STRING_FUNCS_ORACLE),
