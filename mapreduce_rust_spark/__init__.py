@@ -24,9 +24,11 @@ Everything is DataFrame-first so Catalyst supplies pushdown, pruning,
 partial aggregation, AQE and whole-stage codegen.
 """
 
+from mapreduce_rust_spark.core import run_job, run_job_df
 from mapreduce_rust_spark.session import get_spark
 from mapreduce_rust_spark.tables import load_table, register_views
 
-__all__ = ["get_spark", "load_table", "register_views"]
+__all__ = ["get_spark", "load_table", "register_views",
+           "run_job", "run_job_df"]
 
 __version__ = "0.1.0"

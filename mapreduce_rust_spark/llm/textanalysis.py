@@ -158,6 +158,56 @@ FROM c
 """
 
 
+def token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: GPT-2-style pretokenizer pattern
+    (letters / digits / punctuation runs with optional leading space),
+    simplified to the RE2∩Java-portable subset (no lookahead). The
+    ratio vs whitespace tokens approximates tokens-per-word fertility.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    bpe = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long")
+    ws = F.size(F.filter(F.split("text", WS_RE), lambda t: t != F.lit("")))\
+        .cast("long")
+    return docs.select(
+        "doc_id", bpe.alias("n_bpe_tokens"), ws.alias("n_ws_tokens"),
+        (bpe.cast("double") / ws).alias("fertility"))
+
+
+TOKEN_COUNT_BPE_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS DOUBLE)
+         / len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS fertility
+FROM documents
+"""
+
+
+def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, content-keyed train/val/test split: bucket =
+    md5(text) mod 100 → 80/10/10. Content-keyed (not row-keyed) so
+    exact duplicates always land in the same split — the property
+    that prevents train/test leakage in dedup'd corpora. Portable
+    hash, so fully oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long") % 100
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test"))
+    return docs.select("doc_id", split.alias("split")) \
+               .groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+TRAIN_TEST_SPLIT_ORACLE = """
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM (SELECT CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 100 AS b
+      FROM documents)
+GROUP BY 1
+"""
+
+
 def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic doc fingerprint over normalized text (md5) plus
     the raw-content sha256 — the join keys for cross-corpus dedup."""
@@ -179,6 +229,8 @@ FROM documents
 
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
+    ("token_count_bpe_docs", token_count_bpe_docs, TOKEN_COUNT_BPE_ORACLE),
+    ("train_test_split_docs", train_test_split_docs, TRAIN_TEST_SPLIT_ORACLE),
     ("quality_score_docs", quality_score_docs, QUALITY_SCORE_ORACLE),
     ("lang_id_docs", lang_id_docs, LANG_ID_ORACLE),
     ("fingerprint_docs", fingerprint_docs, FINGERPRINT_ORACLE),

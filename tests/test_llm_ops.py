@@ -28,9 +28,10 @@ def test_knn_lsh_recall(spark):
     approx = {(r.query_id, r.neighbor_id) for r in knn_lsh(spark, SF_CORRECT).collect()}
     assert approx, "LSH kNN returned nothing"
     recall = len(exact & approx) / len(exact)
-    # 4 hyperplanes / 16 buckets over random data: modest recall is
-    # expected; the point is the bucketing machinery works.
-    assert recall > 0.2, f"recall {recall}"
+    # 4 hyperplanes / 16 buckets + Hamming-1 multi-probe over random
+    # data; print the number so perf rounds can see drift.
+    print(f"knn_lsh recall vs bruteforce: {recall:.2f}")
+    assert recall > 0.4, f"recall {recall}"  # measured 0.58 on the fixture
 
 
 def test_sketches_close_to_exact(spark):
