@@ -1,0 +1,141 @@
+"""Composed LLM-data-curation pipeline + embedding aggregation +
+near-dup clustering — the operators that sit ON TOP of the dedup /
+quality / split primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.llm.dedup import minhash_lsh_pairs
+from mapreduce_rust_spark.tables import load_table
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in LONG format (label, dim,
+    centroid value) — the IVF-training aggregation. Long format keeps
+    the oracle portable (no array-of-double comparisons) and is the
+    shuffle-friendly shape anyway: one row per (label, dim), exact
+    decimal mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label",
+                          F.posexplode(F.col("embedding")).alias("dim", "v"))
+    # Quantize each value onto a 1e-12 integer grid with HALF_EVEN on
+    # BOTH engines (Spark bround ≡ DuckDB round_even), then sum exact
+    # longs. Decimal casts don't work here: float32 values are dyadic
+    # rationals whose decimal expansions can terminate exactly on a
+    # rounding tie, and the engines' decimal-cast tie modes differ.
+    q = F.bround(F.col("v").cast("double") * 1e12, 0).cast("long")
+    return (exploded.groupBy("label", F.col("dim").cast("long").alias("dim"))
+            .agg((F.sum(q).cast("double") / F.lit(1e12) / F.count(F.lit(1)))
+                 .alias("centroid")))
+
+
+LABEL_CENTROIDS_ORACLE = """
+SELECT label, CAST(u.dim - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(round_even(CAST(u.v AS DOUBLE) * 1e12, 0) AS BIGINT))
+            AS DOUBLE) / 1e12 / COUNT(*) AS centroid
+FROM embeddings,
+LATERAL (SELECT embedding[i] AS v, i AS dim
+         FROM UNNEST(generate_series(1, len(embedding))) AS g(i)) u
+GROUP BY label, u.dim
+"""
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow, composed from the
+    engine's primitives in one declarative plan:
+
+    1. quality gate  — keep docs with ≥10 tokens,
+    2. exact dedup   — keep min doc_id per sha256(text),
+    3. near-dup drop — remove the doc_b side of every verified
+                       MinHash-LSH pair (keep the lower doc_id),
+    4. split         — content-keyed 80/10/10,
+    5. report        — docs per (split, lang).
+
+    Every stage is a shuffle-bounded primitive proven elsewhere; the
+    composition is what a real 100 TB curation job runs nightly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    quality = docs.filter(F.size(toks) >= 10)
+
+    keep_exact = (quality.groupBy(F.sha2("text", 256).alias("h"))
+                         .agg(F.min("doc_id").alias("doc_id")))
+    survivors = quality.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+
+    drop_b = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")).distinct()
+    survivors = survivors.join(drop_b, "doc_id", "left_anti")
+
+    bucket = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long") % 100
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val").otherwise("test"))
+    return (survivors.select(split.alias("split"), "lang")
+                     .groupBy("split", "lang")
+                     .agg(F.count("*").alias("n_docs")))
+
+
+# mirrors the Spark plan stage by stage (shared shingle/banding CTEs
+# with the minhash oracle)
+from mapreduce_rust_spark.llm.dedup import MINHASH_LSH_ORACLE  # noqa: E402
+
+CURATION_ORACLE = f"""
+WITH pairs AS ({MINHASH_LSH_ORACLE}),
+quality AS (
+  SELECT * FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) >= 10
+),
+keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY sha256(text)
+),
+survivors AS (
+  SELECT q.* FROM quality q
+  WHERE q.doc_id IN (SELECT doc_id FROM keep_exact)
+    AND q.doc_id NOT IN (SELECT doc_b FROM pairs)
+)
+SELECT CASE WHEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM survivors GROUP BY 1, 2
+"""
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: each doc
+    gets the min doc_id of its cluster as representative. Iterative
+    min-label propagation — converges in O(log(max component
+    diameter)) joins; components here are tiny (pairs/triples), and at
+    scale this is the standard large-star/small-star pattern. No SQL
+    oracle (iterative); pytest checks against a union-find."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs
+             .union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                 F.col("doc_a").alias("doc_b"))))
+    edges = edges.localCheckpoint()  # reused every iteration
+    labels = (edges.select(F.col("doc_a").alias("node"))
+                   .distinct()
+                   .withColumn("rep", F.col("node"))
+                   .localCheckpoint())
+    for _ in range(5):  # diameter bound for fixture clusters
+        prop = (edges.join(labels, edges.doc_b == labels.node)
+                     .groupBy(F.col("doc_a").alias("node"))
+                     .agg(F.min("rep").alias("nbr_rep")))
+        labels = (labels.join(prop, "node", "left")
+                        .select("node",
+                                F.least(F.col("rep"),
+                                        F.coalesce("nbr_rep", F.col("rep")))
+                                 .alias("rep"))
+                        # truncate lineage: without this the plan doubles
+                        # per iteration (labels appears on both join
+                        # sides) and analysis/broadcast costs explode
+                        .localCheckpoint())
+    return labels.select(F.col("node").alias("doc_id"), "rep")
+
+
+REGISTRATIONS = [
+    ("label_centroids", label_centroids, LABEL_CENTROIDS_ORACLE),
+    ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
+    ("neardup_clusters", neardup_clusters, None),
+]

@@ -54,9 +54,10 @@ for _name, _fn, _oracle in temporal.REGISTRATIONS:
 for _name, _fn, _oracle in skew.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
-from mapreduce_rust_spark.llm import dedup, multimodal, similarity, textanalysis  # noqa: E402
+from mapreduce_rust_spark.llm import dedup, multimodal, pipeline, similarity, textanalysis  # noqa: E402
 from mapreduce_rust_spark.streaming import stateful, windows  # noqa: E402
 
-for _mod in (dedup, similarity, textanalysis, multimodal, windows, stateful):
+for _mod in (dedup, similarity, textanalysis, multimodal, pipeline,
+             windows, stateful):
     for _name, _fn, _oracle in _mod.REGISTRATIONS:
         register(_name, _fn, _oracle)

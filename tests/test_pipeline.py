@@ -1,0 +1,56 @@
+"""Composed-pipeline operators: cluster correctness vs union-find,
+curation stage accounting."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_neardup_clusters_match_union_find(spark):
+    from mapreduce_rust_spark.llm.dedup import minhash_lsh_pairs
+    from mapreduce_rust_spark.llm.pipeline import neardup_clusters
+    pairs = [(r.doc_a, r.doc_b)
+             for r in minhash_lsh_pairs(spark, SF_CORRECT).collect()]
+    want = _union_find(pairs)
+    got = {r.doc_id: r.rep for r in neardup_clusters(spark, SF_CORRECT).collect()}
+    assert got == want
+    assert any(v != k for k, v in got.items())  # non-trivial clusters exist
+
+
+def test_curation_pipeline_accounting(spark):
+    """Total curated docs == quality survivors - exact dups - near-dup
+    doc_b side (fixture has no exact dups)."""
+    from mapreduce_rust_spark.llm.dedup import minhash_lsh_pairs
+    from mapreduce_rust_spark.llm.pipeline import curation_pipeline
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    n_quality = docs.filter(F.size(toks) >= 10).count()
+    quality_ids = {r.doc_id for r in
+                   docs.filter(F.size(toks) >= 10).select("doc_id").collect()}
+    drop_b = {r.doc_b for r in minhash_lsh_pairs(spark, SF_CORRECT).collect()}
+    expected = n_quality - len(drop_b & quality_ids)
+    out = curation_pipeline(spark, SF_CORRECT)
+    assert out.agg(F.sum("n_docs")).collect()[0][0] == expected
+    splits = {r.split for r in out.collect()}
+    assert splits <= {"train", "val", "test"}
