@@ -27,6 +27,25 @@ def test_salted_join_equals_plain_join_under_skew(spark):
     assert big.select(salt.alias("s")).distinct().count() > 1
 
 
+def test_salted_join_property(spark):
+    """Hypothesis-style sweep without fixtures: random multiplicities
+    and partial key overlap, inner and left, several salt counts."""
+    from mapreduce_rust_spark.operators.skew import salted_join
+    import random
+    rnd = random.Random(42)
+    rows = [(rnd.randint(0, 5), i) for i in range(500)]
+    big = spark.createDataFrame(rows, ["k", "v"])
+    small = spark.createDataFrame([(k, f"t{k}") for k in range(0, 4)], ["k", "tag"])
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple,
+                           big.join(small, "k", how).select("k", "v", "tag").collect()))
+        for n in (1, 3, 16):
+            salted = sorted(map(tuple,
+                                salted_join(big, small, "k", n_salts=n, how=how)
+                                .select("k", "v", "tag").collect()))
+            assert salted == plain, f"{how} n_salts={n}"
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """bucketBy co-locates both sides: the sort-merge join must read
     bucketed scans with NO Exchange on the join key."""

@@ -90,6 +90,37 @@ def test_stateful_survives_multiple_microbatches(spark, tmp_path):
     assert got == want
 
 
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Exactly-once file source: after a stop/restart with the same
+    checkpoint, already-processed files are not re-counted."""
+    import shutil
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"; src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    df1 = spark.range(10).select(F.col("id"))
+    df1.coalesce(1).write.parquet(str(src / "f1"))
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/f*/*.parquet")
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 10
+    # second batch of data arrives, restart with same checkpoint
+    spark.range(100, 105).coalesce(1).write.parquet(str(src / "f2"))
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 15  # 10 + 5, no duplicates from f1
+    assert out.select(F.countDistinct("id")).collect()[0][0] == 15
+
+
 def test_watermark_bounds_state(spark):
     """The windowed agg must declare an event-time watermark (bounded
     state at scale); assert it's present in the analyzed plan."""
