@@ -67,7 +67,37 @@ FROM events
 """
 
 
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval (range) join: purchases attributed to clicks by
+    the same user within the following 30 minutes. The equi key
+    (user_id) carries the shuffle; the time bound is a residual
+    predicate — the batch twin of the stream-stream interval join
+    (tested in streaming). Attribution pairs per user."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("buy_ts"))
+    return (clicks.join(buys, "user_id")
+            .filter((F.col("buy_ts") >= F.col("click_ts")) &
+                    (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")))
+            .select("user_id", "click_id", "purchase_id"))
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+"""
+
+
 REGISTRATIONS = [
     ("asof_last_error", asof_last_error, ASOF_ORACLE),
     ("map_funcs_events", map_funcs_events, MAP_FUNCS_ORACLE),
+    ("interval_join_click_purchase", interval_join_click_purchase,
+     INTERVAL_JOIN_ORACLE),
 ]

@@ -90,6 +90,83 @@ def test_stateful_survives_multiple_microbatches(spark, tmp_path):
     assert got == want
 
 
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream interval join (clicks ⋈ purchases within 30 min,
+    watermarked both sides) must equal the batch range join."""
+    from mapreduce_rust_spark.operators.temporal import interval_join_click_purchase
+    from mapreduce_rust_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, SF_SMOKE)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("event_id").alias("click_id"),
+                        F.col("ts").alias("click_ts"))
+                .withWatermark("click_ts", "1 hour"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+              .select(F.col("user_id").alias("b_user_id"),
+                      F.col("event_id").alias("purchase_id"),
+                      F.col("ts").alias("buy_ts"))
+              .withWatermark("buy_ts", "1 hour"))
+    joined = (clicks.join(
+        buys,
+        F.expr("""user_id = b_user_id AND
+                  buy_ts >= click_ts AND
+                  buy_ts <= click_ts + INTERVAL 30 MINUTES""")))
+    for q in spark.streams.active:
+        if q.name == "ss_join":
+            q.stop()
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ss_join").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.click_id, r.purchase_id)
+           for r in spark.table("ss_join")
+                         .select("user_id", "click_id", "purchase_id").collect()}
+    want = {(r.user_id, r.click_id, r.purchase_id)
+            for r in interval_join_click_purchase(spark, SF_SMOKE).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Append-mode windowed agg: an event arriving after the watermark
+    passed its window must be dropped, not re-opened."""
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("k", T.StringType())])
+    src = tmp_path / "late_src"; src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.parquet(str(src / name))
+
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ckpt = str(tmp_path / "late_ckpt")
+    sink = str(tmp_path / "late_sink")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/b*/*.parquet")
+        agg = (stream.withWatermark("ts", "10 minutes")
+                     .groupBy(F.window("ts", "1 hour").alias("w"))
+                     .agg(F.count("*").alias("n")))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # run 1: events up to 02:00 → watermark persists at 01:50; the
+    # 00:00 window finalizes and is emitted with ONLY the on-time row
+    write_batch("b1", [(base + dt.timedelta(hours=2), "fresh"),
+                       (base + dt.timedelta(minutes=30), "ontime")])
+    run_once()
+    # run 2 (restart from checkpoint): a very late 00:00 event + fresh
+    write_batch("b2", [(base, "late"),
+                       (base + dt.timedelta(hours=2, minutes=5), "fresh2")])
+    run_once()
+    rows = {(r["w"]["start"].hour, r["n"])
+            for r in spark.read.parquet(sink).collect()}
+    assert (0, 1) in rows      # finalized with the on-time event only
+    assert (0, 2) not in rows  # the late event was dropped, not merged
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """Exactly-once file source: after a stop/restart with the same
     checkpoint, already-processed files are not re-counted."""
