@@ -38,6 +38,8 @@ HEADLINE = [
     "multimodal_features",
     "asof_last_error",
     "stream_tumbling_counts",
+    "curation_pipeline",
+    "interval_join_click_purchase",
 ]
 
 

@@ -227,10 +227,68 @@ FROM documents
 """
 
 
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary over the corpus: token → (rank,
+    count), deterministic tiebreak by token. The id-assignment step of
+    any tokenizer-training pipeline; one agg + one tiny-sort."""
+    tok = _tok_table(spark, sf_dir)
+    from pyspark.sql import Window as W
+    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), F.col("tok"))
+    return counts.select(
+        "tok", "cnt",
+        F.row_number().over(w).cast("long").alias("rank"))
+
+
+BUILD_VOCAB_ORACLE = """
+SELECT tok, cnt,
+       ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+FROM (SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok)
+"""
+
+
+def tf_df_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency / document-frequency table for a probe doc set:
+    (doc, token, tf, df, weight = tf*N/df). The rational tf-idf
+    variant — ln() is excluded from checked outputs (libm), and the
+    N/df ratio carries the same ordering. df comes from a broadcast-
+    able token→df aggregate; the big side never re-shuffles."""
+    tok_all = _tok_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    df_tab = (tok_all.select("doc_id", "tok").distinct()
+                     .groupBy("tok").agg(F.count("*").alias("df")))
+    tf = (tok_all.filter(F.col("doc_id") < 10)
+                 .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    return (tf.join(F.broadcast(df_tab), "tok")
+              .select("doc_id", "tok", "tf", "df",
+                      (F.col("tf").cast("double") * F.lit(float(n_docs))
+                       / F.col("df")).alias("weight")))
+
+
+TF_DF_ORACLE = """
+WITH tk AS (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents),
+tok_all AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+df_tab AS (SELECT tok, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, tok FROM tok_all) GROUP BY tok),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok_all
+       WHERE doc_id < 10 GROUP BY doc_id, tok)
+SELECT doc_id, tok, tf, df,
+       CAST(tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / df AS weight
+FROM tf JOIN df_tab USING (tok)
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
     ("token_count_bpe_docs", token_count_bpe_docs, TOKEN_COUNT_BPE_ORACLE),
     ("train_test_split_docs", train_test_split_docs, TRAIN_TEST_SPLIT_ORACLE),
+    ("build_vocab", build_vocab, BUILD_VOCAB_ORACLE),
+    ("tf_df_docs", tf_df_docs, TF_DF_ORACLE),
     ("quality_score_docs", quality_score_docs, QUALITY_SCORE_ORACLE),
     ("lang_id_docs", lang_id_docs, LANG_ID_ORACLE),
     ("fingerprint_docs", fingerprint_docs, FINGERPRINT_ORACLE),
