@@ -745,6 +745,44 @@ def sketch_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("approx_p50_p90_p99"))
 
 
+def rollup_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: history is
+    served from a PRE-AGGREGATED hourly rollup, only the tail (last
+    day) is aggregated from raw events, and the two merge to the same
+    answer as aggregating everything raw — which is exactly what the
+    oracle checks. At 100 TB the rollup is a materialized table
+    refreshed incrementally; the query-time cost drops from
+    O(all events) to O(rollup rows + tail events)."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-25 00:00:00"
+    hist = ev.filter(F.col("ts") < cutoff)
+    tail = ev.filter(F.col("ts") >= cutoff)
+
+    def hourly(df):
+        return (df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                  .agg(F.count("*").alias("n"),
+                       dsum(F.col("value"), DEC_FINE).alias("sum_value")))
+
+    # the "materialized" rollup (in production: read from a table)
+    rollup = hourly(hist)
+    merged = rollup.unionByName(hourly(tail))
+    # merge partials: counts add, decimal-derived sums add exactly
+    return (merged
+            .select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+                    "event_type", "n", "sum_value")
+            .groupBy("bucket_start", "event_type")
+            .agg(F.sum("n").alias("n"),
+                 dsum(F.col("sum_value"), DEC_FINE).alias("sum_value")))
+
+
+ROLLUP_MERGE_ORACLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- subqueries (SQL front door) -----------------------------------------
 
 def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,5 +912,6 @@ REGISTRATIONS: list[tuple[str, object, str | None]] = [
     ("scalar_subquery_orders", scalar_subquery_orders, SCALAR_SUBQUERY_ORACLE),
     ("in_subquery_lineitem", in_subquery_lineitem, IN_SUBQUERY_ORACLE),
     ("tumbling_event_counts", tumbling_event_counts, TUMBLING_ORACLE),
+    ("rollup_merge_events", rollup_merge_events, ROLLUP_MERGE_ORACLE),
     ("sessionize_events", sessionize_events, SESSIONIZE_ORACLE),
 ]
