@@ -35,3 +35,16 @@ def write_kv_text(df: DataFrame, path: str, num_partitions: int = 8,
                  .sortWithinPartitions("key")
                  .select(line))
     out.write.mode("overwrite").text(path)
+
+
+def write_bucketed(df: DataFrame, table: str, path: str, key: str,
+                   num_buckets: int = 8) -> None:
+    """Persist ``df`` as a bucketed+sorted external table on ``key``:
+    later equi-joins/aggs on ``key`` between co-bucketed tables read
+    pre-partitioned scans with NO exchange (asserted in
+    ``tests/test_skew_bucketing.py``) — the 100 TB co-location lever.
+    """
+    (df.write.mode("overwrite")
+       .bucketBy(num_buckets, key).sortBy(key)
+       .option("path", path)
+       .saveAsTable(table))

@@ -49,16 +49,13 @@ def test_salted_join_property(spark):
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """bucketBy co-locates both sides: the sort-merge join must read
     bucketed scans with NO Exchange on the join key."""
+    from mapreduce_rust_spark.sinks import write_bucketed
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_cust")
     orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
     cust = spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
-    (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
-           .sortBy("o_custkey").option("path", str(tmp_path / "b_orders"))
-           .saveAsTable("b_orders"))
-    (cust.write.mode("overwrite").bucketBy(8, "c_custkey")
-         .sortBy("c_custkey").option("path", str(tmp_path / "b_cust"))
-         .saveAsTable("b_cust"))
+    write_bucketed(orders, "b_orders", str(tmp_path / "b_orders"), "o_custkey")
+    write_bucketed(cust, "b_cust", str(tmp_path / "b_cust"), "c_custkey")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = (spark.table("b_orders")
