@@ -67,6 +67,23 @@ def test_jvm_operators_have_no_python(spark):
             f"{name} fell off the JVM path"
 
 
+def test_no_cartesian_products_engine_wide(spark):
+    """No operator may plan a CartesianProduct — the one join shape
+    that cannot survive scale. Exceptions: the explicitly-declared
+    dim×dim cross join, and broadcast-NLJ probes (bounded by the
+    broadcast side). Streaming/stateful queries execute streams, so
+    they're covered by their own tests."""
+    from mapreduce_rust_spark import registry
+    skip = {"join_cross_regions",           # declared dim-only cross join
+            "stream_tumbling_counts", "stream_sliding_counts",
+            "stream_session_windows", "stateful_user_totals"}
+    for name, fn in registry.queries().items():
+        if name in skip:
+            continue
+        plan = _plan(fn(spark, SF_CORRECT))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
 def test_wholestage_codegen_on_hot_path(spark):
     from mapreduce_rust_spark.operators.relational import q1_pricing_summary
     df = q1_pricing_summary(spark, SF_CORRECT)
