@@ -115,7 +115,49 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("rank").cast("long").alias("rank")))
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: a trained coarse quantizer (the per-label
+    centroids — at scale: k-means cells) assigns every vector to its
+    nearest centroid cell; queries probe their own cell plus the
+    runner-up (nprobe=2). Candidates per query ≈ 2/n_cells of the
+    corpus. The centroid table is tiny and broadcast; assignment is
+    one scan. No oracle (approximate); recall-tested vs brute force."""
+    from mapreduce_rust_spark.llm.pipeline import label_centroids
+    emb = _emb(spark, sf_dir)
+
+    cents = (label_centroids(spark, sf_dir)
+             .groupBy("label")
+             .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid")))
+                   .alias("cs"))
+             .select(F.col("label").alias("cell"),
+                     F.transform("cs", lambda x: x["centroid"]).alias("ce")))
+
+    assigned = (emb.crossJoin(F.broadcast(cents))
+                .withColumn("sim_c", cosine(F.col("e"), F.col("ce"))))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("sim_c").desc(), F.col("cell"))
+    cells = (assigned.withColumn("r", F.row_number().over(w_assign))
+             .filter(F.col("r") <= 2)  # nprobe=2 for queries; rank 1 = home cell
+             .select("vec_id", "label", "e", "cell", "r"))
+    home = cells.filter(F.col("r") == 1).select("vec_id", "e", "cell")
+
+    q = (cells.filter(F.col("vec_id") < N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("e").alias("qe"), F.col("cell").alias("qc")))
+    cand = (F.broadcast(q)
+            .join(home.select(F.col("vec_id").alias("neighbor_id"),
+                              F.col("e").alias("ne"), F.col("cell")),
+                  F.col("qc") == F.col("cell"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", cosine(F.col("qe"), F.col("ne"))))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= K)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("long").alias("rank")))
+
+
 REGISTRATIONS = [
     ("knn_bruteforce", knn_bruteforce, KNN_BRUTEFORCE_ORACLE),
     ("knn_lsh", knn_lsh, None),  # approximate — recall-tested, rows-only check
+    ("knn_ivf", knn_ivf, None),  # approximate — recall-tested, rows-only check
 ]

@@ -34,6 +34,18 @@ def test_knn_lsh_recall(spark):
     assert recall > 0.4, f"recall {recall}"  # measured 0.58 on the fixture
 
 
+def test_knn_ivf_recall(spark):
+    from mapreduce_rust_spark.llm.similarity import knn_bruteforce, knn_ivf
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(spark, SF_CORRECT).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in knn_ivf(spark, SF_CORRECT).collect()}
+    assert approx
+    recall = len(exact & approx) / len(exact)
+    print(f"knn_ivf recall vs bruteforce: {recall:.2f}")
+    # random embeddings have weak cluster structure; the machinery
+    # (train/assign/probe) is what's under test
+    assert recall > 0.15, f"recall {recall}"
+
+
 def test_sketches_close_to_exact(spark):
     from mapreduce_rust_spark.operators.relational import (
         sketch_distinct_parts, sketch_quantile_price)
