@@ -60,8 +60,10 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
             q.stop()
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # == cores measured fastest for the state store locally (2x
+        # adds task overhead, fewer underuses cores)
         spark.conf.set("spark.sql.shuffle.partitions",
-                       str(spark.sparkContext.defaultParallelism * 2))
+                       str(spark.sparkContext.defaultParallelism))
         q = (df.writeStream.outputMode(mode)
                .format("memory").queryName(name)
                .trigger(availableNow=True)
