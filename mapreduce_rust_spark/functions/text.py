@@ -13,8 +13,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Reference tokenizer rules (wc.rs:7-10): strip punctuation, split on
-# runs of whitespace. Java regex \w == ASCII [A-Za-z0-9_], matching
-# the Rust regex crate's default.
+# runs of whitespace. Java regex \w == ASCII [A-Za-z0-9_]. DOCUMENTED
+# DIVERGENCE: the reference's Rust regex crate (1.9, default features)
+# is Unicode-aware for \w, so non-ASCII letters survive there but are
+# stripped here — ASCII is pinned for Spark↔DuckDB oracle parity;
+# identical behavior on ASCII text.
 PUNCT_RE = r"[^\w\s]"
 WS_RE = r"\s+"
 

@@ -53,14 +53,17 @@ def _shingles(toks_col) -> F.Column:
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
-def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_table_from_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) inverted-index input. The regex split is
     materialized as its own column FIRST: referencing the split
     expression inside the per-element shingle lambda would re-run the
     regex once per shingle (measured ~5x slower)."""
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
     return toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("s"))
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingle_table_from_docs(load_table(spark, sf_dir, "documents"))
 
 
 # --- exact dedup ----------------------------------------------------------
@@ -194,10 +197,42 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
 
 # --- n-gram Jaccard (exhaustive inverted-index form) -----------------------
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All near-dup pairs at ``JACCARD_T`` via the shingle inverted
-    index (ground truth for the LSH recall tests)."""
-    sh = _shingle_table(spark, sf_dir).persist()
+DF_CAP = 64  # max docs sharing a shingle before it's dropped from the index
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        df_cap: int | None = DF_CAP) -> DataFrame:
+    """Near-dup pairs at ``JACCARD_T`` via the shingle inverted index.
+
+    A shingle shared by k docs contributes k² candidate rows to the
+    self-join, so one boilerplate phrase ("all rights reserved …")
+    repeated across 1M docs is a 10¹²-row blowup. ``df_cap`` drops
+    shingles with document frequency > cap from the index BEFORE the
+    join (an anti-join against the heavy-hitter set, which is small
+    by construction: ≤ |index|/cap shingles). This bounds join fanout
+    at cap² per shingle. Semantics: Jaccard is computed over the
+    capped shingle universe — pairs whose overlap is ONLY boilerplate
+    no longer surface (that is the point: boilerplate overlap is not
+    near-duplication), and both |A|, |B| shrink consistently. The
+    oracle applies the identical cap. ``df_cap=None`` is the
+    exhaustive form, kept as ground truth for the LSH recall tests —
+    never use it on a corpus with unbounded hot shingles."""
+    return jaccard_pairs_from_docs(
+        load_table(spark, sf_dir, "documents"), df_cap)
+
+
+def jaccard_pairs_from_docs(docs: DataFrame,
+                            df_cap: int | None = DF_CAP) -> DataFrame:
+    """DataFrame-level core of ``ngram_jaccard_pairs`` (see its
+    docstring for the df-cap semantics)."""
+    raw = _shingle_table_from_docs(docs)
+    if df_cap is not None:
+        # (doc_id, s) is distinct by construction, so count(*) == df
+        hot = (raw.groupBy("s").agg(F.count("*").alias("df"))
+                  .filter(F.col("df") > df_cap).select("s"))
+        sh = raw.join(hot, "s", "left_anti").persist()
+    else:
+        sh = raw.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (sh.alias("x").join(sh.alias("y"),
                                  (F.col("x.s") == F.col("y.s"))
@@ -216,7 +251,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_ORACLE = f"""
-WITH {_oracle_shingles_cte()},
+WITH {_oracle_shingles_cte().replace('sh AS (', 'sh0 AS (')},
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id

@@ -102,14 +102,23 @@ FROM survivors GROUP BY 1, 2
 """
 
 
-def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the verified near-dup pairs: each doc
-    gets the min doc_id of its cluster as representative. Iterative
-    min-label propagation — converges in O(log(max component
-    diameter)) joins; components here are tiny (pairs/triples), and at
-    scale this is the standard large-star/small-star pattern. No SQL
-    oracle (iterative); pytest checks against a union-find."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+MAX_CC_ITERS = 50  # hard stop; convergence is checked, this is a safety net
+
+
+def connected_components(edges_df: DataFrame,
+                         max_iters: int = MAX_CC_ITERS) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    (``doc_a``/``doc_b`` columns) → (node, rep) with rep = component
+    min. Iterates UNTIL CONVERGENCE — each round propagates the min
+    neighbor label and stops when zero labels changed (one cheap
+    count per round on the already-checkpointed diff), so a 100 TB
+    corpus with a long near-dup chain gets correct reps instead of
+    whatever a fixed iteration count happens to reach. Label-only
+    propagation halves the distance to the min per hop wherever
+    shortcuts form; ``max_iters`` bounds the adversarial path-graph
+    case (diameter-many hops) as a safety net that raises instead of
+    silently returning wrong reps."""
+    pairs = edges_df.select("doc_a", "doc_b")
     edges = (pairs
              .union(pairs.select(F.col("doc_b").alias("doc_a"),
                                  F.col("doc_a").alias("doc_b"))))
@@ -118,19 +127,35 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .distinct()
                    .withColumn("rep", F.col("node"))
                    .localCheckpoint())
-    for _ in range(5):  # diameter bound for fixture clusters
+    for _ in range(max_iters):
         prop = (edges.join(labels, edges.doc_b == labels.node)
                      .groupBy(F.col("doc_a").alias("node"))
                      .agg(F.min("rep").alias("nbr_rep")))
-        labels = (labels.join(prop, "node", "left")
-                        .select("node",
-                                F.least(F.col("rep"),
-                                        F.coalesce("nbr_rep", F.col("rep")))
-                                 .alias("rep"))
-                        # truncate lineage: without this the plan doubles
-                        # per iteration (labels appears on both join
-                        # sides) and analysis/broadcast costs explode
-                        .localCheckpoint())
+        new_labels = (labels.join(prop, "node", "left")
+                            .select("node", F.col("rep").alias("old_rep"),
+                                    F.least(F.col("rep"),
+                                            F.coalesce("nbr_rep", F.col("rep")))
+                                     .alias("rep"))
+                            # truncate lineage: without this the plan doubles
+                            # per iteration (labels appears on both join
+                            # sides) and analysis/broadcast costs explode
+                            .localCheckpoint())
+        changed = new_labels.filter(F.col("rep") != F.col("old_rep")).count()
+        labels = new_labels.select("node", "rep")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations")
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: each doc
+    gets the min doc_id of its cluster as representative. No SQL
+    oracle (iterative); pytest checks against a union-find, including
+    a planted 12-doc chain whose diameter exceeds the old fixed
+    iteration count."""
+    labels = connected_components(
+        minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"))
     return labels.select(F.col("node").alias("doc_id"), "rep")
 
 

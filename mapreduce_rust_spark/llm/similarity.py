@@ -63,23 +63,31 @@ WHERE rank <= {K}
 """
 
 
+MAX_DIM = 512    # hyperplane weights precomputed up to this embedding dim
+
+
+def _plane_weights(p: int, max_dim: int = MAX_DIM) -> list[float]:
+    """±1 weights of hyperplane ``p``: +1 iff md5("p:d")'s first hex
+    nibble is even. Computed ONCE driver-side with hashlib — the
+    weights depend only on (p, d), so paying dims×planes md5 calls
+    per ROW (the previous in-plan form) was pure waste. Same parity
+    rule as before → identical buckets and recall."""
+    import hashlib
+    return [1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0 for d in range(max_dim)]
+
+
 def _bucket(e_col) -> F.Column:
-    """Sign-random-projection bucket id: bit p = sign(<e, w_p>) where
-    hyperplane w_p has deterministic ±1 weights from md5(p:d) parity.
-    Pure column expressions — portable and JVM-evaluated."""
+    """Sign-random-projection bucket id: bit p = sign(<e, w_p>) with
+    the hyperplane weight matrix baked into the plan as literal arrays
+    (N_PLANES × MAX_DIM floats, sliced to the vector's length). Pure
+    JVM column expressions; zero hashing at runtime."""
     bits = []
     for p in range(N_PLANES):
-        # weight for dim d: +1 if md5("p:d") first hex nibble is even
+        w_lit = F.array(*[F.lit(w) for w in _plane_weights(p)])
         proj = F.aggregate(
-            F.zip_with(
-                e_col,
-                F.transform(F.sequence(F.lit(0), F.size(e_col) - 1),
-                            lambda d: F.when(
-                                F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"),
-                                                                  d.cast("string"))), 1, 1),
-                                       16, 10).cast("int") % 2 == 0,
-                                F.lit(1.0)).otherwise(F.lit(-1.0))),
-                lambda x, w: x * w),
+            F.zip_with(e_col, F.slice(w_lit, F.lit(1), F.size(e_col)),
+                       lambda x, w: x * w),
             F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]

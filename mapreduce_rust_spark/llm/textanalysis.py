@@ -227,26 +227,39 @@ FROM documents
 """
 
 
-def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-ranked vocabulary over the corpus: token → (rank,
-    count), deterministic tiebreak by token. The id-assignment step of
-    any tokenizer-training pipeline; one agg + one tiny-sort."""
+VOCAB_K = 65536  # retained vocabulary size — every real tokenizer caps this
+
+
+def build_vocab(spark: SparkSession, sf_dir: str, k: int = VOCAB_K) -> DataFrame:
+    """Top-``k`` frequency-ranked vocabulary: token → (rank, count),
+    deterministic tiebreak by token. The id-assignment step of any
+    tokenizer-training pipeline.
+
+    Scale shape: the count agg is map-side-combined; the top-k is a
+    sort+limit, which Spark plans as TakeOrderedAndProject (per-
+    partition heap of k, no global sort, no shuffle of the full
+    vocab). Only the retained ≤k rows — a constant independent of
+    corpus size — pass through the final rank window, so no executor
+    ever sees the full 100M+-token vocabulary of a 100 TB corpus in
+    one task (the unbounded-global-window trap this replaces)."""
     tok = _tok_table(spark, sf_dir)
     from pyspark.sql import Window as W
     counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(k)
     w = W.orderBy(F.col("cnt").desc(), F.col("tok"))
-    return counts.select(
+    return top.select(
         "tok", "cnt",
         F.row_number().over(w).cast("long").alias("rank"))
 
 
-BUILD_VOCAB_ORACLE = """
+BUILD_VOCAB_ORACLE = f"""
 SELECT tok, cnt,
        ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
 FROM (SELECT tok, COUNT(*) AS cnt
       FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
             FROM documents)
-      WHERE tok <> '' GROUP BY tok)
+      WHERE tok <> '' GROUP BY tok
+      ORDER BY cnt DESC, tok LIMIT {VOCAB_K})
 """
 
 
@@ -255,17 +268,23 @@ def tf_df_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, token, tf, df, weight = tf*N/df). The rational tf-idf
     variant — ln() is excluded from checked outputs (libm), and the
     N/df ratio carries the same ordering. df comes from a broadcast-
-    able token→df aggregate; the big side never re-shuffles."""
+    able token→df aggregate; the big side never re-shuffles. The
+    corpus size N enters the plan as a broadcast 1-row aggregate
+    (cross-join), NOT a driver-side .count() — constructing this
+    DataFrame fires zero Spark jobs, and at 100 TB the count is one
+    map-side-combined scan inside the same declarative plan instead
+    of an extra eager full scan + blocking driver round-trip."""
     tok_all = _tok_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs_row = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     df_tab = (tok_all.select("doc_id", "tok").distinct()
                      .groupBy("tok").agg(F.count("*").alias("df")))
     tf = (tok_all.filter(F.col("doc_id") < 10)
                  .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
     return (tf.join(F.broadcast(df_tab), "tok")
+              .crossJoin(F.broadcast(n_docs_row))
               .select("doc_id", "tok", "tf", "df",
-                      (F.col("tf").cast("double") * F.lit(float(n_docs))
+                      (F.col("tf").cast("double") * F.col("__n_docs")
                        / F.col("df")).alias("weight")))
 
 

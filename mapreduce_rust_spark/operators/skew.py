@@ -23,10 +23,18 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with salting.
 
-    big side: salt = pmod(hash(whole row key + a spreading column),
-    n_salts) — deterministic, uniform. small side: exploded copy per
-    salt. The join key becomes (key, salt); result columns match the
-    plain join (salt dropped).
+    big side: salt = pmod(xxhash64(every big-side column), n_salts).
+    Derived ONLY from deterministic row contents — never from
+    monotonically_increasing_id()/rand(), whose values change when a
+    lost or speculative task recomputes a partition, re-routing rows
+    across salt partitions mid-shuffle and losing/duplicating them
+    (the SPARK-23207 class of bug). Hashing all columns spreads even
+    rows that are full duplicates of each other only when they differ
+    somewhere; exact duplicate rows share a salt, which is correct
+    (they carry identical join results) and still bounded by the
+    duplicate-group size. small side: exploded copy per salt. The join
+    key becomes (key, salt); result columns match the plain join
+    (salt dropped).
 
     Only big-side-preserving joins are valid: the small side is
     replicated per salt, so right/full would duplicate unmatched
@@ -34,7 +42,7 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     if how not in ("inner", "left", "left_outer", "leftouter",
                    "left_semi", "leftsemi", "left_anti", "leftanti"):
         raise ValueError(f"salted_join supports big-side-preserving joins only, got {how!r}")
-    salt = F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_s = big.withColumn("__salt", salt)
     small_s = (small.withColumn("__salt",
                                 F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))))

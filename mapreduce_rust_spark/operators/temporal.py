@@ -10,11 +10,13 @@ exactly the plan a dedicated as-of operator would produce, and it
 scales as far as the window partition fits (salt the key if one user
 dominates).
 
-Tie note: ordering is (ts, event_id); with equal timestamps the
-window form ranks by event_id while a pure ``er.ts < e.ts`` oracle
-would exclude same-ts errors. Event timestamps are microsecond-unique
-in the fixtures, so semantics agree; a production operator would pin
-one contract.
+Contract: STRICT as-of — the matched error satisfies
+``er.ts < e.ts``; same-timestamp errors are never matched. Enforced
+with a RANGE window over epoch-micros ending at -1 µs, so the frame
+cannot contain same-ts rows regardless of data uniqueness (the
+row-frame form silently included same-ts errors with smaller
+event_id whenever timestamps tied). Among earlier errors tying on
+the max ts, the emitted value is that shared ts — deterministic.
 """
 
 from __future__ import annotations
@@ -27,8 +29,10 @@ from mapreduce_rust_spark.tables import load_table
 
 def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
-          .rowsBetween(W.unboundedPreceding, -1))
+    # RANGE frame on epoch-micros ending at -1: strictly-earlier rows
+    # only, matching the ASOF oracle's e.ts > er.ts on any data.
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
+          .rangeBetween(W.unboundedPreceding, -1))
     err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
     return (ev.withColumn("last_error_ts", F.last(err_ts, ignorenulls=True).over(w))
               .select("event_id", "user_id",

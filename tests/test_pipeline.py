@@ -38,6 +38,24 @@ def test_neardup_clusters_match_union_find(spark):
     assert any(v != k for k, v in got.items())  # non-trivial clusters exist
 
 
+def test_connected_components_long_chain(spark):
+    """A 12-node path graph (diameter 11) — the case a fixed
+    iteration count silently gets wrong. Convergence-checked
+    propagation must label every node with the chain min, and a
+    too-small max_iters must raise, not return bad reps."""
+    import pytest
+    from mapreduce_rust_spark.llm.pipeline import connected_components
+    chain = [(i, i + 1) for i in range(100, 111)]          # 100-...-111
+    extra = [(200, 201), (300, 301), (301, 302)]           # small comps
+    edges = spark.createDataFrame(chain + extra, ["doc_a", "doc_b"])
+    got = {r.node: r.rep for r in connected_components(edges).collect()}
+    want = _union_find(chain + extra)
+    assert got == want
+    assert all(got[n] == 100 for n in range(100, 112))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+
+
 def test_curation_pipeline_accounting(spark):
     """Total curated docs == quality survivors - exact dups - near-dup
     doc_b side (fixture has no exact dups)."""

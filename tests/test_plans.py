@@ -56,7 +56,8 @@ def test_jvm_operators_have_no_python(spark):
     """Everything except the MapReduce-contract path and the explicit
     Pandas operators must stay JVM-side (no Python row evaluation)."""
     from mapreduce_rust_spark import registry
-    python_ok = {"mr_word_count", "multimodal_features", "stateful_user_totals"}
+    python_ok = {"mr_word_count", "mr_sessionize_secondary_sort",
+                 "multimodal_features", "stateful_user_totals"}
     streaming = {"stream_tumbling_counts", "stream_sliding_counts",
                  "stream_session_windows"}
     for name, fn in registry.queries().items():
@@ -82,6 +83,41 @@ def test_no_cartesian_products_engine_wide(spark):
             continue
         plan = _plan(fn(spark, SF_CORRECT))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_build_vocab_rank_is_topk_bounded(spark):
+    """The vocab rank window must consume a TakeOrderedAndProject'd
+    top-K, never the full vocabulary through one task (the
+    single-partition-window trap fixed in round 2)."""
+    from mapreduce_rust_spark.llm.textanalysis import build_vocab
+    plan = _plan(build_vocab(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan  # rank still assigned — over ≤K rows only
+
+
+def test_tf_df_constructs_without_running_jobs(spark):
+    """tf_df_docs must be purely declarative: building the DataFrame
+    fires zero Spark jobs (the round-1 form ran an eager .count())."""
+    from mapreduce_rust_spark.llm.textanalysis import tf_df_docs
+    from mapreduce_rust_spark.tables import load_table
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(fn):
+        before = set(tracker.getJobIdsForGroup(None))
+        out = fn()
+        return out, len(set(tracker.getJobIdsForGroup(None)) - before)
+
+    # parquet schema-inference fires a tiny footer-read job per
+    # spark.read call — that's inherent to ANY read. The eager-action
+    # bug is firing MORE than the underlying reads: the round-1
+    # .count() made construction cost reads + a full scan.
+    _, baseline = jobs_during(lambda: (
+        load_table(spark, SF_CORRECT, "documents"),
+        load_table(spark, SF_CORRECT, "documents")))
+    df, built = jobs_during(lambda: tf_df_docs(spark, SF_CORRECT))
+    assert built <= baseline, \
+        f"construction ran {built} jobs vs {baseline} for its bare reads"
+    assert df.count() > 0  # and it still executes fine
 
 
 def test_wholestage_codegen_on_hot_path(spark):
