@@ -40,6 +40,15 @@ HEADLINE = [
     "stream_tumbling_counts",
     "curation_pipeline",
     "interval_join_click_purchase",
+    # round 2: the LLM/streaming surface the round-1 bench didn't time,
+    # so regressions in the df-cap / vocab top-k / LSH-literal /
+    # convergence-loop changes stay measurable round-over-round
+    "ngram_jaccard_pairs",
+    "build_vocab",
+    "tf_df_docs",
+    "knn_lsh",
+    "neardup_clusters",
+    "stream_session_windows",
 ]
 
 

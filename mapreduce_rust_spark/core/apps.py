@@ -10,8 +10,12 @@ from __future__ import annotations
 import re
 from collections.abc import Iterable
 
-# wc.rs:7 — strip [^\w\s]; Python's re \w is unicode-aware, so pin
-# ASCII to match the Rust regex crate default and Spark's Java regex.
+# wc.rs:7 — strip [^\w\s]. DOCUMENTED DIVERGENCE: the reference's
+# regex crate (1.9, default features) has Unicode-aware \w, so it
+# keeps 'café' intact; we pin ASCII so Python-side apps, Spark's Java
+# regex, and the DuckDB oracles all agree ('café' → 'caf'). Parity is
+# exact on ASCII corpora (the reference's own Gutenberg fixture) and
+# intentionally ASCII-normalized beyond that.
 _PUNCT = re.compile(r"[^\w\s]", re.ASCII)
 _WS = re.compile(r"\s+")
 
@@ -42,7 +46,35 @@ def wc_reduce_sum(key: str, values: list[str]) -> str:
     return str(sum(int(v) for v in values))
 
 
+def sess_map(line: str) -> Iterable[tuple[str, str]]:
+    """Sessionization mapper for ``run_job_secondary_sort``: each
+    split is one ``user_id,epoch_seconds`` record; emit as-is."""
+    user, epoch = line.split(",", 1)
+    yield user, epoch
+
+
+def sess_sort_key(value: str) -> int:
+    """Numeric secondary-sort key (string order would misorder epochs
+    of different digit counts)."""
+    return int(value)
+
+
+def sess_reduce(key: str, values: list[str]) -> str:
+    """Gap-based session counter over epochs ALREADY sorted by the
+    shuffle (secondary sort) — single pass, O(1) state, no in-memory
+    sort of a possibly-giant value list. Emits 'n_sessions,n_events'.
+    """
+    n_sessions, prev = 0, None
+    for v in values:
+        s = int(v)
+        if prev is None or s - prev > 1800:
+            n_sessions += 1
+        prev = s
+    return f"{n_sessions},{len(values)}"
+
+
 APPS = {
     "wc": (wc_map, wc_reduce),
     "wc_combined": (wc_map, wc_reduce_sum),
+    "sessionize": (sess_map, sess_reduce),
 }

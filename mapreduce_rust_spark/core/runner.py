@@ -137,6 +137,43 @@ def run_job(
     return spark.createDataFrame(out, schema=KV_SCHEMA)
 
 
+def run_job_secondary_sort(
+    spark: SparkSession,
+    splits,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    sort_key_fn: Callable[[str], object] | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """``run_job`` with SECONDARY SORT: ``reduce_fn`` receives each
+    key's values ordered by ``sort_key_fn(value)`` instead of shuffle
+    arrival order — the classic MapReduce pattern the reference's
+    contract cannot express (worker.rs:162-184 sorts by KEY only;
+    value order there is arrival order).
+
+    Implemented the canonical way: composite shuffle key
+    ``(key, sort_key)``, partitioned on ``key`` alone so a group never
+    splits, sorted within partitions on the composite — the sort
+    happens IN the shuffle machinery (spill-capable), not by
+    buffering a group's values in memory. At 100 TB this is the only
+    way to give a reducer a giant key's values in order."""
+    _ensure_self_shipping()
+    sc = spark.sparkContext
+    rdd = splits if hasattr(splits, "flatMap") else sc.parallelize(list(splits))
+    skf = sort_key_fn if sort_key_fn is not None else (lambda v: v)
+    composite = rdd.flatMap(map_fn).map(lambda kv: ((kv[0], skf(kv[1])), kv[1]))
+    out = (
+        composite
+        .repartitionAndSortWithinPartitions(
+            numPartitions=num_partitions,
+            # partition on the grouping key ONLY; sort on (key, sortkey)
+            partitionFunc=lambda ck: portable_hash(ck[0]))
+        .map(lambda ckv: (ckv[0][0], ckv[1]), preservesPartitioning=True)
+        .mapPartitions(_group_runner(reduce_fn), preservesPartitioning=True)
+    )
+    return spark.createDataFrame(out, schema=KV_SCHEMA)
+
+
 def run_job_df(
     df: DataFrame,
     text_col: str,

@@ -752,6 +752,21 @@ def sketch_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("approx_p50_p90_p99"))
 
 
+def sketch_quantile_by_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approximate median at a HIGH-CARDINALITY key (one GK
+    sketch per l_partkey, ~2k groups at sf0.01 / 20M at TPC-H sf100) —
+    the shape ``percentile_exact_price``'s docstring tells you to use
+    at scale: per-group sketches are mergeable map-side partials, so
+    the shuffle carries one small sketch per (partition, key) instead
+    of every row sorting inside its group. Approximate ⇒ no SQL
+    oracle; pytest bounds the error vs exact per-group medians."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_partkey")
+              .agg(F.percentile_approx("l_extendedprice", 0.5, 1000)
+                    .alias("approx_p50"),
+                   F.count("*").alias("n_rows")))
+
+
 def rollup_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate (hypertable-rollup) pattern: history is
     served from a PRE-AGGREGATED hourly rollup, only the tail (last
@@ -766,20 +781,24 @@ def rollup_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = ev.filter(F.col("ts") >= cutoff)
 
     def hourly(df):
+        # partials stay DECIMAL — a double round-trip here would only
+        # be tie-safe when the cutoff aligns with the window grid; in
+        # decimal the merge is exact for ANY cutoff
         return (df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
                   .agg(F.count("*").alias("n"),
-                       dsum(F.col("value"), DEC_FINE).alias("sum_value")))
+                       F.sum(F.col("value").cast(DEC_FINE)).alias("sum_dec")))
 
     # the "materialized" rollup (in production: read from a table)
     rollup = hourly(hist)
     merged = rollup.unionByName(hourly(tail))
-    # merge partials: counts add, decimal-derived sums add exactly
+    # merge partials: counts add, decimal sums add exactly; the single
+    # double cast happens once, after the final re-sum
     return (merged
             .select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
-                    "event_type", "n", "sum_value")
+                    "event_type", "n", "sum_dec")
             .groupBy("bucket_start", "event_type")
             .agg(F.sum("n").alias("n"),
-                 dsum(F.col("sum_value"), DEC_FINE).alias("sum_value")))
+                 F.sum("sum_dec").cast("double").alias("sum_value")))
 
 
 ROLLUP_MERGE_ORACLE = """
@@ -853,17 +872,69 @@ FROM events GROUP BY 1, 2
 """
 
 
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag + cumulative
-    session counter — one shuffle on user_id, scales linearly."""
-    ev = _t(spark, sf_dir, "events")
+SESSION_GAP_S = 1800
+
+
+def _sessionize(ev: DataFrame) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + session-
+    start counter — one shuffle on user_id, linear per group. The
+    whole user sorts in ONE task: fine until a single giant user."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
     sess = ev.withColumn("new_sess", new_sess)
     return (sess.groupBy("user_id")
                 .agg(F.sum("new_sess").alias("n_sessions"),
                      F.count("*").alias("n_events")))
+
+
+def _sessionize_scalable(ev: DataFrame) -> DataFrame:
+    """Giant-key-proof sessionization, bit-identical to
+    ``_sessionize`` (same oracle). Two phases:
+
+    1. sessionize within (user_id, day) — the event-level sort is
+       partitioned by day, so one user with 10⁹ events no longer
+       lands in a single task;
+    2. merge at bucket boundaries — per (user, day) emit (local
+       session count, event count, first/last ts); a second window
+       over the user's BUCKETS (≤ days, not events) subtracts one
+       session wherever the next bucket's first event is within the
+       gap of the previous bucket's last event.
+
+    Exact because a session can only cross a boundary between
+    time-adjacent buckets, and day >> gap means an empty bucket in
+    between always breaks the session. For a user hot enough to
+    dominate a single day, re-bucket by hour — same algebra."""
+    b = ev.withColumn("day", F.to_date("ts"))
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    per_bucket = (b.withColumn("new_sess", new_sess)
+                   .groupBy("user_id", "day")
+                   .agg(F.sum("new_sess").alias("n_sess_local"),
+                        F.count("*").alias("n_events"),
+                        F.min(F.col("ts").cast("long")).alias("first_ts"),
+                        F.max(F.col("ts").cast("long")).alias("last_ts")))
+    wb = W.partitionBy("user_id").orderBy("day")
+    bgap = F.col("first_ts") - F.lag("last_ts").over(wb)
+    merged = per_bucket.withColumn(
+        "boundary_merge",
+        F.when(bgap.isNotNull() & (bgap <= SESSION_GAP_S), 1).otherwise(0))
+    return (merged.groupBy("user_id")
+                  .agg((F.sum("n_sess_local") - F.sum("boundary_merge"))
+                       .alias("n_sessions"),
+                       F.sum("n_events").alias("n_events")))
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sessionize(_t(spark, sf_dir, "events"))
+
+
+def sessionize_events_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof sessionization path, driver-checked against the
+    SAME oracle as ``sessionize_events`` — proving the two-phase
+    decomposition is semantics-preserving, not an approximation."""
+    return _sessionize_scalable(_t(spark, sf_dir, "events"))
 
 
 SESSIONIZE_ORACLE = """
@@ -916,9 +987,12 @@ REGISTRATIONS: list[tuple[str, object, str | None]] = [
     ("percentile_exact_price", percentile_exact_price, PERCENTILE_EXACT_ORACLE),
     ("sketch_distinct_parts", sketch_distinct_parts, None),
     ("sketch_quantile_price", sketch_quantile_price, None),
+    ("sketch_quantile_by_partkey", sketch_quantile_by_partkey, None),
     ("scalar_subquery_orders", scalar_subquery_orders, SCALAR_SUBQUERY_ORACLE),
     ("in_subquery_lineitem", in_subquery_lineitem, IN_SUBQUERY_ORACLE),
     ("tumbling_event_counts", tumbling_event_counts, TUMBLING_ORACLE),
     ("rollup_merge_events", rollup_merge_events, ROLLUP_MERGE_ORACLE),
     ("sessionize_events", sessionize_events, SESSIONIZE_ORACLE),
+    ("sessionize_events_scalable", sessionize_events_scalable,
+     SESSIONIZE_ORACLE),
 ]

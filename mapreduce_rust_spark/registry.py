@@ -44,6 +44,9 @@ from mapreduce_rust_spark.operators import relational, skew, temporal, udaf  # n
 
 register("mr_word_count", mapreduce_compat.mr_word_count,
          mapreduce_compat.MR_WORD_COUNT_ORACLE)
+register("mr_sessionize_secondary_sort",
+         mapreduce_compat.mr_sessionize_secondary_sort,
+         mapreduce_compat.MR_SESSIONIZE_ORACLE)
 
 for _name, _fn, _oracle in relational.REGISTRATIONS:
     register(_name, _fn, _oracle)

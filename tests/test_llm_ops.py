@@ -62,6 +62,28 @@ def test_sketches_close_to_exact(spark):
     assert p50 < p90 < p99
 
 
+def test_grouped_sketch_quantile_close_to_exact(spark):
+    """Per-partkey GK sketches vs exact per-group medians — every
+    group within GK's rank-error bound (values, not just aggregate)."""
+    from mapreduce_rust_spark.operators.relational import (
+        sketch_quantile_by_partkey)
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    exact = {r.l_partkey: (r.lo, r.hi)
+             for r in li.groupBy("l_partkey")
+                        .agg(F.expr("percentile(l_extendedprice, 0.4)")
+                              .alias("lo"),
+                             F.expr("percentile(l_extendedprice, 0.6)")
+                              .alias("hi")).collect()}
+    rows = sketch_quantile_by_partkey(spark, SF_CORRECT).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        # GK returns an actual group element (no interpolation); with
+        # accuracy=1000 its rank error on these ~30-row groups is 0,
+        # so it must land inside the exact p40..p60 band of its group
+        lo, hi = exact[r.l_partkey]
+        assert lo <= r.approx_p50 <= hi, (r, lo, hi)
+
+
 def test_multimodal_batch_shape(spark):
     """mapInPandas must stream batches (plumbing check) and produce
     deterministic fake features."""

@@ -1,0 +1,132 @@
+"""Adversarial-scale fixtures — the two risks SCALE.md previously
+only extrapolated, now measured:
+
+1. boilerplate-heavy corpus → hot shingles make the exhaustive
+   inverted-index Jaccard join quadratic; the df-cap must bound it.
+2. one giant user key → the single-task sessionization sort; the
+   two-phase (user, day) decomposition must both stay fast AND
+   return bit-identical session counts.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def _boilerplate_docs(spark, n_docs: int):
+    """Every doc = the same 12-word boilerplate header + a unique
+    8-word tail → 10 shingles per doc are shared by ALL docs (df =
+    n_docs), the tail shingles are unique. The worst realistic shape:
+    license headers / nav chrome on every page of a crawl."""
+    boiler = "all rights reserved copyright notice terms of service apply to this document"
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"u{i}w"), F.col("id").cast("string"))
+                for i in range(8)])).alias("text"))
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_blowup(spark):
+    from mapreduce_rust_spark.llm.dedup import (
+        DF_CAP, _shingle_table_from_docs, jaccard_pairs_from_docs)
+    n_docs = 3000
+    docs = _boilerplate_docs(spark, n_docs)
+
+    # the hazard is real: uncapped, the 10 boilerplate shingles alone
+    # produce 10 * C(3000,2) ≈ 45M join rows before aggregation
+    sh = _shingle_table_from_docs(docs)
+    hot_df = (sh.groupBy("s").agg(F.count("*").alias("df"))
+                .agg(F.max("df")).collect()[0][0])
+    assert hot_df == n_docs > DF_CAP
+
+    t0 = time.perf_counter()
+    pairs = jaccard_pairs_from_docs(docs, df_cap=DF_CAP)
+    n_pairs = pairs.count()
+    capped_s = time.perf_counter() - t0
+    # capped: boilerplate shingles leave the index, unique tails share
+    # nothing → zero candidate pairs, and well inside any budget
+    assert n_pairs == 0
+    assert capped_s < 30, f"capped Jaccard took {capped_s:.1f}s"
+
+    # sanity on a subsample that the uncapped form DOES pair docs on
+    # boilerplate alone (jaccard = 10/(18+18-10) ≈ 0.38 ≥ 0.3) — i.e.
+    # the cap is doing semantic work, not just skipping rows
+    small = _boilerplate_docs(spark, 40)
+    n_uncapped = jaccard_pairs_from_docs(small, df_cap=None).count()
+    assert n_uncapped == 40 * 39 // 2
+
+
+def _skewed_events(spark, n_giant: int, n_users: int = 200,
+                   per_user: int = 20):
+    """One user with ``n_giant`` events 60 s apart (≈700/day stream,
+    sessions break only at day bounds? no — 60 s < gap, so ONE session
+    per contiguous run) plus ``n_users`` normal users."""
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    giant = spark.range(n_giant).select(
+        F.lit(0).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.unix_timestamp(base) + F.col("id") * 60).alias("ts"))
+    normal = (spark.range(n_users * per_user)
+              .select((F.col("id") % n_users + 1).alias("user_id"),
+                      (F.col("id") + 10_000_000).alias("event_id"),
+                      F.timestamp_seconds(
+                          F.unix_timestamp(base)
+                          + (F.col("id") / n_users).cast("long") * 4000)
+                      .alias("ts")))
+    return giant.unionByName(normal)
+
+
+def test_scalable_sessionize_matches_plain_under_giant_key(spark):
+    from mapreduce_rust_spark.operators.relational import (
+        _sessionize, _sessionize_scalable)
+    ev = _skewed_events(spark, n_giant=400_000).persist()
+    ev.count()
+
+    t0 = time.perf_counter()
+    plain = {(r.user_id): (r.n_sessions, r.n_events)
+             for r in _sessionize(ev).collect()}
+    plain_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    scal = {(r.user_id): (r.n_sessions, r.n_events)
+            for r in _sessionize_scalable(ev).collect()}
+    scal_s = time.perf_counter() - t0
+
+    assert scal == plain  # bit-identical session accounting
+    # giant user: 400k events at 60s spacing = one unbroken session
+    assert scal[0] == (1, 400_000)
+    assert scal_s < 60, f"scalable sessionize took {scal_s:.1f}s"
+    print(f"plain={plain_s:.2f}s scalable={scal_s:.2f}s")
+    ev.unpersist()
+
+
+def test_scalable_sessionize_boundary_cases(spark):
+    """Midnight-crossing and empty-day cases of the bucket merge."""
+    from mapreduce_rust_spark.operators.relational import (
+        _sessionize, _sessionize_scalable)
+    rows = [
+        # user 1: session crosses midnight (23:50 -> 00:10) = 1 session
+        (1, 1, "2024-01-01 23:50:00"),
+        (1, 2, "2024-01-02 00:10:00"),
+        # user 2: events on day 1 and day 3 (empty day 2) = 2 sessions
+        (2, 3, "2024-01-01 12:00:00"),
+        (2, 4, "2024-01-03 12:00:00"),
+        # user 3: two sessions inside one day + one crossing midnight
+        (3, 5, "2024-01-01 10:00:00"),
+        (3, 6, "2024-01-01 10:10:00"),
+        (3, 7, "2024-01-01 23:55:00"),
+        (3, 8, "2024-01-02 00:05:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "raw_ts"]) \
+              .select("user_id", "event_id",
+                      F.col("raw_ts").cast("timestamp").alias("ts"))
+    want = {r.user_id: (r.n_sessions, r.n_events)
+            for r in _sessionize(ev).collect()}
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in _sessionize_scalable(ev).collect()}
+    assert got == want == {1: (1, 2), 2: (2, 2), 3: (2, 4)}
