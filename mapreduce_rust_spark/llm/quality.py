@@ -1,0 +1,278 @@
+"""Training-data curation operators beyond dedup: repetition
+statistics, Gopher-style rule filtering, benchmark-contamination
+checks, deterministic stratified sampling, and sequence packing.
+
+These generalize the reference's single text transform (wc.rs
+tokenizer) to the filter/mix/pack stages of an LLM data pipeline.
+Everything is built from ``pyspark.sql.functions`` with exact
+integer/double arithmetic, so every operator has a bit-stable DuckDB
+oracle. All are linear scans or bounded joins — 100 TB-safe shapes:
+
+- repetition / rules: per-row expressions + one doc-keyed agg.
+- contamination: corpus n-grams semi-joined against a BROADCAST
+  benchmark n-gram set (the eval suite is always tiny next to the
+  corpus; the corpus never shuffles).
+- sampling: stateless content-hash thresholding — no shuffle at all
+  until the reporting agg.
+- packing: running token total per language stream (at 100 TB,
+  sub-shard the stream key like the sessionization day-bucket and
+  merge pack boundaries the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.text import WS_RE
+from mapreduce_rust_spark.tables import load_table
+
+CONTAM_W = 5        # contamination n-gram width
+BENCH_MAX_ID = 20   # doc_id < 20 stands in for the benchmark/eval set
+PACK_LEN = 256      # token budget per packed sequence
+# per-language keep rates for the stratified sample (percent)
+SAMPLE_PCT = {"en": 50, "de": 100, "fr": 25, "es": 75}
+SAMPLE_DEFAULT_PCT = 100
+
+
+def _toks(col) -> F.Column:
+    return F.filter(F.split(col, WS_RE), lambda t: t != F.lit(""))
+
+
+def _grams(toks_col, w: int, distinct: bool) -> F.Column:
+    """Word n-grams of width ``w`` over a token array (with or
+    without multiplicity)."""
+    n = F.size(toks_col)
+    grams = F.when(
+        n >= w,
+        F.transform(F.sequence(F.lit(1), n - (w - 1)),
+                    lambda i: F.array_join(F.slice(toks_col, i, w), " ")),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher repetition signals,
+    count-exact form): per doc, the 2-gram total/distinct counts, the
+    share of occurrences held by the most frequent 2-gram, and the
+    duplicate-2-gram fraction. High values mark boilerplate/spam."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (docs.select("doc_id",
+                     F.explode(_grams(_toks(F.col("text")), 2, False))
+                      .alias("gram"))
+             .groupBy("doc_id", "gram").agg(F.count("*").alias("c")))
+    return (g.groupBy("doc_id")
+             .agg(F.sum("c").alias("n_2grams"),
+                  F.count("*").alias("n_distinct_2grams"),
+                  (F.max("c").cast("double") / F.sum("c"))
+                  .alias("top_2gram_frac"),
+                  ((F.sum("c") - F.count("*")).cast("double") / F.sum("c"))
+                  .alias("dup_2gram_frac")))
+
+
+REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, COUNT(*) AS c
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+  GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_2grams,
+       COUNT(*) AS n_distinct_2grams,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_2gram_frac,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_2gram_frac
+FROM g GROUP BY doc_id
+"""
+
+
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: mean word length, symbol-to-char
+    ratio, token-count band — each rule exact, plus the combined
+    keep/drop verdict. (Thresholds adapted to the fixture's word-soup
+    corpus; the rule SHAPES are the published ones.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t))
+    mean_word_len = sum_len.cast("double") / n_tokens
+    n_chars = F.length("text").cast("double")
+    n_symbol = (F.length("text")
+                - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))) \
+        .cast("double")
+    symbol_ratio = F.when(n_chars > 0, n_symbol / n_chars).otherwise(0.0)
+    keep = ((n_tokens >= 20) & (n_tokens <= 100000)
+            & (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+            & (symbol_ratio <= 0.1))
+    return docs.select("doc_id", n_tokens.alias("n_tokens"),
+                       mean_word_len.alias("mean_word_len"),
+                       symbol_ratio.alias("symbol_ratio"),
+                       keep.alias("keep"))
+
+
+GOPHER_RULES_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(LENGTH(text) -
+              LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+              AS DOUBLE) AS n_symbol
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(t, x -> LENGTH(x))) AS DOUBLE)
+           / len(t) AS mean_word_len,
+         CASE WHEN n_chars > 0 THEN n_symbol / n_chars ELSE 0.0 END
+           AS symbol_ratio
+  FROM m
+)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio,
+       (n_tokens >= 20 AND n_tokens <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND symbol_ratio <= 0.1) AS keep
+FROM s
+"""
+
+
+def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: for every corpus doc, how many of its
+    distinct ``CONTAM_W``-grams also occur in the benchmark set
+    (stand-in: doc_id < BENCH_MAX_ID). The benchmark n-gram table is
+    tiny and BROADCAST; the corpus side is one scan + one explode —
+    never shuffled by the join. Docs with zero overlap are kept
+    (left join) so the output is a full per-doc report."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(_grams(_toks(F.col("text")), CONTAM_W, True)).alias("g"))
+    bench = (grams.filter(F.col("doc_id") < BENCH_MAX_ID)
+                  .select("g").distinct())
+    corpus = grams.filter(F.col("doc_id") >= BENCH_MAX_ID)
+    hits = (corpus.join(F.broadcast(bench), "g")
+                  .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    return (docs.filter(F.col("doc_id") >= BENCH_MAX_ID)
+                .select("doc_id")
+                .join(hits, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                        (F.coalesce("n_overlap", F.lit(0)) > 0)
+                        .alias("contaminated")))
+
+
+CONTAMINATION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{CONTAM_W - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {CONTAM_W - 2})) AS u(i)
+  WHERE len(t) >= {CONTAM_W}
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {BENCH_MAX_ID}),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM grams JOIN bench USING (g)
+  WHERE doc_id >= {BENCH_MAX_ID}
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {BENCH_MAX_ID}
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) sampling — the domain-
+    mixing step of corpus assembly. Keep decision is a pure function
+    of content (md5 bucket vs the language's rate), so the sample is
+    reproducible, join-free, and shuffle-free until the reporting
+    aggregate. Reports kept/total per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10) \
+        .cast("long") % 100
+    rate = F.lit(SAMPLE_DEFAULT_PCT)
+    for lang, pct in SAMPLE_PCT.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    kept = (bucket < rate).cast("int")
+    return (docs.select("lang", kept.alias("kept"))
+                .groupBy("lang")
+                .agg(F.sum("kept").cast("long").alias("n_kept"),
+                     F.count("*").alias("n_total")))
+
+
+_SAMPLE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in SAMPLE_PCT.items())
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT lang,
+       CAST(SUM(CASE WHEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+                          % 100 < (CASE {_SAMPLE_CASE}
+                                   ELSE {SAMPLE_DEFAULT_PCT} END)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_total
+FROM documents GROUP BY lang
+"""
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in doc_id order,
+    per language stream) into training sequences of ``PACK_LEN``
+    tokens; a doc belongs to the pack where its first token lands
+    (docs may straddle pack boundaries — the packer's overflow
+    convention, stated, deterministic). One running-total window per
+    language; at 100 TB sub-shard the stream (day/file) and merge
+    boundary packs exactly like ``sessionize_events_scalable``.
+    Output: per (lang, pack_id) doc and token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_toks(F.col("text"))).cast("long")
+    d = docs.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    packed = d.withColumn("pack_id",
+                          F.floor(start / F.lit(PACK_LEN)).cast("long"))
+    return (packed.groupBy("lang", "pack_id")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tokens").alias("n_tokens")))
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                     - n_tokens) / {PACK_LEN}.0) AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM p GROUP BY lang, pack_id
+"""
+
+
+REGISTRATIONS = [
+    ("repetition_stats_docs", repetition_stats_docs, REPETITION_ORACLE),
+    ("gopher_rules_docs", gopher_rules_docs, GOPHER_RULES_ORACLE),
+    ("contamination_docs", contamination_docs, CONTAMINATION_ORACLE),
+    ("stratified_sample_docs", stratified_sample_docs,
+     STRATIFIED_SAMPLE_ORACLE),
+    ("pack_sequences_docs", pack_sequences_docs, PACK_SEQUENCES_ORACLE),
+]

@@ -60,10 +60,10 @@ for _name, _fn, _oracle in skew.REGISTRATIONS:
 for _name, _fn, _oracle in udaf.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
-from mapreduce_rust_spark.llm import dedup, multimodal, pipeline, similarity, textanalysis  # noqa: E402
+from mapreduce_rust_spark.llm import dedup, multimodal, pipeline, quality, similarity, textanalysis  # noqa: E402
 from mapreduce_rust_spark.streaming import stateful, windows  # noqa: E402
 
 for _mod in (dedup, similarity, textanalysis, multimodal, pipeline,
-             windows, stateful):
+             quality, windows, stateful):
     for _name, _fn, _oracle in _mod.REGISTRATIONS:
         register(_name, _fn, _oracle)

@@ -1,0 +1,52 @@
+"""Behavioral checks for the curation-quality operators (their
+bit-level correctness is covered by the DuckDB oracle mirror; these
+pin the semantics being non-degenerate on the fixture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def test_gopher_rules_filter_is_nondegenerate(spark):
+    from mapreduce_rust_spark.llm.quality import gopher_rules_docs
+    rows = gopher_rules_docs(spark, SF_CORRECT).collect()
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped, "rule filter must actually split the corpus"
+    # on this corpus the only violated rule is the token band
+    assert all(r.n_tokens < 20 for r in dropped)
+
+
+def test_contamination_excludes_benchmark_and_flags_consistently(spark):
+    from mapreduce_rust_spark.llm.quality import (
+        BENCH_MAX_ID, contamination_docs)
+    rows = contamination_docs(spark, SF_CORRECT).collect()
+    assert all(r.doc_id >= BENCH_MAX_ID for r in rows)
+    assert all(r.contaminated == (r.n_overlap > 0) for r in rows)
+    assert any(r.contaminated for r in rows)  # fixture has collisions
+
+
+def test_pack_sequences_cover_corpus_contiguously(spark):
+    from mapreduce_rust_spark.llm.quality import pack_sequences_docs
+    from mapreduce_rust_spark.llm.textanalysis import _tok_table
+    packs = pack_sequences_docs(spark, SF_CORRECT).collect()
+    # pack ids are contiguous from 0 within each language
+    by_lang = {}
+    for r in packs:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        ids = sorted(r.pack_id for r in rs)
+        assert ids == list(range(len(ids))), f"gap in {lang} pack ids"
+    # token totals per lang match the raw corpus
+    tok = _tok_table(spark, SF_CORRECT)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet") \
+                .select("doc_id", "lang")
+    want = {r.lang: r.n for r in
+            tok.join(docs, "doc_id").groupBy("lang")
+               .agg(F.count("*").alias("n")).collect()}
+    got = {}
+    for r in packs:
+        got[r.lang] = got.get(r.lang, 0) + r.n_tokens
+    assert got == want
