@@ -99,8 +99,62 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def range_bin_join(left: DataFrame, lo_col: str, hi_col: str,
+                   right: DataFrame, point_col: str,
+                   bin_width_s: int) -> DataFrame:
+    """PURE range join (no equi key at all): pair every ``left`` row
+    whose ``[lo, hi]`` interval contains ``right``'s ``point``.
+    Spark would plan the raw theta join as BroadcastNestedLoop or
+    CartesianProduct — the shapes that die at scale. The bin trick
+    makes it an equi join: quantize time into ``bin_width_s`` buckets,
+    explode each interval over the bins it touches (≤ ceil(span/width)
+    + 1 — a constant when spans are bounded), hash-join on the bin,
+    then apply the exact predicate as a residual filter. No dedup
+    needed: a qualifying pair meets in exactly one bin (the point's).
+    Pick ``bin_width_s`` ≈ the max interval span: one explode row per
+    interval, and candidate fan-in per bin stays
+    |points in bin| × |intervals touching it|."""
+    lo, hi, pt = F.col(lo_col), F.col(hi_col), F.col(point_col)
+    w = F.lit(bin_width_s)
+    lb = left.withColumn(
+        "__bin", F.explode(F.sequence(F.floor(F.unix_timestamp(lo) / w),
+                                      F.floor(F.unix_timestamp(hi) / w))))
+    rb = right.withColumn("__bin", F.floor(F.unix_timestamp(pt) / w))
+    return (lb.join(rb, "__bin")
+              .filter((pt >= lo) & (pt <= hi))
+              .drop("__bin"))
+
+
+def range_join_ship_near_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per urgent order: how many lineitems (ANY order's — there is
+    deliberately no key correlating the sides) shipped within 7 days
+    after its order date. The no-equi-key range join every
+    time-correlation analysis needs, via ``range_bin_join``."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_orderdate",
+                      (F.col("o_orderdate")
+                       + F.expr("INTERVAL 7 DAYS")).alias("o_end")))
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate")
+    j = range_bin_join(orders, "o_orderdate", "o_end",
+                       li, "l_shipdate", 7 * 86400)
+    return j.groupBy("o_orderkey").agg(F.count("*").alias("n_shipments"))
+
+
+RANGE_JOIN_ORACLE = """
+SELECT o_orderkey, COUNT(*) AS n_shipments
+FROM orders o JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o_orderkey
+"""
+
+
 REGISTRATIONS = [
     ("asof_last_error", asof_last_error, ASOF_ORACLE),
+    ("range_join_ship_near_order", range_join_ship_near_order,
+     RANGE_JOIN_ORACLE),
     ("map_funcs_events", map_funcs_events, MAP_FUNCS_ORACLE),
     ("interval_join_click_purchase", interval_join_click_purchase,
      INTERVAL_JOIN_ORACLE),

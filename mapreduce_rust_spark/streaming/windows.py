@@ -156,8 +156,59 @@ FROM islands GROUP BY user_id, sess_id
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to same-user
+    clicks within 30 minutes, both sides watermarked so each side's
+    buffered state is bounded by watermark + interval (the 100 TB
+    requirement for an unbounded stream pair). Driver-checked against
+    the BATCH interval join's oracle — the stream and batch dataflows
+    must agree exactly."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("event_id").alias("click_id"),
+                        F.col("ts").alias("click_ts"))
+                .withWatermark("click_ts", "1 hour"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+              .select(F.col("user_id").alias("b_user_id"),
+                      F.col("event_id").alias("purchase_id"),
+                      F.col("ts").alias("buy_ts"))
+              .withWatermark("buy_ts", "1 hour"))
+    joined = clicks.join(
+        buys,
+        F.expr("""user_id = b_user_id AND
+                  buy_ts >= click_ts AND
+                  buy_ts <= click_ts + INTERVAL 30 MINUTES"""))
+    out = _run_to_table(joined, "stream_interval_join", "append")
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type)
+    pairs, state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — duplicates later than
+    watermark + delay can resurface, the documented contract; the
+    fixture's duplicates all fall inside it, so the result equals the
+    batch DISTINCT, which is what the oracle checks). The streaming
+    twin of ``exact_dedup_docs``'s shuffle-on-key shape: state is one
+    entry per distinct key, not per event."""
+    ev = read_events_stream(spark, sf_dir)
+    dd = (ev.withWatermark("ts", WATERMARK)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type"))
+    return _run_to_table(dd, "stream_dedup", "append")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+from mapreduce_rust_spark.operators.temporal import INTERVAL_JOIN_ORACLE  # noqa: E402
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_ORACLE),
     ("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE),
+    ("stream_interval_join", stream_interval_join, INTERVAL_JOIN_ORACLE),
+    ("stream_dedup_users", stream_dedup_users, STREAM_DEDUP_ORACLE),
 ]

@@ -59,7 +59,8 @@ def test_jvm_operators_have_no_python(spark):
     python_ok = {"mr_word_count", "mr_sessionize_secondary_sort",
                  "multimodal_features", "stateful_user_totals"}
     streaming = {"stream_tumbling_counts", "stream_sliding_counts",
-                 "stream_session_windows"}
+                 "stream_session_windows", "stream_interval_join",
+                 "stream_dedup_users"}
     for name, fn in registry.queries().items():
         if name in python_ok | streaming:
             continue
@@ -77,7 +78,8 @@ def test_no_cartesian_products_engine_wide(spark):
     from mapreduce_rust_spark import registry
     skip = {"join_cross_regions",           # declared dim-only cross join
             "stream_tumbling_counts", "stream_sliding_counts",
-            "stream_session_windows", "stateful_user_totals"}
+            "stream_session_windows", "stream_interval_join",
+            "stream_dedup_users", "stateful_user_totals"}
     for name, fn in registry.queries().items():
         if name in skip:
             continue
