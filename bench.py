@@ -49,6 +49,13 @@ HEADLINE = [
     "knn_lsh",
     "neardup_clusters",
     "stream_session_windows",
+    # round 2b: curation-quality + skew-proof sessionization surface
+    "repetition_stats_docs",
+    "gopher_rules_docs",
+    "contamination_docs",
+    "pack_sequences_docs",
+    "heavy_hitter_tokens",
+    "sessionize_events_scalable",
 ]
 
 

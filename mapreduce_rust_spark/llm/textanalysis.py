@@ -302,8 +302,45 @@ FROM tf JOIN df_tab USING (tok)
 """
 
 
+HH_MIN_DF_PCT = 20  # heavy hitter = present in > this % of docs
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items mining: tokens whose DOCUMENT frequency exceeds
+    ``HH_MIN_DF_PCT`` percent of the corpus — the stopword/boilerplate
+    discovery pass that feeds df-caps and stopword lists. Exact
+    two-phase shape (distinct → count → threshold); the corpus size
+    enters as a broadcast 1-row aggregate, same pattern as
+    ``tf_df_docs``. Output fraction is exact double division."""
+    tok_all = _tok_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs_row = docs.agg(F.count("*").alias("__n_docs"))
+    df_tab = (tok_all.select("doc_id", "tok").distinct()
+                     .groupBy("tok").agg(F.count("*").alias("df")))
+    return (df_tab.crossJoin(F.broadcast(n_docs_row))
+                  .filter(F.col("df") * 100 > F.col("__n_docs") * HH_MIN_DF_PCT)
+                  .select("tok", "df",
+                          (F.col("df").cast("double") / F.col("__n_docs"))
+                          .alias("df_frac")))
+
+
+HEAVY_HITTER_ORACLE = f"""
+WITH tk AS (SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id,
+                         UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''),
+df_tab AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tok, df, CAST(df AS DOUBLE) / n_docs AS df_frac
+FROM df_tab, n
+WHERE df * 100 > n_docs * {HH_MIN_DF_PCT}
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
+    ("heavy_hitter_tokens", heavy_hitter_tokens, HEAVY_HITTER_ORACLE),
     ("token_count_bpe_docs", token_count_bpe_docs, TOKEN_COUNT_BPE_ORACLE),
     ("train_test_split_docs", train_test_split_docs, TRAIN_TEST_SPLIT_ORACLE),
     ("build_vocab", build_vocab, BUILD_VOCAB_ORACLE),

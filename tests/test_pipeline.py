@@ -39,19 +39,21 @@ def test_neardup_clusters_match_union_find(spark):
 
 
 def test_connected_components_long_chain(spark):
-    """A 12-node path graph (diameter 11) — the case a fixed
-    iteration count silently gets wrong. Convergence-checked
-    propagation must label every node with the chain min, and a
+    """A 200-node path graph (diameter 199) — the case a fixed
+    iteration count silently gets wrong. With pointer jumping the
+    chain must settle in O(log d) rounds: max_iters=12 forces the
+    logarithmic behavior (plain propagation would need 199). A
     too-small max_iters must raise, not return bad reps."""
     import pytest
     from mapreduce_rust_spark.llm.pipeline import connected_components
-    chain = [(i, i + 1) for i in range(100, 111)]          # 100-...-111
+    chain = [(i, i + 1) for i in range(1000, 1199)]        # 1000-...-1199
     extra = [(200, 201), (300, 301), (301, 302)]           # small comps
     edges = spark.createDataFrame(chain + extra, ["doc_a", "doc_b"])
-    got = {r.node: r.rep for r in connected_components(edges).collect()}
+    got = {r.node: r.rep
+           for r in connected_components(edges, max_iters=12).collect()}
     want = _union_find(chain + extra)
     assert got == want
-    assert all(got[n] == 100 for n in range(100, 112))
+    assert all(got[n] == 1000 for n in range(1000, 1200))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=2)
 

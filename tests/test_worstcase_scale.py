@@ -105,6 +105,36 @@ def test_scalable_sessionize_matches_plain_under_giant_key(spark):
     ev.unpersist()
 
 
+from hypothesis import given, settings, strategies as st
+
+# events as (user_id, offset_seconds) — offsets span >3 days so day
+# boundaries, empty days, and sub-gap/midnight-straddling spacings
+# all occur; duplicates and unsorted input included by construction
+_event_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=0, max_value=4 * 86400)),
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=12, deadline=None)
+@given(evs=_event_lists)
+def test_scalable_sessionize_property(spark, evs):
+    """For ANY event set, the two-phase (user, day) decomposition must
+    equal the single-window sessionization exactly."""
+    from mapreduce_rust_spark.operators.relational import (
+        _sessionize, _sessionize_scalable)
+    rows = [(u, i, 1704067200 + off)  # 2024-01-01 UTC base
+            for i, (u, off) in enumerate(evs)]
+    ev = (spark.createDataFrame(rows, ["user_id", "event_id", "epoch"])
+               .select("user_id", "event_id",
+                       F.timestamp_seconds(F.col("epoch")).alias("ts")))
+    want = {r.user_id: (r.n_sessions, r.n_events)
+            for r in _sessionize(ev).collect()}
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in _sessionize_scalable(ev).collect()}
+    assert got == want
+
+
 def test_scalable_sessionize_boundary_cases(spark):
     """Midnight-crossing and empty-day cases of the bucket merge."""
     from mapreduce_rust_spark.operators.relational import (
