@@ -98,6 +98,68 @@ FROM documents
 """
 
 
+FRAME_BYTES = 64   # fabricated "frame" = 64-byte window of the payload
+FRAME_STRIDE = 4   # keep every 4th frame
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_bytes long, frame_sha string"
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode the payload (stub: UTF-8), window
+    the decoded stream into fixed-size 'frames', keep every
+    ``FRAME_STRIDE``-th — the video-frame-sampling shape (a real
+    decoder emits pixel frames here; the decode→window→stride→expand
+    plumbing is identical). One input batch → many output rows, still
+    one Arrow batch at a time in memory. Frames are character
+    windows so the DuckDB oracle (substring) is exact."""
+    import hashlib
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_bytes": [],
+               "frame_sha": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            decoded = payload.decode("utf-8")  # the 'decode' stub step
+            n_frames = (len(decoded) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = decoded[i * FRAME_BYTES:(i + 1) * FRAME_BYTES] \
+                    .encode("utf-8")
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_bytes"].append(len(frame))
+                out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: window the payload into
+    fixed-size frames, keep every ``FRAME_STRIDE``-th — the
+    video/audio subsampling stage of a multimodal pipeline, with the
+    decode stubbed exactly like ``multimodal_features``."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(_frame_sample_batches, FRAME_SCHEMA)
+
+
+FRAME_SAMPLE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, i AS frame_idx,
+         substring(text, CAST(i * {FRAME_BYTES} + 1 AS BIGINT),
+                   {FRAME_BYTES}) AS frame
+  FROM documents,
+       UNNEST(range(0, CAST(CEIL(LENGTH(text) / {FRAME_BYTES}.0) AS BIGINT)))
+         AS u(i)
+  WHERE i % {FRAME_STRIDE} = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(octet_length(encode(frame)) AS BIGINT) AS frame_bytes,
+       sha256(frame) AS frame_sha
+FROM f
+"""
+
+
 REGISTRATIONS = [
     ("multimodal_features", multimodal_features, MULTIMODAL_ORACLE),
+    ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
 ]

@@ -268,8 +268,100 @@ FROM p GROUP BY lang, pack_id
 """
 
 
+# PII patterns — deliberately in the RE2 ∩ Java-regex portable subset
+# (no lookarounds, no backrefs) so Spark and DuckDB agree byte-for-byte.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("ssn_like", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans in ``text_col`` → ``scrubbed`` plus a per-kind
+    hit count. Order matters (ssn_like before phone would double-mask;
+    patterns apply in list order on the progressively scrubbed text).
+    Pure regexp_replace — linear, codegen'd, 100 TB-trivial."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        remaining = F.length(scrubbed) - F.length(
+            F.regexp_replace(scrubbed, pat, ""))
+        counts.append(
+            F.when(remaining > 0, F.lit(1)).otherwise(F.lit(0))
+             .alias(f"has_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return docs.select("doc_id", scrubbed.alias("scrubbed"), *counts)
+
+
+def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of ``scrub_pii`` over the documents fixture (the
+    fixture plants no PII, so redaction is the identity there — the
+    planted-fixture test in ``tests/test_quality_ops.py`` proves the
+    masking; this entry proves cross-engine regex parity on real
+    text)."""
+    return scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_sql_chain() -> tuple[str, list[str]]:
+    expr = "text"
+    flags = []
+    for kind, pat in PII_PATTERNS:
+        flags.append(
+            f"CASE WHEN LENGTH({expr}) - "
+            f"LENGTH(regexp_replace({expr}, '{pat}', '', 'g')) > 0 "
+            f"THEN 1 ELSE 0 END AS has_{kind}")
+        expr = f"regexp_replace({expr}, '{pat}', '<{kind.upper()}>', 'g')"
+    return expr, flags
+
+
+_PII_EXPR, _PII_FLAGS = _pii_sql_chain()
+
+SCRUB_PII_ORACLE = f"""
+SELECT doc_id, {_PII_EXPR} AS scrubbed, {", ".join(_PII_FLAGS)}
+FROM documents
+"""
+
+
+def cross_corpus_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate detection: pairs of docs from DIFFERENT
+    sources sharing a normalized fingerprint — the dedup-against-
+    prior-crawls join. Shuffle is keyed on the 128-bit fingerprint
+    (uniform, skew-free); the self-join only meets rows within a
+    fingerprint bucket, so cost tracks true duplicates, not n²."""
+    from mapreduce_rust_spark.functions.text import fingerprint
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source",
+                     fingerprint(F.col("text")).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.source") != F.col("b.source")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b")))
+
+
+CROSS_CORPUS_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.source AS source_a, b.source AS source_b
+FROM fp a JOIN fp b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.source <> b.source
+"""
+
+
 REGISTRATIONS = [
     ("repetition_stats_docs", repetition_stats_docs, REPETITION_ORACLE),
+    ("scrub_pii_docs", scrub_pii_docs, SCRUB_PII_ORACLE),
+    ("cross_corpus_dups", cross_corpus_dups, CROSS_CORPUS_ORACLE),
     ("gopher_rules_docs", gopher_rules_docs, GOPHER_RULES_ORACLE),
     ("contamination_docs", contamination_docs, CONTAMINATION_ORACLE),
     ("stratified_sample_docs", stratified_sample_docs,

@@ -338,9 +338,61 @@ WHERE df * 100 > n_docs * {HH_MIN_DF_PCT}
 """
 
 
+CHUNK_TOKENS = 64  # tokens per training/RAG chunk
+
+
+def chunk_docs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a real Python UDTF (Spark 4 table
+    function, LATERAL-joined in SQL) — one input row → n chunk rows
+    of ``CHUNK_TOKENS`` whitespace tokens each (last chunk ragged).
+    This is the §2b UDTF surface exercised through the actual UDTF
+    API rather than explode()-composition; the same split could (and
+    in a hot path should) be pure built-ins — the operator exists to
+    prove the extension point, like the reference's pluggable
+    map/reduce closures (worker.rs:16-25) prove its. Oracle-checked
+    against a DuckDB list-slicing CTE."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_id: bigint, chunk: string, "
+                     "n_tokens: bigint")
+    class ChunkUdtf:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in (text or "").split() if t]
+            for i in range(0, (len(toks) + CHUNK_TOKENS - 1) // CHUNK_TOKENS):
+                part = toks[i * CHUNK_TOKENS:(i + 1) * CHUNK_TOKENS]
+                yield doc_id, i, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_udtf", ChunkUdtf)
+    load_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("__docs_for_chunking")
+    return spark.sql("""
+        SELECT c.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM __docs_for_chunking d,
+             LATERAL chunk_udtf(d.doc_id, d.text) c
+    """)
+
+
+CHUNK_DOCS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(t[i*{CHUNK_TOKENS}+1 : (i+1)*{CHUNK_TOKENS}], ' ')
+         AS chunk,
+       LEAST(CAST(len(t) - i*{CHUNK_TOKENS} AS BIGINT), {CHUNK_TOKENS})
+         AS n_tokens
+FROM toks,
+     UNNEST(range(0, CAST(CEIL(len(t) / {CHUNK_TOKENS}.0) AS BIGINT))) AS u(i)
+WHERE len(t) > 0
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
     ("heavy_hitter_tokens", heavy_hitter_tokens, HEAVY_HITTER_ORACLE),
+    ("chunk_docs_udtf", chunk_docs_udtf, CHUNK_DOCS_ORACLE),
     ("token_count_bpe_docs", token_count_bpe_docs, TOKEN_COUNT_BPE_ORACLE),
     ("train_test_split_docs", train_test_split_docs, TRAIN_TEST_SPLIT_ORACLE),
     ("build_vocab", build_vocab, BUILD_VOCAB_ORACLE),

@@ -57,7 +57,9 @@ def test_jvm_operators_have_no_python(spark):
     Pandas operators must stay JVM-side (no Python row evaluation)."""
     from mapreduce_rust_spark import registry
     python_ok = {"mr_word_count", "mr_sessionize_secondary_sort",
-                 "multimodal_features", "stateful_user_totals"}
+                 "chunk_docs_udtf",  # the point IS the Python UDTF API
+                 "multimodal_features", "multimodal_frame_sample",
+                 "stateful_user_totals"}
     streaming = {"stream_tumbling_counts", "stream_sliding_counts",
                  "stream_session_windows", "stream_interval_join",
                  "stream_dedup_users"}

@@ -28,6 +28,31 @@ def test_contamination_excludes_benchmark_and_flags_consistently(spark):
     assert any(r.contaminated for r in rows)  # fixture has collisions
 
 
+def test_scrub_pii_masks_planted_spans(spark):
+    """The fixture corpus has no PII, so the registry entry alone
+    can't prove masking — plant every pattern kind and check spans
+    are replaced and flags set."""
+    from mapreduce_rust_spark.llm.quality import scrub_pii
+    docs = spark.createDataFrame(
+        [(1, "contact bob@example.com or 555-123-4567 today"),
+         (2, "server at 10.0.0.1 leaked 123-45-6789"),
+         (3, "nothing sensitive here")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert "<EMAIL>" in rows[1].scrubbed and "<PHONE>" in rows[1].scrubbed
+    assert "bob@example.com" not in rows[1].scrubbed
+    assert rows[1].has_email == 1 and rows[1].has_phone == 1
+    assert "<IPV4>" in rows[2].scrubbed and "<SSN_LIKE>" in rows[2].scrubbed
+    assert rows[3].scrubbed == "nothing sensitive here"
+    assert rows[3].has_email == rows[3].has_phone == 0
+
+
+def test_cross_corpus_dups_only_cross_source(spark):
+    from mapreduce_rust_spark.llm.quality import cross_corpus_dups
+    rows = cross_corpus_dups(spark, SF_CORRECT).collect()
+    assert all(r.source_a != r.source_b for r in rows)
+
+
 def test_pack_sequences_cover_corpus_contiguously(spark):
     from mapreduce_rust_spark.llm.quality import pack_sequences_docs
     from mapreduce_rust_spark.llm.textanalysis import _tok_table
