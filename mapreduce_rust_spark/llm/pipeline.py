@@ -175,8 +175,29 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), "rep")
 
 
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup policy: within every near-dup cluster keep
+    the HIGHEST-QUALITY member (longest doc, doc_id tiebreak), not
+    the arbitrary min-id — the policy real curation uses (keep the
+    canonical/cleanest copy, drop mirrors). Composition of
+    ``connected_components`` with a quality signal + one window
+    argmax per cluster; clusters are tiny so the window partitions
+    are bounded by cluster size. Rows-only check (iterative
+    upstream); pytest verifies the argmax against the clusters."""
+    from pyspark.sql import Window as W
+    labels = neardup_clusters(spark, sf_dir)  # (doc_id, rep)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"))
+    scored = labels.join(docs, "doc_id")
+    w = W.partitionBy("rep").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .select("doc_id", "rep", "n_chars",
+                          (F.col("rk") == 1).alias("keep")))
+
+
 REGISTRATIONS = [
     ("label_centroids", label_centroids, LABEL_CENTROIDS_ORACLE),
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("neardup_clusters", neardup_clusters, None),
+    ("neardup_keep_best", neardup_keep_best, None),
 ]

@@ -58,6 +58,23 @@ def test_connected_components_long_chain(spark):
         connected_components(edges, max_iters=2)
 
 
+def test_neardup_keep_best_picks_cluster_argmax(spark):
+    """Exactly one keeper per cluster, and it's the longest member
+    (doc_id tiebreak)."""
+    from collections import defaultdict
+    from mapreduce_rust_spark.llm.pipeline import neardup_keep_best
+    rows = neardup_keep_best(spark, SF_CORRECT).collect()
+    assert rows
+    by_rep = defaultdict(list)
+    for r in rows:
+        by_rep[r.rep].append(r)
+    for rep, members in by_rep.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        best = min(members, key=lambda r: (-r.n_chars, r.doc_id))
+        assert keepers[0].doc_id == best.doc_id
+
+
 def test_curation_pipeline_accounting(spark):
     """Total curated docs == quality survivors - exact dups - near-dup
     doc_b side (fixture has no exact dups)."""

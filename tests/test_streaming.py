@@ -206,3 +206,43 @@ def test_watermark_bounds_state(spark):
     agg = (ev.withWatermark("ts", WATERMARK)
              .groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n")))
     assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_foreachbatch_incremental_rollup_refresh(spark, tmp_path):
+    """The WRITE side of the continuous-aggregate pattern
+    (rollup_merge_events reads such a table): each micro-batch appends
+    its own hourly DECIMAL partials to the rollup table via
+    foreachBatch; re-summing the partials must equal aggregating all
+    raw events. Partials stay decimal until the final cast, so the
+    merge is exact for any batch boundary — the same discipline the
+    batch rollup-merge uses for its cutoff."""
+    from mapreduce_rust_spark.operators.relational import (
+        DEC_FINE, tumbling_event_counts)
+    from mapreduce_rust_spark.streaming.windows import read_events_stream
+
+    out = str(tmp_path / "rollup")
+    ev = read_events_stream(spark, SF_SMOKE)
+
+    def refresh(batch_df, batch_id):
+        (batch_df
+         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.col("value").cast(DEC_FINE)).alias("sum_dec"))
+         .select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+                 "event_type", "n", "sum_dec")
+         .write.mode("append").parquet(out))
+
+    q = (ev.writeStream.foreachBatch(refresh)
+           .trigger(availableNow=True)
+           .option("checkpointLocation", str(tmp_path / "ckpt"))
+           .start())
+    q.awaitTermination()
+
+    merged = (spark.read.parquet(out)
+              .groupBy("bucket_start", "event_type")
+              .agg(F.sum("n").alias("n"),
+                   F.sum("sum_dec").cast("double").alias("sum_value")))
+    cols = ["bucket_start", "event_type", "n", "sum_value"]
+    got = _collect_set(merged, cols)
+    want = _collect_set(tumbling_event_counts(spark, SF_SMOKE), cols)
+    assert got == want
