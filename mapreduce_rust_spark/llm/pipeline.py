@@ -104,9 +104,41 @@ FROM survivors GROUP BY 1, 2
 
 MAX_CC_ITERS = 30  # O(log diameter) rounds suffice — see docstring
 
+# Below this many edges the graph is solved driver-side (union-find)
+# instead of paying ~6 Spark jobs of iterative-loop latency. Same
+# size-gated local/distributed split Spark itself applies to joins
+# (broadcast vs shuffle): the near-dup edge list after LSH is
+# proportional to the number of DUPLICATED docs, typically orders of
+# magnitude smaller than the corpus, so even 100 TB corpora often fit
+# the gate; when they don't, the pointer-jumping loop below takes over
+# automatically. 2M edges ≈ 32 MB of longs — well under driver heap.
+LOCAL_CC_EDGES = 2_000_000
+
+
+def _local_union_find(edge_rows) -> dict[int, int]:
+    """Driver-side union-find with path compression; rep = component
+    min (matched to the distributed loop's min-label semantics)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {node: find(node) for node in parent}
+
 
 def connected_components(edges_df: DataFrame,
-                         max_iters: int = MAX_CC_ITERS) -> DataFrame:
+                         max_iters: int = MAX_CC_ITERS,
+                         local_threshold: int = LOCAL_CC_EDGES) -> DataFrame:
     """Connected components over an undirected edge list
     (``doc_a``/``doc_b`` columns) → (node, rep) with rep = component
     min. Each round does two steps:
@@ -126,7 +158,22 @@ def connected_components(edges_df: DataFrame,
     settles in ~8 rounds (asserted in tests). The loop still checks
     actual convergence (zero label changes) and ``max_iters`` raises
     instead of silently returning wrong reps."""
-    pairs = edges_df.select("doc_a", "doc_b")
+    pairs = edges_df.select("doc_a", "doc_b").localCheckpoint()
+    n_edges = pairs.count()  # cheap: counts the materialized checkpoint
+    if n_edges <= local_threshold:
+        # Small-graph fast path: solve on the driver in one pass.
+        # Results are identical to the loop below (rep = component
+        # min); tests cover both paths.
+        mapping = _local_union_find(
+            (r[0], r[1]) for r in pairs.toLocalIterator())
+        spark = edges_df.sparkSession
+        from pyspark.sql.types import StructField, StructType
+        node_t = edges_df.schema["doc_a"].dataType
+        schema = StructType([StructField("node", node_t),
+                             StructField("rep", node_t)])
+        return spark.createDataFrame(
+            sorted(mapping.items()), schema)
+
     edges = (pairs
              .union(pairs.select(F.col("doc_b").alias("doc_a"),
                                  F.col("doc_a").alias("doc_b"))))

@@ -43,19 +43,37 @@ def test_connected_components_long_chain(spark):
     iteration count silently gets wrong. With pointer jumping the
     chain must settle in O(log d) rounds: max_iters=12 forces the
     logarithmic behavior (plain propagation would need 199). A
-    too-small max_iters must raise, not return bad reps."""
+    too-small max_iters must raise, not return bad reps.
+    local_threshold=0 pins the DISTRIBUTED path (the small-graph
+    gate would otherwise solve this driver-side)."""
     import pytest
     from mapreduce_rust_spark.llm.pipeline import connected_components
     chain = [(i, i + 1) for i in range(1000, 1199)]        # 1000-...-1199
     extra = [(200, 201), (300, 301), (301, 302)]           # small comps
     edges = spark.createDataFrame(chain + extra, ["doc_a", "doc_b"])
     got = {r.node: r.rep
-           for r in connected_components(edges, max_iters=12).collect()}
+           for r in connected_components(edges, max_iters=12,
+                                         local_threshold=0).collect()}
     want = _union_find(chain + extra)
     assert got == want
     assert all(got[n] == 1000 for n in range(1000, 1200))
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=2)
+        connected_components(edges, max_iters=2, local_threshold=0)
+
+
+def test_connected_components_local_gate_matches_distributed(spark):
+    """The size-gated driver-side union-find path must return exactly
+    what the distributed pointer-jumping loop returns."""
+    from mapreduce_rust_spark.llm.pipeline import connected_components
+    chain = [(i, i + 1) for i in range(1000, 1060)]
+    extra = [(1, 2), (2, 3), (7, 8)]
+    edges = spark.createDataFrame(chain + extra, ["doc_a", "doc_b"])
+    local = {(r.node, r.rep)
+             for r in connected_components(edges).collect()}
+    dist = {(r.node, r.rep)
+            for r in connected_components(edges,
+                                          local_threshold=0).collect()}
+    assert local == dist == set(_union_find(chain + extra).items())
 
 
 def test_neardup_keep_best_picks_cluster_argmax(spark):
