@@ -56,6 +56,16 @@ HEADLINE = [
     "pack_sequences_docs",
     "heavy_hitter_tokens",
     "sessionize_events_scalable",
+    # round 2c: TPC-H compound shapes + sharding/embedding + stream-static
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "window_range_hour_events",
+    "dup_ngram_fraction_docs",
+    "shuffle_shard_docs",
+    "embedding_normalize_quantize",
+    "stream_static_enrich",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Corpus sharding + duplicated-n-gram profiling + embedding
+post-processing — the operators between "curated corpus" and
+"training job": a deterministic global shuffle into fixed shards, the
+RefinedWeb-style duplicated-n-gram fraction (how much of each doc is
+boilerplate shared with other docs), and L2-normalize + int8
+quantization of embedding vectors (the storage/serving format for ANN
+indexes).
+
+Scale notes per operator; everything is built-ins (JVM, codegen),
+exact arithmetic only (the quantized-long-sum discipline from
+label_centroids), so every op is fully DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.llm.quality import _grams, _toks
+from mapreduce_rust_spark.tables import load_table
+
+DUP_W = 5  # n-gram width for the duplicated-n-gram profile
+
+
+def dup_ngram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-n-gram fraction: of the doc's DISTINCT
+    ``DUP_W``-grams, the fraction that also occur in at least one
+    OTHER doc — the boilerplate signal RefinedWeb/Gopher threshold on
+    (a doc whose 5-grams mostly exist elsewhere is template/mirror
+    content even when no single near-dup pair fires).
+
+    Scale shape: one inverted-index pass — distinct (doc, gram) →
+    gram document-frequency (map-side-combined count) → join back on
+    the gram key → per-doc ratio. Linear in corpus grams; never
+    all-pairs (the gram df join is the SAME candidate-bounded shape
+    as ngram_jaccard_pairs, but aggregated, so no df-cap is needed —
+    a hot gram contributes one count row, not k² pairs). Docs shorter
+    than ``DUP_W`` tokens keep a row with fraction 0 (left join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+                 .select("doc_id",
+                         F.explode(_grams(F.col("toks"), DUP_W, True))
+                          .alias("g")))
+    gram_df = grams.groupBy("g").agg(F.count("*").alias("df"))
+    per_doc = (grams.join(gram_df, "g")
+                    .groupBy("doc_id")
+                    .agg(F.count("*").alias("n_grams"),
+                         F.sum((F.col("df") > 1).cast("long"))
+                          .alias("n_dup")))
+    return (docs.select("doc_id")
+                .join(per_doc, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                    F.when(F.col("n_grams").isNotNull(),
+                           F.col("n_dup").cast("double") / F.col("n_grams"))
+                     .otherwise(F.lit(0.0)).alias("dup_frac")))
+
+
+DUP_NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{DUP_W - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {DUP_W - 2})) AS u(i)
+  WHERE len(t) >= {DUP_W}
+),
+gram_df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM grams JOIN gram_df USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_dup, 0) AS n_dup,
+       CASE WHEN p.n_grams IS NOT NULL
+            THEN CAST(p.n_dup AS DOUBLE) / p.n_grams
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+N_SHARDS = 16  # sized so one shard ≈ one training-reader task
+
+
+def shuffle_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into ``N_SHARDS`` shards:
+    shard = md5-bucket of (text, doc_id), position = rank of the md5
+    key within the shard. The write side of every training pipeline —
+    an order-destroying, seed-free permutation that is reproducible
+    run-to-run (pure content hash, no rand()/shuffle(), so a lost
+    task recomputes identical rows — the same determinism argument as
+    salted_join).
+
+    Scale shape: one shuffle on the shard key; the per-shard
+    ``row_number`` window partitions by shard, and N_SHARDS is chosen
+    so a shard ≈ one reader task's worth of docs (at 100 TB you set
+    N_SHARDS = corpus/1M docs, keeping every window partition
+    bounded — never a global ORDER BY window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
+             % N_SHARDS)
+    w = W.partitionBy("shard").orderBy("key", "doc_id")
+    return (docs.select("doc_id", key.alias("key"), shard.alias("shard"))
+                .select("doc_id", "shard",
+                        F.row_number().over(w).cast("long").alias("pos"))
+    )
+
+
+SHUFFLE_SHARD_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(text || CAST(doc_id AS VARCHAR)) AS key,
+         CAST('0x' || substr(md5(text || CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) % {N_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+FROM keyed
+"""
+
+
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding and quantize to int8 — the
+    compression step before building/serving an ANN index (4x smaller
+    than float32, dot products in integer SIMD). Long format
+    (vec_id, dim, q, norm): portable to the oracle and the
+    shuffle-friendly shape for downstream per-dim aggregation.
+
+    Exactness across engines: the squared-norm sum quantizes each
+    v² onto a 1e-12 integer grid with HALF_EVEN (Spark ``bround`` ≡
+    DuckDB ``round_even``) and sums longs — order-independent — via a
+    whole-partition window (one shuffle, no join back). sqrt and the
+    divisions are single IEEE operations (correctly rounded
+    identically on both engines), and the final int8 value rounds on
+    the same HALF_EVEN grid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v"))
+    vd = F.col("v").cast("double")
+    sq_q = F.bround(vd * vd * F.lit(1e12), 0).cast("long")
+    w = W.partitionBy("vec_id")
+    norm = F.sqrt(F.sum(sq_q).over(w).cast("double") / F.lit(1e12))
+    q = F.when(norm > 0,
+               F.bround(F.lit(127.0) * vd / norm, 0).cast("long")) \
+         .otherwise(F.lit(0))
+    return exploded.select(
+        "vec_id", F.col("dim").cast("long").alias("dim"),
+        q.alias("q"), norm.alias("norm"))
+
+
+EMB_QUANTIZE_ORACLE = """
+WITH exploded AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(u.v AS DOUBLE) AS v
+  FROM embeddings,
+  LATERAL (SELECT embedding[i] AS v, i
+           FROM UNNEST(generate_series(1, len(embedding))) AS g(i)) u(v, i)
+),
+normed AS (
+  SELECT vec_id, dim, v,
+         sqrt(CAST(SUM(CAST(round_even(v * v * 1e12, 0) AS BIGINT))
+                   OVER (PARTITION BY vec_id) AS DOUBLE) / 1e12) AS norm
+  FROM exploded
+)
+SELECT vec_id, dim,
+       CASE WHEN norm > 0
+            THEN CAST(round_even(127.0 * v / norm, 0) AS BIGINT)
+            ELSE 0 END AS q,
+       norm
+FROM normed
+"""
+
+
+REGISTRATIONS = [
+    ("dup_ngram_fraction_docs", dup_ngram_fraction_docs, DUP_NGRAM_ORACLE),
+    ("shuffle_shard_docs", shuffle_shard_docs, SHUFFLE_SHARD_ORACLE),
+    ("embedding_normalize_quantize", embedding_normalize_quantize,
+     EMB_QUANTIZE_ORACLE),
+]

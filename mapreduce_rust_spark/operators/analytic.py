@@ -1,0 +1,436 @@
+"""Compound analytic queries + the remaining relational breadth:
+the TPC-H-classic multi-join shapes (Q3/Q5/Q6/Q10 adapted to the
+fixture schema), EXISTS / NOT EXISTS correlated subqueries, unpivot
+(wide→long melt), null-preserving explode_outer, and the advanced
+window surface (time-RANGE frames, ntile/percent_rank/cume_dist,
+first/last/nth_value).
+
+The reference has none of this (SURVEY.md §2b — joins, windows,
+subqueries all "absent"); each query here is the declarative Catalyst
+form with the scale levers stated per operator: dimension broadcast,
+fact-side pre-aggregation before wide joins, selective predicates
+pushed to the parquet scan, and bounded window partitions (never a
+global ORDER BY window over the full input).
+
+Oracle discipline: identical aliases both sides, ``dsum``-style
+decimal sums for shuffled aggregates, date strings / epoch longs
+instead of raw timestamps, deterministic tiebreaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.operators.relational import DEC_MONEY, dsum
+from mapreduce_rust_spark.tables import load_table, register_views
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- TPC-H classic compound plans --------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    ⋈ open orders ⋈ unshipped lineitems, top-10 orders by revenue.
+
+    Scale shape: both date predicates push to the parquet scans; the
+    customer side reduces to a semi-join-able key set; the final
+    top-10 is a sort+limit (TakeOrderedAndProject — per-partition
+    heap, no global sort). Revenue summed in DECIMAL (exact,
+    order-independent), deterministic o_orderkey tiebreak."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+              .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+              .groupBy("l_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd")
+                        .alias("o_orderdate"),
+                       "o_orderpriority")
+              .agg(dsum(rev).alias("revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+              .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): revenue per nation for
+    orders where the customer and the lineitem's supplier sit in the
+    SAME nation, one region, one order-date year.
+
+    Scale shape: nation/region broadcast (constant size at any SF);
+    supplier broadcast (grows sub-linearly vs the fact table); the
+    only big shuffles are lineitem⋈orders and the join to customer —
+    both on their natural keys. The c_nationkey = s_nationkey
+    residual rides the customer join instead of forcing an extra
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(cust, (orders.o_custkey == cust.c_custkey)
+                & (cust.c_nationkey == supp.s_nationkey))
+          .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .groupBy("n_name")
+          .agg(dsum(rev).alias("revenue"),
+               F.count("*").alias("n_items"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): a pure scan-filter-
+    aggregate — every predicate pushes to the parquet scan, the
+    aggregate is a map-side-combined 1-row result; the whole query is
+    one stage + a 1-row exchange. The canonical 'is pushdown working'
+    probe: at 100 TB this reads three columns of one year's row
+    groups, nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01"))
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+          .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"))
+               .alias("revenue"),
+               F.count("*").alias("n_items"))
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue on returned lineitems in one quarter.
+
+    Scale shape: the returnflag + order-date predicates push down;
+    lineitem pre-aggregates to per-order revenue partials BEFORE
+    joining orders/customer (same 4:1 shrink as
+    join_revenue_by_nation — the decimal partials re-associate
+    exactly); nation broadcasts; top-20 is TakeOrderedAndProject with
+    a c_custkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01")))
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_order = (li.groupBy("l_orderkey")
+                   .agg(F.sum((F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))).cast(DEC_MONEY))
+                        .alias("rev_dec")))
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+                 .join(cust, orders.o_custkey == cust.c_custkey)
+                 .join(F.broadcast(nation),
+                       cust.c_nationkey == nation.n_nationkey)
+                 .groupBy("c_custkey", "c_name", "n_name")
+                 .agg(F.sum("rev_dec").cast("double").alias("revenue"),
+                      F.count("*").alias("n_orders"))
+                 .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+                 .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- correlated subqueries (EXISTS / NOT EXISTS) -----------------------
+
+def exists_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front door: customers with at
+    least one high-value urgent order. Catalyst rewrites the EXISTS
+    into a left-semi hash join — no per-row subquery execution (plan
+    shows a single SEMI join; this is why the declarative form
+    scales and a loop doesn't)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 400000
+              AND o.o_orderpriority = '1-URGENT')
+    """)
+
+
+EXISTS_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_totalprice > 400000
+      AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def not_exists_idle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → left-anti hash join under Catalyst:
+    suppliers who never shipped a max-quantity deep-discount line.
+    The anti join shuffles only the distinct supplier keys of the
+    filtered fact side."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_quantity >= 50 AND l.l_discount >= 0.09)
+    """)
+
+
+NOT_EXISTS_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey
+      AND l.l_quantity >= 50 AND l.l_discount >= 0.09)
+"""
+
+
+# --- unpivot / melt ----------------------------------------------------
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of pivot_status_qty): one row per
+    (part, metric). ``DataFrame.unpivot`` plans as a single Expand —
+    one scan, rows×metrics output, no shuffle at all. Values unify to
+    double (unpivot requires one value type)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_partkey < 200
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+FROM part WHERE p_partkey < 200
+"""
+
+
+# --- null-preserving explode -------------------------------------------
+
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` semantics: docs keep a row (NULL token) even
+    when their rare-token array is empty — the LEFT-JOIN-shaped
+    lateral the plain explode (inner-join-shaped) silently drops.
+    Filtering long tokens makes empty arrays common, so both branches
+    are exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"),
+                    lambda t: F.length(t) > 12)
+    return (docs.select("doc_id", toks.alias("rare"))
+                .select("doc_id",
+                        F.explode_outer("rare").alias("rare_tok")))
+
+
+EXPLODE_OUTER_ORACLE = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> LENGTH(t) > 12) AS rare
+  FROM documents
+)
+SELECT doc_id,
+       UNNEST(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS rare_tok
+FROM arr
+"""
+
+
+# --- advanced window surface -------------------------------------------
+
+def window_range_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the trailing-1-hour sum of
+    ``value`` at every event — RANGE BETWEEN 3599 PRECEDING AND
+    CURRENT ROW over epoch seconds (a true range frame: rows enter
+    and leave by timestamp distance, not row count — inexpressible
+    with a ROWS frame on irregular event times).
+
+    Exactness: the frame sum's addition order is engine-internal, so
+    the summand is quantized to a 1e-6 integer grid (HALF_EVEN on
+    both engines) and summed as longs — order-independent — then
+    divided back. Window partitions are per-user (bounded); no
+    global-order window anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    vq = F.bround(F.col("value") * 1e6, 0).cast("long")
+    w = (W.partitionBy("user_id").orderBy("epoch")
+          .rangeBetween(-3599, W.currentRow))
+    return (ev.select("event_id", "user_id", epoch.alias("epoch"),
+                      vq.alias("vq"))
+              .select("event_id", "user_id", "epoch",
+                      (F.sum("vq").over(w).cast("double") / 1e6)
+                      .alias("hour_sum")))
+
+
+WINDOW_RANGE_ORACLE = """
+SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
+       CAST(SUM(CAST(round_even(value * 1e6, 0) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
+         AS hour_sum
+FROM events
+"""
+
+
+def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile (ntile), percent_rank,
+    cume_dist over order value within each priority class. The
+    ordering carries a unique o_orderkey tiebreak so every rank —
+    and therefore every output value — is deterministic on both
+    engines. percent_rank/cume_dist are single exact divisions
+    (correctly rounded identically everywhere)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+WINDOW_NTILE_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window functions: each customer's first,
+    latest, and second order value (first_value / last_value /
+    nth_value over the full-partition frame — last_value is the
+    classic frame trap: the default frame ends at CURRENT ROW, so it
+    must be widened to UNBOUNDED FOLLOWING to mean 'latest').
+    Order-date ties broken by o_orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    full = (W.partitionBy("o_custkey")
+             .orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (orders.filter(F.col("o_custkey") < 300)
+            .select(
+                "o_custkey", "o_orderkey",
+                F.first_value("o_totalprice").over(full).alias("first_price"),
+                F.last_value("o_totalprice").over(full).alias("last_price"),
+                F.nth_value("o_totalprice", 2).over(full).alias("second_price")))
+
+
+WINDOW_FIRST_LAST_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+REGISTRATIONS = [
+    ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
+    ("q5_local_supplier", q5_local_supplier, Q5_ORACLE),
+    ("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE),
+    ("q10_returned_items", q10_returned_items, Q10_ORACLE),
+    ("exists_big_order_customers", exists_big_order_customers, EXISTS_ORACLE),
+    ("not_exists_idle_suppliers", not_exists_idle_suppliers,
+     NOT_EXISTS_ORACLE),
+    ("unpivot_part_metrics", unpivot_part_metrics, UNPIVOT_ORACLE),
+    ("explode_outer_rare_tokens", explode_outer_rare_tokens,
+     EXPLODE_OUTER_ORACLE),
+    ("window_range_hour_events", window_range_hour_events,
+     WINDOW_RANGE_ORACLE),
+    ("window_ntile_orders", window_ntile_orders, WINDOW_NTILE_ORACLE),
+    ("window_first_last_orders", window_first_last_orders,
+     WINDOW_FIRST_LAST_ORACLE),
+]

@@ -40,7 +40,7 @@ register("word_count_sorted", wordcount.word_count_sorted,
          wordcount.WORD_COUNT_SORTED_ORACLE)
 
 from mapreduce_rust_spark.operators import mapreduce_compat  # noqa: E402
-from mapreduce_rust_spark.operators import relational, skew, temporal, udaf  # noqa: E402
+from mapreduce_rust_spark.operators import analytic, relational, skew, temporal, udaf  # noqa: E402
 
 register("mr_word_count", mapreduce_compat.mr_word_count,
          mapreduce_compat.MR_WORD_COUNT_ORACLE)
@@ -49,6 +49,9 @@ register("mr_sessionize_secondary_sort",
          mapreduce_compat.MR_SESSIONIZE_ORACLE)
 
 for _name, _fn, _oracle in relational.REGISTRATIONS:
+    register(_name, _fn, _oracle)
+
+for _name, _fn, _oracle in analytic.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
 for _name, _fn, _oracle in temporal.REGISTRATIONS:
@@ -60,10 +63,10 @@ for _name, _fn, _oracle in skew.REGISTRATIONS:
 for _name, _fn, _oracle in udaf.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
-from mapreduce_rust_spark.llm import dedup, multimodal, pipeline, quality, similarity, textanalysis  # noqa: E402
+from mapreduce_rust_spark.llm import dedup, multimodal, pipeline, quality, sharding, similarity, textanalysis  # noqa: E402
 from mapreduce_rust_spark.streaming import stateful, windows  # noqa: E402
 
 for _mod in (dedup, similarity, textanalysis, multimodal, pipeline,
-             quality, windows, stateful):
+             quality, sharding, windows, stateful):
     for _name, _fn, _oracle in _mod.REGISTRATIONS:
         register(_name, _fn, _oracle)

@@ -205,8 +205,45 @@ SELECT DISTINCT user_id, event_type FROM events
 
 from mapreduce_rust_spark.operators.temporal import INTERVAL_JOIN_ORACLE  # noqa: E402
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static ``customer`` dimension (user_id = c_custkey), aggregated
+    to windowed per-segment revenue. The canonical serving-layer
+    pattern — the dim table is a plain batch DataFrame re-read per
+    micro-batch, needs no watermark on the static side, and Catalyst
+    BROADCASTS it under the stream (no stream-side shuffle for the
+    join). The windowed agg carries the usual watermark so state
+    stays bounded."""
+    from mapreduce_rust_spark.tables import load_table
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey"), F.col("c_mktsegment"))
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = (joined.withWatermark("ts", WATERMARK)
+                 .groupBy(F.window("ts", "6 hours").alias("w"),
+                          "c_mktsegment")
+                 .agg(F.count("*").alias("n"),
+                      F.sum(F.col("value").cast(DEC_FINE)).cast("double")
+                       .alias("sum_value")))
+    out = _run_to_table(agg, "stream_static_enrich", "complete")
+    return out.select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+                      "c_mktsegment", "n", "sum_value")
+
+
+STREAM_STATIC_ENRICH_ORACLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
+         AS bucket_start,
+       c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
+    ("stream_static_enrich", stream_static_enrich,
+     STREAM_STATIC_ENRICH_ORACLE),
     ("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_ORACLE),
     ("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE),
     ("stream_interval_join", stream_interval_join, INTERVAL_JOIN_ORACLE),

@@ -62,7 +62,7 @@ def test_jvm_operators_have_no_python(spark):
                  "stateful_user_totals"}
     streaming = {"stream_tumbling_counts", "stream_sliding_counts",
                  "stream_session_windows", "stream_interval_join",
-                 "stream_dedup_users"}
+                 "stream_dedup_users", "stream_static_enrich"}
     for name, fn in registry.queries().items():
         if name in python_ok | streaming:
             continue
@@ -81,7 +81,8 @@ def test_no_cartesian_products_engine_wide(spark):
     skip = {"join_cross_regions",           # declared dim-only cross join
             "stream_tumbling_counts", "stream_sliding_counts",
             "stream_session_windows", "stream_interval_join",
-            "stream_dedup_users", "stateful_user_totals"}
+            "stream_dedup_users", "stream_static_enrich",
+            "stateful_user_totals"}
     for name, fn in registry.queries().items():
         if name in skip:
             continue
