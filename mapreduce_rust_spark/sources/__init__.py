@@ -50,3 +50,12 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning story as parquet
+    (vectorized reader, predicate pushdown, column pruning); the
+    interchange format for Hive-ecosystem warehouses."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.orc(path)

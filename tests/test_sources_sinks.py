@@ -63,3 +63,39 @@ def test_parquet_sink_partitioned(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() == docs.filter(F.col("lang") == "en").count()
     assert "PartitionFilters" in plan or "lang=en" in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink+source roundtrip, and the scan must take pushed
+    filters like parquet (the columnar-format contract)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    p = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(p)
+    back = sources.read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+    scan = (back.filter(F.col("id") > 1)
+                ._jdf.queryExecution().sparkPlan().toString())
+    assert "PushedFilters: [" in scan and "GreaterThan(id,1)" in scan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Partition-pruned join: a fact table partitioned on the join key
+    must scan ONLY the partitions matching the dim filter — the plan
+    carries a dynamicpruning subquery on the fact scan's partition
+    filters. At 100 TB this is the difference between reading one
+    day's partitions and the whole table when the predicate lives on
+    the dim side."""
+    from tests.conftest import SF_SMOKE
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = str(tmp_path / "fact")
+    (orders.withColumn("status", F.col("o_orderstatus"))
+           .write.mode("overwrite").partitionBy("status").parquet(p))
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "pending")],
+        ["status", "status_name"]).filter(F.col("status_name") == "open")
+    joined = fact.join(dim, "status").groupBy("status_name").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.collect()[0]["count"] == \
+        orders.filter(F.col("o_orderstatus") == "O").count()
