@@ -417,6 +417,126 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+# --- statistical aggregates --------------------------------------------
+
+def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — variance, stddev, covariance,
+    correlation of (quantity, discount) per returnflag — computed
+    from EXACT decimal power sums (n, Σx, Σy, Σxy, Σx², Σy²), then a
+    fixed double formula.
+
+    Spark's native var_samp/corr stream doubles in partition order,
+    so their low bits vary run-to-run with partitioning — useless
+    under a value-hash oracle and irreproducible at 100 TB. The
+    power-sum form is the map-side-combinable, order-independent
+    decomposition (one partial agg per partition, exact merge), and
+    both engines then evaluate the identical IEEE expression on
+    identical inputs. Same pattern as ``dsum``, one moment higher.
+
+    Variable choice is load-bearing: quantity (1 decimal) and
+    discount (2 decimals) make every product a ≤4-decimal grid value,
+    so the DECIMAL(18,6) casts are exact on both engines AND the
+    summed units stay far below 2^53, keeping the final
+    DECIMAL→DOUBLE cast single-rounded everywhere. price² sums
+    (~1e14) blow past 2^53·10⁻⁶ and double-round differently per
+    engine — measured, not theoretical; at 100 TB pick the moment
+    scale per column the same way."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_discount")
+    agg = (li.groupBy("l_returnflag")
+             .agg(F.count("*").alias("n"),
+                  dsum(x).alias("sx"),
+                  dsum(y).alias("sy"),
+                  dsum(x * y).alias("sxy"),
+                  dsum(x * x).alias("sx2"),
+                  dsum(y * y).alias("sy2")))
+    n = F.col("n").cast("double")
+    var_qty = (F.col("sx2") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_disc = (F.col("sy2") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    # corr from the covar/var forms above — NOT the textbook
+    # (n·Σxy − ΣxΣy)/√(...)√(...): that a·b − c·d shape invites FMA
+    # contraction (one fused rounding) on engines compiled with it;
+    # this form reuses the already-portable subexpressions.
+    corr = covar / (F.sqrt(var_qty) * F.sqrt(var_disc))
+    return agg.select(
+        "l_returnflag", "n",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        covar.alias("covar_qty_disc"),
+        corr.alias("corr_qty_disc"))
+
+
+STATS_AGG_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sy2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
+       sqrt((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_qty,
+       (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar_qty_disc,
+       ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+         / (sqrt((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+            * sqrt((sy2 - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+         AS corr_qty_disc
+FROM s
+"""
+
+
+def argmax_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin as single aggregates: the order carrying the
+    max/min total price per priority class, via struct-valued MAX —
+    lexicographic (price, orderkey) comparison makes the winner
+    unique even under price ties, so the result is deterministic on
+    both engines (bare max_by/arg_max breaks ties arbitrarily — the
+    trap this form avoids). One map-side-combinable aggregate; the
+    window-argmax twin (window_topk_orders) costs a full sort per
+    partition instead."""
+    orders = _t(spark, sf_dir, "orders")
+    pk = F.struct(F.col("o_totalprice").alias("p"),
+                  F.col("o_orderkey").alias("k"))
+    return (orders.groupBy("o_orderpriority")
+                  .agg(F.max(pk)["k"].alias("top_key"),
+                       F.min(pk)["k"].alias("bottom_key"),
+                       F.max("o_totalprice").alias("top_price")))
+
+
+ARGMAX_ORACLE = """
+SELECT o_orderpriority,
+       (MAX({'p': o_totalprice, 'k': o_orderkey})).k AS top_key,
+       (MIN({'p': o_totalprice, 'k': o_orderkey})).k AS bottom_key,
+       MAX(o_totalprice) AS top_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
+    per-(returnflag, month) sketches built in one pass, then
+    ``hll_union_agg``-merged up to per-returnflag totals — the
+    pre-aggregated rollup pattern that makes 100 TB distinct counts
+    incremental (store tiny sketch partials per partition/day; any
+    rollup is a union of sketches, never a rescan — the same
+    continuous-aggregate story as rollup_merge_events, for a
+    non-additive measure). No SQL oracle (sketch internals);
+    accuracy vs exact asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = (li.groupBy("l_returnflag",
+                          F.date_format("l_shipdate", "yyyy-MM").alias("mon"))
+                 .agg(F.hll_sketch_agg("l_partkey").alias("sk")))
+    return (monthly.groupBy("l_returnflag")
+                   .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                         .alias("approx_parts"),
+                        F.count("*").alias("n_sketches")))
+
+
 REGISTRATIONS = [
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
     ("q5_local_supplier", q5_local_supplier, Q5_ORACLE),
@@ -433,4 +553,7 @@ REGISTRATIONS = [
     ("window_ntile_orders", window_ntile_orders, WINDOW_NTILE_ORACLE),
     ("window_first_last_orders", window_first_last_orders,
      WINDOW_FIRST_LAST_ORACLE),
+    ("stats_agg_lineitem", stats_agg_lineitem, STATS_AGG_ORACLE),
+    ("argmax_orders_by_priority", argmax_orders_by_priority, ARGMAX_ORACLE),
+    ("sketch_hll_mergeable", sketch_hll_mergeable, None),
 ]

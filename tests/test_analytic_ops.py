@@ -158,3 +158,39 @@ def test_embedding_quantize_range_and_norm(spark):
         assert r.maxq <= 127
         # ||q|| should be close to 127 (unit vector scaled)
         assert abs((r.sumsq ** 0.5) - 127.0) < 127.0 * 0.15
+
+
+def test_hll_mergeable_sketch_accuracy(spark):
+    """Sketch-merge rollup must estimate distinct parts within 5% of
+    exact, proving partial sketches union losslessly enough for the
+    incremental-rollup pattern."""
+    from mapreduce_rust_spark.operators.analytic import sketch_hll_mergeable
+    from mapreduce_rust_spark.tables import load_table
+    est = {r.l_returnflag: r.approx_parts
+           for r in sketch_hll_mergeable(spark, SF_CORRECT).collect()}
+    exact = {r.l_returnflag: r.x for r in
+             load_table(spark, SF_CORRECT, "lineitem")
+             .groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("x")).collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= 0.05 * exact[k]
+
+
+def test_stats_agg_matches_numpy(spark):
+    """The power-sum corr/var must agree with numpy's reference
+    implementation to float tolerance (the oracle proves cross-engine
+    bit-parity; this proves the STATISTIC is right)."""
+    import numpy as np
+    from mapreduce_rust_spark.operators.analytic import stats_agg_lineitem
+    from mapreduce_rust_spark.tables import load_table
+    got = {r.l_returnflag: r for r in
+           stats_agg_lineitem(spark, SF_CORRECT).collect()}
+    pdf = (load_table(spark, SF_CORRECT, "lineitem")
+           .select("l_returnflag", "l_quantity", "l_discount").toPandas())
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x, y = grp.l_quantity.values, grp.l_discount.values
+        assert abs(got[flag].var_qty - np.var(x, ddof=1)) < 1e-6
+        assert abs(got[flag].covar_qty_disc
+                   - np.cov(x, y, ddof=1)[0, 1]) < 1e-9
+        assert abs(got[flag].corr_qty_disc - np.corrcoef(x, y)[0, 1]) < 1e-9
