@@ -109,3 +109,28 @@ def test_curation_pipeline_accounting(spark):
     assert out.agg(F.sum("n_docs")).collect()[0][0] == expected
     splits = {r.split for r in out.collect()}
     assert splits <= {"train", "val", "test"}
+
+
+from hypothesis import given, settings, strategies as st
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).map(
+        lambda t: (min(t), max(t) + 1)),  # doc_a < doc_b, no self-loops
+    min_size=0, max_size=60)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edges=_edge_lists)
+def test_connected_components_property(spark, edges):
+    """For ANY edge set, both the local union-find gate and the
+    distributed pointer-jumping loop must produce exactly the
+    union-find labeling."""
+    from mapreduce_rust_spark.llm.pipeline import connected_components
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    want = set(_union_find(edges).items())
+    local = {(r.node, r.rep) for r in connected_components(df).collect()}
+    dist = {(r.node, r.rep)
+            for r in connected_components(df, local_threshold=0).collect()}
+    assert local == want and dist == want
