@@ -66,6 +66,11 @@ HEADLINE = [
     "shuffle_shard_docs",
     "embedding_normalize_quantize",
     "stream_static_enrich",
+    # round 2d: OLAP composites
+    "funnel_conversion_events",
+    "cohort_retention_events",
+    "gapfill_hourly_events",
+    "stats_agg_lineitem",
 ]
 
 

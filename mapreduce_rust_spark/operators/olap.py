@@ -1,0 +1,246 @@
+"""Product-analytics / OLAP composites over ``events`` and
+``orders`` — funnel conversion, cohort retention, time-series gap
+filling with LOCF, histogram bucketing, and table profiling. Each is
+a composition of already-proven primitives (conditional aggregation,
+per-key windows, sequence+explode, exact quantized sums) arranged as
+one declarative plan; scale notes on each operator.
+
+Numeric discipline matches the engine rules: event timestamps are
+compared as exact integer microseconds (``unix_micros`` ≡ DuckDB
+``epoch_us``), sums are quantized-long or decimal, and no raw
+timestamps reach checked output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → later click → later purchase, per user,
+    reduced to stage-reach counts. Stage timestamps are chained
+    conditional MINs over per-user windows (one shuffle on user_id,
+    three window passes over the same partition — NOT three
+    self-joins). Timestamps compared in exact integer micros."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view",
+                           F.col("us"))).over(w))
+    s2 = s1.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("us") > F.col("t1")),
+                           F.col("us"))).over(w))
+    s3 = s2.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("us") > F.col("t2")),
+                           F.col("us"))).over(w))
+    per_user = s3.select("user_id", "t1", "t2", "t3").distinct()
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"))
+
+
+FUNNEL_ORACLE = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                   OVER (PARTITION BY user_id) AS t1 FROM ev),
+s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+                   OVER (PARTITION BY user_id) AS t3 FROM s2),
+per_user AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_viewed,
+       COUNT(t2) AS n_view_click,
+       COUNT(t3) AS n_view_click_purchase
+FROM per_user
+"""
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, distinct
+    active users per (cohort day, day offset). Two aggregations and
+    one join on user_id — the classic retention triangle, fully
+    shuffle-keyed on user/cohort (no window over the whole table)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (active.join(first, "user_id")
+            .groupBy(F.date_format("cohort_day", "yyyy-MM-dd")
+                      .alias("cohort_day"),
+                     F.datediff("day", "cohort_day").cast("long")
+                      .alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+COHORT_ORACLE = """
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+GAPFILL_USERS = 5     # dashboard-style dense series for a probe set
+GAPFILL_START = "2024-01-01 00:00:00"
+GAPFILL_HOURS = 24 * 30
+
+
+def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid per user
+    (sequence+explode — no driver loop), left-joined with hourly
+    sums, empty buckets filled by last-observation-carried-forward
+    (``last(ignorenulls)`` over a per-user ordered window). The
+    hypertable/dashboard resample operator. Grid size is
+    users×hours — explicit and bounded; the LOCF window partitions
+    per user. Sums are quantized longs (order-independent)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAPFILL_USERS)
+    hourly = (ev.groupBy("user_id",
+                         (F.floor(F.unix_seconds(F.col("ts")) / 3600)
+                          * 3600).alias("hour_epoch"))
+                .agg(F.sum(F.bround(F.col("value") * 1e6, 0).cast("long"))
+                      .alias("vq")))
+    start = F.to_timestamp(F.lit(GAPFILL_START))
+    grid_hours = F.sequence(
+        F.lit(0), F.lit(GAPFILL_HOURS - 1))
+    users = (ev.select("user_id").distinct()
+               .select("user_id", F.explode(grid_hours).alias("h"))
+               .select("user_id",
+                       (F.unix_seconds(start) + F.col("h") * 3600)
+                       .alias("hour_epoch")))
+    w = (W.partitionBy("user_id").orderBy("hour_epoch")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (users.join(hourly, ["user_id", "hour_epoch"], "left")
+            .select("user_id", "hour_epoch",
+                    (F.col("vq").cast("double") / 1e6).alias("hour_value"),
+                    (F.coalesce(
+                        F.last("vq", ignorenulls=True).over(w),
+                        F.lit(0)).cast("double") / 1e6).alias("filled_value")))
+
+
+GAPFILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+         SUM(CAST(round_even(value * 1e6, 0) AS BIGINT)) AS vq
+  FROM events WHERE user_id < {GAPFILL_USERS}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id,
+         CAST(epoch(TIMESTAMP '{GAPFILL_START}') + h * 3600 AS BIGINT)
+           AS hour_epoch
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < {GAPFILL_USERS}) u,
+       UNNEST(range(0, {GAPFILL_HOURS})) AS t(h)
+)
+SELECT g.user_id, g.hour_epoch,
+       CAST(h.vq AS DOUBLE) / 1e6 AS hour_value,
+       CAST(COALESCE(
+              LAST_VALUE(h.vq IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.hour_epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              0) AS DOUBLE) / 1e6 AS filled_value
+FROM grid g LEFT JOIN hourly h
+  ON g.user_id = h.user_id AND g.hour_epoch = h.hour_epoch
+"""
+
+
+HIST_BUCKETS = 24
+HIST_WIDTH = 25000  # o_totalprice spans ~[900, 600k)
+
+
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: one scan, integer floor
+    division to a bucket id (portable — no width_bucket dialect
+    differences), map-side-combined counts. The profile/EDA building
+    block; at 100 TB it's a single partial+final aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.least(F.greatest(F.floor(F.col("o_totalprice") / HIST_WIDTH),
+                           F.lit(0)), F.lit(HIST_BUCKETS - 1)).cast("long")
+    return (orders.groupBy(b.alias("bucket"))
+            .agg(F.count("*").alias("n"))
+            .select("bucket",
+                    (F.col("bucket") * HIST_WIDTH).cast("double").alias("lo"),
+                    ((F.col("bucket") + 1) * HIST_WIDTH).cast("double")
+                    .alias("hi"),
+                    "n"))
+
+
+HISTOGRAM_ORACLE = f"""
+SELECT bucket,
+       CAST(bucket * {HIST_WIDTH} AS DOUBLE) AS lo,
+       CAST((bucket + 1) * {HIST_WIDTH} AS DOUBLE) AS hi,
+       COUNT(*) AS n
+FROM (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT),
+                            0), {HIST_BUCKETS - 1}) AS bucket
+      FROM orders)
+GROUP BY bucket
+"""
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style): per column — row count, null
+    count, distinct count. One pass: every statistic is a conditional
+    aggregate in a single partial+final agg (the n_distinct set uses
+    Spark's multi-distinct rewrite); the per-column rows are then
+    unpivoted from one 1-row result, so the table is scanned ONCE
+    regardless of column count — the shape that matters when the
+    table is 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    rows = None
+    for c in cols:
+        r = one.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"))
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+PROFILE_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_orderkey) AS nn_1, COUNT(DISTINCT o_orderkey) AS nd_1,
+         COUNT(o_custkey) AS nn_2, COUNT(DISTINCT o_custkey) AS nd_2,
+         COUNT(o_orderstatus) AS nn_3, COUNT(DISTINCT o_orderstatus) AS nd_3,
+         COUNT(o_totalprice) AS nn_4, COUNT(DISTINCT o_totalprice) AS nd_4,
+         COUNT(o_orderdate) AS nn_5, COUNT(DISTINCT o_orderdate) AS nd_5,
+         COUNT(o_orderpriority) AS nn_6, COUNT(DISTINCT o_orderpriority) AS nd_6
+  FROM orders
+)
+SELECT 'o_orderkey' AS column, n_rows, n_rows - nn_1 AS n_null, nd_1 AS n_distinct FROM s
+UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn_2, nd_2 FROM s
+UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn_3, nd_3 FROM s
+UNION ALL SELECT 'o_totalprice', n_rows, n_rows - nn_4, nd_4 FROM s
+UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn_5, nd_5 FROM s
+UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn_6, nd_6 FROM s
+"""
+
+
+REGISTRATIONS = [
+    ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
+    ("cohort_retention_events", cohort_retention_events, COHORT_ORACLE),
+    ("gapfill_hourly_events", gapfill_hourly_events, GAPFILL_ORACLE),
+    ("histogram_totalprice", histogram_totalprice, HISTOGRAM_ORACLE),
+    ("profile_orders", profile_orders, PROFILE_ORACLE),
+]
