@@ -180,8 +180,56 @@ FROM normed
 """
 
 
+RESERVOIR_K = 10   # fixed sample size per group
+RESERVOIR_SUBS = 64  # partial top-k fan-in
+
+
+def reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample per group (k docs per lang) —
+    the distributed equivalent of per-stratum reservoir sampling:
+    rank docs by a uniform content hash, keep the k smallest. Unlike
+    fraction-based sampling (stratified_sample_docs) this guarantees
+    EXACTLY k per group, and the content-hash key makes it
+    reproducible across runs and task retries (no rand()).
+
+    Scale shape: two-phase top-k. A naive per-group rank window puts
+    an entire group through one task (a 100 TB corpus may hold
+    billions of docs per language); instead each (group, hash-subshard)
+    takes a LOCAL top-k — partitions bounded at group/64 — and the
+    survivors (≤ 64·k rows per group, constant) go through the final
+    tiny rank window. Top-k of partial top-ks ≡ global top-k, so the
+    oracle is the plain per-group rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string")))
+    sub = (F.conv(F.substring(key, 29, 4), 16, 10).cast("long")
+           % RESERVOIR_SUBS)
+    keyed = docs.select("doc_id", "lang", key.alias("key"),
+                        sub.alias("sub"))
+    w1 = W.partitionBy("lang", "sub").orderBy("key", "doc_id")
+    partial = (keyed.withColumn("rk", F.row_number().over(w1))
+                    .filter(F.col("rk") <= RESERVOIR_K))
+    w2 = W.partitionBy("lang").orderBy("key", "doc_id")
+    return (partial.withColumn("rank", F.row_number().over(w2))
+                   .filter(F.col("rank") <= RESERVOIR_K)
+                   .select("doc_id", "lang",
+                           F.col("rank").cast("long").alias("rank")))
+
+
+RESERVOIR_ORACLE = f"""
+SELECT doc_id, lang, rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents
+)
+WHERE rank <= {RESERVOIR_K}
+"""
+
+
 REGISTRATIONS = [
     ("dup_ngram_fraction_docs", dup_ngram_fraction_docs, DUP_NGRAM_ORACLE),
+    ("reservoir_sample_docs", reservoir_sample_docs, RESERVOIR_ORACLE),
     ("shuffle_shard_docs", shuffle_shard_docs, SHUFFLE_SHARD_ORACLE),
     ("embedding_normalize_quantize", embedding_normalize_quantize,
      EMB_QUANTIZE_ORACLE),

@@ -164,8 +164,64 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("rank").cast("long").alias("rank")))
 
 
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over INT8-QUANTIZED vectors — the serving-side
+    form of ANN: 4x less memory/IO than float32 and integer dot
+    products. Built on ``embedding_normalize_quantize``; scoring is
+    an exact integer sum (64 dims × 127² ≈ 10⁶ per pair, far inside
+    int64/2^53), so unlike float cosine this top-k is FULLY
+    oracle-checkable including the score itself. Same broadcast-probe
+    shape as knn_bruteforce: the corpus is never shuffled — only
+    grouped once to assemble arrays. Quantization recall vs the exact
+    float ranking is measured in tests."""
+    from mapreduce_rust_spark.llm.sharding import (
+        embedding_normalize_quantize)
+    q8 = embedding_normalize_quantize(spark, sf_dir)
+    arr = (q8.groupBy("vec_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("dim", "q"))),
+                 lambda x: x["q"]).alias("qv")))
+    probes = arr.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pa"))
+    corpus = arr.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("qv").alias("na"))
+    iscore = F.aggregate(
+        F.zip_with(F.col("pa"), F.col("na"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cand = (F.broadcast(probes).crossJoin(corpus)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("iscore", iscore))
+    w = W.partitionBy("query_id").orderBy(F.col("iscore").desc(),
+                                          F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= K)
+                .select("query_id", "neighbor_id", "iscore",
+                        F.col("rank").cast("long").alias("rank")))
+
+
+from mapreduce_rust_spark.llm.sharding import EMB_QUANTIZE_ORACLE  # noqa: E402
+
+KNN_QUANTIZED_ORACLE = f"""
+WITH q8 AS ({EMB_QUANTIZE_ORACLE}),
+arr AS (SELECT vec_id, list(q ORDER BY dim) AS qv FROM q8 GROUP BY vec_id)
+SELECT query_id, neighbor_id, iscore, rank FROM (
+  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_dot_product(p.qv::DOUBLE[], n.qv::DOUBLE[]) AS BIGINT)
+           AS iscore,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_dot_product(p.qv::DOUBLE[], n.qv::DOUBLE[]) DESC,
+                    n.vec_id) AS rank
+  FROM arr p JOIN arr n ON p.vec_id <> n.vec_id
+  WHERE p.vec_id < {N_QUERIES}
+)
+WHERE rank <= {K}
+"""
+
+
 REGISTRATIONS = [
     ("knn_bruteforce", knn_bruteforce, KNN_BRUTEFORCE_ORACLE),
     ("knn_lsh", knn_lsh, None),  # approximate — recall-tested, rows-only check
     ("knn_ivf", knn_ivf, None),  # approximate — recall-tested, rows-only check
+    ("knn_quantized", knn_quantized, KNN_QUANTIZED_ORACLE),
 ]

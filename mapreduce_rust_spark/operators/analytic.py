@@ -417,6 +417,45 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+# --- fuzzy string matching ---------------------------------------------
+
+FUZZY_MAX_DIST = 4
+
+
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join: near-identical part names within a
+    (brand, type) block at Levenshtein distance ≤ 4 — the
+    entity-resolution primitive. The equi-join on the block key is
+    what makes this scale: edit distance runs only on within-block
+    pairs (bounded by the largest block², tunable by block
+    granularity), NEVER corpus × corpus — the same
+    block-then-verify discipline as the LSH dedup family."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_name")
+    a, b = part.alias("a"), part.alias("b")
+    return (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                   & (F.col("a.p_type") == F.col("b.p_type"))
+                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .withColumn("dist", F.levenshtein(F.col("a.p_name"),
+                                               F.col("b.p_name")))
+             .filter(F.col("dist") <= FUZZY_MAX_DIST)
+             .select(F.col("a.p_partkey").alias("part_a"),
+                     F.col("b.p_partkey").alias("part_b"),
+                     F.col("a.p_brand").alias("p_brand"),
+                     F.col("dist").cast("long").alias("dist")))
+
+
+FUZZY_MATCH_ORACLE = f"""
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_brand AS p_brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 # --- statistical aggregates --------------------------------------------
 
 def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,6 +592,7 @@ REGISTRATIONS = [
     ("window_ntile_orders", window_ntile_orders, WINDOW_NTILE_ORACLE),
     ("window_first_last_orders", window_first_last_orders,
      WINDOW_FIRST_LAST_ORACLE),
+    ("fuzzy_match_parts", fuzzy_match_parts, FUZZY_MATCH_ORACLE),
     ("stats_agg_lineitem", stats_agg_lineitem, STATS_AGG_ORACLE),
     ("argmax_orders_by_priority", argmax_orders_by_priority, ARGMAX_ORACLE),
     ("sketch_hll_mergeable", sketch_hll_mergeable, None),

@@ -194,3 +194,21 @@ def test_stats_agg_matches_numpy(spark):
         assert abs(got[flag].covar_qty_disc
                    - np.cov(x, y, ddof=1)[0, 1]) < 1e-9
         assert abs(got[flag].corr_qty_disc - np.corrcoef(x, y)[0, 1]) < 1e-9
+
+
+def test_knn_quantized_recall_vs_float(spark):
+    """int8 quantization must preserve most of the exact float top-5
+    neighbor sets (recall >= 0.8 on the fixture)."""
+    from collections import defaultdict
+    from mapreduce_rust_spark.llm.similarity import (
+        knn_bruteforce, knn_quantized)
+    exact = defaultdict(set)
+    for r in knn_bruteforce(spark, SF_CORRECT).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    quant = defaultdict(set)
+    for r in knn_quantized(spark, SF_CORRECT).collect():
+        quant[r.query_id].add(r.neighbor_id)
+    assert set(exact) == set(quant)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.8, f"quantized recall {hits}/{total}"
