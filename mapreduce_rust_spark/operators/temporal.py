@@ -50,6 +50,37 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') er
 """
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — for each event, the earliest strictly-
+    later 'purchase' of the same user (lead-to-conversion lookup, the
+    mirror of ``asof_last_error``). Same single-shuffle window plan;
+    the RANGE frame starts at +1 µs so same-timestamp purchases never
+    match, independent of data uniqueness."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
+          .rangeBetween(1, W.unboundedFollowing))
+    buy_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return (ev.withColumn("next_buy_ts",
+                          F.first(buy_ts, ignorenulls=True).over(w))
+              .select("event_id", "user_id",
+                      F.col("ts").cast("long").alias("ts_epoch"),
+                      F.col("next_buy_ts").cast("long")
+                       .alias("next_purchase_epoch")))
+
+
+ASOF_FWD_ORACLE = """
+SELECT event_id, user_id,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CAST(FLOOR(epoch(
+         FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END
+                     IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       )) AS BIGINT) AS next_purchase_epoch
+FROM events
+"""
+
+
 def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type functions: parse props into map<string,bigint>, read
     through map_keys/element_at (SURVEY.md §2b 'map functions')."""
@@ -153,6 +184,7 @@ GROUP BY o_orderkey
 
 REGISTRATIONS = [
     ("asof_last_error", asof_last_error, ASOF_ORACLE),
+    ("asof_next_purchase", asof_next_purchase, ASOF_FWD_ORACLE),
     ("range_join_ship_near_order", range_join_ship_near_order,
      RANGE_JOIN_ORACLE),
     ("map_funcs_events", map_funcs_events, MAP_FUNCS_ORACLE),

@@ -212,3 +212,23 @@ def test_knn_quantized_recall_vs_float(spark):
     hits = sum(len(exact[q] & quant[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.8, f"quantized recall {hits}/{total}"
+
+
+def test_observe_metrics_on_pipeline(spark):
+    """df.observe collects pipeline health metrics (row counts, sums)
+    as a side channel of the SAME action — no second scan. The
+    ops-monitoring hook a production curation job attaches to every
+    stage."""
+    from pyspark.sql import Observation
+    from mapreduce_rust_spark.tables import load_table
+    obs = Observation("curation_metrics")
+    docs = load_table(spark, SF_CORRECT, "documents")
+    gated = (docs.observe(obs,
+                          F.count(F.lit(1)).alias("rows_in"),
+                          F.sum(F.length("text")).alias("chars_in"))
+                 .filter(F.length("text") >= 100))
+    n_out = gated.count()
+    m = obs.get
+    assert m["rows_in"] == 500
+    assert m["chars_in"] > 0
+    assert n_out <= m["rows_in"]
