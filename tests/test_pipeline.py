@@ -134,3 +134,33 @@ def test_connected_components_property(spark, edges):
     dist = {(r.node, r.rep)
             for r in connected_components(df, local_threshold=0).collect()}
     assert local == want and dist == want
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Distributed PageRank must match a dense numpy power iteration
+    with the identical formula (same damping, iterations, no dangling
+    handling needed on an undirected graph)."""
+    import numpy as np
+    from mapreduce_rust_spark.llm.pipeline import (
+        PR_DAMPING, PR_ITERS, pagerank)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    und = set()
+    for s, d in edges:
+        und.add((s, d)); und.add((d, s))
+    nodes = sorted({x for e in und for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, d in und:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERS):
+        c = np.zeros(n)
+        for s, d in und:
+            c[idx[d]] += r[idx[s]] / out_deg[idx[s]]
+        r = (1 - PR_DAMPING) / n + PR_DAMPING * c
+    for node, i in idx.items():
+        assert abs(got[node] - r[i]) < 1e-9, (node, got[node], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # ranks are a distribution

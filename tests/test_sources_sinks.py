@@ -99,3 +99,35 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.collect()[0]["count"] == \
         orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """200 tiny files in → size-derived few files out, same rows."""
+    import glob
+    from mapreduce_rust_spark.sinks.compact import compact_parquet
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path / "fragmented")
+    docs.repartition(200).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 200
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst)
+    out_files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(out_files) == n < 10
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema reads a dataset whose later files added a column —
+    the append-only schema-evolution contract a long-lived 100 TB
+    table needs."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]) \
+        .write.mode("overwrite").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"]) \
+        .write.mode("append").parquet(p)
+    back = spark.read.option("mergeSchema", True).parquet(p)
+    assert sorted(back.columns) == ["id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in back.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
