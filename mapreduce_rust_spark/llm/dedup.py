@@ -328,8 +328,86 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+# --- segment-level dedup (CCNet/C4-style boilerplate removal) --------------
+
+SEG_TOKENS = 16  # segment width — the "line"/"paragraph" unit
+
+
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: split each doc into fixed ``SEG_TOKENS``
+    segments (the fixture's stand-in for lines/paragraphs), drop every
+    segment whose exact content occurs in MORE THAN ONE doc, and
+    reassemble the survivors in order — the CCNet/C4 preprocessing
+    step that strips shared boilerplate (headers, nav, license text)
+    while keeping the unique body.
+
+    Scale shape: segments shuffle once for the doc-frequency count
+    (map-side combined) and once for the order-preserving regroup —
+    both keyed on bounded units (segment hash / doc id). A hot
+    boilerplate segment costs ONE df row, never a pair blowup; the
+    rebuild window is per-doc (bounded by doc length). Output keeps
+    per-doc accounting so the drop rate is observable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+    n_seg = F.ceil(F.size("toks") / SEG_TOKENS).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("toks"), i * SEG_TOKENS + 1, SEG_TOKENS),
+                " "))).alias("seg_id", "seg"))
+    seg_df = (segs.groupBy("seg")
+                  .agg(F.countDistinct("doc_id").alias("df")))
+    kept = (segs.join(seg_df, "seg")
+                .filter(F.col("df") == 1))
+    rebuilt = (kept.groupBy("doc_id")
+                   .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(
+                               F.collect_list(F.struct("seg_id", "seg"))),
+                           lambda x: x["seg"]), " ").alias("clean_text"),
+                        F.count("*").alias("n_kept")))
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_segs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("n_segs") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_dropped"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+SEGMENT_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_id,
+         array_to_string(t[i*{SEG_TOKENS}+1 : (i+1)*{SEG_TOKENS}], ' ') AS seg
+  FROM toks,
+       UNNEST(range(0, CAST(CEIL(len(t) / {SEG_TOKENS}.0) AS BIGINT))) AS u(i)
+),
+seg_df AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+kept AS (SELECT s.* FROM segs s JOIN seg_df USING (seg) WHERE df = 1),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+SELECT t.doc_id, t.n_segs,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       t.n_segs - COALESCE(r.n_kept, 0) AS n_dropped,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 REGISTRATIONS = [
     ("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_ORACLE),
+    ("segment_dedup_docs", segment_dedup_docs, SEGMENT_DEDUP_ORACLE),
     ("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_LSH_ORACLE),
     ("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
     ("simhash_docs", simhash_docs, SIMHASH_ORACLE),
