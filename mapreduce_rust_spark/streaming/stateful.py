@@ -62,6 +62,104 @@ SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 """
 
 
+SESS_GAP_S = 1800       # 30-min inactivity gap
+SESS_WM_DELAY_S = 600   # watermark delay (matches WATERMARK)
+
+SESS_OUT_SCHEMA = ("user_id long, sess_start long, sess_end long, "
+                   "n_events long")
+SESS_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _update_sessions(key, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Split each user's events into inactivity-gap sessions; emit
+    every CLOSED session immediately, keep the trailing open session
+    in state with an event-time timeout of last_ts + gap. When the
+    watermark passes that, the timeout invocation flushes it — the
+    state-EVICTION path a custom stateful operator needs to not
+    accumulate keys forever."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [user_id], "sess_start": [start],
+                            "sess_end": [last], "n_events": [n]})
+        return
+    cur = state.get if state.exists else None  # (start, last, n)
+    out = []
+    for pdf in pdfs:
+        for us in sorted(int(x) for x in pdf["us"]):
+            if cur is None:
+                cur = (us, us, 1)
+            elif us - cur[1] > SESS_GAP_S * 1_000_000:
+                out.append(cur)
+                cur = (us, us, 1)
+            else:
+                cur = (cur[0], us, cur[2] + 1)
+    state.update(cur)
+    state.setTimeoutTimestamp(cur[1] // 1000 + SESS_GAP_S * 1000)
+    if out:
+        yield pd.DataFrame(
+            {"user_id": [user_id] * len(out),
+             "sess_start": [s for s, _, _ in out],
+             "sess_end": [e for _, e, _ in out],
+             "n_events": [n for _, _, n in out]})
+
+
+def stateful_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT
+    eviction: closed sessions emit inline; each user's trailing
+    session sits in state until the watermark passes last_ts + gap,
+    then flushes via the timeout path (the no-data micro-batch).
+    Deterministic under AvailableNow: the final watermark is
+    max(ts) − delay, so exactly the trailing sessions older than
+    that flush — which is what the oracle computes. Output is in
+    exact epoch micros (no float state)."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    ev = (read_events_stream(spark, sf_dir)
+          .withWatermark("ts", f"{SESS_WM_DELAY_S} seconds")
+          .select("user_id", "ts", F.unix_micros("ts").alias("us")))
+    sessions = (ev.groupBy("user_id")
+                  .applyInPandasWithState(
+                      _update_sessions, SESS_OUT_SCHEMA, SESS_STATE_SCHEMA,
+                      "append", GroupStateTimeout.EventTimeTimeout))
+    return _run_to_table(sessions, "stream_session_flush", "append")
+
+
+STATEFUL_SESSION_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                  > {SESS_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), islands AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sess_id
+  FROM marked
+), sess AS (
+  SELECT user_id, sess_id,
+         MIN(us) AS sess_start, MAX(us) AS sess_end,
+         COUNT(*) AS n_events,
+         MAX(sess_id) OVER (PARTITION BY user_id) AS last_sess
+  FROM islands GROUP BY user_id, sess_id
+), wm AS (
+  SELECT MAX(epoch_us(ts)) - {SESS_WM_DELAY_S} * 1000000 AS w FROM events
+)
+SELECT user_id, sess_start, sess_end, n_events
+FROM sess, wm
+WHERE sess_id < last_sess
+   OR sess_end / 1000 + {SESS_GAP_S} * 1000 < w / 1000
+"""
+
+
 REGISTRATIONS = [
     ("stateful_user_totals", stateful_user_totals, STATEFUL_ORACLE),
+    ("stateful_session_flush", stateful_session_flush,
+     STATEFUL_SESSION_ORACLE),
 ]

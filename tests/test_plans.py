@@ -62,7 +62,8 @@ def test_jvm_operators_have_no_python(spark):
                  "stateful_user_totals"}
     streaming = {"stream_tumbling_counts", "stream_sliding_counts",
                  "stream_session_windows", "stream_interval_join",
-                 "stream_dedup_users", "stream_static_enrich"}
+                 "stream_dedup_users", "stream_static_enrich",
+                 "stateful_session_flush"}
     for name, fn in registry.queries().items():
         if name in python_ok | streaming:
             continue
@@ -82,7 +83,7 @@ def test_no_cartesian_products_engine_wide(spark):
             "stream_tumbling_counts", "stream_sliding_counts",
             "stream_session_windows", "stream_interval_join",
             "stream_dedup_users", "stream_static_enrich",
-            "stateful_user_totals"}
+            "stateful_user_totals", "stateful_session_flush"}
     for name, fn in registry.queries().items():
         if name in skip:
             continue
