@@ -182,9 +182,65 @@ GROUP BY o_orderkey
 """
 
 
+def twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average of ``value`` per user — each reading
+    weighted by how long it was current (until the next event), the
+    correct mean for irregularly-sampled gauges (a plain AVG
+    over-weights bursts). Step-function-and-hold semantics; the last
+    reading carries zero weight (nothing observed after it).
+
+    One per-user window (lead) + one aggregation. Exactness: values
+    quantize to a 1e-3 grid and durations truncate to whole
+    milliseconds, so the weighted sum is a product of longs summed in
+    DECIMAL — exact, order-independent, and with per-user totals
+    (≤ ~2.6e15 for a month of ms) safely inside the 2^53 envelope
+    where the final DECIMAL→DOUBLE cast single-rounds on BOTH engines
+    (a 1e-6/µs grid overflows that and drifts 1 ulp — measured)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    base = ev.select("user_id", "event_id",
+                     F.unix_micros("ts").alias("us"),
+                     F.bround(F.col("value") * 1e3, 0).cast("long")
+                      .alias("vq"))
+    stepped = base.withColumn(
+        "dt", F.floor((F.lead("us").over(w) - F.col("us"))
+                      / F.lit(1000)).cast("long"))
+    return (stepped.filter(F.col("dt").isNotNull())
+            .groupBy("user_id")
+            .agg((F.sum(F.col("vq").cast("decimal(38,0)") * F.col("dt"))
+                  .cast("double")
+                  / F.sum(F.col("dt").cast("decimal(38,0)")).cast("double")
+                  / F.lit(1e3)).alias("twa_value"),
+                 F.count("*").alias("n_intervals")))
+
+
+TWA_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round_even(value * 1e3, 0) AS BIGINT) AS vq
+  FROM events
+), stepped AS (
+  SELECT user_id, vq,
+         CAST(FLOOR((LEAD(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id)
+               - us) / 1000) AS BIGINT) AS dt
+  FROM base
+)
+SELECT user_id,
+       CAST(SUM(CAST(vq AS DECIMAL(38,0)) * dt) AS DOUBLE)
+         / CAST(SUM(CAST(dt AS DECIMAL(38,0))) AS DOUBLE) / 1e3
+         AS twa_value,
+       COUNT(*) AS n_intervals
+FROM stepped
+WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
 REGISTRATIONS = [
     ("asof_last_error", asof_last_error, ASOF_ORACLE),
     ("asof_next_purchase", asof_next_purchase, ASOF_FWD_ORACLE),
+    ("twa_user_value", twa_user_value, TWA_ORACLE),
     ("range_join_ship_near_order", range_join_ship_near_order,
      RANGE_JOIN_ORACLE),
     ("map_funcs_events", map_funcs_events, MAP_FUNCS_ORACLE),
