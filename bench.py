@@ -71,6 +71,11 @@ HEADLINE = [
     "cohort_retention_events",
     "gapfill_hourly_events",
     "stats_agg_lineitem",
+    # round 2e: sub-document dedup, quantized ANN, temporal means
+    "segment_dedup_docs",
+    "knn_quantized",
+    "twa_user_value",
+    "stateful_session_flush",
 ]
 
 
