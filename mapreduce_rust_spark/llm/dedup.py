@@ -103,14 +103,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_table(spark, sf_dir).persist()
 
     # signatures via the 2-hash affine family h_p = (h1 + p*h2) mod 2^48
-    # (Broder-style universal perms): 2 md5 digests per shingle instead
-    # of N_PERM — measured 8x cheaper with identical LSH behavior.
-    # 48-bit bases keep h1 + 15*h2 < 2^52, exact in int64 on any engine.
+    # (Broder-style universal perms): h1/h2 are DISJOINT 48-bit slices
+    # of ONE md5 digest (chars 1-12 / 13-24 of the 32-hex digest) — one
+    # digest per shingle instead of N_PERM (or the round-1 two), with
+    # the same independence for banding purposes (recall floor pinned
+    # by the LSH recall test). 48-bit bases keep h1 + 15*h2 < 2^52,
+    # exact in int64 on any engine.
     M48 = 1 << 48
+    digest = F.md5(F.col("s"))
     hashed = (sh.select(
                   "doc_id",
-                  _md5int48(F.col("s")).alias("h1"),
-                  _md5int48(F.concat(F.lit("#"), F.col("s"))).alias("h2"))
+                  F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+                   .alias("h1"),
+                  F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+                   .alias("h2"))
                 .select("doc_id",
                         *[((F.col("h1") + p * F.col("h2")) % M48).alias(f"h{p}")
                           for p in range(N_PERM)]))
@@ -171,7 +177,7 @@ MINHASH_LSH_ORACLE = f"""
 WITH {_oracle_shingles_cte()},
 hb AS (SELECT doc_id,
               CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h1,
-              CAST('0x' || substr(md5('#' || s), 1, 12) AS BIGINT) AS h2
+              CAST('0x' || substr(md5(s), 13, 12) AS BIGINT) AS h2
        FROM sh),
 hp AS (SELECT doc_id, p, MIN((h1 + p * h2) % 281474976710656) AS m
        FROM hb, UNNEST(range(0, {N_PERM})) AS t(p)
