@@ -240,8 +240,29 @@ GROUP BY 1, 2
 """
 
 
+def stream_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed APPROXIMATE distinct users on the stream —
+    ``approx_count_distinct`` inside a watermarked tumbling window.
+    The sketch state is constant-size per window (vs an exact
+    distinct whose state grows with cardinality — the difference
+    between bounded and unbounded state at 100 TB/day). HLL++ merges
+    are commutative/associative, so the result is deterministic under
+    any micro-batching — asserted batch-equal in tests; driver check
+    is rows-only (DuckDB's approx sketch differs by design)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (ev.withWatermark("ts", WATERMARK)
+             .groupBy(F.window("ts", "6 hours").alias("w"))
+             .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                   .alias("approx_users"),
+                  F.count("*").alias("n")))
+    out = _run_to_table(agg, "stream_approx_distinct", "complete")
+    return out.select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+                      "approx_users", "n")
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
+    ("stream_approx_distinct_users", stream_approx_distinct_users, None),
     ("stream_static_enrich", stream_static_enrich,
      STREAM_STATIC_ENRICH_ORACLE),
     ("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_ORACLE),

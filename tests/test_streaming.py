@@ -246,3 +246,25 @@ def test_foreachbatch_incremental_rollup_refresh(spark, tmp_path):
     got = _collect_set(merged, cols)
     want = _collect_set(tumbling_event_counts(spark, SF_SMOKE), cols)
     assert got == want
+
+
+def test_stream_approx_distinct_batch_equivalent(spark):
+    """HLL++ merges are order-independent, so the streaming windowed
+    approx-distinct must EQUAL the batch computation on the same
+    data — and sit within 5% of exact."""
+    from pyspark.sql import functions as F
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_approx_distinct_users)
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_CORRECT
+    got = {r.bucket_start: (r.approx_users, r.n)
+           for r in stream_approx_distinct_users(spark, SF_CORRECT).collect()}
+    ev = load_table(spark, SF_CORRECT, "events")
+    batch = (ev.groupBy(F.window("ts", "6 hours").alias("w"))
+               .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+                    F.countDistinct("user_id").alias("x"),
+                    F.count("*").alias("n")))
+    for r in batch.collect():
+        key = int(r.w.start.timestamp())
+        assert got[key][0] == r.a and got[key][1] == r.n
+        assert abs(r.a - r.x) <= 0.05 * r.x
