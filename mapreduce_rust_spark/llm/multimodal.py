@@ -163,3 +163,77 @@ REGISTRATIONS = [
     ("multimodal_features", multimodal_features, MULTIMODAL_ORACLE),
     ("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
 ]
+
+
+AUDIO_WIN = 160   # samples per energy window (10 ms @ 16 kHz)
+SILENCE_ENERGY_PER_SAMPLE = 400  # mean-square threshold for 'silence'
+
+AUDIO_SCHEMA = ("doc_id long, win_idx long, n_samples long, "
+                "energy long, silence boolean")
+
+
+def _audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the AUDIO shape: treat the payload as a
+    PCM sample stream (stub: one byte = one amplitude), window into
+    fixed ``AUDIO_WIN``-sample frames, emit per-window energy
+    (Σ (s−100)² — pure integers, so the oracle is exact) and a
+    silence flag (mean-square below threshold) — the VAD/energy-gate
+    stage of an audio curation pipeline. Swap the byte view for a
+    real PCM decode and the windowing/flagging is unchanged.
+    Vectorized per batch with numpy; one Arrow batch in memory."""
+    import numpy as np
+    for pdf in batches:
+        out = {"doc_id": [], "win_idx": [], "n_samples": [],
+               "energy": [], "silence": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            sq = (samples - 100) ** 2
+            n = len(sq)
+            for i in range(0, (n + AUDIO_WIN - 1) // AUDIO_WIN):
+                w = sq[i * AUDIO_WIN:(i + 1) * AUDIO_WIN]
+                e = int(w.sum())
+                out["doc_id"].append(doc_id)
+                out["win_idx"].append(i)
+                out["n_samples"].append(len(w))
+                out["energy"].append(e)
+                out["silence"].append(
+                    e < SILENCE_ENERGY_PER_SAMPLE * len(w))
+        yield pd.DataFrame(out)
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy / silence detection over binary payloads
+    (decode stubbed as byte-amplitudes; integer energies keep the
+    DuckDB oracle exact)."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(_audio_energy_batches, AUDIO_SCHEMA)
+
+
+# ASCII fixture text: byte value == codepoint, so DuckDB's ascii()
+# over character windows mirrors the byte-stream kernel exactly.
+AUDIO_ENERGY_ORACLE = f"""
+WITH wins AS (
+  SELECT doc_id, i AS win_idx,
+         substr(text, i * {AUDIO_WIN} + 1, {AUDIO_WIN}) AS w
+  FROM documents,
+       UNNEST(range(0, CAST(CEIL(octet_length(encode(text)) / {AUDIO_WIN}.0)
+                            AS BIGINT))) AS t(i)
+),
+chars AS (
+  SELECT doc_id, win_idx, LENGTH(w) AS n_samples,
+         CAST(SUM((ascii(substr(w, j + 1, 1)) - 100)
+                  * (ascii(substr(w, j + 1, 1)) - 100)) AS BIGINT) AS energy
+  FROM wins, UNNEST(range(0, LENGTH(w))) AS u(j)
+  GROUP BY doc_id, win_idx, LENGTH(w)
+)
+SELECT doc_id, win_idx, CAST(n_samples AS BIGINT) AS n_samples, energy,
+       energy < {SILENCE_ENERGY_PER_SAMPLE} * n_samples AS silence
+FROM chars
+"""
+
+
+REGISTRATIONS.append(
+    ("multimodal_audio_energy", multimodal_audio_energy,
+     AUDIO_ENERGY_ORACLE))

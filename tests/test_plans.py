@@ -59,6 +59,7 @@ def test_jvm_operators_have_no_python(spark):
     python_ok = {"mr_word_count", "mr_sessionize_secondary_sort",
                  "chunk_docs_udtf",  # the point IS the Python UDTF API
                  "multimodal_features", "multimodal_frame_sample",
+                 "multimodal_audio_energy",
                  "stateful_user_totals"}
     streaming = {"stream_tumbling_counts", "stream_sliding_counts",
                  "stream_session_windows", "stream_interval_join",

@@ -131,3 +131,28 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert sorted(back.columns) == ["id", "name", "score"]
     rows = {r.id: (r.name, r.score) for r in back.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE JSON ingestion must keep malformed rows in
+    _corrupt_record instead of failing the job — the resilience
+    contract for crawling 100 TB of found data."""
+    p = tmp_path / "mixed.json"
+    p.write_text('{"id": 1, "name": "ok"}\n'
+                 'NOT JSON AT ALL\n'
+                 '{"id": 2, "name": "also ok"}\n')
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(str(p))).cache()
+    assert df.count() == 3
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert bad.count() == 1 and "NOT JSON" in bad.collect()[0]._corrupt_record
+    df.unpersist()
