@@ -389,8 +389,81 @@ WHERE len(t) > 0
 """
 
 
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 1024  # counters per row
+
+
+def countmin_token_counts(spark: SparkSession, sf_dir: str,
+                          width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min sketch over the token stream, composed entirely from
+    DataFrame ops — the custom sketch the built-in library lacks
+    (HLL counts distincts; CMS estimates per-item FREQUENCIES in
+    O(depth×width) memory). Build: one pass, counters keyed by
+    (row, md5-hash(token) mod width) — a map-side-combined aggregate
+    whose 4×1024 cells merge across partitions/days by addition (the
+    same incremental-rollup property as the HLL partials). Query:
+    estimate = MIN over rows of the token's counter; CMS guarantees
+    estimate ≥ true count (one-sided error) — asserted in tests and
+    visible in the output. Probe set = top-20 exact tokens
+    (deterministic tiebreak), so the driver hash-checks build + query
+    + exact counts together; every value is an integer, so the oracle
+    is exact."""
+    tok = _tok_table(spark, sf_dir)
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+
+    def bucket(d: int):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{d}:"), F.col("tok"))), 1, 12), 16, 10)
+            .cast("long") % width)
+
+    cells = tok.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"), bucket(d).alias("b"))
+            for d in range(CMS_DEPTH)])).alias("db"))
+    counters = (cells.select("db.d", "db.b")
+                     .groupBy("d", "b").agg(F.count("*").alias("c")))
+
+    probes = (exact.orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+                   .limit(20))
+    probe_cells = probes.select(
+        "tok", "exact_cnt",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"), bucket(d).alias("b"))
+            for d in range(CMS_DEPTH)])).alias("db"))
+    return (probe_cells.select("tok", "exact_cnt", "db.d", "db.b")
+            .join(F.broadcast(counters), ["d", "b"])
+            .groupBy("tok", "exact_cnt")
+            .agg(F.min("c").alias("cms_est")))
+
+
+COUNTMIN_ORACLE = f"""
+WITH tk AS (SELECT tok FROM (
+       SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+       FROM documents) WHERE tok <> ''),
+exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM tk GROUP BY tok),
+cells AS (
+  SELECT d, CAST('0x' || substr(md5(d || ':' || tok), 1, 12) AS BIGINT)
+              % {CMS_WIDTH} AS b
+  FROM tk, UNNEST(range(0, {CMS_DEPTH})) AS t(d)
+),
+counters AS (SELECT d, b, COUNT(*) AS c FROM cells GROUP BY d, b),
+probes AS (SELECT tok, exact_cnt FROM exact
+           ORDER BY exact_cnt DESC, tok LIMIT 20),
+probe_cells AS (
+  SELECT tok, exact_cnt, d,
+         CAST('0x' || substr(md5(d || ':' || tok), 1, 12) AS BIGINT)
+           % {CMS_WIDTH} AS b
+  FROM probes, UNNEST(range(0, {CMS_DEPTH})) AS t(d)
+)
+SELECT tok, exact_cnt, MIN(c) AS cms_est
+FROM probe_cells JOIN counters USING (d, b)
+GROUP BY tok, exact_cnt
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
+    ("countmin_token_counts", countmin_token_counts, COUNTMIN_ORACLE),
     ("heavy_hitter_tokens", heavy_hitter_tokens, HEAVY_HITTER_ORACLE),
     ("chunk_docs_udtf", chunk_docs_udtf, CHUNK_DOCS_ORACLE),
     ("token_count_bpe_docs", token_count_bpe_docs, TOKEN_COUNT_BPE_ORACLE),

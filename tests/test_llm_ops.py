@@ -118,3 +118,22 @@ def test_exact_dedup_counts(spark):
     dd = (doubled.groupBy(F.sha2("text", 256).alias("h"))
                  .agg(F.count("*").alias("n")))
     assert dd.filter(F.col("n") != 2).count() == 0
+
+
+def test_countmin_one_sided_error_under_collisions(spark):
+    """Count-Min with a deliberately tiny width (8 cells/row) forces
+    collisions: estimates must NEVER undercount (the CMS guarantee)
+    and must overcount somewhere, bounded by e/width x total mass."""
+    import math
+    from pyspark.sql import functions as F
+    from mapreduce_rust_spark.llm.textanalysis import (
+        CMS_DEPTH, countmin_token_counts, _tok_table)
+    from tests.conftest import SF_CORRECT
+    rows = countmin_token_counts(spark, SF_CORRECT, width=8).collect()
+    assert rows
+    total = (_tok_table(spark, SF_CORRECT)
+             .agg(F.count("*")).collect()[0][0])
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+    assert any(r.cms_est > r.exact_cnt for r in rows)  # collisions real
+    bound = math.e / 8 * total
+    assert all(r.cms_est - r.exact_cnt <= bound for r in rows)
