@@ -316,3 +316,64 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGISTRATIONS.append(("pagerank_copurchase_parts",
                       pagerank_copurchase_parts, None))
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str,
+                      k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table — the
+    third iterative operator (with connected components and
+    PageRank), and the unsupervised replacement for the label-based
+    IVF training in ``label_centroids``.
+
+    Per round: assignment is a broadcast of k centroids joined under
+    the corpus (cost k×|corpus| distance evaluations, corpus never
+    shuffled for it) + one argmin; the update is one (cluster, dim)
+    mean aggregation whose k×dim result is collected to the driver
+    for the next round's literals — the same partials-to-driver shape
+    Spark MLlib's own k-means uses (k×dim doubles, constant in corpus
+    size). Deterministic: init = the k lowest vec_ids, ties in argmin
+    broken by cluster id. Rows-only driver check (float means);
+    pytest verifies monotone inertia and parity with a numpy Lloyd's
+    run from the same init."""
+    from pyspark.sql import Window as W
+    from mapreduce_rust_spark.functions.vector import to_double
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", to_double(F.col("embedding")).alias("e"))
+           .localCheckpoint())
+    dim = len(emb.first()["e"])
+    cents = [(int(r["vec_id"]), list(r["e"]))
+             for r in emb.orderBy("vec_id").limit(k).collect()]
+    cents = [(i, v) for i, (_, v) in enumerate(cents)]
+
+    assign = None
+    for _ in range(iters):
+        cent_rows = spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents], ["cid", "c"])
+        d2 = F.aggregate(
+            F.zip_with(F.col("e"), F.col("c"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        scored = (emb.crossJoin(F.broadcast(cent_rows))
+                     .select("vec_id", "e", "cid", d2.alias("d2")))
+        w = W.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (scored.withColumn("rk", F.row_number().over(w))
+                        .filter(F.col("rk") == 1)
+                        .select("vec_id", "e", "cid", "d2"))
+        new = (assign.select("cid", F.posexplode("e").alias("dim", "v"))
+                     .groupBy("cid", "dim").agg(F.avg("v").alias("m"))
+                     .groupBy("cid")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                         lambda x: x["m"]).alias("c"))
+                     .collect())
+        cents = [(int(r["cid"]), list(r["c"])) for r in new]
+    return assign.select("vec_id", F.col("cid").cast("long").alias("cluster"),
+                         F.col("d2").alias("dist2"))
+
+
+REGISTRATIONS.append(("kmeans_embeddings", kmeans_embeddings, None))

@@ -164,3 +164,33 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for node, i in idx.items():
         assert abs(got[node] - r[i]) < 1e-9, (node, got[node], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9  # ranks are a distribution
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    """Distributed Lloyd's must track a numpy run from the identical
+    init: same final assignments (up to distance ties) and inertia
+    within 0.1%."""
+    import numpy as np
+    from mapreduce_rust_spark.llm.pipeline import (
+        KMEANS_ITERS, KMEANS_K, kmeans_embeddings)
+    rows = kmeans_embeddings(spark, SF_CORRECT).collect()
+    got = {r.vec_id: r.cluster for r in rows}
+    inertia = sum(r.dist2 for r in rows)
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet") \
+        .orderBy("vec_id").collect()
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    ids = [r.vec_id for r in emb]
+    C = X[:KMEANS_K].copy()
+    # mirror the operator exactly: the returned assignment is the
+    # LAST in-loop one (computed from the pre-update centroids)
+    for _ in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(KMEANS_K):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    want_inertia = d.min(axis=1).sum()
+    agree = sum(got[i] == a[j] for j, i in enumerate(ids))
+    assert agree >= 0.99 * len(ids)
+    assert abs(inertia - want_inertia) <= 0.001 * want_inertia
+    assert len({r.cluster for r in rows}) > 1
