@@ -76,6 +76,15 @@ HEADLINE = [
     "knn_quantized",
     "twa_user_value",
     "stateful_session_flush",
+    # round 2f: the TPC-H remainder (all 22 classic shapes now present)
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q16_supplier_diversity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
 ]
 
 

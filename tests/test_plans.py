@@ -165,3 +165,27 @@ def test_parquet_aggregate_pushdown(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q21_decorrelates_to_hash_joins(spark):
+    """The double-correlated EXISTS + NOT EXISTS in Q21 must
+    decorrelate into hash joins (semi/anti on the shared orderkey) —
+    never a per-row subquery or nested loop over the fact table."""
+    from mapreduce_rust_spark.operators.tpch import q21_waiting_supplier
+    plan = _plan(q21_waiting_supplier(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    n_hash = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") \
+        + plan.count("ShuffledHashJoin")
+    assert n_hash >= 3, f"expected >=3 hash joins, plan:\n{plan[:1500]}"
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """Q19's OR-ed predicate bands share the l_partkey = p_partkey
+    conjunct; Catalyst must keep the equi hash join and evaluate the
+    disjunction as a residual — a nested loop here would be corpus ×
+    part at 100 TB."""
+    from mapreduce_rust_spark.operators.tpch import q19_disjunctive_revenue
+    plan = _plan(q19_disjunctive_revenue(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
