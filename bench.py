@@ -98,13 +98,21 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     qs[names[0]](spark, SF_DIR).count()
 
+    # min over REPS runs per query: wall-clock noise (GC, page cache,
+    # a concurrent process) shows up as one-sided spikes, and the min
+    # is the stable estimator of the plan's actual cost
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()  # force full execution
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()  # force full execution
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            assert n >= 0
+        timings[name] = round(best, 3)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:

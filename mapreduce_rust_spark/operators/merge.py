@@ -1,0 +1,203 @@
+"""MERGE / upsert and SCD2 change-history operators — the lakehouse
+write-path patterns (MERGE INTO, slowly-changing dimensions) expressed
+as pure DataFrame plans over a (target, source) pair.
+
+The reference engine has no mutation surface at all (its sink is
+write-once text, src/mr/worker.rs:117-140); a real analytics user
+needs upsert and dimension-history maintenance, so these close that
+gap Spark-first:
+
+- ``merge_upsert``: one full-outer shuffle join on the key; matched
+  rows take source values, unmatched-by-source keep target, inserts
+  flow through. At 100 TB the join is the whole cost — co-locate by
+  bucketing target and source on the key (sinks.write_bucketed) and
+  the exchange disappears; with a partitioned target, AQE +
+  dynamic partition overwrite rewrite only touched partitions.
+- ``scd2_close_and_insert``: the type-2 dimension update — changed
+  keys close their current row (valid_to set) and append a new
+  current row; unchanged rows pass through untouched. Same single
+  full-outer join shape, plus a cheap per-key union; no windows, no
+  per-row loops.
+
+Both are registered as oracle-checked queries using a deterministic
+fixture-derived changeset (updates = every 10th customer with a
+bumped balance, inserts = 5 synthesized keys), so the driver
+hash-verifies the merge semantics end-to-end against DuckDB running
+the equivalent FULL OUTER JOIN SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """Generic MERGE: full-outer join on ``key``; source wins on
+    match (UPDATE), source-only rows insert, target-only rows
+    survive. Columns are taken as COALESCE(source.c, target.c) —
+    exactly MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *. One shuffle on the key (or zero with
+    bucketed inputs)."""
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = F.col(f"t.{key}") == F.col(f"s.{key}")
+    cols = [F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in target.columns]
+    return t.join(s, cond, "full_outer").select(*cols)
+
+
+def _changeset(spark: SparkSession, sf_dir: str):
+    """Deterministic fixture-derived changeset: every 10th customer
+    gets +100.00 balance and a MACHINERY segment (updates), and 5
+    brand-new custkeys append (inserts)."""
+    cust = _t(spark, sf_dir, "customer")
+    updates = (cust.filter(F.col("c_custkey") % 10 == 3)
+                   .withColumn("c_acctbal",
+                               # exact 2-decimal grid arithmetic
+                               (F.col("c_acctbal").cast("decimal(18,2)")
+                                + F.lit(100).cast("decimal(18,2)"))
+                               .cast("double"))
+                   .withColumn("c_mktsegment", F.lit("MACHINERY")))
+    inserts = (_t(spark, sf_dir, "nation")
+               .filter(F.col("n_nationkey") < 5)
+               .select((F.col("n_nationkey").cast("long")
+                        + F.lit(9_000_000)).alias("c_custkey"),
+                       F.concat(F.lit("NewCustomer#"),
+                                F.col("n_nationkey").cast("string"))
+                        .alias("c_name"),
+                       F.col("n_nationkey").alias("c_nationkey"),
+                       F.lit(0.0).alias("c_acctbal"),
+                       F.lit("BUILDING").alias("c_mktsegment")))
+    return cust, updates.unionByName(inserts)
+
+
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE the deterministic changeset into customer: ~10% updates
+    + 5 inserts. Output is the merged snapshot (same schema as
+    customer), fully hash-checked against DuckDB's FULL OUTER JOIN
+    form."""
+    cust, src = _changeset(spark, sf_dir)
+    return merge_upsert(cust, src, "c_custkey")
+
+
+MERGE_UPSERT_ORACLE = """
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2))
+              + CAST(100 AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+         'MACHINERY' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT) + 9000000,
+         'NewCustomer#' || CAST(n_nationkey AS VARCHAR),
+         n_nationkey, 0.0, 'BUILDING'
+  FROM nation WHERE n_nationkey < 5
+)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(s.c_name, t.c_name) AS c_name,
+       COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+       COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+       COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+"""
+
+
+SCD2_AS_OF = "2024-06-01"
+
+
+def scd2_close_and_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 step: apply the changeset to a dimension history
+    where every customer currently has one open row (valid_from =
+    '2024-01-01', valid_to = NULL).
+
+    Changed keys emit TWO rows — the closed-out prior version
+    (valid_to = as-of date) and the new current version; inserts emit
+    one open row; unchanged customers pass through open. Change
+    detection compares the tracked attributes, not just key presence
+    (an update that changes nothing closes nothing — here the +100
+    balance always differs, but the predicate is the general one).
+
+    Scale shape: ONE full-outer join on the key + a union of two
+    narrow projections of that join — no windows, no second scan of
+    the dimension. The history table never rewrites untouched rows
+    when the sink is partitioned/bucketed by key range."""
+    cust, src = _changeset(spark, sf_dir)
+    t = cust.alias("t")
+    s = src.alias("s")
+    j = t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer")
+    changed = (F.col("s.c_custkey").isNotNull()
+               & F.col("t.c_custkey").isNotNull()
+               & ((F.col("s.c_acctbal") != F.col("t.c_acctbal"))
+                  | (F.col("s.c_mktsegment") != F.col("t.c_mktsegment"))
+                  | (F.col("s.c_name") != F.col("t.c_name"))
+                  | (F.col("s.c_nationkey") != F.col("t.c_nationkey"))))
+    # prior versions: survive for every target key; closed iff changed
+    prior = (j.filter(F.col("t.c_custkey").isNotNull())
+              .select(F.col("t.c_custkey").alias("c_custkey"),
+                      F.col("t.c_name").alias("c_name"),
+                      F.col("t.c_acctbal").alias("c_acctbal"),
+                      F.col("t.c_mktsegment").alias("c_mktsegment"),
+                      F.lit("2024-01-01").alias("valid_from"),
+                      F.when(changed, F.lit(SCD2_AS_OF))
+                       .otherwise(F.lit(None).cast("string"))
+                       .alias("valid_to")))
+    # new versions: one open row per changed key or insert
+    new = (j.filter(changed | F.col("t.c_custkey").isNull())
+            .select(F.col("s.c_custkey").alias("c_custkey"),
+                    F.col("s.c_name").alias("c_name"),
+                    F.col("s.c_acctbal").alias("c_acctbal"),
+                    F.col("s.c_mktsegment").alias("c_mktsegment"),
+                    F.lit(SCD2_AS_OF).alias("valid_from"),
+                    F.lit(None).cast("string").alias("valid_to")))
+    return prior.unionByName(new)
+
+
+SCD2_ORACLE = f"""
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2))
+              + CAST(100 AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+         'MACHINERY' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT) + 9000000,
+         'NewCustomer#' || CAST(n_nationkey AS VARCHAR),
+         n_nationkey, 0.0, 'BUILDING'
+  FROM nation WHERE n_nationkey < 5
+),
+j AS (
+  SELECT t.c_custkey AS t_key, t.c_name AS t_name,
+         t.c_acctbal AS t_bal, t.c_mktsegment AS t_seg,
+         t.c_nationkey AS t_nk,
+         s.c_custkey AS s_key, s.c_name AS s_name,
+         s.c_acctbal AS s_bal, s.c_mktsegment AS s_seg,
+         s.c_nationkey AS s_nk
+  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+),
+flagged AS (
+  SELECT *, (s_key IS NOT NULL AND t_key IS NOT NULL
+             AND (s_bal <> t_bal OR s_seg <> t_seg
+                  OR s_name <> t_name OR s_nk <> t_nk)) AS changed
+  FROM j
+)
+SELECT t_key AS c_custkey, t_name AS c_name, t_bal AS c_acctbal,
+       t_seg AS c_mktsegment, '2024-01-01' AS valid_from,
+       CASE WHEN changed THEN '{SCD2_AS_OF}' END AS valid_to
+FROM flagged WHERE t_key IS NOT NULL
+UNION ALL
+SELECT s_key, s_name, s_bal, s_seg, '{SCD2_AS_OF}', NULL
+FROM flagged WHERE changed OR t_key IS NULL
+"""
+
+
+REGISTRATIONS = [
+    ("merge_upsert_customers", merge_upsert_customers, MERGE_UPSERT_ORACLE),
+    ("scd2_close_and_insert", scd2_close_and_insert, SCD2_ORACLE),
+]

@@ -189,3 +189,36 @@ def test_q19_disjunction_stays_hash_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Spark's runtime bloom-filter (InjectRuntimeFilter) must fire on
+    a selective-dim ⋈ big-fact shuffle join: the filtered creation
+    side builds a bloom filter that pre-filters the fact scan before
+    the shuffle — at 100 TB this drops most of the shuffle write for
+    selective joins. The applicationSideScanSizeThreshold (default
+    10 GB) gates it to big scans, so the test lowers it to 0 — the
+    assertion is that the rewrite engages and stays correct, the
+    production default keeps it scale-only."""
+    from pyspark.sql import functions as F
+    confs = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0"}
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        orders = (spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+                  .filter(F.col("o_totalprice") > 400000))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), \
+            "runtime bloom filter did not inject"
+        assert j.count() == 5  # and the rewritten plan is still correct
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
