@@ -461,8 +461,57 @@ GROUP BY tok, exact_cnt
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's statistics: the corpus-wide count
+    of adjacent character pairs, weighted by word frequency — the
+    merge-candidate table a byte-pair-encoding trainer maximizes
+    over. Top-50 pairs with deterministic tiebreak.
+
+    Scale shape: the corpus first collapses to (word, freq) — the
+    standard BPE compression; all further work is proportional to
+    the VOCABULARY, not the corpus. Pair extraction is a JVM
+    transform over substr (adjacent pair i = substr(word, i, 2) —
+    no char-array materialization), and the pair count is one
+    map-side-combined aggregation over vocab × word_len rows. At
+    100 TB the word-freq table is ~100M rows; every later BPE
+    iteration operates on that same compressed table, never the raw
+    text again."""
+    tok = _tok_table(spark, sf_dir)
+    words = tok.groupBy(F.col("tok").alias("w")).agg(
+        F.count("*").alias("freq"))
+    # 1-char words have no pairs; the filter also guards Spark's
+    # sequence(1, 0), which would count DOWN and emit bogus rows
+    words = words.filter(F.length("w") >= 2)
+    pairs = words.select(
+        "freq",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+        )).alias("pair"))
+    return (pairs.groupBy("pair")
+                 .agg(F.sum("freq").alias("pair_count"))
+                 .orderBy(F.col("pair_count").desc(), F.col("pair"))
+                 .limit(50))
+
+
+BPE_PAIR_ORACLE = """
+WITH tk AS (SELECT tok FROM (
+       SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+       FROM documents) WHERE tok <> ''),
+words AS (SELECT tok AS w, COUNT(*) AS freq FROM tk GROUP BY tok),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM words, UNNEST(range(1, length(w))) AS t(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 50
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
+    ("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_ORACLE),
     ("countmin_token_counts", countmin_token_counts, COUNTMIN_ORACLE),
     ("heavy_hitter_tokens", heavy_hitter_tokens, HEAVY_HITTER_ORACLE),
     ("chunk_docs_udtf", chunk_docs_udtf, CHUNK_DOCS_ORACLE),

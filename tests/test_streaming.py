@@ -268,3 +268,57 @@ def test_stream_approx_distinct_batch_equivalent(spark):
         key = int(r.w.start.timestamp())
         assert got[key][0] == r.a and got[key][1] == r.n
         assert abs(r.a - r.x) <= 0.05 * r.x
+
+
+def test_foreachbatch_streaming_upsert(spark, tmp_path):
+    """Streaming CDC-style upsert: each micro-batch MERGEs its
+    latest-state-per-user rows into a parquet target via
+    merge_upsert in foreachBatch. After the stream drains, the
+    target must equal the batch answer (each user's latest event by
+    (ts, event_id)) — exactly the 'apply a changelog to a serving
+    table' pattern; at 100 TB the same code writes a key-bucketed
+    table so each merge joins without an exchange."""
+    from mapreduce_rust_spark.operators.merge import merge_upsert
+    from mapreduce_rust_spark.streaming.windows import read_events_stream
+    from mapreduce_rust_spark.tables import load_table
+
+    target = str(tmp_path / "user_state")
+
+    def latest_per_user(df):
+        pick = F.struct(F.col("epoch_us").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("ty"),
+                        F.col("value").alias("v"))
+        return (df.withColumn("epoch_us", F.unix_micros(F.col("ts")))
+                  .groupBy("user_id").agg(F.max(pick).alias("m"))
+                  .select("user_id", F.col("m.e").alias("last_event_id"),
+                          F.col("m.ty").alias("last_type"),
+                          F.col("m.v").alias("last_value")))
+
+    def upsert(batch_df, batch_id):
+        src = latest_per_user(batch_df)
+        try:
+            tgt = spark.read.parquet(target)
+        except Exception:  # first batch: no target yet
+            src.write.mode("overwrite").parquet(target)
+            return
+        merged = merge_upsert(tgt, src, "user_id")
+        # parquet has no transactional overwrite-while-reading;
+        # materialize then swap (a real lakehouse table format makes
+        # this atomic — the merge PLAN is what is under test)
+        merged.localCheckpoint(eager=True).write.mode(
+            "overwrite").parquet(target)
+
+    q = (read_events_stream(spark, SF_SMOKE)
+         .writeStream.foreachBatch(upsert)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination()
+
+    got = {r.user_id: (r.last_event_id, r.last_type, r.last_value)
+           for r in spark.read.parquet(target).collect()}
+    want = {r.user_id: (r.last_event_id, r.last_type, r.last_value)
+            for r in latest_per_user(
+                load_table(spark, SF_SMOKE, "events")).collect()}
+    assert got == want
