@@ -1,0 +1,182 @@
+"""Data-quality operators — the validation pass a 100 TB ingest runs
+before anything downstream trusts the data: constraint checking
+(nulls, domains, uniqueness, referential integrity) and statistical
+repair (winsorization). The reference engine validates nothing (its
+only input check is the shuffle-line arity assert,
+src/mr/worker.rs:100); these close that gap as declarative plans.
+
+Design rule shared by both operators: metrics first, rows second.
+Each check computes as a map-side-combinable aggregate or a single
+join — never a per-rule scan. ``dq_check_orders_lineitem`` returns
+the whole constraint report from TWO scans + one anti-join count;
+``winsorize_prices`` computes per-group exact percentiles once and
+applies them with a broadcast join-back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def dq_check_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint report over (orders, lineitem) as one long-format
+    table: (rule, violations, checked). Rules:
+
+    - ``o_orderkey_unique``    — duplicate primary keys
+    - ``o_totalprice_nonneg``  — domain: negative totals
+    - ``o_status_domain``      — domain: status outside {O,F,P}
+    - ``l_orderkey_ri``        — referential integrity: lineitems
+      whose order does not exist (LEFT ANTI join, shuffled once on
+      the key; at 100 TB this is the one join in the report)
+    - ``l_qty_range``          — domain: quantity outside [1, 50]
+
+    Each rule is a conditional aggregate over a scan shared by every
+    rule on that table (one pass per table, not per rule). The
+    report is tiny (one row per rule) whatever the input size."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    dup_keys = (orders.groupBy("o_orderkey").count()
+                      .filter(F.col("count") > 1))
+    o_report = orders.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+         .cast("long").alias("neg_price"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+               .otherwise(0)).cast("long").alias("bad_status"))
+    l_report = li.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when((F.col("l_quantity") < 1)
+                     | (F.col("l_quantity") > 50), 1).otherwise(0))
+         .cast("long").alias("bad_qty"))
+    orphans = (li.select("l_orderkey")
+                 .join(orders.select("o_orderkey"),
+                       li.l_orderkey == orders.o_orderkey, "left_anti"))
+
+    rows = [
+        dup_keys.agg(F.lit("o_orderkey_unique").alias("rule"),
+                     F.count("*").cast("long").alias("violations"),
+                     F.lit(None).cast("long").alias("checked")),
+        o_report.select(F.lit("o_totalprice_nonneg").alias("rule"),
+                        F.col("neg_price").alias("violations"),
+                        F.col("n_orders").alias("checked")),
+        o_report.select(F.lit("o_status_domain").alias("rule"),
+                        F.col("bad_status").alias("violations"),
+                        F.col("n_orders").alias("checked")),
+        l_report.select(F.lit("l_qty_range").alias("rule"),
+                        F.col("bad_qty").alias("violations"),
+                        F.col("n_lines").alias("checked")),
+        orphans.agg(F.lit("l_orderkey_ri").alias("rule"),
+                    F.count("*").cast("long").alias("violations"),
+                    F.lit(None).cast("long").alias("checked")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+DQ_CHECK_ORACLE = """
+SELECT 'o_orderkey_unique' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS violations,
+       CAST(NULL AS BIGINT) AS checked
+FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'o_totalprice_nonneg',
+       CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_status_domain',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'l_qty_range',
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey_ri', CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+"""
+
+
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (statistical outlier repair): clip
+    l_extendedprice to its per-returnflag exact [p05, p95]. The
+    percentiles compute ONCE per group (exact sort-based
+    ``percentile``, same discipline as percentile_exact_price — the
+    interpolation is a single portable IEEE expression on both
+    engines) and broadcast back; the clip is LEAST/GREATEST per row.
+    Output is an audit summary per group — clipped-row counts and
+    the exact decimal sum shift — not the 6M-row repaired table, so
+    the oracle hash-checks the repair's full effect compactly.
+
+    Scale: one shuffle for the grouped percentile (map-side GK
+    sketch would make it one pass approximate — sketch_quantile_by_
+    partkey shows that form), broadcast join-back, one aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    # clip bounds quantized to the CENT grid (matched HALF_EVEN:
+    # bround ≡ round_even) so every clipped value is a 2-decimal
+    # grid point and the audit sums stay inside the exact
+    # DECIMAL(18,2)→DOUBLE cast range (sum×100 ≪ 2^53) — a
+    # 12-decimal interpolated bound pushes the decimal sum past
+    # 2^53·10⁻¹² where the two engines double-round differently
+    pct = (li.groupBy(F.col("l_returnflag").alias("rf"))
+             .agg(F.bround(F.expr("percentile(l_extendedprice, 0.05)"), 2)
+                   .alias("p05"),
+                  F.bround(F.expr("percentile(l_extendedprice, 0.95)"), 2)
+                   .alias("p95")))
+    clipped = (li.join(F.broadcast(pct),
+                       li.l_returnflag == pct.rf)
+                 .withColumn("clipped",
+                             F.least(F.greatest(F.col("l_extendedprice"),
+                                                F.col("p05")),
+                                     F.col("p95"))))
+    dec = "decimal(18,2)"
+    return (clipped.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("l_extendedprice") != F.col("clipped"),
+                              1).otherwise(0)).cast("long")
+                  .alias("n_clipped"),
+                 F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+                  .alias("sum_raw"),
+                 F.sum(F.col("clipped").cast(dec)).cast("double")
+                  .alias("sum_winsorized")))
+
+
+WINSORIZE_ORACLE = """
+WITH pct AS (
+  SELECT l_returnflag AS rf,
+         round_even(quantile_cont(l_extendedprice, 0.05), 2) AS p05,
+         round_even(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN l_extendedprice <> LEAST(GREATEST(
+                 l_extendedprice, p05), p95) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_raw,
+       CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p05), p95)
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
+FROM lineitem JOIN pct ON l_returnflag = rf
+GROUP BY l_returnflag
+"""
+
+
+REGISTRATIONS = [
+    ("dq_check_orders_lineitem", dq_check_orders_lineitem, DQ_CHECK_ORACLE),
+    ("winsorize_prices", winsorize_prices, WINSORIZE_ORACLE),
+]

@@ -40,7 +40,7 @@ register("word_count_sorted", wordcount.word_count_sorted,
          wordcount.WORD_COUNT_SORTED_ORACLE)
 
 from mapreduce_rust_spark.operators import mapreduce_compat  # noqa: E402
-from mapreduce_rust_spark.operators import analytic, merge, olap, relational, skew, temporal, tpch, udaf  # noqa: E402
+from mapreduce_rust_spark.operators import analytic, dataquality, merge, olap, relational, skew, temporal, tpch, udaf  # noqa: E402
 
 register("mr_word_count", mapreduce_compat.mr_word_count,
          mapreduce_compat.MR_WORD_COUNT_ORACLE)
@@ -61,6 +61,9 @@ for _name, _fn, _oracle in tpch.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
 for _name, _fn, _oracle in merge.REGISTRATIONS:
+    register(_name, _fn, _oracle)
+
+for _name, _fn, _oracle in dataquality.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
 for _name, _fn, _oracle in temporal.REGISTRATIONS:
