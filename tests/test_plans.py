@@ -222,3 +222,16 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q7_q8_broadcast_dims(spark):
+    """The multi-nation TPC-H shapes must broadcast every dimension
+    (nation twice under different aliases, supplier, region, part) —
+    the only shuffles at scale are the fact-table equi-joins."""
+    from mapreduce_rust_spark.operators.tpch import (
+        q7_volume_shipping, q8_market_share)
+    p7 = _plan(q7_volume_shipping(spark, SF_CORRECT))
+    assert p7.count("BroadcastHashJoin") >= 3  # supp + nation ×2
+    p8 = _plan(q8_market_share(spark, SF_CORRECT))
+    assert p8.count("BroadcastHashJoin") >= 5  # part+region+supp+nation×2
+    assert "CartesianProduct" not in p7 + p8
