@@ -77,6 +77,41 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from mapreduce_rust_spark.sinks.compact import compact_parquet
+    spark = _get_spark(args.cpus)
+    n = compact_parquet(spark, args.src, args.dst,
+                        target_bytes=args.target_mb * 1024 * 1024)
+    print(f"compacted {args.src} -> {args.dst} ({n} files)")
+    return 0
+
+
+def cmd_zorder(args) -> int:
+    from mapreduce_rust_spark.sinks.layout import write_zordered
+    spark = _get_spark(args.cpus)
+    df = spark.read.parquet(args.src)
+    write_zordered(df, args.dst, args.col_x, args.col_y, args.n_files)
+    print(f"z-ordered {args.src} on ({args.col_x}, {args.col_y}) "
+          f"-> {args.dst} ({args.n_files} files)")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from mapreduce_rust_spark.operators.merge import merge_upsert
+    spark = _get_spark(args.cpus)
+    target = spark.read.parquet(args.target)
+    source = spark.read.parquet(args.source)
+    merged = merge_upsert(target, source, args.key)
+    # parquet overwrite-while-reading is not transactional; stage the
+    # merged snapshot before swapping in (a table format makes this
+    # atomic — the plan is the portable part)
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        args.target if args.in_place else args.output)
+    dest = args.target if args.in_place else args.output
+    print(f"merged {args.source} into {args.target} -> {dest}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mapreduce_rust_spark",
                                 description=__doc__,
@@ -106,6 +141,33 @@ def main(argv: list[str] | None = None) -> int:
                    help="write result parquet here instead of showing")
     q.add_argument("--cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="rewrite small parquet files")
+    c.add_argument("--src", required=True)
+    c.add_argument("--dst", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
+
+    z = sub.add_parser("zorder", help="rewrite parquet Z-order clustered")
+    z.add_argument("--src", required=True)
+    z.add_argument("--dst", required=True)
+    z.add_argument("--col-x", required=True)
+    z.add_argument("--col-y", required=True)
+    z.add_argument("--n-files", type=int, default=16)
+    z.add_argument("--cpus", type=int, default=None)
+    z.set_defaults(fn=cmd_zorder)
+
+    m = sub.add_parser("merge", help="MERGE (upsert) source into target")
+    m.add_argument("--target", required=True, help="target parquet dir")
+    m.add_argument("--source", required=True, help="changeset parquet dir")
+    m.add_argument("--key", required=True)
+    g = m.add_mutually_exclusive_group(required=True)
+    g.add_argument("--output", help="write merged snapshot here")
+    g.add_argument("--in-place", action="store_true",
+                   help="overwrite the target with the merged snapshot")
+    m.add_argument("--cpus", type=int, default=None)
+    m.set_defaults(fn=cmd_merge)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -232,3 +232,33 @@ def test_observe_metrics_on_pipeline(spark):
     assert m["rows_in"] == 500
     assert m["chars_in"] > 0
     assert n_out <= m["rows_in"]
+
+
+def test_merge_upsert_property(spark):
+    """merge_upsert vs a dict-based merge simulator on generated
+    (key, value) tables with overlapping/disjoint keys and NULL
+    values — the update-wins / insert / keep semantics hold row-for-
+    row. (NULL source values fall back to target per COALESCE —
+    documented MERGE SET * semantics under partial-null sources.)"""
+    from pyspark.sql import Row
+    from mapreduce_rust_spark.operators.merge import merge_upsert
+
+    target = [(k, f"t{k}", float(k)) for k in range(50)]
+    # updates for 0..24 (every other one carrying a NULL attr),
+    # inserts for 100..109
+    source = [(k, None if k % 2 else f"s{k}", 1000.0 + k)
+              for k in range(0, 25)] + \
+             [(k, f"s{k}", float(k)) for k in range(100, 110)]
+    tdf = spark.createDataFrame([Row(k=k, name=n, v=v) for k, n, v in target])
+    sdf = spark.createDataFrame(
+        [Row(k=k, name=n, v=v) for k, n, v in source],
+        schema=tdf.schema)
+    got = {(r.k): (r.name, r.v)
+           for r in merge_upsert(tdf, sdf, "k").collect()}
+
+    want = {k: (n, v) for k, n, v in target}
+    for k, n, v in source:
+        old = want.get(k, (None, None))
+        want[k] = (n if n is not None else old[0],
+                   v if v is not None else old[1])
+    assert got == want

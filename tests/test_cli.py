@@ -53,3 +53,15 @@ def test_cli_list_and_query(spark, capsys, tmp_path):
     assert main(["query", "q1_pricing_summary", "--output", dst]) == 0
     assert spark.read.parquet(dst).count() == 6
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_merge_upsert(spark, tmp_path):
+    from pyspark.sql import Row
+    t = str(tmp_path / "t"); s = str(tmp_path / "s"); o = str(tmp_path / "o")
+    spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]).write.parquet(t)
+    spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")]).write.parquet(s)
+    rc = main(["merge", "--target", t, "--source", s, "--key", "k",
+               "--output", o])
+    assert rc == 0
+    got = {r.k: r.v for r in spark.read.parquet(o).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}

@@ -68,3 +68,35 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
 
     # and the layout is only a reordering — same rows
     assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_interleave_bits_is_bijective(spark):
+    """Morton interleave must be a bijection on the bucket grid —
+    distinct (x, y) pairs map to distinct curve keys, so the curve
+    sort never merges distinct cells (the pruning guarantee depends
+    on it). Exhaustive over the full 64×64 grid."""
+    from pyspark.sql import functions as F
+    from mapreduce_rust_spark.sinks.layout import interleave_bits
+    n = 64
+    grid = (spark.range(n * n)
+            .select((F.col("id") % n).alias("x"),
+                    (F.col("id") / n).cast("long").alias("y")))
+    z = grid.select(interleave_bits(F.col("x"), F.col("y"), 6).alias("z"))
+    stats = z.agg(F.countDistinct("z").alias("d"),
+                  F.min("z").alias("lo"), F.max("z").alias("hi")).first()
+    assert stats.d == n * n           # injective
+    assert stats.lo == 0 and stats.hi == n * n - 1  # onto [0, 4096)
+
+
+def test_cli_zorder_roundtrip(spark, tmp_path):
+    from mapreduce_rust_spark.cli import main
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_CORRECT
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    load_table(spark, SF_CORRECT, "lineitem").limit(5000).write.parquet(src)
+    rc = main(["zorder", "--src", src, "--dst", dst,
+               "--col-x", "l_partkey", "--col-y", "l_extendedprice",
+               "--n-files", "4"])
+    assert rc == 0
+    assert spark.read.parquet(dst).count() == 5000
