@@ -237,8 +237,72 @@ GROUP BY user_id
 """
 
 
+DECAY_MAX_K = 20  # oldest half-life bucket that still carries weight
+
+
+def decay_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay weighted mean of ``value`` per user
+    (half-life = 1 day, as-of the corpus max timestamp) — the
+    recency-weighted feature aggregation (user activity scores,
+    freshness-decayed metrics).
+
+    Decay weights are EXACT powers of two: weight(age) = 2^(K - k)
+    with k = min(whole days of age, K) computed by integer shift —
+    no pow()/exp(), which are libm calls whose low bits differ per
+    engine and which the oracle discipline bans. The shared 2^K
+    factor cancels in the ratio. Numerator terms are
+    vq(≤5e5 grid units) × 2^20 summed exactly in DECIMAL(38,0);
+    per-user totals stay under 2^53 for ≤~10k events/user, so the
+    final DOUBLE casts single-round on both engines (the envelope
+    rule from twa_user_value, one power-of-two up).
+
+    Scale shape: the as-of anchor is a 1-row broadcast aggregate (no
+    driver action — the tf_df pattern); everything else is one
+    map-side-combinable aggregation. At 100 TB pass the anchor as a
+    parameter instead and the plan is a single agg over the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id",
+                     F.unix_micros("ts").alias("us"),
+                     F.bround(F.col("value") * 1e3, 0).cast("long")
+                      .alias("vq"))
+    anchor = base.agg(F.max("us").alias("t_max"))
+    return (base.crossJoin(F.broadcast(anchor))
+            .withColumn("w", F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {DECAY_MAX_K} - "
+                "CAST(least((t_max - us) DIV 86400000000, "
+                f"{DECAY_MAX_K}) AS INT))"))
+            .groupBy("user_id")
+            .agg((F.sum(F.col("vq").cast("decimal(38,0)") * F.col("w"))
+                  .cast("double")
+                  / F.sum(F.col("w").cast("decimal(38,0)")).cast("double")
+                  / F.lit(1e3)).alias("decayed_mean"),
+                 F.count("*").alias("n_events")))
+
+
+DECAY_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(round_even(value * 1e3, 0) AS BIGINT) AS vq
+  FROM events
+), anchor AS (SELECT MAX(us) AS t_max FROM base),
+weighted AS (
+  SELECT user_id, vq,
+         (CAST(1 AS BIGINT) << ({DECAY_MAX_K} - CAST(LEAST(
+            (t_max - us) // 86400000000, {DECAY_MAX_K}) AS INTEGER))) AS w
+  FROM base, anchor
+)
+SELECT user_id,
+       CAST(SUM(CAST(vq AS DECIMAL(38,0)) * w) AS DOUBLE)
+         / CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / 1e3
+         AS decayed_mean,
+       COUNT(*) AS n_events
+FROM weighted GROUP BY user_id
+"""
+
+
 REGISTRATIONS = [
     ("asof_last_error", asof_last_error, ASOF_ORACLE),
+    ("decay_weighted_user_value", decay_weighted_user_value, DECAY_ORACLE),
     ("asof_next_purchase", asof_next_purchase, ASOF_FWD_ORACLE),
     ("twa_user_value", twa_user_value, TWA_ORACLE),
     ("range_join_ship_near_order", range_join_ship_near_order,
