@@ -85,6 +85,12 @@ HEADLINE = [
     "q18_large_volume",
     "q19_disjunctive_revenue",
     "q21_waiting_supplier",
+    # round 2g: merge/quality/decay/BPE surface
+    "merge_upsert_customers",
+    "dq_check_orders_lineitem",
+    "winsorize_prices",
+    "decay_weighted_user_value",
+    "bpe_pair_counts",
 ]
 
 
