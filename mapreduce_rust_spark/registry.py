@@ -4,6 +4,13 @@
 this. Every operator the engine claims is registered here so the
 driver's DuckDB comparison covers it; ops that aren't ANSI-SQL
 expressible register ``None`` (driver falls back to rows-only).
+
+ORDER MATTERS: the driver verifies only the FIRST 50 registrations
+per round, so ``DRIVER_WINDOW`` below pins which 50 get this round's
+CORRECTNESS rows. Queries proven green in a prior round's artifact
+rotate out to make room for never-verified ones; COVERAGE.md is the
+ledger of which artifact proved what, so rotation accumulates
+evidence instead of churning it.
 """
 
 from __future__ import annotations
@@ -16,21 +23,70 @@ from mapreduce_rust_spark.operators import wordcount
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+_STAGED: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
-    if name in _REGISTRY:
+    if name in _STAGED:
         raise ValueError(f"duplicate query name {name!r}")
-    _REGISTRY[name] = (fn, oracle)
+    _STAGED[name] = (fn, oracle)
 
 
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _ordered().items()}
 
 
 def oracles() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_, sql) in _ordered().items() if sql is not None}
+
+
+# The 50 queries the driver verifies this round (see module docstring).
+# Round-3 window: the 9 events queries repaired by the loader fix, the
+# rows rotation dropped in round 2, and the never-driver-verified
+# temporal / TPC-H / MERGE / data-quality / LLM / streaming surface.
+DRIVER_WINDOW = [
+    # events batch surface (all erred in r2 on the loader bug — repaired)
+    "mr_sessionize_secondary_sort", "grouping_sets_revenue",
+    "json_funcs_events", "map_funcs_events", "scalar_subquery_orders",
+    "in_subquery_lineitem", "tumbling_event_counts", "rollup_merge_events",
+    "sessionize_events", "sessionize_events_scalable",
+    # subqueries + RANGE window + OLAP composites (never driver-rowed)
+    "exists_big_order_customers", "not_exists_idle_suppliers",
+    "window_range_hour_events", "funnel_conversion_events",
+    "cohort_retention_events", "gapfill_hourly_events",
+    # temporal joins (r1 rows lost to rotation / never rowed)
+    "asof_last_error", "asof_next_purchase", "interval_join_click_purchase",
+    "twa_user_value", "decay_weighted_user_value", "range_join_ship_near_order",
+    "salted_join_revenue",
+    # TPC-H shapes without a driver row yet
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
+    # MERGE / SCD2 / data quality
+    "merge_upsert_customers", "scd2_close_and_insert",
+    "dq_check_orders_lineitem", "winsorize_prices",
+    # LLM dedup + similarity flagship
+    "exact_dedup_docs", "segment_dedup_docs", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash_docs", "embedding_neardup_pairs",
+    "knn_bruteforce",
+    # text analysis + curation
+    "token_stats_docs", "build_vocab", "tf_df_docs", "lang_id_docs",
+    "quality_score_docs", "gopher_rules_docs", "contamination_docs",
+    "pack_sequences_docs",
+    # streaming (first-ever driver rows)
+    "stream_tumbling_counts", "stateful_session_flush",
+]
+
+
+def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
+    """DRIVER_WINDOW first (driver checks the first 50), then the rest
+    in registration order. Raises on a window name that doesn't exist —
+    a rename must break loudly here, not silently shrink the window."""
+    missing = [n for n in DRIVER_WINDOW if n not in _STAGED]
+    if missing:
+        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
+    out = {name: _STAGED[name] for name in DRIVER_WINDOW}
+    out.update((n, v) for n, v in _STAGED.items() if n not in out)
+    return out
 
 
 # --- registrations -----------------------------------------------------

@@ -24,25 +24,33 @@ from pyspark.sql import types as T
 from mapreduce_rust_spark.operators.relational import DEC_FINE
 from mapreduce_rust_spark.tables import table_path
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
 WATERMARK = "10 minutes"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming source over the events fixture, schema-adaptive on
+    ``ts`` exactly like the batch loader (``tables.load_table``): a
+    file stream needs an explicit schema, so probe the parquet footer
+    with a batch read and branch on the encoding era — INT64-nanos
+    loads as long and converts; ``timestamp[us]`` passes through with
+    an NTZ→local normalize. Hard-coding either era reads the other
+    era's raw int64 as the wrong unit (silently, off by 10^3)."""
+    path = table_path(sf_dir, "events")
+    try:
+        src_schema = spark.read.parquet(path).schema
+    except Exception:
+        # TIMESTAMP(NANOS) parquet: only readable as long via legacy conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src_schema = spark.read.parquet(path).schema
     # file-stream source wants a directory/glob, not a bare file —
     # glob to the single fixture file (prod: a landing directory)
-    return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-                 .parquet(table_path(sf_dir, "events") + "*")
-                 .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
+    raw = spark.readStream.schema(src_schema).parquet(path + "*")
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:

@@ -32,22 +32,54 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (pushdown/pruning capable).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; read it as long nanos (legacy conf, runtime-settable)
-    and convert with integer division — ns epochs ≈ 1.7e18 overflow
-    double precision, so no float math on the raw value.
+    A real lakehouse carries mixed timestamp encodings, so the loader is
+    schema-adaptive on ``events.ts``: plain ``timestamp``/``timestamp_ntz``
+    parquet passes straight through; TIMESTAMP(NANOS) parquet (which the
+    vectorized reader rejects) is re-read as long nanos via the legacy
+    conf and converted with integer division — ns epochs ≈ 1.7e18
+    overflow double precision, so no float math on the raw value.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    if name == "events":
-        from pyspark.sql import functions as F
+    if name != "events":
+        return spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+    path = table_path(sf_dir, name)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Schema inference rejects TIMESTAMP(NANOS) unless loaded as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (spark.read.parquet(table_path(sf_dir, name))
-                .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos-era fixture: convert to micros
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Operators and DuckDB oracles both treat ts as a wall-clock
+        # instant; normalize NTZ to the session-local TIMESTAMP type so
+        # window/interval arithmetic behaves identically across eras.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for the SQL API."""
+    """Register every fixture table as a temp view for the SQL API.
+
+    Fault-isolated per table: one unreadable fixture must not take down
+    queries that never touch it (a broken ``events`` path previously
+    killed pure orders/lineitem SQL). Queries that DO reference a skipped
+    table fail with a clear table-not-found instead.
+    """
+    errors: dict[str, Exception] = {}
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        try:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception as exc:  # noqa: BLE001 — isolate per-table faults
+            errors[name] = exc
+    if errors:
+        import warnings
+        warnings.warn(
+            "register_views skipped unreadable tables: "
+            + ", ".join(f"{k}: {type(v).__name__}" for k, v in errors.items()),
+            stacklevel=2,
+        )

@@ -47,29 +47,26 @@ def test_stateful_survives_multiple_microbatches(spark, tmp_path):
     """The stateful operator's final fold must be batch-count
     independent: split the source into 2 files, force 1 file per
     micro-batch, and the totals must still match the batch count."""
-    import shutil
-    from pyspark.sql import types as T
     from mapreduce_rust_spark.streaming.stateful import (
         OUT_SCHEMA, STATE_SCHEMA, _update_user_state)
-    from mapreduce_rust_spark.streaming.windows import EVENTS_RAW_SCHEMA
     from pyspark.sql.streaming.state import GroupStateTimeout
     from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    from mapreduce_rust_spark.tables import load_table
     _ensure_self_shipping()
 
     src = tmp_path / "stream_src"
     src.mkdir()
-    # split the fixture into two files (raw ns longs preserved)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    # split the fixture into two files (post-adaptation schema, so the
+    # test is independent of the fixture's on-disk timestamp era)
+    raw = load_table(spark, SF_SMOKE, "events")
     half1 = raw.filter(F.col("event_id") % 2 == 0)
     half2 = raw.filter(F.col("event_id") % 2 == 1)
     half1.coalesce(1).write.parquet(str(src / "p1"))
     half2.coalesce(1).write.parquet(str(src / "p2"))
 
-    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    stream = (spark.readStream.schema(raw.schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(str(src) + "/p*/*.parquet")
-              .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
               .select("user_id", "value"))
     updated = (stream.groupBy("user_id")
                .applyInPandasWithState(_update_user_state, OUT_SCHEMA,
