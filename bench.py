@@ -91,6 +91,10 @@ HEADLINE = [
     "winsorize_prices",
     "decay_weighted_user_value",
     "bpe_pair_counts",
+    # round 3: graph analytics, robust outliers, iterative BPE training
+    "triangle_count_copurchase",
+    "mad_outlier_orders",
+    "bpe_train_merges",
 ]
 
 

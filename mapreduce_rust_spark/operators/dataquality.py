@@ -176,7 +176,61 @@ GROUP BY l_returnflag
 """
 
 
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per order priority: median of
+    o_totalprice, MAD (median absolute deviation), and the count of
+    rows beyond median ± 3·MAD. MAD-based detection survives the
+    contamination that wrecks mean/stddev z-scores — the robust
+    screen a curation pipeline runs on quality scores and price-like
+    features before trusting threshold rules.
+
+    Two grouped exact percentiles (one over values, one over absolute
+    deviations — each a single shuffle on the small group key) and a
+    final conditional aggregate. The group medians travel by
+    broadcast join-back, so the big table never reshuffles. Float
+    discipline: median/MAD are each a single portable IEEE
+    interpolation expression (same operation order on both engines —
+    the percentile_exact_price rule), the ±3·MAD compare is exact
+    double arithmetic, and only the already-2-decimal outputs are
+    emitted — no rounding of computed aggregates."""
+    orders = _t(spark, sf_dir, "orders")
+    med = (orders.groupBy(F.col("o_orderpriority").alias("pr"))
+           .agg(F.expr("percentile(o_totalprice, 0.5)").alias("med")))
+    dev = (orders.join(F.broadcast(med),
+                       orders.o_orderpriority == med.pr)
+           .withColumn("ad", F.abs(F.col("o_totalprice") - F.col("med"))))
+    mad = (dev.groupBy("pr")
+           .agg(F.expr("percentile(ad, 0.5)").alias("mad")))
+    return (dev.join(F.broadcast(mad), "pr")
+            .groupBy(F.col("pr").alias("o_orderpriority"))
+            .agg(F.count("*").alias("n"),
+                 F.first("med").alias("med"),
+                 F.first("mad").alias("mad"),
+                 F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1)
+                        .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+MAD_OUTLIER_ORACLE = """
+WITH med AS (
+  SELECT o_orderpriority AS pr, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+), dev AS (
+  SELECT pr, med, ABS(o_totalprice - med) AS ad
+  FROM orders JOIN med ON o_orderpriority = pr
+), mad AS (
+  SELECT pr, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT pr AS o_orderpriority, COUNT(*) AS n,
+       ANY_VALUE(dev.med) AS med, ANY_VALUE(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (pr)
+GROUP BY pr
+"""
+
+
 REGISTRATIONS = [
     ("dq_check_orders_lineitem", dq_check_orders_lineitem, DQ_CHECK_ORACLE),
     ("winsorize_prices", winsorize_prices, WINSORIZE_ORACLE),
+    ("mad_outlier_orders", mad_outlier_orders, MAD_OUTLIER_ORACLE),
 ]

@@ -1,0 +1,106 @@
+"""Graph analytics over relational co-occurrence — triangle counting.
+
+The reference has no graph surface at all (its only dataflow is
+map→shuffle→reduce, src/mr/worker.rs:16-25); this module extends the
+engine's graph family (PageRank and connected components live in
+``llm/pipeline.py``) with the canonical MapReduce-hard graph metric:
+triangle counting, here over the parts-co-purchased-together graph.
+
+Scale design — the Suri–Vassilvitskii / Cohen degree-orientation
+scheme: orient every undirected edge from its lower-(degree, id)
+endpoint to the higher one, generate length-2 paths ("wedges") only
+from each node's OUT-edges, and close wedges against the canonical
+edge set. After orientation every out-degree is O(√m) on any graph,
+so the wedge set is O(m^1.5) worst-case instead of Σdeg² — the
+difference between a star-node (one celebrity part in every order)
+producing C(deg,2) ≈ 10¹⁰ wedges and the same node producing none.
+Each triangle is generated exactly once, by its lowest-(degree, id)
+corner. Three shuffles total: edge dedup, the wedge self-join, the
+closure join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct undirected edges (u < v): two parts appearing in the
+    same order. Per-order pair generation is bounded by the largest
+    order's line count (TPC-H: ≤ 7), never corpus-wide."""
+    op = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (a.join(b, (F.col("a.o") == F.col("b.o"))
+                   & (F.col("a.p") < F.col("b.p")))
+             .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+             .distinct())
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count of an undirected graph given as distinct
+    (u < v) edges, via degree orientation (module docstring)."""
+    deg = (edges.select(F.col("u").alias("n"))
+           .unionAll(edges.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    # orient: src = endpoint with smaller (degree, id) — total order,
+    # so orientation is acyclic and out-degrees are O(sqrt(m))
+    du, dv = deg.alias("du"), deg.alias("dv")
+    oriented = (edges
+                .join(du, F.col("u") == F.col("du.n"))
+                .join(dv, F.col("v") == F.col("dv.n"))
+                .select(
+                    F.when((F.col("du.d") < F.col("dv.d"))
+                           | ((F.col("du.d") == F.col("dv.d"))
+                              & (F.col("u") < F.col("v"))),
+                           F.struct(F.col("u").alias("s"),
+                                    F.col("v").alias("t")))
+                     .otherwise(F.struct(F.col("v").alias("s"),
+                                         F.col("u").alias("t")))
+                     .alias("e"))
+                .select("e.s", "e.t"))
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # wedges from each source's out-neighborhood; t1 < t2 canonicalizes
+    wedges = (w1.join(w2, (F.col("w1.s") == F.col("w2.s"))
+                      & (F.col("w1.t") < F.col("w2.t")))
+                .select(F.col("w1.t").alias("a"), F.col("w2.t").alias("b")))
+    closed = wedges.join(edges, (F.col("a") == F.col("u"))
+                         & (F.col("b") == F.col("v")))
+    return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase graph: part triples pairwise
+    bought together. One row: (n_edges, n_triangles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # materialize the edge list once (it feeds the degree table, both
+    # wedge sides, and the closure probe — recomputing the dedup 4x is
+    # the alternative); localCheckpoint also truncates lineage
+    edges = copurchase_edges(li).localCheckpoint(eager=True)
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return n_edges.crossJoin(triangle_count(edges))
+
+
+# Oracle counts each triangle once via the u<v canonical form:
+# (a<b), (b<c), (a<c) — the naive 3-way join DuckDB can afford at
+# sf0.01; the Spark plan above is the one that survives 100 TB.
+TRIANGLE_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.v
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+REGISTRATIONS = [
+    ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE),
+]

@@ -96,7 +96,7 @@ register("word_count_sorted", wordcount.word_count_sorted,
          wordcount.WORD_COUNT_SORTED_ORACLE)
 
 from mapreduce_rust_spark.operators import mapreduce_compat  # noqa: E402
-from mapreduce_rust_spark.operators import analytic, dataquality, merge, olap, relational, skew, temporal, tpch, udaf  # noqa: E402
+from mapreduce_rust_spark.operators import analytic, dataquality, graph, merge, olap, relational, skew, temporal, tpch, udaf  # noqa: E402
 
 register("mr_word_count", mapreduce_compat.mr_word_count,
          mapreduce_compat.MR_WORD_COUNT_ORACLE)
@@ -131,10 +131,13 @@ for _name, _fn, _oracle in skew.REGISTRATIONS:
 for _name, _fn, _oracle in udaf.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
-from mapreduce_rust_spark.llm import dedup, multimodal, pipeline, quality, sharding, similarity, textanalysis  # noqa: E402
+for _name, _fn, _oracle in graph.REGISTRATIONS:
+    register(_name, _fn, _oracle)
+
+from mapreduce_rust_spark.llm import bpe, dedup, multimodal, pipeline, quality, sharding, similarity, textanalysis  # noqa: E402
 from mapreduce_rust_spark.streaming import stateful, windows  # noqa: E402
 
 for _mod in (dedup, similarity, textanalysis, multimodal, pipeline,
-             quality, sharding, windows, stateful):
+             quality, sharding, bpe, windows, stateful):
     for _name, _fn, _oracle in _mod.REGISTRATIONS:
         register(_name, _fn, _oracle)

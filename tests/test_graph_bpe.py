@@ -1,0 +1,121 @@
+"""Round-3 additions: triangle counting and iterative BPE training.
+
+Triangle counting is oracle-checked at sf0.01 (test_oracle_parity);
+here the degree-orientation scheme is pinned against brute force on
+random graphs, since the fixture exercises only one graph shape. BPE
+has no SQL oracle, so the full merge-learning loop is pinned against
+a pure-Python reference implementation of Sennrich-style BPE.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+# --- triangle counting -------------------------------------------------
+
+def _brute_triangles(edge_set):
+    nodes = sorted({n for e in edge_set for n in e})
+    return sum(1 for a, b, c in itertools.combinations(nodes, 3)
+               if (a, b) in edge_set and (b, c) in edge_set
+               and (a, c) in edge_set)
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
+    from mapreduce_rust_spark.operators.graph import triangle_count
+    rng = random.Random(7)
+    for trial, (n, p) in enumerate([(12, 0.5), (20, 0.3), (30, 0.15),
+                                    (15, 0.9)]):
+        edges = sorted({(u, v) for u in range(n) for v in range(u + 1, n)
+                        if rng.random() < p})
+        want = _brute_triangles(set(edges))
+        df = spark.createDataFrame(edges, ["u", "v"])
+        got = triangle_count(df).collect()[0]["n_triangles"]
+        assert got == want, f"trial {trial}: got {got}, want {want}"
+
+
+def test_triangle_count_star_graph_has_none(spark):
+    """A star (the worst skew case the degree orientation exists for):
+    hub 0 connected to 1..200 — zero triangles, and the oriented
+    wedge set must be empty (leaves have degree 1, so every edge
+    points leaf -> hub; no node has out-degree 2)."""
+    from mapreduce_rust_spark.operators.graph import triangle_count
+    edges = [(0, v) for v in range(1, 201)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 0
+
+
+# --- BPE training ------------------------------------------------------
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich-style BPE: count adjacent symbol pairs
+    weighted by word freq, merge the argmax (ties: lexicographic on
+    (left, right)) greedily left-to-right non-overlapping."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = l + r
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+        merges.append((step, l, r, merged, c))
+    return merges
+
+
+def _train_spark(spark, word_freqs, n_merges):
+    from mapreduce_rust_spark.llm.bpe import bpe_train
+    words = spark.createDataFrame(list(word_freqs.items()), ["w", "freq"])
+    return bpe_train(words, n_merges)
+
+
+def test_bpe_train_matches_reference(spark):
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+              "newer": 4, "wide": 2, "lowest": 1}
+    want = _bpe_reference(corpus, 6)
+    got = _train_spark(spark, corpus, 6)
+    assert got == want
+    assert len(got) == 6 and got[0][0] == 1
+
+
+def test_bpe_greedy_nonoverlapping_merge(spark):
+    """'aaaa' x1: pair (a,a) has count 3 (overlapping pairs all count),
+    but the merge applies left-to-right non-overlapping -> [aa, aa],
+    so step 2 merges (aa, aa)."""
+    corpus = {"aaaa": 1}
+    want = _bpe_reference(corpus, 2)
+    got = _train_spark(spark, corpus, 2)
+    assert got == want
+    assert got[0] == (1, "a", "a", "aa", 3)
+    assert got[1] == (2, "aa", "aa", "aaaa", 1)
+
+
+def test_bpe_exhausts_gracefully(spark):
+    """Single-char words: nothing to merge; loop ends early, empty
+    merge table, no error."""
+    assert _train_spark(spark, {"a": 3, "b": 2}, 4) == []
+
+
+def test_bpe_random_corpora_property(spark):
+    rng = random.Random(11)
+    for _ in range(3):
+        words = {"".join(rng.choice("abc") for _ in range(rng.randint(1, 6))): rng.randint(1, 9)
+                 for _ in range(12)}
+        assert _train_spark(spark, words, 5) == _bpe_reference(words, 5)
