@@ -174,13 +174,25 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as knn_bruteforce: the corpus is never shuffled — only
     grouped once to assemble arrays. Quantization recall vs the exact
     float ranking is measured in tests."""
-    from mapreduce_rust_spark.llm.sharding import (
-        embedding_normalize_quantize)
-    q8 = embedding_normalize_quantize(spark, sf_dir)
-    arr = (q8.groupBy("vec_id")
-             .agg(F.transform(
-                 F.array_sort(F.collect_list(F.struct("dim", "q"))),
-                 lambda x: x["q"]).alias("qv")))
+    # Quantize ARRAY-NATIVE (identical grid/arithmetic to
+    # embedding_normalize_quantize: per-dim v² on the 1e-12 HALF_EVEN
+    # grid, exact long sum, one sqrt, per-dim HALF_EVEN int8) — but as
+    # pure JVM array expressions: zero shuffles, where the long-format
+    # route paid explode + window + collect_list reassembly just to
+    # get back the array this computes in place.
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(
+        "vd", F.lit(0).cast("long"),
+        lambda acc, x: acc + F.bround(x * x * F.lit(1e12), 0).cast("long"))
+    arr = (emb.select("vec_id", vd.alias("vd"))
+           .withColumn("norm", F.sqrt(sumsq.cast("double") / F.lit(1e12)))
+           .select("vec_id", F.when(
+               F.col("norm") > 0,
+               F.transform("vd", lambda x: F.bround(
+                   F.lit(127.0) * x / F.col("norm"), 0).cast("long")))
+               .otherwise(F.transform("vd", lambda x: F.lit(0).cast("long")))
+               .alias("qv")))
     probes = arr.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("pa"))
     corpus = arr.select(F.col("vec_id").alias("neighbor_id"),

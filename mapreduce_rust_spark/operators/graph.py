@@ -61,7 +61,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
                      .otherwise(F.struct(F.col("v").alias("s"),
                                          F.col("u").alias("t")))
                      .alias("e"))
-                .select("e.s", "e.t"))
+                .select("e.s", "e.t")
+                # both wedge sides read this; without materialization
+                # Catalyst re-executes the degree join once per alias
+                .localCheckpoint(eager=True))
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     # wedges from each source's out-neighborhood; t1 < t2 canonicalizes
     wedges = (w1.join(w2, (F.col("w1.s") == F.col("w2.s"))

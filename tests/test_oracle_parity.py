@@ -30,3 +30,16 @@ def test_all_queries_have_entries(spark):
     assert len(qs) >= 2
     for name in registry.oracles():
         assert name in qs
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries().keys()))
+def test_runs_at_tiny_scale(spark, name):
+    """Every registered query must EXECUTE at sf0.001 — the
+    empty-group / missing-event-type / single-partition edge cases a
+    10x-smaller fixture surfaces and the sf0.01 oracle runs never
+    hit. Row counts are not asserted (tiny inputs legitimately
+    produce 0 rows for selective queries); not raising is the
+    contract."""
+    from tests.conftest import SF_SMOKE
+    fn = registry.queries()[name]
+    assert fn(spark, SF_SMOKE).count() >= 0
