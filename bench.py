@@ -91,10 +91,13 @@ HEADLINE = [
     "winsorize_prices",
     "decay_weighted_user_value",
     "bpe_pair_counts",
-    # round 3: graph analytics, robust outliers, iterative BPE training
+    # round 3: graph analytics, robust outliers, iterative BPE training,
+    # and the last two TPC-H shapes (all 22 now present)
     "triangle_count_copurchase",
     "mad_outlier_orders",
     "bpe_train_merges",
+    "q2_min_cost_supplier",
+    "q20_excess_stock",
 ]
 
 

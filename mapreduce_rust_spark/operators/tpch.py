@@ -1,10 +1,12 @@
-"""The remaining TPC-H query shapes (Q4, Q7–Q9, Q11–Q19, Q21, Q22),
+"""The remaining TPC-H query shapes (Q2, Q4, Q7–Q9, Q11–Q22),
 adapted to the fixture schema — with Q1/Q3/Q5/Q6/Q10 in
 ``relational.py``/``analytic.py`` this completes all 22 classic
 shapes, so a user's full TPC-H-style workload runs on this engine.
 
 Schema adaptations (the fixture has no partsupp, l_shipmode,
 l_commitdate/l_receiptdate, c_phone — TESTDATA.md):
+- supply cost (Q2) = observed MIN unit price per (part, supplier);
+  availqty (Q20) = lifetime quantity per (part, supplier).
 - "late" lineitems (Q4/Q12/Q21) = ``l_shipdate > o_orderdate + N
   days`` instead of commit/receipt comparison — same correlated-
   predicate shape, same plan.
@@ -710,7 +712,98 @@ GROUP BY cntrycode
 """
 
 
+# --- Q2: minimum cost supplier (correlated scalar MIN) ------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each ECONOMY size-5 part, the EUROPE-region
+    supplier(s) offering the minimum supply cost — the correlated
+    scalar-MIN subquery over a 4-dim join. Supply cost adapts to the
+    observed minimum unit price ``MIN(l_extendedprice / l_quantity)``
+    per (part, supplier) (no partsupp in the fixture; the unit-price
+    division and MIN are order-independent scalar ops, identical on
+    both engines — no summation, so no decimal discipline needed).
+
+    Through the SQL front door so Catalyst decorrelates the scalar
+    subquery into an aggregate + join on p_partkey rather than a
+    per-row re-scan; supplier/nation/region broadcast under the AQE
+    threshold; top-100 with full deterministic tiebreak."""
+    register_views(spark, sf_dir)
+    return spark.sql(Q2_SQL)
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM part, ps, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 5 AND p_type = 'ECONOMY'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey
+      AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+Q2_ORACLE = Q2_SQL
+
+
+# --- Q20: potential part promotion (nested IN + correlated agg) ---------
+
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of 'small …' parts whose lifetime
+    supplied quantity exceeds 2x what they shipped in 1996 — the
+    nested-IN query with a correlated scalar aggregate inside the
+    inner IN. Availqty adapts to the lifetime per-(part, supplier)
+    quantity sum (no partsupp). Both compared quantities are DECIMAL
+    sums, so the threshold comparison is exact on both engines.
+
+    The plan to want (and what Catalyst builds from this SQL): the
+    correlated sum decorrelates to a filtered aggregation joined on
+    (partkey, suppkey); both INs become left-semi hash joins; nation
+    broadcasts. No per-row subquery execution anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(Q20_SQL)
+
+
+Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 3
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'small%')
+      AND ps_availqty > (
+        SELECT 2 * SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+ORDER BY s_name
+"""
+
+Q20_ORACLE = Q20_SQL
+
+
 REGISTRATIONS = [
+    ("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE),
+    ("q20_excess_stock", q20_excess_stock, Q20_ORACLE),
     ("q4_order_priority", q4_order_priority, Q4_ORACLE),
     ("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE),
     ("q8_market_share", q8_market_share, Q8_ORACLE),
