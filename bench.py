@@ -98,6 +98,7 @@ HEADLINE = [
     "bpe_train_merges",
     "q2_min_cost_supplier",
     "q20_excess_stock",
+    "unigram_logprob_docs",
 ]
 
 

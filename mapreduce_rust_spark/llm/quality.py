@@ -398,7 +398,43 @@ FROM fp a JOIN fp b
 """
 
 
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — mean
+    -log2 p(token) under the corpus's own add-one-smoothed unigram
+    distribution. The model-free stand-in for perplexity filtering
+    (a real pipeline scores against a trained LM; the plumbing —
+    token join against a frequency table, per-doc aggregation — is
+    identical, and this self-scored form already separates natural
+    text from gibberish/boilerplate).
+
+    Scale shape: one aggregation builds the unigram table (at 100 TB
+    ~10⁸ rows — a shuffle join against the token stream, hot tokens
+    handled by AQE skew splitting); the (N, V) normalizer is a 1-row
+    broadcast (the tf_df pattern — never a driver .count()). Each
+    token's surprisal quantizes to a 1e-9 integer grid before the
+    per-doc sum, so results are bit-stable under any partitioning
+    even though log2 itself is a libm call — which is also why this
+    operator registers NO SQL oracle (cross-engine libm low bits
+    differ; the driver records rows-only and the distribution is
+    pinned against a pure-Python reference in tests)."""
+    from mapreduce_rust_spark.llm.textanalysis import _tok_table
+    tok = _tok_table(spark, sf_dir)
+    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    norm = counts.agg(F.sum("c").alias("n_total"),
+                      F.count("*").alias("vocab"))
+    p = (F.col("c") + 1) / (F.col("n_total") + F.col("vocab"))
+    scored = (tok.join(counts, "tok")
+                 .crossJoin(F.broadcast(norm))
+                 .withColumn("q", F.bround(-F.log2(p) * F.lit(1e9), 0)
+                                   .cast("long")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 (F.sum("q").cast("double") / F.count("*") / F.lit(1e9))
+                 .alias("mean_neg_log2p")))
+
+
 REGISTRATIONS = [
+    ("unigram_logprob_docs", unigram_logprob_docs, None),
     ("repetition_stats_docs", repetition_stats_docs, REPETITION_ORACLE),
     ("scrub_pii_docs", scrub_pii_docs, SCRUB_PII_ORACLE),
     ("cross_corpus_dups", cross_corpus_dups, CROSS_CORPUS_ORACLE),

@@ -75,3 +75,29 @@ def test_pack_sequences_cover_corpus_contiguously(spark):
     for r in packs:
         got[r.lang] = got.get(r.lang, 0) + r.n_tokens
     assert got == want
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    """The surprisal scorer must equal a pure-Python add-one unigram
+    LM (same \\s+ tokenizer) to within the 1e-9 quantization grid."""
+    import math
+    import re
+    from collections import Counter
+    from mapreduce_rust_spark.llm.quality import unigram_logprob_docs
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    toks = {d: [t for t in re.split(r"\s+", txt) if t]
+            for d, txt in docs.items()}
+    counts = Counter(t for ts in toks.values() for t in ts)
+    n_total, vocab = sum(counts.values()), len(counts)
+    want = {d: sum(-math.log2((counts[t] + 1) / (n_total + vocab))
+                   for t in ts) / len(ts)
+            for d, ts in toks.items() if ts}
+    got = {r.doc_id: r.mean_neg_log2p
+           for r in unigram_logprob_docs(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for d, w in want.items():
+        assert abs(got[d] - w) <= 1e-6 * max(1.0, abs(w)), (d, got[d], w)

@@ -62,6 +62,37 @@ def test_asof_last_error_excludes_tied_timestamps(spark, tmp_path):
     }
 
 
+def test_twa_hand_computed(spark, tmp_path):
+    """Time-weighted average on a hand-computable step function:
+    user 1 holds value 10 for 10 s, then 20 for 30 s, then a final
+    reading that carries zero weight -> TWA = (10·10 + 20·30)/40 =
+    17.5 over exactly 2 intervals. A plain AVG would say 11.0 —
+    asserting 17.5 pins the step-and-hold semantics, not just parity."""
+    import datetime as dt
+    from pyspark.sql import types as T
+    from mapreduce_rust_spark.operators.temporal import twa_user_value
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 1, "view", 10.0, "{}"),
+            (2, base + dt.timedelta(seconds=10), 1, "view", 20.0, "{}"),
+            (3, base + dt.timedelta(seconds=40), 1, "view", 3.0, "{}")]
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    sf_dir = tmp_path / "twa_sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1) \
+         .write.parquet(str(sf_dir / "events.parquet"))
+    got = twa_user_value(spark, str(sf_dir)).collect()
+    assert len(got) == 1
+    assert got[0]["twa_value"] == 17.5
+    assert got[0]["n_intervals"] == 2
+
+
 def test_asof_next_purchase_excludes_tied_timestamps(spark, tmp_path):
     from mapreduce_rust_spark.operators.temporal import asof_next_purchase
     sf = _plant_events(spark, tmp_path)
