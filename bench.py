@@ -99,6 +99,7 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q20_excess_stock",
     "unigram_logprob_docs",
+    "reachable_parts_2hop",
 ]
 
 

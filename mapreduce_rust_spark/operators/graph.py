@@ -104,6 +104,53 @@ JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 
+SEED_PARTS = (0, 1, 2)
+MAX_HOPS = 2
+
+# Recursive CTE (Spark 4 WITH RECURSIVE — run through the SQL front
+# door so Catalyst executes the iteration; DuckDB runs the identical
+# text). Walk counts are exact integers, so the result is fully
+# hash-checkable. Depth is bounded at MAX_HOPS: per-seed work is
+# Σ deg^h for h ≤ 2 — the walks table stays O(deg²) per seed, never
+# the factorial path blowup an unbounded closure invites; at 100 TB
+# the same recursion runs with the edge list bucketed on u so each
+# iteration's join is co-located.
+REACHABLE_SQL = f"""
+WITH RECURSIVE
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+),
+walk(seed, node, hops) AS (
+  SELECT p, p, 0 FROM (SELECT DISTINCT l_partkey AS p FROM lineitem
+                       WHERE l_partkey IN {SEED_PARTS})
+  UNION ALL
+  SELECT w.seed, e.v, w.hops + 1
+  FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.hops < {MAX_HOPS}
+)
+SELECT seed, node, MIN(hops) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM walk GROUP BY seed, node
+"""
+
+
+def reachable_parts_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth reachability over the co-purchase graph via a
+    RECURSIVE CTE: for each seed part, every part within MAX_HOPS
+    co-purchase hops, with its minimum hop distance and the exact
+    number of distinct ≤-MAX_HOPS walks reaching it (the walk count
+    is what a window can't express — recursion or nothing). The
+    iterative-DataFrame twin of this shape (unbounded, with
+    convergence detection) is ``llm/pipeline.py``'s connected
+    components; this is the SQL-front-door form."""
+    from mapreduce_rust_spark.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(REACHABLE_SQL)
+
+
 REGISTRATIONS = [
     ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE),
+    ("reachable_parts_2hop", reachable_parts_2hop, REACHABLE_SQL),
 ]
