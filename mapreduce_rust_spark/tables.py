@@ -62,14 +62,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# last sf_dir registered per live session — registering the same dir
+# twice is pure overhead (10 schema probes per call, and SQL-front-door
+# queries call this on every invocation)
+_REGISTERED_DIR: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL API.
 
-    Fault-isolated per table: one unreadable fixture must not take down
-    queries that never touch it (a broken ``events`` path previously
-    killed pure orders/lineitem SQL). Queries that DO reference a skipped
-    table fail with a clear table-not-found instead.
+    Idempotent per (session, sf_dir): re-registering the same dir is
+    skipped. Fault-isolated per table: one unreadable fixture must not
+    take down queries that never touch it (a broken ``events`` path
+    previously killed pure orders/lineitem SQL). Queries that DO
+    reference a skipped table fail with a clear table-not-found instead.
     """
+    key = id(spark)
+    if (_REGISTERED_DIR.get(key) == sf_dir
+            and spark.catalog.tableExists(TABLES[0])):
+        return
     errors: dict[str, Exception] = {}
     for name in TABLES:
         try:
@@ -83,3 +94,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             + ", ".join(f"{k}: {type(v).__name__}" for k, v in errors.items()),
             stacklevel=2,
         )
+    else:
+        # memoize only fully-successful registrations, so a retry after
+        # fixing a broken table path actually re-registers
+        _REGISTERED_DIR[key] = sf_dir
