@@ -62,10 +62,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# last sf_dir registered per live session — registering the same dir
-# twice is pure overhead (10 schema probes per call, and SQL-front-door
-# queries call this on every invocation)
-_REGISTERED_DIR: dict[int, str] = {}
+# conf key recording which sf_dir this session's views point at —
+# registering the same dir twice is pure overhead (10 schema probes per
+# call, and SQL-front-door queries call this on every invocation). The
+# marker lives IN the session (not a Python-side dict keyed by object
+# id, which collides when CPython reuses a dead wrapper's address).
+_REGISTERED_KEY = "mapreduce_rust_spark.registered_sf_dir"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -77,8 +79,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     previously killed pure orders/lineitem SQL). Queries that DO
     reference a skipped table fail with a clear table-not-found instead.
     """
-    key = id(spark)
-    if (_REGISTERED_DIR.get(key) == sf_dir
+    if (spark.conf.get(_REGISTERED_KEY, None) == sf_dir
             and spark.catalog.tableExists(TABLES[0])):
         return
     errors: dict[str, Exception] = {}
@@ -97,4 +98,4 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     else:
         # memoize only fully-successful registrations, so a retry after
         # fixing a broken table path actually re-registers
-        _REGISTERED_DIR[key] = sf_dir
+        spark.conf.set(_REGISTERED_KEY, sf_dir)
