@@ -82,6 +82,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     if (spark.conf.get(_REGISTERED_KEY, None) == sf_dir
             and spark.catalog.tableExists(TABLES[0])):
         return
+    # invalidate FIRST: if this registration fails partway (or skips
+    # tables), the views are in a mixed state and the next call must
+    # never be memo-skipped into keeping it
+    spark.conf.set(_REGISTERED_KEY, "")
     errors: dict[str, Exception] = {}
     for name in TABLES:
         try:

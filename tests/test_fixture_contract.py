@@ -99,10 +99,21 @@ def test_register_views_isolates_broken_table(spark, tmp_path):
         else:
             os.symlink(os.path.join(sf, f"{name}.parquet"),
                        broken / f"{name}.parquet")
+    # Prime the memo at the real dir BEFORE breaking things — this is
+    # the regression shape: a partial registration must invalidate the
+    # memo, or the restore below would be skipped and every later SQL
+    # query in the session would silently read the broken dir's data.
+    register_views(spark, SF_DIRS[1])
     with pytest.warns(UserWarning, match="events"):
         register_views(spark, str(broken))
     # Queries not touching events still run against the registered views.
     n = spark.sql("SELECT count(*) AS c FROM orders JOIN customer ON o_custkey = c_custkey").collect()[0]["c"]
     assert n > 0
-    # Restore the real views for any later test in the session.
+    # Restore the real views; MUST actually re-register (memo was
+    # invalidated by the partial registration), proven by the sf0.01
+    # row count differing from the sf0.001 symlinks just registered.
     register_views(spark, SF_DIRS[1])
+    n_orders = spark.sql("SELECT count(*) AS c FROM orders").collect()[0]["c"]
+    assert n_orders == 15000, (
+        f"views still point at the broken dir (orders={n_orders}) — "
+        "register_views memo failed to invalidate on partial registration")
