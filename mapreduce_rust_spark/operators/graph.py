@@ -40,9 +40,22 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
              .distinct())
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+BROADCAST_EDGE_LIMIT = 5_000_000  # ~80 MB packed; same gate idea as
+                                  # llm/pipeline's union-find threshold
+
+
+def triangle_count(edges: DataFrame,
+                   n_edges: int | None = None) -> DataFrame:
     """Global triangle count of an undirected graph given as distinct
-    (u < v) edges, via degree orientation (module docstring)."""
+    (u < v) edges, via degree orientation (module docstring).
+
+    The closure probe (wedges ⋈ edges) is the one join whose LEFT side
+    is O(m^1.5): when the edge list itself is small enough
+    (``n_edges`` < BROADCAST_EDGE_LIMIT, pass the known count to
+    enable), broadcast it so the wedge set never shuffles — the same
+    size-gated choice the near-dup clustering makes between
+    driver-side union-find and distributed pointer jumping. Above the
+    gate (a 100 TB graph), both sides shuffle-join on (a, b)."""
     deg = (edges.select(F.col("u").alias("n"))
            .unionAll(edges.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count("*").alias("d")))
@@ -70,7 +83,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wedges = (w1.join(w2, (F.col("w1.s") == F.col("w2.s"))
                       & (F.col("w1.t") < F.col("w2.t")))
                 .select(F.col("w1.t").alias("a"), F.col("w2.t").alias("b")))
-    closed = wedges.join(edges, (F.col("a") == F.col("u"))
+    probe = (F.broadcast(edges)
+             if n_edges is not None and n_edges < BROADCAST_EDGE_LIMIT
+             else edges)
+    closed = wedges.join(probe, (F.col("a") == F.col("u"))
                          & (F.col("b") == F.col("v")))
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
 
@@ -83,8 +99,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge sides, and the closure probe — recomputing the dedup 4x is
     # the alternative); localCheckpoint also truncates lineage
     edges = copurchase_edges(li).localCheckpoint(eager=True)
+    n = edges.count()  # checkpointed: the count is already materialized
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
-    return n_edges.crossJoin(triangle_count(edges))
+    return n_edges.crossJoin(triangle_count(edges, n_edges=n))
 
 
 # Oracle counts each triangle once via the u<v canonical form:
@@ -118,10 +135,11 @@ MAX_HOPS = 2
 REACHABLE_SQL = f"""
 WITH RECURSIVE
 op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-edges AS (
+half AS (
   SELECT DISTINCT a.p AS u, b.p AS v
-  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
 ),
+edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
 walk(seed, node, hops) AS (
   SELECT p, p, 0 FROM (SELECT DISTINCT l_partkey AS p FROM lineitem
                        WHERE l_partkey IN {SEED_PARTS})
