@@ -100,6 +100,7 @@ HEADLINE = [
     "q20_excess_stock",
     "unigram_logprob_docs",
     "reachable_parts_2hop",
+    "snapshot_diff_orders",
 ]
 
 

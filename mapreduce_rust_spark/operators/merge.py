@@ -197,7 +197,101 @@ FROM flagged WHERE changed OR t_key IS NULL
 """
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """CDC table diff: classify every key across two snapshots of the
+    same table as inserted / deleted / updated / unchanged, comparing
+    full row content by a canonical hash (sha2 over the concatenated
+    non-key columns — order fixed by sorted column name, NULLs made
+    distinguishable). One full-outer shuffle join on the key; with
+    both snapshots bucketed on the key (the lakehouse layout
+    ``sinks.write_bucketed`` produces) the exchange disappears — the
+    diff of two 100 TB snapshots then reads and compares co-located
+    buckets with no shuffle at all."""
+    cols = sorted(c for c in old.columns if c != key)
+    if cols != sorted(c for c in new.columns if c != key):
+        raise ValueError("snapshot schemas differ")
+
+    def rowhash(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\0")))
+            parts.append(F.lit("\x1f"))  # unit sep: no concat ambiguity
+        return df.select(F.col(key), F.sha2(F.concat(*parts), 256).alias("h"))
+
+    o = rowhash(old).withColumnRenamed("h", "h_old") \
+                    .withColumnRenamed(key, "k_old")
+    n = rowhash(new).withColumnRenamed("h", "h_new") \
+                    .withColumnRenamed(key, "k_new")
+    j = o.join(n, o.k_old == n.k_new, "full_outer")
+    return j.select(
+        F.coalesce(F.col("k_old"), F.col("k_new")).alias(key),
+        F.when(F.col("k_old").isNull(), "insert")
+         .when(F.col("k_new").isNull(), "delete")
+         .when(F.col("h_old") != F.col("h_new"), "update")
+         .otherwise("unchanged").alias("change"))
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff the orders snapshot against a deterministically mutated
+    successor (every 10th key deleted, every 7th surviving key's
+    priority rewritten, 5 synthetic inserts) and report per-change
+    counts plus an exact key checksum — the compact, fully
+    hash-checkable digest of the whole diff."""
+    orders = _t(spark, sf_dir, "orders")
+    survived = orders.filter(F.col("o_orderkey") % 10 != 0)
+    mutated = survived.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("9-REPRIORITIZED"))
+         .otherwise(F.col("o_orderpriority")))
+    inserts = (orders.select(F.max("o_orderkey").alias("m"))
+               .crossJoin(spark.range(1, 6))
+               .select((F.col("m") + F.col("id")).alias("o_orderkey"),
+                       F.lit(0).cast("long").alias("o_custkey"),
+                       F.lit("O").alias("o_orderstatus"),
+                       F.lit(1.0).alias("o_totalprice"),
+                       F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                        .alias("o_orderdate"),
+                       F.lit("1-URGENT").alias("o_orderpriority")))
+    new = mutated.unionByName(inserts)
+    d = snapshot_diff(orders, new, "o_orderkey")
+    return (d.groupBy("change")
+             .agg(F.count("*").alias("n"),
+                  F.sum("o_orderkey").cast("long").alias("key_sum")))
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH survived AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+), mutated AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 7 = 0 THEN '9-REPRIORITIZED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM survived
+), inserts AS (
+  SELECT m + i AS o_orderkey FROM (SELECT MAX(o_orderkey) AS m FROM orders),
+       UNNEST(range(1, 6)) AS t(i)
+), changes AS (
+  SELECT o.o_orderkey AS k_old, n.o_orderkey AS k_new,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_orderpriority <> n.o_orderpriority THEN 'update'
+              ELSE 'unchanged' END AS change
+  FROM orders o
+  FULL OUTER JOIN (SELECT * FROM mutated
+                   UNION ALL
+                   SELECT o_orderkey, 0, 'O', 1.0,
+                          TIMESTAMP '2024-01-01', '1-URGENT'
+                   FROM inserts) n
+    ON o.o_orderkey = n.o_orderkey
+)
+SELECT change, COUNT(*) AS n,
+       CAST(SUM(COALESCE(k_old, k_new)) AS BIGINT) AS key_sum
+FROM changes GROUP BY change
+"""
+
+
 REGISTRATIONS = [
     ("merge_upsert_customers", merge_upsert_customers, MERGE_UPSERT_ORACLE),
     ("scd2_close_and_insert", scd2_close_and_insert, SCD2_ORACLE),
+    ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
 ]

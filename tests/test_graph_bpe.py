@@ -119,3 +119,21 @@ def test_bpe_random_corpora_property(spark):
         words = {"".join(rng.choice("abc") for _ in range(rng.randint(1, 6))): rng.randint(1, 9)
                  for _ in range(12)}
         assert _train_spark(spark, words, 5) == _bpe_reference(words, 5)
+
+
+# --- snapshot diff -----------------------------------------------------
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from mapreduce_rust_spark.operators.merge import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "name", "val"])
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "B", 20.0),        # update (name)
+         (3, "c", 0.0),         # update (NULL -> 0.0 must NOT be 'unchanged')
+         (5, "e", 50.0)],       # insert; key 4 deleted
+        ["k", "name", "val"])
+    got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "unchanged", 2: "update", 3: "update",
+                   4: "delete", 5: "insert"}

@@ -32,6 +32,17 @@ def test_all_queries_have_entries(spark):
         assert name in qs
 
 
+def test_driver_window_spends_all_50_slots_on_oracled_queries():
+    """The driver verifies only the first 50 registrations; every slot
+    must be a real, oracled query (a rename or no-oracle entry here
+    silently burns driver evidence)."""
+    window = registry.DRIVER_WINDOW
+    assert len(window) == 50 == len(set(window))
+    assert list(registry.queries())[:50] == window
+    oracled = registry.oracles()
+    assert all(n in oracled for n in window)
+
+
 @pytest.mark.parametrize("name", sorted(registry.queries().keys()))
 def test_runs_at_tiny_scale(spark, name):
     """Every registered query must EXECUTE at sf0.001 — the
