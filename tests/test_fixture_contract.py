@@ -87,6 +87,21 @@ def test_events_loader_adapts_to_nanos_era(spark, tmp_path):
     assert rows[1].isoformat() == "2024-01-01T00:01:00.500000"
 
 
+def test_events_operators_survive_empty_table(spark, tmp_path):
+    """A ZERO-ROW events table (valid schema, no data) must produce
+    empty results, not crashes — the day-one state of any production
+    landing table, and a case even the sf0.001 sweep can't hit."""
+    from mapreduce_rust_spark.operators.relational import sessionize_events
+    from mapreduce_rust_spark.operators.temporal import (
+        asof_last_error, twa_user_value)
+    empty_dir = tmp_path / "empty_sf"
+    empty_dir.mkdir()
+    (load_table(spark, "/root/testdata/sf0.001", "events").limit(0)
+     .coalesce(1).write.parquet(str(empty_dir / "events.parquet")))
+    for fn in (sessionize_events, asof_last_error, twa_user_value):
+        assert fn(spark, str(empty_dir)).count() == 0
+
+
 def test_register_views_isolates_broken_table(spark, tmp_path):
     """One unreadable fixture must not take down views for the others."""
     sf = "/root/testdata/sf0.001"
