@@ -101,6 +101,7 @@ HEADLINE = [
     "unigram_logprob_docs",
     "reachable_parts_2hop",
     "snapshot_diff_orders",
+    "pps_sample_docs",
 ]
 
 

@@ -433,8 +433,62 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("mean_neg_log2p")))
 
 
+PPS_TARGET_CHARS = 2000  # docs >= this length are always kept
+PPS_GRID = 1_000_000
+
+
+def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS (probability-proportional-to-size) Bernoulli sampling:
+    each document kept with p = min(1, n_chars / PPS_TARGET_CHARS) —
+    the length-weighted corpus thinning that keeps token mass while
+    shedding short-doc count (the dual of a uniform sample, which
+    over-represents short docs in document count but loses long-tail
+    token coverage). The keep decision is a pure integer function of
+    content (md5 bucket on a 10⁶ grid vs n_chars·grid/target — no
+    floats anywhere), so the sample is reproducible across runs,
+    engines, and partitionings, and the whole operator is
+    shuffle-free until the reporting aggregate. Reports per-language
+    kept/total doc counts and exact kept/total char sums, making the
+    length bias itself hash-verifiable."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10) \
+        .cast("long") % PPS_GRID
+    # integer division on BOTH engines (`DIV` / `//`): a double divide
+    # + cast would diverge (DuckDB's double->int cast rounds, Spark's
+    # truncates)
+    thresh = F.least(F.lit(PPS_GRID).cast("long"),
+                     F.expr(f"n_chars * {PPS_GRID} DIV {PPS_TARGET_CHARS}"))
+    kept = (bucket < thresh).cast("long")
+    return (docs.select("lang", kept.alias("kept"), "n_chars")
+                .groupBy("lang")
+                .agg(F.sum("kept").alias("n_kept"),
+                     F.count("*").alias("n_total"),
+                     F.sum(F.col("kept") * F.col("n_chars"))
+                      .alias("kept_chars"),
+                     F.sum("n_chars").alias("total_chars")))
+
+
+PPS_SAMPLE_ORACLE = f"""
+SELECT lang,
+       CAST(SUM(CASE WHEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+                          % {PPS_GRID}
+                     < LEAST({PPS_GRID},
+                             n_chars * {PPS_GRID} // {PPS_TARGET_CHARS})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+                          % {PPS_GRID}
+                     < LEAST({PPS_GRID},
+                             n_chars * {PPS_GRID} // {PPS_TARGET_CHARS})
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 REGISTRATIONS = [
     ("unigram_logprob_docs", unigram_logprob_docs, None),
+    ("pps_sample_docs", pps_sample_docs, PPS_SAMPLE_ORACLE),
     ("repetition_stats_docs", repetition_stats_docs, REPETITION_ORACLE),
     ("scrub_pii_docs", scrub_pii_docs, SCRUB_PII_ORACLE),
     ("cross_corpus_dups", cross_corpus_dups, CROSS_CORPUS_ORACLE),
