@@ -188,19 +188,27 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviations — each a single shuffle on the small group key) and a
     final conditional aggregate. The group medians travel by
     broadcast join-back, so the big table never reshuffles. Float
-    discipline: median/MAD are each a single portable IEEE
-    interpolation expression (same operation order on both engines —
-    the percentile_exact_price rule), the ±3·MAD compare is exact
-    double arithmetic, and only the already-2-decimal outputs are
-    emitted — no rounding of computed aggregates."""
+    discipline: Spark ``percentile`` and DuckDB ``quantile_cont`` do
+    NOT promise the same interpolation operation order, so a raw
+    median can differ by 1 ulp between engines and flip the ±3·MAD
+    comparison for a deviation sitting exactly on the boundary. Both
+    medians are therefore quantized HALF_EVEN onto a decimal grid one
+    digit finer than their exact value can carry (an even-count
+    median of 2-decimal prices has ≤3 decimals; a median of the
+    resulting 3-decimal deviations has ≤4), so the true value is
+    always ≥ half a grid step from a rounding boundary and a 1-ulp
+    engine divergence can never change the rounded result. After
+    quantization every downstream op (subtract, abs, 3·mad, compare)
+    is bit-deterministic IEEE arithmetic on identical inputs."""
     orders = _t(spark, sf_dir, "orders")
     med = (orders.groupBy(F.col("o_orderpriority").alias("pr"))
-           .agg(F.expr("percentile(o_totalprice, 0.5)").alias("med")))
+           .agg(F.bround(F.expr("percentile(o_totalprice, 0.5)"), 3)
+                 .alias("med")))
     dev = (orders.join(F.broadcast(med),
                        orders.o_orderpriority == med.pr)
            .withColumn("ad", F.abs(F.col("o_totalprice") - F.col("med"))))
     mad = (dev.groupBy("pr")
-           .agg(F.expr("percentile(ad, 0.5)").alias("mad")))
+           .agg(F.bround(F.expr("percentile(ad, 0.5)"), 4).alias("mad")))
     return (dev.join(F.broadcast(mad), "pr")
             .groupBy(F.col("pr").alias("o_orderpriority"))
             .agg(F.count("*").alias("n"),
@@ -212,13 +220,14 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAD_OUTLIER_ORACLE = """
 WITH med AS (
-  SELECT o_orderpriority AS pr, quantile_cont(o_totalprice, 0.5) AS med
+  SELECT o_orderpriority AS pr,
+         round_even(quantile_cont(o_totalprice, 0.5), 3) AS med
   FROM orders GROUP BY 1
 ), dev AS (
   SELECT pr, med, ABS(o_totalprice - med) AS ad
   FROM orders JOIN med ON o_orderpriority = pr
 ), mad AS (
-  SELECT pr, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+  SELECT pr, round_even(quantile_cont(ad, 0.5), 4) AS mad FROM dev GROUP BY 1
 )
 SELECT pr AS o_orderpriority, COUNT(*) AS n,
        ANY_VALUE(dev.med) AS med, ANY_VALUE(mad.mad) AS mad,

@@ -214,7 +214,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     def rowhash(df: DataFrame) -> DataFrame:
         parts = []
         for c in cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\0")))
+            # explicit null flag: a sentinel STRING would collide with a
+            # real value equal to the sentinel, misclassifying a
+            # NULL<->sentinel change as 'unchanged'
+            parts.append(F.when(F.col(c).isNull(), "1").otherwise("0"))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
             parts.append(F.lit("\x1f"))  # unit sep: no concat ambiguity
         return df.select(F.col(key), F.sha2(F.concat(*parts), 256).alias("h"))
 

@@ -77,7 +77,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     skipped. Fault-isolated per table: one unreadable fixture must not
     take down queries that never touch it (a broken ``events`` path
     previously killed pure orders/lineitem SQL). Queries that DO
-    reference a skipped table fail with a clear table-not-found instead.
+    reference a skipped table fail with a clear table-not-found instead
+    — a failed table's PREVIOUS view (from an earlier sf_dir) is
+    dropped, never left to silently serve mixed-directory data.
     """
     if (spark.conf.get(_REGISTERED_KEY, None) == sf_dir
             and spark.catalog.tableExists(TABLES[0])):
@@ -92,6 +94,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
         except Exception as exc:  # noqa: BLE001 — isolate per-table faults
             errors[name] = exc
+            # loudly absent beats silently stale: without this drop, a
+            # view registered for a PRIOR sf_dir would keep answering
+            # for the broken table and joins would mix directories
+            spark.catalog.dropTempView(name)
     if errors:
         import warnings
         warnings.warn(

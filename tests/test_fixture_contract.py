@@ -124,6 +124,11 @@ def test_register_views_isolates_broken_table(spark, tmp_path):
     # Queries not touching events still run against the registered views.
     n = spark.sql("SELECT count(*) AS c FROM orders JOIN customer ON o_custkey = c_custkey").collect()[0]["c"]
     assert n > 0
+    # The broken table must be LOUDLY ABSENT, not silently stale: the
+    # sf0.01 events view registered above would otherwise keep serving
+    # and a query would mix events@sf0.01 with orders@broken-dir.
+    with pytest.raises(Exception, match="(?i)events"):
+        spark.sql("SELECT count(*) FROM events").collect()
     # Restore the real views; MUST actually re-register (memo was
     # invalidated by the partial registration), proven by the sf0.01
     # row count differing from the sf0.001 symlinks just registered.

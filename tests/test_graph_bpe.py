@@ -137,3 +137,16 @@ def test_snapshot_diff_classifies_all_change_kinds(spark):
     got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "unchanged", 2: "update", 3: "update",
                    4: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_null_never_collides_with_any_string(spark):
+    """NULL is hashed via an explicit per-column null flag, so no
+    string value (in particular a would-be sentinel like '\\0') can
+    hash-collide with NULL and hide a change as 'unchanged'."""
+    from mapreduce_rust_spark.operators.merge import snapshot_diff
+    old = spark.createDataFrame([(1, "\0"), (2, None), (3, "\0")],
+                                ["k", "name"])
+    new = spark.createDataFrame([(1, None), (2, "\0"), (3, "\0")],
+                                ["k", "name"])
+    got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "update", 2: "update", 3: "unchanged"}
