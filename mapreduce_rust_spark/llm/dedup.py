@@ -66,6 +66,26 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_table_from_docs(load_table(spark, sf_dir, "documents"))
 
 
+# One persisted shingle index per (session, sf_dir) — the materialized
+# inverted index every dedup pass shares. Without the memo, every
+# minhash/ngram/curation call persisted a FRESH lineage copy and never
+# released it, so repeated calls (bench reps, the embedded LSH call in
+# curation_pipeline) stacked duplicate caches and churned the LRU store
+# (the round-3 curation_pipeline +38% regression). WeakKeyDictionary
+# keyed on the live session object: no id()-reuse collisions, entries
+# die with the session.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_SHINGLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _persisted_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_session = _SHINGLE_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        per_session[sf_dir] = _shingle_table(spark, sf_dir).persist()
+    return per_session[sf_dir]
+
+
 # --- exact dedup ----------------------------------------------------------
 
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,10 +117,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index. Returns (doc_a, doc_b, jaccard).
 
     The shingle index feeds four plan branches (signatures, sizes,
-    both verify probes); persist it once instead of recomputing —
-    at scale this is the materialized inverted index every dedup
+    both verify probes); it is persisted ONCE per (session, sf_dir)
+    via ``_persisted_shingles`` and shared across every dedup operator
+    — at scale this is the materialized inverted index every dedup
     pass shares. Spark evicts it LRU when memory is needed."""
-    sh = _shingle_table(spark, sf_dir).persist()
+    sh = _persisted_shingles(spark, sf_dir)
 
     # signatures via the 2-hash affine family h_p = (h1 + p*h2) mod 2^48
     # (Broder-style universal perms): h1/h2 are DISJOINT 48-bit slices
@@ -223,22 +244,33 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     oracle applies the identical cap. ``df_cap=None`` is the
     exhaustive form, kept as ground truth for the LSH recall tests —
     never use it on a corpus with unbounded hot shingles."""
-    return jaccard_pairs_from_docs(
-        load_table(spark, sf_dir, "documents"), df_cap)
+    return _jaccard_from_shingles(_persisted_shingles(spark, sf_dir), df_cap)
 
 
 def jaccard_pairs_from_docs(docs: DataFrame,
                             df_cap: int | None = DF_CAP) -> DataFrame:
-    """DataFrame-level core of ``ngram_jaccard_pairs`` (see its
-    docstring for the df-cap semantics)."""
-    raw = _shingle_table_from_docs(docs)
+    """DataFrame-level core of ``ngram_jaccard_pairs`` for ad-hoc
+    corpora (tests, worst-case fixtures). Persists its own one-shot
+    shingle table; fixture-table callers go through
+    ``ngram_jaccard_pairs`` which reuses the shared session index."""
+    return _jaccard_from_shingles(_shingle_table_from_docs(docs).persist(),
+                                  df_cap)
+
+
+def _jaccard_from_shingles(raw: DataFrame,
+                           df_cap: int | None = DF_CAP) -> DataFrame:
+    """Inverted-index Jaccard over a (persisted) shingle table (see
+    ``ngram_jaccard_pairs`` for the df-cap semantics). The capped
+    index is NOT re-persisted: each branch replays a cheap anti-join
+    against the small hot set from the cached raw index instead of
+    stacking a second near-identical cache entry."""
     if df_cap is not None:
         # (doc_id, s) is distinct by construction, so count(*) == df
         hot = (raw.groupBy("s").agg(F.count("*").alias("df"))
                   .filter(F.col("df") > df_cap).select("s"))
-        sh = raw.join(hot, "s", "left_anti").persist()
+        sh = raw.join(hot, "s", "left_anti")
     else:
-        sh = raw.persist()
+        sh = raw
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (sh.alias("x").join(sh.alias("y"),
                                  (F.col("x.s") == F.col("y.s"))
