@@ -134,13 +134,24 @@ def main() -> None:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # The driver may tail-truncate captured stdout (BENCH_r03.json lost
+    # the head of the single giant line). Defend twice: (1) the full
+    # payload is always recoverable from a repo file; (2) per-query
+    # lines go FIRST so truncation consumes them, and the complete
+    # summary line is LAST — the side that survives a tail capture.
+    with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    for name, sec in timings.items():
+        print(json.dumps({"query": name, "sec": sec}))
+    print(json.dumps(payload))
     spark.stop()
 
 
