@@ -41,39 +41,47 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-3 window: the 9 events queries repaired by the loader fix, the
-# rows rotation dropped in round 2, and the never-driver-verified
-# temporal / TPC-H / MERGE / data-quality / LLM / streaming surface.
+# Round-4 window: all 50 slots spent on queries that have NEVER carried
+# a driver row (the round-3 window went 50/50 green — see COVERAGE.md),
+# converting the locally-proven remainder into driver evidence:
+# multimodal, graph, quantized ANN, the composed curation pipeline, the
+# UDAF/UDTF/sketch category's first hash rows, the TPC-H remainder
+# (evidence 11/22 -> 22/22), CDC diff, robust outliers, the streaming
+# remainder, sampling/sharding/PII, and the analytic remainder.
+# Left for a future window (their categories already carry hash rows):
+# fuzzy_match_parts, explode_outer_rare_tokens, bpe_pair_counts.
 DRIVER_WINDOW = [
-    # events batch surface (all erred in r2 on the loader bug — repaired)
-    "mr_sessionize_secondary_sort", "grouping_sets_revenue",
-    "json_funcs_events", "map_funcs_events", "scalar_subquery_orders",
-    "in_subquery_lineitem", "tumbling_event_counts", "rollup_merge_events",
-    "sessionize_events", "sessionize_events_scalable",
-    # subqueries + RANGE window + OLAP composites (never driver-rowed)
-    "exists_big_order_customers", "not_exists_idle_suppliers",
-    "window_range_hour_events", "funnel_conversion_events",
-    "cohort_retention_events", "gapfill_hourly_events",
-    # temporal joins (r1 rows lost to rotation / never rowed)
-    "asof_last_error", "asof_next_purchase", "interval_join_click_purchase",
-    "twa_user_value", "decay_weighted_user_value", "range_join_ship_near_order",
-    "salted_join_revenue",
-    # TPC-H shapes without a driver row yet
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q18_large_volume", "q21_waiting_supplier",
-    # MERGE / SCD2 / data quality
-    "merge_upsert_customers", "scd2_close_and_insert",
-    "dq_check_orders_lineitem", "winsorize_prices",
-    # LLM dedup + similarity flagship
-    "exact_dedup_docs", "segment_dedup_docs", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "simhash_docs", "embedding_neardup_pairs",
-    "knn_bruteforce",
-    # text analysis + curation
-    "token_stats_docs", "build_vocab", "tf_df_docs", "lang_id_docs",
-    "quality_score_docs", "gopher_rules_docs", "contamination_docs",
-    "pack_sequences_docs",
-    # streaming (first-ever driver rows)
-    "stream_tumbling_counts", "stateful_session_flush",
+    # multimodal — the only §2 component group with zero driver rows
+    "multimodal_features", "multimodal_frame_sample", "multimodal_audio_energy",
+    # graph analytics
+    "triangle_count_copurchase", "reachable_parts_2hop",
+    # quantized ANN + embedding centroids + composed curation flow
+    "knn_quantized", "label_centroids", "curation_pipeline",
+    # UDAF / UDTF / sketches (first hash-verified rows for the category;
+    # udaf_gini_segment gained an exact cents-grid oracle this round)
+    "udaf_gini_segment", "chunk_docs_udtf", "countmin_token_counts",
+    "heavy_hitter_tokens",
+    # TPC-H remainder
+    "q2_min_cost_supplier", "q11_important_parts", "q12_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_diversity", "q17_small_qty_revenue",
+    "q19_disjunctive_revenue", "q20_excess_stock", "q22_global_sales",
+    # CDC snapshot diff + robust MAD outliers
+    "snapshot_diff_orders", "mad_outlier_orders",
+    # streaming remainder
+    "stream_static_enrich", "stream_sliding_counts", "stream_session_windows",
+    "stream_interval_join", "stream_dedup_users", "stateful_user_totals",
+    # sampling / sharding / PII / repetition
+    "pps_sample_docs", "stratified_sample_docs", "reservoir_sample_docs",
+    "shuffle_shard_docs", "scrub_pii_docs", "cross_corpus_dups",
+    "dup_ngram_fraction_docs", "repetition_stats_docs",
+    "embedding_normalize_quantize",
+    # text analysis remainder
+    "token_count_bpe_docs", "train_test_split_docs", "fingerprint_docs",
+    # analytic remainder
+    "window_ntile_orders", "window_first_last_orders", "unpivot_part_metrics",
+    "stats_agg_lineitem", "argmax_orders_by_priority",
+    "histogram_totalprice", "profile_orders",
 ]
 
 

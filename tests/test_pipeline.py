@@ -93,6 +93,32 @@ def test_neardup_keep_best_picks_cluster_argmax(spark):
         assert keepers[0].doc_id == best.doc_id
 
 
+def test_neardup_keep_best_flag_matches_independent_union_find(spark):
+    """The keep flag itself, end to end, against an INDEPENDENT
+    derivation: union-find over the raw LSH pairs + doc lengths from
+    the raw table, never trusting the operator's own clustering."""
+    from collections import defaultdict
+    from mapreduce_rust_spark.llm.dedup import minhash_lsh_pairs
+    from mapreduce_rust_spark.llm.pipeline import neardup_keep_best
+    pairs = [(r.doc_a, r.doc_b)
+             for r in minhash_lsh_pairs(spark, SF_CORRECT).collect()]
+    assert pairs
+    comp = _union_find(pairs)
+    n_chars = {r.doc_id: len(r.text)
+               for r in spark.read.parquet(
+                   f"{SF_CORRECT}/documents.parquet").collect()}
+    members = defaultdict(list)
+    for doc, rep in comp.items():
+        members[rep].append(doc)
+    want_keep = {min(m, key=lambda d: (-n_chars[d], d)): True
+                 for m in members.values()}
+    got = {r.doc_id: r.keep
+           for r in neardup_keep_best(spark, SF_CORRECT).collect()}
+    assert set(got) == set(comp)  # exactly the docs in >=1 pair
+    for doc in got:
+        assert got[doc] == want_keep.get(doc, False), doc
+
+
 def test_curation_pipeline_accounting(spark):
     """Total curated docs == quality survivors - exact dups - near-dup
     doc_b side (fixture has no exact dups)."""
