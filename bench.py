@@ -102,6 +102,10 @@ HEADLINE = [
     "reachable_parts_2hop",
     "snapshot_diff_orders",
     "pps_sample_docs",
+    # round 4: mixture balancing + model-based quality filtering
+    "domain_mix_sample",
+    "quality_classifier_score",
+    "domain_upsample_docs",
 ]
 
 

@@ -486,8 +486,187 @@ FROM documents GROUP BY lang
 """
 
 
+# Target corpus mixture (ppm of output docs per language) for
+# domain_mix_sample — what a pretraining recipe's mixture table holds.
+TARGET_MIX_PPM = {"en": 350000, "de": 150000, "fr": 150000,
+                  "es": 150000, "zh": 200000}
+MIX_GRID = 1_000_000
+
+# Per-language repetition factors ("epochs") for domain_upsample_docs.
+UPSAMPLE_EPOCHS = {"zh": 3, "fr": 2, "de": 2}
+
+
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching domain sampler: downsample each language
+    so the OUTPUT corpus matches ``TARGET_MIX_PPM`` as closely as an
+    integer-exact Bernoulli thinning can — the mixture-reweighting
+    step every pretraining recipe runs over its domain table.
+
+    Feasible output size is maximized subject to never upsampling:
+    M = min over languages of n_l·GRID/w_l (the binding language keeps
+    100%); each language then keeps w_l·M/(GRID·n_l) of its docs via
+    the content-hash threshold. ALL arithmetic is integer division
+    (`DIV` ≡ DuckDB `//`) on a 10⁶ grid — no floats, so the sample is
+    reproducible across runs, engines, and partitionings. Languages
+    absent from the target table are dropped (keep_ppm 0).
+
+    Scale shape: one tiny per-language count aggregate, a 1-row global
+    min, and a broadcast join of the ≤|languages|-row rate table back
+    onto the corpus — the corpus itself never shuffles until the
+    reporting aggregate. Reports per-language kept/total and the
+    applied keep_ppm, making the mixture itself hash-verifiable."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(0)
+    for lang, ppm in TARGET_MIX_PPM.items():
+        w = F.when(F.col("lang") == lang, F.lit(ppm)).otherwise(w)
+    counts = (docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+                  .withColumn("w_l", w.cast("long")))
+    m = (counts.filter(F.col("w_l") > 0)
+               .agg(F.min(F.expr(f"n_l * {MIX_GRID} DIV w_l")).alias("m")))
+    rates = (counts.crossJoin(F.broadcast(m))  # 1-row global scalar
+             .withColumn(
+                 "keep_ppm",
+                 F.when(F.col("w_l") > 0,
+                        F.least(F.lit(MIX_GRID).cast("long"),
+                                F.expr("w_l * m DIV n_l")))
+                  .otherwise(F.lit(0).cast("long")))
+             .select("lang", "keep_ppm"))
+    bucket = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10) \
+        .cast("long") % MIX_GRID
+    kept = (bucket < F.col("keep_ppm")).cast("long")
+    return (docs.join(F.broadcast(rates), "lang")
+                .select("lang", "keep_ppm", kept.alias("kept"))
+                .groupBy("lang")
+                .agg(F.sum("kept").alias("n_kept"),
+                     F.count("*").alias("n_total"),
+                     F.first("keep_ppm").alias("keep_ppm")))
+
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {ppm}" for lang, ppm in TARGET_MIX_PPM.items())
+
+DOMAIN_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_l,
+         CAST(CASE {_MIX_CASE} ELSE 0 END AS BIGINT) AS w_l
+  FROM documents GROUP BY lang
+),
+m AS (
+  SELECT MIN(n_l * {MIX_GRID} // w_l) AS m FROM counts WHERE w_l > 0
+),
+rates AS (
+  SELECT lang, CASE WHEN w_l > 0
+                    THEN LEAST({MIX_GRID}, w_l * m.m // n_l)
+                    ELSE 0 END AS keep_ppm
+  FROM counts, m
+)
+SELECT d.lang,
+       CAST(SUM(CASE WHEN CAST('0x' || substr(md5(d.text), 1, 12) AS BIGINT)
+                          % {MIX_GRID} < r.keep_ppm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_total,
+       CAST(ANY_VALUE(r.keep_ppm) AS BIGINT) AS keep_ppm
+FROM documents d JOIN rates r ON d.lang = r.lang
+GROUP BY d.lang
+"""
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, hashed-feature linear form: each
+    token maps to a weight via the hashing trick (md5 → [-1000, 1000]
+    here; a trained fastText/logistic model would broadcast its real
+    weight table instead — the plumbing is identical), a document's
+    score is the mean token weight, keep = score > 0.
+
+    Zero-shuffle by construction: the bag-of-words sum runs INSIDE the
+    row via JVM higher-order functions (``aggregate`` over
+    ``transform``) — no explode, no per-token shuffle, no Python. At
+    100 TB this is a pure linear scan whose cost is the md5 throughput;
+    integer weight sums (|w|≤1000·n_toks ≪ 2^53) divide to
+    bit-identical doubles on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    weight = lambda t: (  # noqa: E731 — inline HOF lambda body
+        F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
+        % 2001 - 1000)
+    w_sum = F.aggregate(F.transform(toks, weight),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    d = docs.select("doc_id",
+                    F.size(toks).cast("long").alias("n_toks"),
+                    w_sum.alias("w_sum"))
+    score = F.when(F.col("n_toks") == 0, F.lit(0.0)) \
+             .otherwise(F.col("w_sum").cast("double") / F.col("n_toks"))
+    return d.select("doc_id", "n_toks", "w_sum", score.alias("score"),
+                    (score > 0).alias("keep"))
+
+
+QUALITY_CLASSIFIER_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+           t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2001 - 1000
+         ) AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+         CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS w_sum
+  FROM d
+)
+SELECT doc_id, n_toks, w_sum,
+       CASE WHEN n_toks = 0 THEN 0.0
+            ELSE CAST(w_sum AS DOUBLE) / n_toks END AS score,
+       (CASE WHEN n_toks = 0 THEN 0.0
+             ELSE CAST(w_sum AS DOUBLE) / n_toks END) > 0 AS keep
+FROM s
+"""
+
+
+def domain_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-domain upsampling: repeat every document of an
+    underrepresented language ``UPSAMPLE_EPOCHS[lang]`` times (default
+    1) — the corpus-repetition half of mixture balancing (the sampler
+    above is the downsampling half). Implemented as an explode over
+    ``sequence(1, factor)``: row fan-out happens executor-side inside
+    the scan stage, so the operator is shuffle-free until the
+    reporting aggregate and the blow-up is bounded by the factor
+    table. Reports per (lang, epoch) doc and token-sum counts — the
+    shape a shard writer consumes (epoch k of lang l is its own
+    deterministic slice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    factor = F.lit(1)
+    for lang, k in UPSAMPLE_EPOCHS.items():
+        factor = F.when(F.col("lang") == lang, F.lit(k)).otherwise(factor)
+    n_tokens = F.size(_toks(F.col("text"))).cast("long")
+    d = docs.select("lang", n_tokens.alias("n_tokens"),
+                    F.explode(F.sequence(F.lit(1), factor)).alias("epoch"))
+    return (d.groupBy("lang", F.col("epoch").cast("long").alias("epoch"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_tokens").alias("n_tokens")))
+
+
+_UPSAMPLE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {k}" for lang, k in UPSAMPLE_EPOCHS.items())
+
+DOMAIN_UPSAMPLE_ORACLE = f"""
+SELECT lang, CAST(e.epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     t -> t <> '')) AS BIGINT))
+            AS BIGINT) AS n_tokens
+FROM documents,
+     UNNEST(generate_series(1, CASE {_UPSAMPLE_CASE} ELSE 1 END))
+       AS e(epoch)
+GROUP BY lang, e.epoch
+"""
+
+
 REGISTRATIONS = [
     ("unigram_logprob_docs", unigram_logprob_docs, None),
+    ("domain_mix_sample", domain_mix_sample, DOMAIN_MIX_ORACLE),
+    ("quality_classifier_score", quality_classifier_score,
+     QUALITY_CLASSIFIER_ORACLE),
+    ("domain_upsample_docs", domain_upsample_docs, DOMAIN_UPSAMPLE_ORACLE),
     ("pps_sample_docs", pps_sample_docs, PPS_SAMPLE_ORACLE),
     ("repetition_stats_docs", repetition_stats_docs, REPETITION_ORACLE),
     ("scrub_pii_docs", scrub_pii_docs, SCRUB_PII_ORACLE),

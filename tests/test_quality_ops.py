@@ -101,3 +101,63 @@ def test_unigram_logprob_matches_python_reference(spark):
     assert set(got) == set(want)
     for d, w in want.items():
         assert abs(got[d] - w) <= 1e-6 * max(1.0, abs(w)), (d, got[d], w)
+
+
+def test_domain_mix_sample_matches_target_distribution(spark):
+    """The binding language keeps 100%; every kept-share is within
+    Bernoulli noise of its target ppm; no language is upsampled."""
+    from mapreduce_rust_spark.llm.quality import (
+        MIX_GRID, TARGET_MIX_PPM, domain_mix_sample)
+    rows = {r.lang: r for r in domain_mix_sample(spark, SF_CORRECT).collect()}
+    assert set(rows) == set(TARGET_MIX_PPM)
+    assert any(r.keep_ppm == MIX_GRID for r in rows.values()), \
+        "feasibility is maximized only if some language keeps 100%"
+    assert all(r.n_kept <= r.n_total for r in rows.values())
+    n_out = sum(r.n_kept for r in rows.values())
+    assert n_out > 0
+    for lang, r in rows.items():
+        want_share = TARGET_MIX_PPM[lang] / MIX_GRID
+        got_share = r.n_kept / n_out
+        # ±12 percentage points absorbs hash-threshold noise at n~500
+        assert abs(got_share - want_share) < 0.12, (lang, got_share)
+
+
+def test_quality_classifier_score_reference(spark):
+    """Hashed-weight mean vs a pure-Python recomputation on the tiny
+    fixture, plus the keep rule."""
+    import hashlib
+    import re
+    from mapreduce_rust_spark.llm.quality import quality_classifier_score
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    def weight(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % 2001 - 1000
+
+    docs = {r.doc_id: [t for t in re.split(r"\s+", r.text) if t]
+            for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    got = {r.doc_id: r for r in
+           quality_classifier_score(spark, SF_SMOKE).collect()}
+    assert set(got) == set(docs)
+    for d, ts in docs.items():
+        w_sum = sum(weight(t) for t in ts)
+        assert got[d].n_toks == len(ts)
+        assert got[d].w_sum == w_sum
+        assert got[d].keep == (len(ts) > 0 and w_sum / len(ts) > 0)
+
+
+def test_domain_upsample_epoch_slices_are_identical(spark):
+    """Every epoch of a language is a full copy of that language's
+    corpus: identical n_docs and n_tokens across its epochs, epochs
+    numbered 1..factor, factor-1 languages get exactly one."""
+    from collections import defaultdict
+    from mapreduce_rust_spark.llm.quality import (
+        UPSAMPLE_EPOCHS, domain_upsample_docs)
+    rows = domain_upsample_docs(spark, SF_CORRECT).collect()
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r.lang][r.epoch] = (r.n_docs, r.n_tokens)
+    for lang, epochs in by_lang.items():
+        k = UPSAMPLE_EPOCHS.get(lang, 1)
+        assert sorted(epochs) == list(range(1, k + 1)), lang
+        assert len(set(epochs.values())) == 1, lang
