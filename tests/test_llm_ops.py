@@ -137,3 +137,16 @@ def test_countmin_one_sided_error_under_collisions(spark):
     assert any(r.cms_est > r.exact_cnt for r in rows)  # collisions real
     bound = math.e / 8 * total
     assert all(r.cms_est - r.exact_cnt <= bound for r in rows)
+
+
+def test_shingle_index_is_memoized_per_session_and_dir(spark):
+    """Repeated dedup calls must share ONE persisted shingle index per
+    (session, sf_dir) — the round-3 curation regression was duplicate
+    persisted lineages stacking up across calls."""
+    from mapreduce_rust_spark.llm.dedup import _persisted_shingles
+    a = _persisted_shingles(spark, SF_SMOKE)
+    b = _persisted_shingles(spark, SF_SMOKE)
+    assert a is b, "same dir must return the cached DataFrame object"
+    assert a.storageLevel.useMemory, "index must actually be persisted"
+    c = _persisted_shingles(spark, SF_CORRECT)
+    assert c is not a, "different sf_dir must not share an index"
