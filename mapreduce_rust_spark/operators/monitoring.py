@@ -1,0 +1,185 @@
+"""Production-monitoring operators — rolling z-score anomaly
+detection over the event stream and distribution-drift scoring
+between corpus slices. These are the "is today's data shaped like
+yesterday's" checks a 100 TB ingest pipeline runs continuously;
+both are single-plan DataFrame compositions with exact integer
+arithmetic so the DuckDB oracles hash-match bit-for-bit.
+
+Numeric discipline: event values live on the exact cents grid
+(``round(value*100)`` — the udaf.py convention, fixture values carry
+exactly 2 decimals), and the z-score test is algebraically cleared of
+division/sqrt: ``|v - S/n| > 3·sqrt((nQ - S²))/n²`` rewritten as
+``(v·n - S)² > 9·(nQ - S²)`` — pure BIGINT comparisons (worst case
+~9e12, far inside int64), no float ever materializes.
+
+Reference anchor: the reference has no monitoring surface (its only
+pipeline is word-count, worker.rs); this module is extension surface
+for the large-scale curation pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+Z_WIN = 100       # trailing events in the baseline window
+Z_MIN_N = 30      # minimum baseline size before scoring
+DRIFT_BUCKET = 50  # n_chars histogram bucket width
+PPM = 1_000_000
+
+
+def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score outliers: an event is anomalous when its
+    value sits more than 3 sample-stds from the mean of the previous
+    ``Z_WIN`` events of the same (event_type, day). Events with fewer
+    than ``Z_MIN_N`` predecessors that day are unscored (cold start).
+
+    The per-(type, day) partitioning is the scale design: event_type
+    alone has ~5 values (a 5-partition window stage would serialize
+    a 100 TB scan), while (type, day) yields thousands of bounded
+    partitions; the trailing baseline intentionally resets at local
+    midnight — "compare against today's traffic", standard for
+    seasonal metrics. One shuffle, one window pass.
+
+    Anomaly test in exact integers (population variance):
+    ``n·(nQ - S²)`` vs ``(v·n - S)²·n`` reduces to
+    ``(v·n - S)² > 9·(nQ - S²)`` after clearing ``n²`` — identical
+    BIGINT expressions on both engines, no sqrt/division.
+
+    Output: ``(event_id, event_type, day, n_prev, is_anomaly)`` for
+    every scored event.
+    """
+    return zscore_anomaly(load_table(spark, sf_dir, "events"))
+
+
+def zscore_anomaly(events: DataFrame) -> DataFrame:
+    """Core of :func:`zscore_anomaly_events` over any
+    ``(event_id, event_type, ts, value)`` frame."""
+    ev = (events
+          .select("event_id", "event_type",
+                  F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  F.unix_micros("ts").alias("us"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    w = (W.partitionBy("event_type", "day").orderBy("us", "event_id")
+          .rowsBetween(-Z_WIN, -1))
+    scored = ev.select(
+        "event_id", "event_type", "day", "vc",
+        F.count("vc").over(w).alias("n"),
+        F.sum("vc").over(w).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("q"))
+    d = F.col("vc") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (scored.where(F.col("n") >= Z_MIN_N)
+                  .select("event_id", "event_type", "day",
+                          F.col("n").alias("n_prev"),
+                          (d * d > F.lit(9) * var_n2).alias("is_anomaly")))
+
+
+ZSCORE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+scored AS (
+  SELECT event_id, event_type, day, vc,
+         COUNT(vc) OVER w AS n,
+         SUM(vc)   OVER w AS s,
+         SUM(vc * vc) OVER w AS q
+  FROM ev
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY us, event_id
+               ROWS BETWEEN {Z_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, day, n AS n_prev,
+       (vc * n - s) * (vc * n - s) > 9 * (n * q - s * s) AS is_anomaly
+FROM scored
+WHERE n >= {Z_MIN_N}
+"""
+
+
+def tv_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: total-variation distance
+    between each source's document-length histogram and the whole
+    corpus's, on ``DRIFT_BUCKET``-char buckets. TV = ½·L1; reported
+    in exact parts-per-million (proportions are integer
+    ``count·1e6 DIV total`` — floor division is deterministic and
+    identical on both engines, so the score is hash-exact).
+
+    Shape: one groupBy to (source, bucket) counts — after which the
+    data is dims-sized (sources × buckets, ~200 rows at any corpus
+    scale) — then a broadcast source×bucket grid (both sides are
+    post-aggregation dims, so the cross join is a
+    BroadcastNestedLoopJoin over tiny inputs, never a corpus
+    cartesian) to materialize zero-count cells, window sums for the
+    per-source and corpus totals, and one final groupBy. The corpus
+    never shuffles twice: everything after the first aggregate
+    operates on the dims table.
+
+    Output: ``(source, n_docs, l1_ppm, tv_ppm)``.
+    """
+    return tv_drift(load_table(spark, sf_dir, "documents"))
+
+
+def tv_drift(docs: DataFrame) -> DataFrame:
+    """Core of :func:`tv_drift_sources` over any
+    ``(source, n_chars)`` frame."""
+    cnt = (docs.select("source",
+                       F.expr(f"n_chars div {DRIFT_BUCKET}").alias("b"))
+               .groupBy("source", "b").agg(F.count("*").alias("c")))
+    grid = (cnt.select("source").distinct()
+               .crossJoin(cnt.select("b").distinct())
+               .join(cnt, ["source", "b"], "left")
+               .withColumn("c", F.coalesce("c", F.lit(0))))
+    filled = (grid.withColumn("t_src",
+                              F.sum("c").over(W.partitionBy("source")))
+                  .withColumn("g", F.sum("c").over(W.partitionBy("b")))
+                  .withColumn("t_all", F.sum("c").over(
+                      W.partitionBy(F.lit(1)))))
+    # integral DIV (not float floor-division): exact at any corpus
+    # size — float a/b mis-floors once b exceeds ~2^52/quotient.
+    diff = F.expr(f"abs(c * {PPM}L div t_src - g * {PPM}L div t_all)")
+    return (filled.groupBy("source")
+                  .agg(F.max("t_src").alias("n_docs"),
+                       F.sum(diff).cast("long").alias("l1_ppm"))
+                  .select("source", "n_docs", "l1_ppm",
+                          F.floor(F.col("l1_ppm") / 2).cast("long")
+                          .alias("tv_ppm")))
+
+
+TV_DRIFT_ORACLE = f"""
+WITH cnt AS (
+  SELECT source, n_chars // {DRIFT_BUCKET} AS b, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, bk.b, COALESCE(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM cnt) s
+  CROSS JOIN (SELECT DISTINCT b FROM cnt) bk
+  LEFT JOIN cnt ON cnt.source = s.source AND cnt.b = bk.b
+),
+filled AS (
+  SELECT source, b, c,
+         SUM(c) OVER (PARTITION BY source) AS t_src,
+         SUM(c) OVER (PARTITION BY b) AS g,
+         SUM(c) OVER () AS t_all
+  FROM grid
+),
+per_source AS (
+  SELECT source, MAX(t_src) AS n_docs,
+         SUM(ABS(c * {PPM} // t_src - g * {PPM} // t_all)) AS l1_ppm
+  FROM filled GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(l1_ppm AS BIGINT) AS l1_ppm,
+       CAST(l1_ppm // 2 AS BIGINT) AS tv_ppm
+FROM per_source
+"""
+
+
+REGISTRATIONS = [
+    ("zscore_anomaly_events", zscore_anomaly_events, ZSCORE_ORACLE),
+    ("tv_drift_sources", tv_drift_sources, TV_DRIFT_ORACLE),
+]

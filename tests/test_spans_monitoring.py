@@ -1,0 +1,157 @@
+"""Behavioral checks for duplicate-span extraction, strided
+chunking, rolling z-score anomalies, and TV drift (bit-level
+correctness is covered by the DuckDB oracle mirror; these pin the
+semantics on planted inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def _doc(doc_id, words):
+    return (doc_id, " ".join(words))
+
+
+def test_dup_spans_finds_planted_maximal_run(spark):
+    """Two docs share a 12-token run; with w=8 that is 5 consecutive
+    duplicated windows → ONE maximal span of span_tokens=12 in each
+    doc, starting at the planted offset. Unique docs yield nothing."""
+    from mapreduce_rust_spark.llm.spans import dup_spans
+    shared = [f"s{i}" for i in range(12)]
+    a = [f"a{i}" for i in range(10)] + shared + [f"A{i}" for i in range(10)]
+    b = [f"b{i}" for i in range(4)] + shared + [f"B{i}" for i in range(7)]
+    c = [f"c{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [_doc(1, a), _doc(2, b), _doc(3, c)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in dup_spans(docs, w=8).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].span_start == 10 and rows[1].span_tokens == 12
+    assert rows[2].span_start == 4 and rows[2].span_tokens == 12
+    assert rows[1].n_windows == rows[2].n_windows == 5
+
+
+def test_dup_spans_flags_within_doc_repeat(spark):
+    """A doc repeating its own 8-gram is self-duplicated (Lee et al.
+    semantics) even with no other doc involved."""
+    from mapreduce_rust_spark.llm.spans import dup_spans
+    run = [f"r{i}" for i in range(8)]
+    solo = run + ["x", "y"] + run
+    docs = spark.createDataFrame([_doc(1, solo)], ["doc_id", "text"])
+    rows = sorted(dup_spans(docs, w=8).collect(),
+                  key=lambda r: r.span_start)
+    assert [r.span_start for r in rows] == [0, 10]
+    assert all(r.span_tokens == 8 for r in rows)
+
+
+def test_chunk_stride_covers_and_overlaps(spark):
+    """Chunks must (a) start every CHUNK_S tokens, (b) overlap by
+    C−S tokens, (c) jointly cover every token, (d) reconstruct the
+    doc from stride-slices."""
+    from mapreduce_rust_spark.llm.spans import (
+        CHUNK_C, CHUNK_S, chunk_stride)
+    n = 200
+    words = [f"w{i}" for i in range(n)]
+    docs = spark.createDataFrame([_doc(7, words)], ["doc_id", "text"])
+    rows = sorted(chunk_stride(docs).collect(), key=lambda r: r.chunk_id)
+    # expected chunk count: 1 + ceil((200-64)/48) = 1 + ceil(136/48) = 4
+    assert len(rows) == 4
+    seen = set()
+    for r in rows:
+        toks = r.chunk.split(" ")
+        start = r.chunk_id * CHUNK_S
+        assert toks == words[start:start + CHUNK_C]
+        assert r.n_tokens == len(toks) == min(CHUNK_C, n - start)
+        seen.update(range(start, start + r.n_tokens))
+    assert seen == set(range(n))
+    # consecutive chunks overlap by C - S tokens
+    assert rows[0].chunk.split(" ")[CHUNK_S:] == \
+        rows[1].chunk.split(" ")[:CHUNK_C - CHUNK_S]
+
+
+def test_chunk_stride_short_doc_single_chunk(spark):
+    from mapreduce_rust_spark.llm.spans import chunk_stride
+    docs = spark.createDataFrame(
+        [_doc(1, ["only", "three", "words"]), (2, "   ")],
+        ["doc_id", "text"])
+    rows = chunk_stride(docs).collect()
+    assert len(rows) == 1  # whitespace-only doc yields nothing
+    assert rows[0].doc_id == 1 and rows[0].chunk_id == 0
+    assert rows[0].n_tokens == 3 and rows[0].chunk == "only three words"
+
+
+def test_zscore_flags_planted_spike_only(spark):
+    """120 flat-value events then one 100× spike, same type+day: only
+    the spike (and nothing in the flat tail after it re-inflates the
+    variance) is anomalous; the first Z_MIN_N events are unscored."""
+    from datetime import datetime, timedelta
+    from mapreduce_rust_spark.operators.monitoring import (
+        Z_MIN_N, zscore_anomaly)
+    t0 = datetime(2024, 3, 1)
+    rows = [(i, "click", t0 + timedelta(seconds=i),
+             10.0 + (0.01 * (i % 7)))  # tiny jitter, nonzero variance
+            for i in range(120)]
+    rows.append((120, "click", t0 + timedelta(seconds=120), 1000.0))
+    rows += [(121 + i, "click", t0 + timedelta(seconds=121 + i), 10.0)
+             for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "event_type", "ts", "value"])
+    got = {r.event_id: r for r in zscore_anomaly(ev).collect()}
+    assert min(got) == Z_MIN_N  # cold start: first 30 unscored
+    anomalous = {eid for eid, r in got.items() if r.is_anomaly}
+    assert anomalous == {120}
+
+
+def test_zscore_baseline_resets_per_day(spark):
+    """The same spike value is NOT anomalous when the day boundary
+    wipes its baseline (fewer than Z_MIN_N predecessors that day)."""
+    from datetime import datetime, timedelta
+    from mapreduce_rust_spark.operators.monitoring import zscore_anomaly
+    d1 = datetime(2024, 3, 1, 23, 0)
+    rows = [(i, "click", d1 + timedelta(seconds=i), 10.0 + 0.01 * (i % 7))
+            for i in range(60)]
+    # next day: spike arrives with only 3 same-day predecessors
+    d2 = datetime(2024, 3, 2, 0, 0)
+    rows += [(100 + i, "click", d2 + timedelta(seconds=i), 10.0)
+             for i in range(3)]
+    rows.append((200, "click", d2 + timedelta(seconds=10), 1000.0))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "event_type", "ts", "value"])
+    got = {r.event_id for r in zscore_anomaly(ev).collect()}
+    assert 200 not in got  # unscored, not "normal"
+
+
+def test_tv_drift_zero_for_identical_uniform_slices(spark):
+    """Two sources with identical length histograms drift 0 from the
+    corpus; a shifted third source drifts strictly more."""
+    from mapreduce_rust_spark.operators.monitoring import tv_drift
+    rows = []
+    for src in ("a", "b"):
+        rows += [(src, 100 + 50 * (i % 4)) for i in range(40)]
+    rows += [("c", 5000 + 50 * (i % 4)) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {r.source: r for r in tv_drift(docs).collect()}
+    assert got["a"].tv_ppm == got["b"].tv_ppm
+    assert got["c"].tv_ppm > got["a"].tv_ppm
+    assert all(r.n_docs == 40 for r in got.values())
+    # c occupies disjoint buckets from the a+b mass (2/3 of corpus):
+    # TV(c, corpus) = 2/3 → 666666 ppm (floor-div grid)
+    assert abs(got["c"].tv_ppm - 666_666) <= 4
+
+
+def test_new_ops_fixture_nondegenerate(spark):
+    """On the real fixture: spans exist (fixture has near-dup docs),
+    chunks cover the corpus token count, anomalies are scored, drift
+    is finite and nonzero somewhere."""
+    from mapreduce_rust_spark.llm.spans import (
+        chunk_stride_docs, dup_span_docs)
+    from mapreduce_rust_spark.operators.monitoring import (
+        tv_drift_sources, zscore_anomaly_events)
+    assert dup_span_docs(spark, SF_CORRECT).count() > 0
+    ch = chunk_stride_docs(spark, SF_CORRECT)
+    assert ch.where(F.col("n_tokens") <= 0).count() == 0
+    z = zscore_anomaly_events(spark, SF_CORRECT)
+    assert z.count() > 0
+    tv = tv_drift_sources(spark, SF_CORRECT).collect()
+    assert len(tv) == 20 and all(0 <= r.tv_ppm <= 1_000_000 for r in tv)
