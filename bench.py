@@ -106,6 +106,13 @@ HEADLINE = [
     "domain_mix_sample",
     "quality_classifier_score",
     "domain_upsample_docs",
+    # round 4b: lossless prefix-filtered similarity join, substring
+    # spans, strided chunking, anomaly/drift monitoring
+    "ppjoin_jaccard_pairs",
+    "dup_span_docs",
+    "chunk_stride_docs",
+    "zscore_anomaly_events",
+    "tv_drift_sources",
 ]
 
 

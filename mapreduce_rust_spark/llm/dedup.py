@@ -14,13 +14,17 @@ hash). At 100 TB none of these operators ever forms a cross product:
   ≥1 shingle), not all-pairs. Hot shingles should be stop-worded /
   df-capped at scale (df cap keeps the join from quadratic blowup on
   boilerplate).
+- PPJoin prefix filtering: the LOSSLESS alternative to the df-cap —
+  rarest-first prefixes keep hot shingles out of the candidate join
+  without changing Jaccard semantics (pair-set-equal to the
+  exhaustive join, proven in tests).
 - SimHash: per-token hash → per-bit majority → 60-bit signature;
   two groupBys, linear.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.tables import load_table
@@ -165,8 +169,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct())
 
     # exact-Jaccard verification restricted to CANDIDATES (never the
-    # full shingle self-join — hot shingles make that quadratic):
-    # explode each candidate pair by doc_a's shingles, probe doc_b's.
+    # full shingle self-join — hot shingles make that quadratic)
+    return _verify_pairs(sh, cand)
+
+
+def _verify_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of ``(doc_a, doc_b)`` candidate
+    pairs against the shingle index: explode each pair by doc_a's
+    shingles, probe doc_b's — work is Σ|shingles(doc_a)| over
+    candidates, never the full self-join. Shared by the MinHash-LSH
+    and PPJoin candidate generators."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sha = sh.withColumnsRenamed({"doc_id": "doc_a"})
     shb = sh.withColumnsRenamed({"doc_id": "doc_b"})
@@ -174,7 +186,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .join(shb, ["doc_b", "s"])
                   .groupBy("doc_a", "doc_b")
                   .agg(F.count("*").alias("c")))
-    jac = (common
+    return (common
                .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
                .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
                .withColumn("jaccard",
@@ -182,7 +194,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (F.col("na") + F.col("nb") - F.col("c")))
                .filter(F.col("jaccard") >= JACCARD_T)
                .select("doc_a", "doc_b", "jaccard"))
-    return jac
 
 
 def _oracle_shingles_cte() -> str:
@@ -296,6 +307,99 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
            GROUP BY 1, 2)
+SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
+"""
+
+
+# --- PPJoin-style prefix-filtered exact Jaccard ----------------------------
+
+def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs at ``JACCARD_T`` via prefix filtering
+    (All-Pairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): the LOSSLESS scale path for set-similarity join, where
+    the df-capped inverted index (``ngram_jaccard_pairs``) changes
+    semantics on boilerplate and plain inverted-index join blows up
+    on hot shingles.
+
+    Order each doc's shingles rarest-first (global (df, s) order) and
+    index only the PREFIX of length ``n - ⌈t·n⌉ + 1``: any pair with
+    J ≥ t has overlap ≥ ⌈t·n⌉ on both sides, so it must collide
+    within both prefixes — candidates from a prefix-prefix join are
+    complete. A corpus-hot boilerplate shingle has maximal df, so it
+    lands in a doc's prefix only when the doc has almost nothing
+    rarer — the k² blowup per hot shingle disappears without dropping
+    any true pair. A length filter (``10·min(n) ≥ 3·max(n)``, the
+    integer form of ``min ≥ t·max``) prunes the rest; exact
+    verification then recomputes Jaccard from the full index, so
+    output correctness never rests on the filter algebra.
+
+    All threshold arithmetic is integral (t = 3/10:
+    ``⌈t·n⌉ = (3n + 9) div 10``) — no float boundary can disagree
+    with the DuckDB oracle. Shapes at 100 TB: df-join + per-doc
+    window (bounded by doc length), prefix-prefix join (fanout
+    bounded by prefix df, see above), candidate-only verify — never
+    all-pairs, no driver traffic."""
+    return _ppjoin_from_shingles(_persisted_shingles(spark, sf_dir))
+
+
+def _ppjoin_from_shingles(sh: DataFrame) -> DataFrame:
+    """Core of :func:`ppjoin_jaccard_pairs` over any (doc_id, s)
+    shingle table (see its docstring)."""
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    ordered = (sh.join(dfreq, "s")
+                 .select("doc_id", "s",
+                         F.row_number().over(
+                             W.partitionBy("doc_id").orderBy("df", "s"))
+                          .alias("pos"),
+                         F.count("*").over(W.partitionBy("doc_id"))
+                          .alias("n")))
+    prefix = (ordered
+              .where(F.col("pos")
+                     <= F.col("n") - F.expr("(3 * n + 9) div 10") + 1)
+              .select("doc_id", "s", "n"))
+    cand = (prefix.alias("a").join(
+                prefix.alias("b"),
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.lit(10) * F.least("a.n", "b.n")
+                   >= F.lit(3) * F.greatest("a.n", "b.n")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    return _verify_pairs(sh, cand)
+
+
+PPJOIN_ORACLE = f"""
+WITH {_oracle_shingles_cte()},
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+ordered AS (
+  SELECT doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, s) AS pos,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM sh JOIN dfreq USING (s)
+),
+prefix AS (
+  SELECT doc_id, s, n FROM ordered
+  WHERE pos <= n - (3 * n + 9) // 10 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND 10 * LEAST(a.n, b.n) >= 3 * GREATEST(a.n, b.n)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS c
+  FROM cand
+  JOIN sh x ON x.doc_id = doc_a
+  JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+  GROUP BY 1, 2
+)
 SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
 FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
@@ -448,6 +552,7 @@ REGISTRATIONS = [
     ("segment_dedup_docs", segment_dedup_docs, SEGMENT_DEDUP_ORACLE),
     ("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_LSH_ORACLE),
     ("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
+    ("ppjoin_jaccard_pairs", ppjoin_jaccard_pairs, PPJOIN_ORACLE),
     ("simhash_docs", simhash_docs, SIMHASH_ORACLE),
     ("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_ORACLE),
 ]

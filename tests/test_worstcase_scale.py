@@ -160,3 +160,66 @@ def test_scalable_sessionize_boundary_cases(spark):
     got = {r.user_id: (r.n_sessions, r.n_events)
            for r in _sessionize_scalable(ev).collect()}
     assert got == want == {1: (1, 2), 2: (2, 2), 3: (2, 4)}
+
+
+def _boilerplate_longtail_docs(spark, n_docs: int):
+    """Boilerplate header (10 hot shingles, df = n_docs) + a 30-word
+    unique tail → boilerplate-only overlap is SUB-threshold
+    (10/(38+38-10) ≈ 0.15 < 0.3): the honest answer is 'no pairs',
+    which the df-cap gets by *changing semantics* and PPJoin must get
+    *losslessly*. Docs 0 and 1 share their tail except one word —
+    the single true near-dup pair PPJoin must keep."""
+    boiler = ("all rights reserved copyright notice terms of service "
+              "apply to this document")
+    tail = F.concat_ws(" ", *[
+        F.concat(F.lit(f"u{i}w"),
+                 F.when(F.col("id") == 1, F.lit("0" if i else "twin"))
+                  .otherwise(F.col("id").cast("string")))
+        for i in range(30)])
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " "), tail).alias("text"))
+
+
+def test_ppjoin_prefix_filter_bounds_hot_shingles_losslessly(spark):
+    """PPJoin on the hot-shingle corpus: rarest-first prefixes never
+    contain the df=n boilerplate shingles, so the prefix-prefix join
+    generates candidates only for genuinely-similar docs — no k²
+    blowup AND no dropped true pair (the df-cap's trade-off,
+    eliminated). The planted tail-twin pair (docs 0,1) must surface
+    with its exact Jaccard."""
+    from mapreduce_rust_spark.llm.dedup import (
+        _ppjoin_from_shingles, _shingle_table_from_docs)
+    n_docs = 3000
+    docs = _boilerplate_longtail_docs(spark, n_docs)
+    sh = _shingle_table_from_docs(docs).persist()
+    try:
+        t0 = time.perf_counter()
+        pairs = _ppjoin_from_shingles(sh).collect()
+        elapsed = time.perf_counter() - t0
+        assert [(r.doc_a, r.doc_b) for r in pairs] == [(0, 1)]
+        # docs 0,1: identical except tail word u0w* → shared shingles:
+        # 10 boiler + 1 bridge ("document u0w* u1w…"? no — first tail
+        # shingle differs) — compute from the data instead of by hand:
+        a = {r.s for r in sh.where(F.col("doc_id") == 0).collect()}
+        b = {r.s for r in sh.where(F.col("doc_id") == 1).collect()}
+        want = len(a & b) / len(a | b)
+        assert abs(pairs[0].jaccard - want) < 1e-12 and want >= 0.3
+        assert elapsed < 60, f"ppjoin took {elapsed:.1f}s on hot corpus"
+    finally:
+        sh.unpersist()
+
+
+def test_ppjoin_equals_exhaustive_on_fixture(spark):
+    """Losslessness, empirically: PPJoin's pair set must equal the
+    uncapped exhaustive inverted-index join on the real corpus (the
+    ground-truth form the LSH recall tests also use)."""
+    from mapreduce_rust_spark.llm.dedup import (
+        _jaccard_from_shingles, _persisted_shingles, _ppjoin_from_shingles)
+    from tests.conftest import SF_CORRECT
+    sh = _persisted_shingles(spark, SF_CORRECT)
+    pp = {(r.doc_a, r.doc_b, round(r.jaccard, 12))
+          for r in _ppjoin_from_shingles(sh).collect()}
+    ex = {(r.doc_a, r.doc_b, round(r.jaccard, 12))
+          for r in _jaccard_from_shingles(sh, None).collect()}
+    assert pp == ex and pp
