@@ -113,6 +113,9 @@ HEADLINE = [
     "chunk_stride_docs",
     "zscore_anomaly_events",
     "tv_drift_sources",
+    "normalize_text_docs",
+    "dedup_normalized_docs",
+    "event_trigrams",
 ]
 
 

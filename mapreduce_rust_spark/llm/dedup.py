@@ -173,12 +173,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(sh, cand)
 
 
-def _verify_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+def _verify_pairs(sh: DataFrame, cand: DataFrame,
+                  t_num: int = 3, t_den: int = 10) -> DataFrame:
     """Exact-Jaccard verification of ``(doc_a, doc_b)`` candidate
     pairs against the shingle index: explode each pair by doc_a's
     shingles, probe doc_b's — work is Σ|shingles(doc_a)| over
     candidates, never the full self-join. Shared by the MinHash-LSH
-    and PPJoin candidate generators."""
+    and PPJoin candidate generators.
+
+    The threshold test is integral — ``c/(na+nb-c) ≥ t_num/t_den ⟺
+    (t_num+t_den)·c ≥ t_num·(na+nb)`` — equivalent to the float
+    filter for every reachable ratio (|c/u − t| ≥ 1/(t_den·u) ≫ one
+    double ulp) but immune to boundary-rounding by construction."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sha = sh.withColumnsRenamed({"doc_id": "doc_a"})
     shb = sh.withColumnsRenamed({"doc_id": "doc_b"})
@@ -189,10 +195,11 @@ def _verify_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
     return (common
                .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
                .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+               .filter(F.lit(t_num + t_den) * F.col("c")
+                       >= F.lit(t_num) * (F.col("na") + F.col("nb")))
                .withColumn("jaccard",
                            F.col("c").cast("double")
                            / (F.col("na") + F.col("nb") - F.col("c")))
-               .filter(F.col("jaccard") >= JACCARD_T)
                .select("doc_a", "doc_b", "jaccard"))
 
 
@@ -317,28 +324,39 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
 
 # --- PPJoin-style prefix-filtered exact Jaccard ----------------------------
 
+# PPJoin runs at the standard LLM-dedup threshold t = 0.8 (Lee et al.
+# / RefinedWeb use 0.8 for document near-dup removal), NOT the 0.3
+# candidate-verification floor the LSH path shares: prefix filtering's
+# pruning power is 1 - t of each doc (t=0.8 → 20% prefixes; t=0.3
+# would index 70% of every doc and degenerate toward the exhaustive
+# join). t is a ratio of small ints so every bound below is integral.
+PPJOIN_T_NUM = 4
+PPJOIN_T_DEN = 5
+
+
 def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-dup pairs at ``JACCARD_T`` via prefix filtering
+    """EXACT near-dup pairs at J ≥ 4/5 via prefix filtering
     (All-Pairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     WWW'08): the LOSSLESS scale path for set-similarity join, where
     the df-capped inverted index (``ngram_jaccard_pairs``) changes
-    semantics on boilerplate and plain inverted-index join blows up
-    on hot shingles.
+    semantics on boilerplate and the plain inverted-index join blows
+    up on hot shingles.
 
     Order each doc's shingles rarest-first (global (df, s) order) and
-    index only the PREFIX of length ``n - ⌈t·n⌉ + 1``: any pair with
-    J ≥ t has overlap ≥ ⌈t·n⌉ on both sides, so it must collide
-    within both prefixes — candidates from a prefix-prefix join are
-    complete. A corpus-hot boilerplate shingle has maximal df, so it
-    lands in a doc's prefix only when the doc has almost nothing
-    rarer — the k² blowup per hot shingle disappears without dropping
-    any true pair. A length filter (``10·min(n) ≥ 3·max(n)``, the
-    integer form of ``min ≥ t·max``) prunes the rest; exact
-    verification then recomputes Jaccard from the full index, so
-    output correctness never rests on the filter algebra.
+    index only the PREFIX of length ``n - ⌈t·n⌉ + 1`` (≈20% of the
+    doc at t=0.8): any pair with J ≥ t has overlap ≥ ⌈t·n⌉ on both
+    sides, so it must collide within both prefixes — candidates from
+    a prefix-prefix join are complete. A corpus-hot boilerplate
+    shingle has maximal df, so it lands in a doc's prefix only when
+    the doc has almost nothing rarer — the k² blowup per hot shingle
+    disappears without dropping any true pair. A length filter
+    (``5·min(n) ≥ 4·max(n)``, the integer form of ``min ≥ t·max``)
+    prunes the rest; exact verification then recomputes Jaccard from
+    the full index, so output correctness never rests on the filter
+    algebra.
 
-    All threshold arithmetic is integral (t = 3/10:
-    ``⌈t·n⌉ = (3n + 9) div 10``) — no float boundary can disagree
+    All threshold arithmetic is integral (t = 4/5:
+    ``⌈t·n⌉ = (4n + 4) div 5``) — no float boundary can disagree
     with the DuckDB oracle. Shapes at 100 TB: df-join + per-doc
     window (bounded by doc length), prefix-prefix join (fanout
     bounded by prefix df, see above), candidate-only verify — never
@@ -349,6 +367,7 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ppjoin_from_shingles(sh: DataFrame) -> DataFrame:
     """Core of :func:`ppjoin_jaccard_pairs` over any (doc_id, s)
     shingle table (see its docstring)."""
+    tn, td = PPJOIN_T_NUM, PPJOIN_T_DEN
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     ordered = (sh.join(dfreq, "s")
                  .select("doc_id", "s",
@@ -358,19 +377,19 @@ def _ppjoin_from_shingles(sh: DataFrame) -> DataFrame:
                          F.count("*").over(W.partitionBy("doc_id"))
                           .alias("n")))
     prefix = (ordered
-              .where(F.col("pos")
-                     <= F.col("n") - F.expr("(3 * n + 9) div 10") + 1)
+              .where(F.col("pos") <= F.col("n")
+                     - F.expr(f"({tn} * n + {tn}) div {td}") + 1)
               .select("doc_id", "s", "n"))
     cand = (prefix.alias("a").join(
                 prefix.alias("b"),
                 (F.col("a.s") == F.col("b.s"))
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
-                & (F.lit(10) * F.least("a.n", "b.n")
-                   >= F.lit(3) * F.greatest("a.n", "b.n")))
+                & (F.lit(td) * F.least("a.n", "b.n")
+                   >= F.lit(tn) * F.greatest("a.n", "b.n")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    return _verify_pairs(sh, cand)
+    return _verify_pairs(sh, cand, tn, td)
 
 
 PPJOIN_ORACLE = f"""
@@ -384,13 +403,13 @@ ordered AS (
 ),
 prefix AS (
   SELECT doc_id, s, n FROM ordered
-  WHERE pos <= n - (3 * n + 9) // 10 + 1
+  WHERE pos <= n - ({PPJOIN_T_NUM} * n + {PPJOIN_T_NUM}) // {PPJOIN_T_DEN} + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b
     ON a.s = b.s AND a.doc_id < b.doc_id
-   AND 10 * LEAST(a.n, b.n) >= 3 * GREATEST(a.n, b.n)
+   AND {PPJOIN_T_DEN} * LEAST(a.n, b.n) >= {PPJOIN_T_NUM} * GREATEST(a.n, b.n)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -404,7 +423,7 @@ SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
 FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
-WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
+WHERE {PPJOIN_T_NUM + PPJOIN_T_DEN} * c >= {PPJOIN_T_NUM} * (sa.n + sb.n)
 """
 
 

@@ -509,8 +509,78 @@ LIMIT 50
 """
 
 
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style text normalization ahead of hashing/dedup:
+    lowercase → ASCII punctuation → space → whitespace collapse →
+    trim, plus the normalized content hash (what exact-dedup should
+    key on so `"Hello, World!"` and `"hello world"` collide) and a
+    ``changed`` flag. Pure per-row JVM expressions — zero shuffles,
+    embarrassingly parallel at any scale.
+
+    The punctuation class is the ASCII ``[:punct:]`` set in BOTH
+    engines (Java ``\\p{Punct}`` ≡ RE2 ``[[:punct:]]``) — wider
+    Unicode classes differ between regex engines and would break the
+    oracle; non-ASCII letters (CJK, accents) pass through untouched
+    on purpose.
+    """
+    return normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[\p{Punct}]+", " "),
+        r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.sha2(norm, 256).alias("norm_sha"),
+        (norm != F.col("text")).alias("changed"))
+
+
+NORMALIZE_TEXT_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(lower(text), '[[:punct:]]+', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS norm_text,
+         text
+  FROM documents
+)
+SELECT doc_id, norm_text, sha256(norm_text) AS norm_sha,
+       norm_text <> text AS changed
+FROM n
+"""
+
+
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED content hash — the actual CCNet
+    step (``"Hello, World!"`` and ``"hello   world"`` are one
+    document); composition of :func:`normalize_text` and the
+    digest-groupBy from ``dedup.exact_dedup_docs``. Same scale shape:
+    one shuffle keyed on a fixed-width digest."""
+    norm = normalize_text(load_table(spark, sf_dir, "documents"))
+    return (norm.groupBy("norm_sha")
+                .agg(F.min("doc_id").alias("keep_doc_id"),
+                     F.count("*").alias("n_copies")))
+
+
+DEDUP_NORMALIZED_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(
+             regexp_replace(lower(text), '[[:punct:]]+', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS norm_sha
+  FROM documents
+)
+SELECT norm_sha, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM n GROUP BY norm_sha
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
+    ("normalize_text_docs", normalize_text_docs, NORMALIZE_TEXT_ORACLE),
+    ("dedup_normalized_docs", dedup_normalized_docs, DEDUP_NORMALIZED_ORACLE),
     ("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_ORACLE),
     ("countmin_token_counts", countmin_token_counts, COUNTMIN_ORACLE),
     ("heavy_hitter_tokens", heavy_hitter_tokens, HEAVY_HITTER_ORACLE),

@@ -237,8 +237,50 @@ UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn_6, nd_6 FROM s
 """
 
 
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, order-1 form: the 20 most frequent
+    3-step event-type sequences over per-user streams (the "what do
+    users do next" path analysis). Two LEADs over one per-user window
+    (single shuffle on user_id — the same partitioning sessionization
+    uses, so at 100 TB the skew remedy is the proven (user, day)
+    two-phase decomposition), map-side-combined trigram counts, then
+    a global top-20 that plans as TakeOrderedAndProject (rank is
+    (n DESC, e1, e2, e3) — a total order, so the LIMIT is
+    deterministic on both engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (tri.where(F.col("e3").isNotNull())
+               .groupBy("e1", "e2", "e3")
+               .agg(F.count("*").alias("n"))
+               .orderBy(F.desc("n"), "e1", "e2", "e3")
+               .limit(20))
+
+
+EVENT_TRIGRAMS_ORACLE = """
+WITH tri AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT e1, e2, e3, COUNT(*) AS n
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+"""
+
+
 REGISTRATIONS = [
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
+    ("event_trigrams", event_trigrams, EVENT_TRIGRAMS_ORACLE),
     ("cohort_retention_events", cohort_retention_events, COHORT_ORACLE),
     ("gapfill_hourly_events", gapfill_hourly_events, GAPFILL_ORACLE),
     ("histogram_totalprice", histogram_totalprice, HISTOGRAM_ORACLE),

@@ -155,3 +155,55 @@ def test_new_ops_fixture_nondegenerate(spark):
     assert z.count() > 0
     tv = tv_drift_sources(spark, SF_CORRECT).collect()
     assert len(tv) == 20 and all(0 <= r.tv_ppm <= 1_000_000 for r in tv)
+
+
+def test_normalize_text_planted_and_idempotent(spark):
+    """Case folds, ASCII punctuation to space, whitespace collapses,
+    CJK/accents pass through; normalizing twice is a fixpoint."""
+    from mapreduce_rust_spark.llm.textanalysis import normalize_text
+    docs = spark.createDataFrame(
+        [(1, "Hello,   World!! (test)"),
+         (2, "hello world test"),
+         (3, "中文 text—with dash"),  # em-dash is non-ASCII: kept
+         (4, "")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert rows[1].norm_text == "hello world test"
+    assert rows[1].changed and not rows[2].changed
+    # normalized forms of 1 and 2 collide — the dedup key property
+    assert rows[1].norm_sha == rows[2].norm_sha
+    assert "中文" in rows[3].norm_text and "—" in rows[3].norm_text
+    assert rows[4].norm_text == "" and not rows[4].changed
+    # idempotence: re-normalizing the normalized text changes nothing
+    again = normalize_text(
+        spark.createDataFrame(
+            [(i, r.norm_text) for i, r in rows.items()],
+            ["doc_id", "text"]))
+    assert all(not r.changed for r in again.collect())
+
+
+def test_event_trigrams_hand_computed(spark):
+    """The trigram core (same window/lead/agg expressions the
+    registry op builds over the events table), hand-checked on a
+    planted two-user stream — no trigram crosses a user boundary."""
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    # user 1: a b a b a  -> trigrams aba, bab, aba
+    # user 2: a b a      -> aba
+    seq1 = ["a", "b", "a", "b", "a"]
+    seq2 = ["a", "b", "a"]
+    rows = [(i, 1, t0 + timedelta(seconds=i), s, 1.0)
+            for i, s in enumerate(seq1)]
+    rows += [(10 + i, 2, t0 + timedelta(seconds=i), s, 1.0)
+             for i, s in enumerate(seq2)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    tri = (ev.select(F.col("event_type").alias("e1"),
+                     F.lead("event_type", 1).over(w).alias("e2"),
+                     F.lead("event_type", 2).over(w).alias("e3"))
+             .where(F.col("e3").isNotNull())
+             .groupBy("e1", "e2", "e3").agg(F.count("*").alias("n")))
+    got = {(r.e1, r.e2, r.e3): r.n for r in tri.collect()}
+    assert got == {("a", "b", "a"): 3, ("b", "a", "b"): 1}
