@@ -116,6 +116,9 @@ HEADLINE = [
     "normalize_text_docs",
     "dedup_normalized_docs",
     "event_trigrams",
+    "stream_zscore_anomaly",
+    "funnel_timebound_events",
+    "interevent_gap_stats",
 ]
 
 

@@ -179,7 +179,49 @@ FROM per_source
 """
 
 
+def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event_type: count, min/max and
+    exact interpolated p50/p95 of the gap (in integer micros) between
+    consecutive events of that type — the latency/health panel for a
+    stream ("are purchases arriving at the usual cadence?"). One LAG
+    over a per-type window + one aggregate. Gaps are exact BIGINTs;
+    Spark ``percentile`` and DuckDB ``quantile_cont`` compute the
+    same linear interpolation, and integer-valued micros keep every
+    intermediate double exact (≪ 2^52). Per-type partitioning has
+    the same few-keys skew as the z-score op — at 100 TB, profile per
+    (type, day) and merge; the fixture shape keeps the single-key
+    form honest."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
+              .where(F.col("gap").isNotNull()))
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+        F.expr("percentile(gap, 0.5)").alias("p50_gap"),
+        F.expr("percentile(gap, 0.95)").alias("p95_gap"))
+
+
+INTEREVENT_GAP_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         us - LAG(us) OVER (PARTITION BY event_type
+                            ORDER BY us, event_id) AS gap
+  FROM (SELECT event_type, event_id, epoch_us(ts) AS us FROM events)
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       MIN(gap) AS min_gap, MAX(gap) AS max_gap,
+       quantile_cont(gap, 0.5) AS p50_gap,
+       quantile_cont(gap, 0.95) AS p95_gap
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+"""
+
+
 REGISTRATIONS = [
     ("zscore_anomaly_events", zscore_anomaly_events, ZSCORE_ORACLE),
     ("tv_drift_sources", tv_drift_sources, TV_DRIFT_ORACLE),
+    ("interevent_gap_stats", interevent_gap_stats, INTEREVENT_GAP_ORACLE),
 ]

@@ -64,6 +64,66 @@ FROM per_user
 """
 
 
+FUNNEL_CLICK_DEADLINE_US = 3_600 * 1_000_000       # view → click: 1 h
+FUNNEL_BUY_DEADLINE_US = 6 * 3_600 * 1_000_000     # click → buy: 6 h
+
+
+def funnel_timebound_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: view → click within 1 h of the FIRST view →
+    purchase within 6 h of that first qualifying click. The unbounded
+    funnel (``funnel_conversion_events``) asks "did it ever happen";
+    this asks "did it happen in time" — the form marketing
+    attribution actually uses. Same plan shape: chained conditional
+    MINs over one per-user window partition (one shuffle, three
+    window passes, NOT three self-joins); deadlines are exact integer
+    micro offsets so the oracle hash-matches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view",
+                           F.col("us"))).over(w))
+    s2 = s1.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("us") > F.col("t1"))
+                           & (F.col("us") <= F.col("t1")
+                              + F.lit(FUNNEL_CLICK_DEADLINE_US)),
+                           F.col("us"))).over(w))
+    s3 = s2.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("us") > F.col("t2"))
+                           & (F.col("us") <= F.col("t2")
+                              + F.lit(FUNNEL_BUY_DEADLINE_US)),
+                           F.col("us"))).over(w))
+    per_user = s3.select("user_id", "t1", "t2", "t3").distinct()
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_click_in_time"),
+        F.count("t3").alias("n_converted_in_time"))
+
+
+FUNNEL_TIMEBOUND_ORACLE = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                   OVER (PARTITION BY user_id) AS t1 FROM ev),
+s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1
+                           AND us <= t1 + {FUNNEL_CLICK_DEADLINE_US}
+                          THEN us END)
+                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2
+                           AND us <= t2 + {FUNNEL_BUY_DEADLINE_US}
+                          THEN us END)
+                   OVER (PARTITION BY user_id) AS t3 FROM s2),
+per_user AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_viewed,
+       COUNT(t2) AS n_click_in_time,
+       COUNT(t3) AS n_converted_in_time
+FROM per_user
+"""
+
+
 def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-active day, distinct
     active users per (cohort day, day offset). Two aggregations and
@@ -280,6 +340,8 @@ LIMIT 20
 
 REGISTRATIONS = [
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
+    ("funnel_timebound_events", funnel_timebound_events,
+     FUNNEL_TIMEBOUND_ORACLE),
     ("event_trigrams", event_trigrams, EVENT_TRIGRAMS_ORACLE),
     ("cohort_retention_events", cohort_retention_events, COHORT_ORACLE),
     ("gapfill_hourly_events", gapfill_hourly_events, GAPFILL_ORACLE),

@@ -158,8 +158,87 @@ WHERE sess_id < last_sess
 """
 
 
+Z_OUT_SCHEMA = ("event_id long, event_type string, day string, "
+                "n_prev long, is_anomaly boolean")
+Z_STATE_SCHEMA = "vals array<long>"
+
+# imported at MODULE level so the state fn references plain-int
+# globals (shipped by value with the function); an import inside the
+# fn body would execute on the Python worker, where the package is
+# not on sys.path when the driver loads __spark_entry__ by file path
+from mapreduce_rust_spark.operators.monitoring import Z_MIN_N, Z_WIN  # noqa: E402
+
+
+def _update_zscore(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-(event_type, day) trailing z-score scoring with the last
+    ``Z_WIN`` cent-values carried in state (bounded: 100 longs per
+    key, regardless of stream length). Rows are sorted by
+    (us, event_id) within the batch; state seeds the window across
+    micro-batches, which is exact as long as batches arrive in
+    event-time order (one fixture file ⇒ one AvailableNow batch;
+    prod: time-ordered landing files). All arithmetic is Python int
+    ≡ BIGINT — the same integral 3σ test as the batch operator, so
+    the two stay bit-identical."""
+    etype, day = key
+    window = list(state.get[0]) if state.exists else []
+    rows = []
+    for pdf in pdfs:
+        rows += list(zip((int(x) for x in pdf["us"]),
+                         (int(x) for x in pdf["event_id"]),
+                         (int(x) for x in pdf["vc"])))
+    rows.sort()
+    out_id, out_n, out_a = [], [], []
+    for _us, eid, vc in rows:
+        n = len(window)
+        if n >= Z_MIN_N:
+            s = sum(window)
+            q = sum(v * v for v in window)
+            d = vc * n - s
+            out_id.append(eid)
+            out_n.append(n)
+            out_a.append(d * d > 9 * (n * q - s * s))
+        window.append(vc)
+        if len(window) > Z_WIN:
+            window.pop(0)
+    state.update((window,))
+    if out_id:
+        yield pd.DataFrame({"event_id": out_id,
+                            "event_type": [etype] * len(out_id),
+                            "day": [day] * len(out_id),
+                            "n_prev": out_n, "is_anomaly": out_a})
+
+
+def stream_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.zscore_anomaly_events`` —
+    kappa-architecture parity: the SAME trailing-3σ semantics, run as
+    a custom stateful operator instead of a batch window, checked
+    against the SAME DuckDB oracle. State is the trailing 100-value
+    deque per (event_type, day) — bounded per key and evicted
+    naturally as day keys go stale; the Python loop is the
+    custom-accumulator extension point (an online sketch or decaying
+    counter drops into the same harness)."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    ev = (read_events_stream(spark, sf_dir)
+          .select("event_id",
+                  F.col("event_type"),
+                  F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  F.unix_micros("ts").alias("us"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    scored = (ev.groupBy("event_type", "day")
+                .applyInPandasWithState(
+                    _update_zscore, Z_OUT_SCHEMA, Z_STATE_SCHEMA,
+                    "update", GroupStateTimeout.NoTimeout))
+    return _run_to_table(scored, "stream_zscore", "update")
+
+
+from mapreduce_rust_spark.operators.monitoring import ZSCORE_ORACLE  # noqa: E402
+
 REGISTRATIONS = [
     ("stateful_user_totals", stateful_user_totals, STATEFUL_ORACLE),
     ("stateful_session_flush", stateful_session_flush,
      STATEFUL_SESSION_ORACLE),
+    # streaming twin of the batch operator — same oracle on purpose
+    ("stream_zscore_anomaly", stream_zscore_anomaly, ZSCORE_ORACLE),
 ]

@@ -319,3 +319,19 @@ def test_foreachbatch_streaming_upsert(spark, tmp_path):
             for r in latest_per_user(
                 load_table(spark, SF_SMOKE, "events")).collect()}
     assert got == want
+
+
+def test_stream_zscore_equals_batch(spark):
+    """Kappa parity, asserted directly (not just via the shared
+    oracle): the stateful streaming scorer must emit exactly the
+    batch window operator's rows."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        zscore_anomaly_events)
+    from mapreduce_rust_spark.streaming.stateful import (
+        stream_zscore_anomaly)
+    from tests.conftest import SF_CORRECT
+    got = {r.event_id: (r.event_type, r.day, r.n_prev, r.is_anomaly)
+           for r in stream_zscore_anomaly(spark, SF_CORRECT).collect()}
+    want = {r.event_id: (r.event_type, r.day, r.n_prev, r.is_anomaly)
+            for r in zscore_anomaly_events(spark, SF_CORRECT).collect()}
+    assert got == want and got
