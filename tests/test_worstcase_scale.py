@@ -263,3 +263,31 @@ def test_ppjoin_equals_exhaustive_property(spark, docs):
         assert pp == ex
     finally:
         sh.unpersist()
+
+
+def test_zscore_giant_type_day_partition(spark):
+    """The z-score window partitions by (event_type, day); its skew
+    hazard is ONE type flooding ONE day. Plant 400k same-type same-day
+    events (the giant-key fixture shape sessionize uses) and require
+    the single-partition window pass to stay inside budget — the
+    measured basis for the docstring's claim that (type, day) keys
+    are 'bounded'; if a deployment breaks this bound, the remedy is
+    the same further (type, day, hour) decomposition sessionize
+    proves."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        Z_MIN_N, zscore_anomaly)
+    n = 400_000
+    ev = (spark.range(n)
+          .selectExpr("id AS event_id",
+                      "'click' AS event_type",
+                      "timestamp_micros(1704067200000000 + id * 100000)"
+                      " AS ts",  # 0.1 s spacing → one day holds all
+                      "10.0 + (id % 7) * 0.01 AS value")
+          .localCheckpoint(eager=True))
+    t0 = time.perf_counter()
+    out = zscore_anomaly(ev)
+    n_scored = out.count()
+    elapsed = time.perf_counter() - t0
+    assert n_scored == n - Z_MIN_N  # every event after cold-start scored
+    assert out.where("is_anomaly").count() == 0  # flat stream: no alarms
+    assert elapsed < 60, f"giant (type, day) window took {elapsed:.1f}s"
