@@ -235,3 +235,46 @@ def test_q7_q8_broadcast_dims(spark):
     p8 = _plan(q8_market_share(spark, SF_CORRECT))
     assert p8.count("BroadcastHashJoin") >= 5  # part+region+supp+nation×2
     assert "CartesianProduct" not in p7 + p8
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Round-4 operators' load-bearing plan properties:
+    - event_trigrams: ONE window node carries both LEADs, top-20 is
+      TakeOrderedAndProject (never a global sort), one exchange for
+      the window + one for the partial/final agg pair;
+    - interevent_gap_stats: percentile aggregates keep a partial
+      phase (partial_percentile before the exchange);
+    - tv_drift_sources: the corpus aggregate happens BEFORE the grid
+      cross join — the only joins in the plan are broadcast
+      (dims-sized), so the corpus shuffles exactly once;
+    - dup_span_docs: both shuffle keys are the md5 digest, the
+      islands window partitions by doc_id;
+    - chunk_stride_docs / normalize_text_docs: ZERO exchanges
+      (embarrassingly parallel)."""
+    from mapreduce_rust_spark.llm.spans import (
+        chunk_stride_docs, dup_span_docs)
+    from mapreduce_rust_spark.llm.textanalysis import normalize_text_docs
+    from mapreduce_rust_spark.operators.monitoring import (
+        interevent_gap_stats, tv_drift_sources)
+    from mapreduce_rust_spark.operators.olap import event_trigrams
+
+    p = _plan(event_trigrams(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("Window") == 1  # both LEADs fused into one node
+
+    p = _plan(interevent_gap_stats(spark, SF_CORRECT))
+    assert "partial_percentile" in p
+
+    p = _plan(tv_drift_sources(spark, SF_CORRECT))
+    assert "Join" in p  # the grid fill is a real join...
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, (
+        "every tv_drift join must be broadcast (dims-sized)")
+
+    p = _plan(dup_span_docs(spark, SF_CORRECT))
+    assert "hashpartitioning(h#" in p  # occ count + flag join on digest
+    assert "hashpartitioning(doc_id" in p  # islands window
+
+    for fn in (chunk_stride_docs, normalize_text_docs):
+        p = _plan(fn(spark, SF_CORRECT))
+        assert "Exchange" not in p, f"{fn.__name__} must not shuffle"
