@@ -207,3 +207,53 @@ def test_event_trigrams_hand_computed(spark):
              .groupBy("e1", "e2", "e3").agg(F.count("*").alias("n")))
     got = {(r.e1, r.e2, r.e3): r.n for r in tri.collect()}
     assert got == {("a", "b", "a"): 3, ("b", "a", "b"): 1}
+
+
+from hypothesis import given, settings, strategies as st
+
+# token-id docs over a tiny vocab: repeats within AND across docs
+_span_docs = st.lists(
+    st.lists(st.integers(min_value=0, max_value=3),
+             min_size=0, max_size=20),
+    min_size=1, max_size=6)
+
+
+def _py_dup_spans(docs, w):
+    """Pure-Python reference: positional w-windows, corpus-wide
+    occurrence counts, maximal runs of duplicated positions."""
+    from collections import Counter
+    cnt = Counter()
+    for _d, t in docs:
+        for i in range(len(t) - w + 1):
+            cnt[tuple(t[i:i + w])] += 1
+    out = set()
+    for d, t in docs:
+        flagged = [i for i in range(len(t) - w + 1)
+                   if cnt[tuple(t[i:i + w])] > 1]
+        run_start = None
+        prev = None
+        for i in flagged + [None]:
+            if i is not None and prev is not None and i == prev + 1:
+                prev = i
+                continue
+            if prev is not None:
+                n_win = prev - run_start + 1
+                out.add((d, run_start, n_win, n_win + w - 1))
+            run_start, prev = i, i
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_span_docs)
+def test_dup_spans_matches_python_reference(spark, docs):
+    """For ANY corpus, the distributed gap-and-islands span extraction
+    must equal the brute-force positional reference (w=3 so tiny docs
+    exercise the boundary: len == w, len < w, all-duplicate docs)."""
+    from mapreduce_rust_spark.llm.spans import dup_spans
+    data = [(i, [f"t{x}" for x in toks]) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in data], ["doc_id", "text"])
+    got = {(r.doc_id, r.span_start, r.n_windows, r.span_tokens)
+           for r in dup_spans(df, w=3).collect()}
+    want = _py_dup_spans(data, 3)
+    assert got == want
