@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_zscore_anomaly",
     "funnel_timebound_events",
     "interevent_gap_stats",
+    "allknn_within_label",
 ]
 
 

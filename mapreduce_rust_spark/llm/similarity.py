@@ -231,8 +231,53 @@ WHERE rank <= {K}
 """
 
 
+def allknn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-kNN, k=1: EVERY vector's single nearest neighbor (cosine)
+    within its label block — the edge set an embedding-dedup /
+    clustering pass starts from (each doc linked to its closest
+    peer), vs ``knn_bruteforce``'s small broadcast probe set.
+
+    Shape: block-local self-join (one shuffle on the block key, then
+    Σ|block|² similarity work per block — never corpus²) + per-vector
+    rank-1 window. The block key is ``label`` here; at 100 TB it is
+    the IVF cell id (``pipeline.label_centroids`` trains them), which
+    bounds |block| by construction — the same blocked discipline as
+    ``embedding_neardup_pairs``, but argmax instead of thresholded.
+    Output ranks only (similarity floats excluded: cross-engine
+    cosine differs in final ulps; ranking is stable on this data —
+    the knn_bruteforce convention)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select("label", F.col("vec_id").alias("vec_id"),
+                   F.col("e").alias("ae"))
+    b = emb.select("label", F.col("vec_id").alias("nn_id"),
+                   F.col("e").alias("be"))
+    cand = (a.join(b, "label")
+             .filter(F.col("vec_id") != F.col("nn_id"))
+             .withColumn("sim", cosine(F.col("ae"), F.col("be"))))
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") == 1)
+                .select("vec_id", "label", "nn_id"))
+
+
+ALLKNN_ORACLE = """
+SELECT vec_id, label, nn_id FROM (
+  SELECT a.vec_id, a.label, b.vec_id AS nn_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+WHERE rank = 1
+"""
+
+
 REGISTRATIONS = [
     ("knn_bruteforce", knn_bruteforce, KNN_BRUTEFORCE_ORACLE),
+    ("allknn_within_label", allknn_within_label, ALLKNN_ORACLE),
     ("knn_lsh", knn_lsh, None),  # approximate — recall-tested, rows-only check
     ("knn_ivf", knn_ivf, None),  # approximate — recall-tested, rows-only check
     ("knn_quantized", knn_quantized, KNN_QUANTIZED_ORACLE),
