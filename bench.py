@@ -120,6 +120,12 @@ HEADLINE = [
     "funnel_timebound_events",
     "interevent_gap_stats",
     "allknn_within_label",
+    # round 4c: bloom runtime-filter join, curriculum phases, DSIR
+    # importance weights, JVM-side media dedup
+    "bloom_semijoin_revenue",
+    "curriculum_phase_docs",
+    "dsir_importance_docs",
+    "multimodal_dedup_payload",
 ]
 
 

@@ -237,3 +237,41 @@ FROM chars
 REGISTRATIONS.append(
     ("multimodal_audio_energy", multimodal_audio_energy,
      AUDIO_ENERGY_ORACLE))
+
+
+def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload digest — the first stage of any
+    multimodal curation pipeline (byte-identical images/audio recur
+    constantly in crawls). Unlike the mapInPandas feature ops above,
+    this one stays ENTIRELY in the JVM: ``sha2(payload, 256)`` runs
+    inside the scan stage, so only (digest, doc_id, n_bytes) tuples
+    ever reach the shuffle — the media bytes themselves are never
+    shuffled, which is the rule that keeps this viable when payloads
+    are megabytes, not strings. One digest-keyed aggregate (uniform
+    256-bit key — skew-free); keeper = min doc_id per group, the
+    deterministic keep-first policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = with_payload(docs).select(
+        "doc_id",
+        F.sha2("payload", 256).alias("digest"),
+        F.col("meta.n_bytes").alias("n_bytes"))
+    return (d.groupBy("digest")
+             .agg(F.count("*").alias("n_copies"),
+                  F.min("doc_id").alias("keeper_doc_id"),
+                  F.first("n_bytes").alias("payload_bytes")))
+
+
+# The payload is the UTF-8 encoding of text, and DuckDB's sha256
+# hashes a VARCHAR's UTF-8 bytes — byte-for-byte the same input.
+MULTIMODAL_DEDUP_ORACLE = """
+SELECT sha256(text) AS digest, COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+REGISTRATIONS.append(
+    ("multimodal_dedup_payload", multimodal_dedup_payload,
+     MULTIMODAL_DEDUP_ORACLE))

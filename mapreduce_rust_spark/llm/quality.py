@@ -661,8 +661,133 @@ GROUP BY lang, e.epoch
 """
 
 
+CURRICULUM_PHASES = 4
+
+
+def curriculum_phase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: within each language, rank documents by
+    the hashed-feature quality score and split into
+    ``CURRICULUM_PHASES`` equal NTILE phases (easy→hard training
+    schedule). Reports per (lang, phase) doc/token counts and the
+    score range — the manifest a curriculum-aware shard writer
+    consumes.
+
+    Determinism: the score is an exact integer÷integer double divide
+    (correctly rounded identically on both engines — the
+    quality_classifier_score discipline) and the NTILE ordering
+    carries a doc_id tiebreak, so every phase assignment is
+    bit-reproducible. The window partitions per LANGUAGE (the
+    pack_sequences shape): phases are per-domain schedules, so no
+    global sort exists, and at 100 TB a giant domain sub-shards the
+    stream key exactly like sessionize_events_scalable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    weight = lambda t: (  # noqa: E731 — same family as the classifier
+        F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
+        % 2001 - 1000)
+    w_sum = F.aggregate(F.transform(toks, weight),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    d = docs.select("lang", "doc_id",
+                    F.size(toks).cast("long").alias("n_toks"),
+                    w_sum.alias("w_sum"))
+    score = F.when(F.col("n_toks") == 0, F.lit(0.0)) \
+             .otherwise(F.col("w_sum").cast("double") / F.col("n_toks"))
+    w = W.partitionBy("lang").orderBy("score", "doc_id")
+    phased = (d.withColumn("score", score)
+               .withColumn("phase",
+                           F.ntile(CURRICULUM_PHASES).over(w).cast("long")))
+    return (phased.groupBy("lang", "phase")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").alias("n_tokens"),
+                 F.min("score").alias("min_score"),
+                 F.max("score").alias("max_score")))
+
+
+CURRICULUM_ORACLE = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+           t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2001 - 1000
+         ) AS ws
+  FROM documents
+),
+s AS (
+  SELECT lang, doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE CAST(list_sum(ws) AS DOUBLE) / len(ws) END AS score
+  FROM d
+),
+p AS (
+  SELECT lang, n_toks, score,
+         CAST(NTILE({CURRICULUM_PHASES}) OVER (
+              PARTITION BY lang ORDER BY score, doc_id) AS BIGINT) AS phase
+  FROM s
+)
+SELECT lang, phase, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM p GROUP BY lang, phase
+"""
+
+
+# DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+# hashed n-gram importance weights: score every raw document by the
+# log-likelihood ratio of a target-domain unigram model vs the raw
+# model, both over hashed feature buckets.
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SOURCES = ("src0", "src1")  # stand-in curated target set
+DSIR_GRID = 1e9
+
+
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights, hashed-unigram form: features are
+    md5-hashed token buckets (the hashing trick, ``DSIR_BUCKETS``
+    wide); the per-bucket weight is the add-one-smoothed log-ratio
+    λ(f) = log2 p_target(f) − log2 p_raw(f); a raw document's
+    importance is Σ λ over its tokens (with multiplicity). High logw
+    = looks like the target domain — the sampling key for
+    importance resampling.
+
+    Scale shape: two scans of the token stream. The first aggregates
+    per-bucket target/raw counts — at most ``DSIR_BUCKETS`` groups,
+    so the shuffle is constant-size regardless of corpus scale; the
+    λ table (≤4096 rows) then BROADCAST-joins back onto the raw token
+    stream and one per-doc aggregate finishes — the corpus itself
+    shuffles only on doc_id. Each λ quantizes onto a 1e-9 integer
+    grid before the per-doc long sum, so results are partitioning-
+    independent; log2 itself is libm, hence NO SQL oracle (the
+    unigram_logprob precedent) — pinned against a pure-Python
+    reference in tests/test_quality_ops.py instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    tok = (docs.select("doc_id", is_target.alias("is_target"),
+                       F.explode(_toks(F.col("text"))).alias("t"))
+               .withColumn("f", F.conv(F.substring(F.md5("t"), 1, 12),
+                                       16, 10).cast("long") % DSIR_BUCKETS))
+    buckets = (tok.groupBy("f")
+               .agg(F.sum(F.col("is_target").cast("long")).alias("c_t"),
+                    F.sum((~F.col("is_target")).cast("long")).alias("c_r")))
+    norm = buckets.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
+    lam = (F.log2((F.col("c_t") + 1).cast("double")
+                  / (F.col("n_t") + DSIR_BUCKETS))
+           - F.log2((F.col("c_r") + 1).cast("double")
+                    / (F.col("n_r") + DSIR_BUCKETS)))
+    lam_table = (buckets.crossJoin(F.broadcast(norm))
+                 .select("f", F.bround(lam * DSIR_GRID, 0).cast("long")
+                               .alias("lam_q")))
+    raw = tok.filter(~F.col("is_target"))
+    return (raw.join(F.broadcast(lam_table), "f")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_toks"),
+                    (F.sum("lam_q").cast("double") / F.lit(DSIR_GRID))
+                    .alias("logw")))
+
+
 REGISTRATIONS = [
     ("unigram_logprob_docs", unigram_logprob_docs, None),
+    ("curriculum_phase_docs", curriculum_phase_docs, CURRICULUM_ORACLE),
+    ("dsir_importance_docs", dsir_importance_docs, None),
     ("domain_mix_sample", domain_mix_sample, DOMAIN_MIX_ORACLE),
     ("quality_classifier_score", quality_classifier_score,
      QUALITY_CLASSIFIER_ORACLE),

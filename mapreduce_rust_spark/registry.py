@@ -104,7 +104,7 @@ register("word_count_sorted", wordcount.word_count_sorted,
          wordcount.WORD_COUNT_SORTED_ORACLE)
 
 from mapreduce_rust_spark.operators import mapreduce_compat  # noqa: E402
-from mapreduce_rust_spark.operators import analytic, dataquality, graph, merge, olap, relational, skew, temporal, tpch, udaf  # noqa: E402
+from mapreduce_rust_spark.operators import analytic, bloom, dataquality, graph, merge, olap, relational, skew, temporal, tpch, udaf  # noqa: E402
 
 register("mr_word_count", mapreduce_compat.mr_word_count,
          mapreduce_compat.MR_WORD_COUNT_ORACLE)
@@ -134,6 +134,9 @@ for _name, _fn, _oracle in temporal.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
 for _name, _fn, _oracle in skew.REGISTRATIONS:
+    register(_name, _fn, _oracle)
+
+for _name, _fn, _oracle in bloom.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
 for _name, _fn, _oracle in udaf.REGISTRATIONS:

@@ -161,3 +161,67 @@ def test_domain_upsample_epoch_slices_are_identical(spark):
         k = UPSAMPLE_EPOCHS.get(lang, 1)
         assert sorted(epochs) == list(range(1, k + 1)), lang
         assert len(set(epochs.values())) == 1, lang
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """The hashed-unigram DSIR log-weights must equal a pure-Python
+    implementation of Xie et al.'s importance estimator (same md5
+    bucketing, add-one smoothing over DSIR_BUCKETS) to within the
+    1e-9 quantization grid (1e-6 relative slack for libm log2)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+    from mapreduce_rust_spark.llm.quality import (
+        DSIR_BUCKETS, DSIR_TARGET_SOURCES, dsir_importance_docs)
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = load_table(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "source", "text").collect()
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % DSIR_BUCKETS
+
+    toks = {r.doc_id: ([bucket(t) for t in re.split(r"\s+", r.text) if t],
+                       r.source in DSIR_TARGET_SOURCES)
+            for r in rows}
+    c_t, c_r = Counter(), Counter()
+    for fs, is_t in toks.values():
+        (c_t if is_t else c_r).update(fs)
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    lam = {f: math.log2((c_t[f] + 1) / (n_t + DSIR_BUCKETS))
+           - math.log2((c_r[f] + 1) / (n_r + DSIR_BUCKETS))
+           for f in set(c_t) | set(c_r)}
+    want = {d: sum(lam[f] for f in fs)
+            for d, (fs, is_t) in toks.items() if not is_t and fs}
+    got = {r.doc_id: r.logw
+           for r in dsir_importance_docs(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for d, w in want.items():
+        assert abs(got[d] - w) <= 1e-6 * max(1.0, abs(w)), (d, got[d], w)
+    # target docs score strictly higher on average than raw docs
+    # would under the SAME scorer only if the target set has its own
+    # token signature; at minimum the weights must not be constant
+    assert len({round(v, 6) for v in got.values()}) > 1
+
+
+def test_curriculum_phases_are_balanced_and_ordered(spark):
+    """NTILE phases within each language differ by at most one doc,
+    and phase score ranges are non-overlapping in phase order."""
+    from mapreduce_rust_spark.llm.quality import (
+        CURRICULUM_PHASES, curriculum_phase_docs)
+    from tests.conftest import SF_CORRECT
+
+    rows = curriculum_phase_docs(spark, SF_CORRECT).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.phase)
+        assert [r.phase for r in rs] == list(
+            range(1, min(CURRICULUM_PHASES, len(rs)) + 1))
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for lo, hi in zip(rs, rs[1:]):
+            assert lo.max_score <= hi.min_score, (lang, lo, hi)

@@ -117,3 +117,59 @@ def test_aqe_skew_join_split_activates(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_never_drops_a_true_key_and_thins(spark):
+    """The bloom bitmap may pass false positives but must pass EVERY
+    true key (else the exact semi-join after it would silently lose
+    rows); at these parameters (2^17 bits, k=3, ~3k keys) it must
+    also actually thin the probe side well below the full table."""
+    from mapreduce_rust_spark.operators.bloom import (
+        BLOOM_M, _WORDS, bloom_prefilter, build_bitmap)
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                    .select("o_orderkey"))
+    bitmap = build_bitmap(urgent, "o_orderkey")
+    assert len(bitmap) == _WORDS == BLOOM_M // 64
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    passed = {r.l_orderkey
+              for r in bloom_prefilter(li, "l_orderkey", bitmap)
+              .select("l_orderkey").distinct().collect()}
+    true_keys = {r.o_orderkey for r in urgent.collect()}
+    li_keys = {r.l_orderkey
+               for r in li.select("l_orderkey").distinct().collect()}
+    # no false negatives: every true key present in lineitem passes
+    assert (true_keys & li_keys) <= passed
+    # real thinning: false-positive rate stays near the theoretical
+    # (1 - e^{-kn/m})^k ≈ 0.03% — allow 100x slack, still ≪ the 80%
+    # of rows a bloomless probe would shuffle
+    fp = passed - true_keys
+    assert len(fp) <= max(50, len(li_keys) // 20), len(fp)
+
+
+def test_bloom_semijoin_equals_plain_semijoin(spark):
+    """End to end, the bloom path must be invisible in the result."""
+    from mapreduce_rust_spark.operators.bloom import bloom_semijoin_revenue
+    from mapreduce_rust_spark.operators.relational import dsum
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    got = {r.l_returnflag: (r.n_lines, r.revenue)
+           for r in bloom_semijoin_revenue(spark, SF_CORRECT).collect()}
+    orders = load_table(spark, SF_CORRECT, "orders")
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                    .select("o_orderkey"))
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    want = {r.l_returnflag: (r.n_lines, r.revenue)
+            for r in li.join(urgent,
+                             li["l_orderkey"] == urgent["o_orderkey"],
+                             "left_semi")
+                       .groupBy("l_returnflag")
+                       .agg(F.count("*").alias("n_lines"),
+                            dsum(rev).alias("revenue")).collect()}
+    assert got == want
