@@ -26,3 +26,23 @@ def norm2(a) -> Column:
 def cosine(a, b) -> Column:
     """Cosine similarity in double precision: dot/sqrt(na*nb)."""
     return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+
+def unit(a) -> Column:
+    """Unit-norm copy of ``a``, for rank-only cosine work: computing
+    ``dot(unit(a), unit(b))`` per PAIR costs one fold instead of
+    cosine()'s three (the two norm folds become per-VECTOR work done
+    before the pair join — in an all-pairs block that is the
+    difference between O(pairs·3d) and O(pairs·d + vectors·2d)).
+
+    The inverse norm is let-bound via the array-of-struct trick: an
+    outer expression referenced inside an HOF lambda re-evaluates per
+    element, and projection collapse re-inlines a plain column alias
+    (the _grams lesson in llm/quality.py) — binding (vector, norm) as
+    a struct lambda variable makes the inner norm reference a cheap
+    slot read, evaluated once per row."""
+    return F.element_at(
+        F.transform(
+            F.array(F.struct(a.alias("v"), F.sqrt(norm2(a)).alias("n"))),
+            lambda s: F.transform(s["v"], lambda x: x / s["n"])),
+        1)

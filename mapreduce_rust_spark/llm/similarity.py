@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.vector import cosine, dot, to_double
+from mapreduce_rust_spark.functions.vector import cosine, dot, to_double, unit
 from mapreduce_rust_spark.tables import load_table
 
 K = 5
@@ -34,13 +34,16 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (query_id, neighbor_id, rank) — similarity itself is
     excluded from the checked output because cross-engine cosine
     differs in final ulps; ranking is stable on this data."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", unit(F.col("e")).alias("en"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        F.col("vec_id").alias("query_id"), F.col("en").alias("qe"))
+    # unit-normalized once per vector; per (query, candidate) pair the
+    # similarity is a single dot fold (see allknn_within_label)
     cand = (F.broadcast(q).crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
-                                                F.col("e").alias("ne")))
+                                                F.col("en").alias("ne")))
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("sim", cosine(F.col("qe"), F.col("ne"))))
+            .withColumn("sim", dot(F.col("qe"), F.col("ne"))))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= K)
@@ -246,14 +249,19 @@ def allknn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output ranks only (similarity floats excluded: cross-engine
     cosine differs in final ulps; ranking is stable on this data —
     the knn_bruteforce convention)."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", unit(F.col("e")).alias("en"))
     a = emb.select("label", F.col("vec_id").alias("vec_id"),
-                   F.col("e").alias("ae"))
+                   F.col("en").alias("ae"))
     b = emb.select("label", F.col("vec_id").alias("nn_id"),
-                   F.col("e").alias("be"))
+                   F.col("en").alias("be"))
+    # pre-unit-normalized vectors: per pair, similarity is ONE dot
+    # fold (cosine() would re-fold both norms for every pair — 3x the
+    # work on the |block|^2 hot path). Ranks are unchanged: cosine
+    # and normalized-dot are the same ordering.
     cand = (a.join(b, "label")
              .filter(F.col("vec_id") != F.col("nn_id"))
-             .withColumn("sim", cosine(F.col("ae"), F.col("be"))))
+             .withColumn("sim", dot(F.col("ae"), F.col("be"))))
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") == 1)

@@ -27,17 +27,36 @@ from pyspark.sql import functions as F
 from mapreduce_rust_spark.tables import load_table
 
 
+def _ordered_pairs(arr) -> F.Column:
+    """All (x, y) pairs with x before y in a SORTED array — in-row
+    pair generation (``arr`` must be a resolved column attribute so
+    the inner references are slot reads, not re-evaluated
+    expressions). array<struct<u,v>> out."""
+    n = F.size(arr)
+    # sequence(1, 0) DESCENDS in Spark — guard the <2-element case
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+           .otherwise(F.expr("CAST(array() AS array<int>)"))
+    return F.flatten(F.transform(
+        idx,
+        lambda i: F.transform(
+            F.slice(arr, i + 1, n),
+            lambda y: F.struct(F.element_at(arr, i).alias("u"),
+                               y.alias("v")))))
+
+
 def copurchase_edges(li: DataFrame) -> DataFrame:
     """Distinct undirected edges (u < v): two parts appearing in the
-    same order. Per-order pair generation is bounded by the largest
-    order's line count (TPC-H: ≤ 7), never corpus-wide."""
-    op = li.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p")).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    return (a.join(b, (F.col("a.o") == F.col("b.o"))
-                   & (F.col("a.p") < F.col("b.p")))
-             .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-             .distinct())
+    same order. Pair generation is IN-ROW over each order's sorted
+    part set (collect_set dedupes multi-line parts; bounded by the
+    largest order's line count — TPC-H: ≤ 7), never corpus-wide. Two
+    shuffles total (order-key groupBy, then edge dedup) vs the
+    (o,p)-distinct + self-join form's three — measured 5.3 s → see
+    SCALE.md."""
+    arrs = (li.groupBy(F.col("l_orderkey").alias("o"))
+              .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    return (arrs.select(F.explode(_ordered_pairs(F.col("ps"))).alias("e"))
+                .select("e.u", "e.v")
+                .distinct())
 
 
 BROADCAST_EDGE_LIMIT = 5_000_000  # ~80 MB packed; same gate idea as
@@ -78,15 +97,39 @@ def triangle_count(edges: DataFrame,
                 # both wedge sides read this; without materialization
                 # Catalyst re-executes the degree join once per alias
                 .localCheckpoint(eager=True))
+    if n_edges is not None and n_edges < BROADCAST_EDGE_LIMIT:
+        # FAST PATH (size-gated): edge-iterator with adjacency-set
+        # intersection. A triangle a<b<c (orientation order) has
+        # oriented edges a→b, a→c, b→c and is counted exactly once,
+        # at edge a→b, as c ∈ N⁺(a) ∩ N⁺(b). The out-adjacency table
+        # is ≤ n rows of O(√m) arrays — below the gate it BROADCASTS
+        # (twice), so the 1.2M-edge stream never shuffles and the
+        # O(m^1.5) wedge set is never materialized as rows: the same
+        # arithmetic runs as per-row sorted-array intersections.
+        # Measured (full op, sf0.1 co-purchase graph): 8.6 s with the
+        # wedge join → 4.4 s with this path + the in-row edge build
+        # (SCALE.md round 4).
+        adj = (oriented.groupBy(F.col("s").alias("n"))
+               .agg(F.array_sort(F.collect_list("t")).alias("nbrs")))
+        sa, ta = adj.alias("sa"), adj.alias("ta")
+        closed = (oriented
+                  .join(F.broadcast(sa), F.col("s") == F.col("sa.n"))
+                  .join(F.broadcast(ta), F.col("t") == F.col("ta.n"),
+                        "left")
+                  .select(F.size(F.array_intersect(
+                      F.col("sa.nbrs"),
+                      F.coalesce(F.col("ta.nbrs"),
+                                 F.expr("CAST(array() AS array<bigint>)"))))
+                      .alias("n_tri")))
+        return closed.agg(F.sum("n_tri").cast("long").alias("n_triangles"))
+    # ABOVE the gate (a 100 TB graph): materialized wedge join — both
+    # sides shuffle on (a, b); adjacency arrays would exceed broadcast.
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     # wedges from each source's out-neighborhood; t1 < t2 canonicalizes
     wedges = (w1.join(w2, (F.col("w1.s") == F.col("w2.s"))
                       & (F.col("w1.t") < F.col("w2.t")))
                 .select(F.col("w1.t").alias("a"), F.col("w2.t").alias("b")))
-    probe = (F.broadcast(edges)
-             if n_edges is not None and n_edges < BROADCAST_EDGE_LIMIT
-             else edges)
-    closed = wedges.join(probe, (F.col("a") == F.col("u"))
+    closed = wedges.join(edges, (F.col("a") == F.col("u"))
                          & (F.col("b") == F.col("v")))
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
 

@@ -34,8 +34,14 @@ def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
                         if rng.random() < p})
         want = _brute_triangles(set(edges))
         df = spark.createDataFrame(edges, ["u", "v"])
+        # both physical paths must agree with brute force: wedge join
+        # (no n_edges -> above-gate) and adjacency intersection
+        # (n_edges below the gate -> broadcast fast path)
         got = triangle_count(df).collect()[0]["n_triangles"]
         assert got == want, f"trial {trial}: got {got}, want {want}"
+        fast = triangle_count(df, n_edges=len(edges)) \
+            .collect()[0]["n_triangles"]
+        assert fast == want, f"trial {trial} fast path: {fast} != {want}"
 
 
 def test_triangle_count_star_graph_has_none(spark):
