@@ -126,6 +126,12 @@ HEADLINE = [
     "curriculum_phase_docs",
     "dsir_importance_docs",
     "multimodal_dedup_payload",
+    # round 4d: incremental MV maintenance, conjunctive search,
+    # tokenizer application (train->encode)
+    "incremental_mv_orders",
+    "boolean_search_docs",
+    "bpe_encode_docs",
+    "bloom_crawl_dedup",
 ]
 
 

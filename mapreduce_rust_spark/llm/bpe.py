@@ -104,6 +104,72 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count long")
 
 
+def _apply_merges(syms_expr, merges: list[tuple]) -> F.Column:
+    """Compose the greedy merge fold for each learned merge, in
+    training order, over a symbol-array expression — the same
+    left-to-right semantics as training (module docstring), chained
+    as N_MERGES nested JVM folds (expression depth = merge count,
+    evaluated once per token)."""
+    def one_merge(lit_l, lit_r, lit_m):
+        # closure factory: PySpark inspects HOF lambda arity, so the
+        # merge literals must be captured, not default args
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lit_l) & (x == lit_r),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lit_m))) \
+                .otherwise(F.concat(acc, F.array(x)))
+        return fold
+
+    for _step, left, right, merged, _c in merges:
+        syms_expr = F.aggregate(
+            syms_expr, F.array().cast("array<string>"),
+            one_merge(F.lit(left), F.lit(right), F.lit(merged)))
+    return syms_expr
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the merge
+    table ``bpe_train`` just learned — the deploy half of the
+    tokenizer story (train on the corpus, then tokenize the corpus
+    with the result). Reports per-doc whitespace-token count, subword
+    count after the merges, and the exact compression ratio.
+
+    Scale shape: the merge table is tiny (N_MERGES rows, already
+    driver-side from training — a real deployment broadcasts a stored
+    ~10⁴-row table the same way) and is baked into the plan as
+    literals; encoding is then a ZERO-shuffle scan — per token, one
+    char split + N_MERGES chained JVM folds, no explode, no Python.
+    Per-doc totals come from an in-row sum, so nothing moves between
+    executors. Rows-only for the driver (the merge table is learned
+    by a recursion SQL can't express); the encode itself is pinned
+    against a pure-Python greedy-merge reference in
+    tests/test_graph_bpe.py."""
+    from mapreduce_rust_spark.functions.text import WS_RE
+    merges = bpe_train(_word_freqs(spark, sf_dir), N_MERGES)
+    from mapreduce_rust_spark.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+
+    def encode_token(t):
+        syms = F.filter(F.split(t, "(?!^)"), lambda x: x != "")
+        return F.size(_apply_merges(syms, merges))
+
+    subword_counts = F.transform(toks, encode_token)
+    n_sub = F.aggregate(subword_counts, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x)
+    d = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"),
+                    n_sub.alias("n_subwords"))
+    # fertility = subwords emitted per whitespace token (≥ 1; lower =
+    # better merge coverage), the standard tokenizer-quality metric
+    return d.select(
+        "doc_id", "n_tokens", "n_subwords",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+         .otherwise(F.col("n_subwords").cast("double") / F.col("n_tokens"))
+         .alias("fertility"))
+
+
 REGISTRATIONS = [
     ("bpe_train_merges", bpe_train_merges, None),
+    ("bpe_encode_docs", bpe_encode_docs, None),
 ]

@@ -566,8 +566,63 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+PRIOR_SOURCES = tuple(f"src{i}" for i in range(10))  # already-ingested crawls
+
+
+def bloom_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: classify every document of the NEW
+    batch (sources outside ``PRIOR_SOURCES``) as duplicate-of-prior
+    or novel, by normalized fingerprint — the dedupe-against-all-
+    previous-crawls step an ingestion pipeline runs on every batch.
+
+    The scale problem this solves: the prior corpus is ~everything
+    ever crawled, the new batch is comparatively tiny, and a plain
+    semi-join shuffles BOTH. Here the prior side reduces to a bloom
+    bitmap (constant 16 KiB however large the prior corpus is —
+    `operators/bloom.py`); the new batch tests against the plan-
+    literal bitmap in-scan, and only bitmap HITS (true dups + ~0.1%
+    false positives) enter the exact verify semi-join. Docs that miss
+    the bloom are definitively novel — no join touches them — so
+    verify-join volume tracks the true duplicate rate, not batch
+    size. Exactness is the bloom.py argument: no false negatives +
+    exact verify ⇒ the oracle is the plain IN-subquery."""
+    from mapreduce_rust_spark.functions.text import fingerprint
+    from mapreduce_rust_spark.operators.bloom import (
+        bloom_prefilter, build_bitmap)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source",
+                     fingerprint(F.col("text")).alias("fp"))
+    prior = fp.filter(F.col("source").isin(*PRIOR_SOURCES))
+    new = fp.filter(~F.col("source").isin(*PRIOR_SOURCES))
+    bitmap = build_bitmap(prior.select("fp"), "fp")
+    hits = bloom_prefilter(new, "fp", bitmap)
+    dups = (hits.join(prior.select("fp").distinct(), "fp", "left_semi")
+                .select("doc_id", F.lit(True).alias("is_dup")))
+    return (new.select("doc_id", "source")
+               .join(dups, "doc_id", "left")
+               .select("doc_id", "source",
+                       F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+_PRIOR_SQL = ", ".join(f"'{s}'" for s in PRIOR_SOURCES)
+
+BLOOM_CRAWL_DEDUP_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT n.doc_id, n.source,
+       n.fp IN (SELECT fp FROM fp WHERE source IN ({_PRIOR_SQL}))
+         AS is_dup
+FROM fp n WHERE n.source NOT IN ({_PRIOR_SQL})
+"""
+
+
 REGISTRATIONS = [
     ("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_ORACLE),
+    ("bloom_crawl_dedup", bloom_crawl_dedup, BLOOM_CRAWL_DEDUP_ORACLE),
     ("segment_dedup_docs", segment_dedup_docs, SEGMENT_DEDUP_ORACLE),
     ("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_LSH_ORACLE),
     ("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),

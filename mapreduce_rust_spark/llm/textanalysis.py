@@ -577,8 +577,51 @@ FROM n GROUP BY norm_sha
 """
 
 
+SEARCH_TERMS = ("batch", "scan", "join")
+
+
+def boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword search: documents containing ALL of
+    ``SEARCH_TERMS``, with the total hit count per doc — the
+    filter-by-keywords stage of corpus slicing (e.g. "pull every doc
+    mentioning all three topics").
+
+    Shape: ZERO shuffles — the match runs in-row (filter the token
+    array against the literal term set, count distinct terms present),
+    so the whole query is one codegen'd scan with the verdict as a
+    residual filter. The posting-list form (build_vocab/tf_df's
+    explode + groupBy index) is the right call when the SAME corpus
+    serves many queries; for one ad-hoc conjunctive query, a scan
+    touches each byte once and nothing moves between executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    terms = F.array(*[F.lit(t) for t in SEARCH_TERMS])
+    matched = F.filter(toks, lambda t: F.array_contains(terms, t))
+    return (docs.select("doc_id", "lang", "source",
+                        F.size(matched).cast("long").alias("n_hits"),
+                        F.size(F.array_distinct(matched)).alias("nt"))
+                .filter(F.col("nt") == len(SEARCH_TERMS))
+                .drop("nt"))
+
+
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in SEARCH_TERMS) + "]"
+
+BOOLEAN_SEARCH_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lang, source,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> list_contains({_TERMS_SQL}, t)) AS matched
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(len(matched) AS BIGINT) AS n_hits
+FROM m
+WHERE len(list_distinct(matched)) = {len(SEARCH_TERMS)}
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
+    ("boolean_search_docs", boolean_search_docs, BOOLEAN_SEARCH_ORACLE),
     ("normalize_text_docs", normalize_text_docs, NORMALIZE_TEXT_ORACLE),
     ("dedup_normalized_docs", dedup_normalized_docs, DEDUP_NORMALIZED_ORACLE),
     ("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_ORACLE),

@@ -109,7 +109,10 @@ def bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~20%-selective urgent key set, thin lineitem JVM-side, then exact
     semi-join + per-returnflag aggregate. Result is identical to the
     plain semi-join (oracle below) — the bloom only changes how much
-    of the fact table reaches the shuffle."""
+    of the fact table reaches the shuffle. (At fixture scale the
+    extra bitmap-build job costs more than the thinning saves — the
+    crossover is where fact-shuffle volume dominates, i.e. the 100 TB
+    regime this operator exists for; correctness is scale-invariant.)"""
     orders = load_table(spark, sf_dir, "orders")
     urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
                     .select("o_orderkey"))

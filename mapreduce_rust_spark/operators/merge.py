@@ -294,8 +294,71 @@ FROM changes GROUP BY change
 """
 
 
+MV_CUTOFF = "1997-06-01"
+MV_DELETE_MOD = 97   # base orders with key % 97 == 0 are retracted
+
+
+def incremental_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: refresh a stored
+    (priority, year) → (n_orders, revenue) aggregate with a change
+    batch — inserts (orders on/after ``MV_CUTOFF``) and deletes
+    (every ``MV_DELETE_MOD``-th base order retracted) — WITHOUT
+    recomputing from the fact table. Aggregates here are mergeable
+    partials: each input (the stored MV, the insert batch, the
+    delete batch at weight −1) reduces to per-key partials and one
+    final sum merges them; groups emptied by deletes drop out
+    (n_orders = 0).
+
+    Scale shape: the fact table contributes only through the
+    already-stored MV (here rebuilt from the pre-cutoff slice as the
+    fixture's stand-in for the stored table — a real deployment reads
+    it back); the work that scales with the refresh is ONLY the
+    delta batch's aggregation — ≤ |changes| rows shuffle, against a
+    key space of (priorities × years). The revenue partials sum in
+    DECIMAL, so incremental and full recompute are bit-identical —
+    which is exactly what the oracle checks: DuckDB recomputes the
+    view FROM SCRATCH over (base ∖ deletes) ∪ inserts, and the
+    driver hash-compares the two."""
+    orders = _t(spark, sf_dir, "orders")
+    key = [F.col("o_orderpriority").alias("priority"),
+           F.year("o_orderdate").cast("long").alias("year")]
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+
+    def partial(df: DataFrame, w: int) -> DataFrame:
+        return (df.groupBy(*key)
+                  .agg((F.count("*") * w).alias("n"),
+                       (F.sum(dec) * w).alias("rev")))
+
+    base = orders.filter(F.col("o_orderdate") < F.lit(MV_CUTOFF))
+    mv = partial(base, 1)          # stand-in for the stored MV table
+    inserts = orders.filter(F.col("o_orderdate") >= F.lit(MV_CUTOFF))
+    deletes = base.filter(F.col("o_orderkey") % MV_DELETE_MOD == 0)
+    merged = (mv.unionByName(partial(inserts, 1))
+                .unionByName(partial(deletes, -1))
+                .groupBy("priority", "year")
+                .agg(F.sum("n").cast("long").alias("n_orders"),
+                     F.sum("rev").cast("double").alias("revenue")))
+    return merged.filter(F.col("n_orders") > 0)
+
+
+INCREMENTAL_MV_ORACLE = f"""
+WITH live AS (
+  SELECT * FROM orders
+  WHERE (o_orderdate < TIMESTAMP '{MV_CUTOFF}'
+         AND o_orderkey % {MV_DELETE_MOD} <> 0)
+     OR o_orderdate >= TIMESTAMP '{MV_CUTOFF}'
+)
+SELECT o_orderpriority AS priority,
+       CAST(year(o_orderdate) AS BIGINT) AS year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM live GROUP BY priority, year
+"""
+
+
 REGISTRATIONS = [
     ("merge_upsert_customers", merge_upsert_customers, MERGE_UPSERT_ORACLE),
     ("scd2_close_and_insert", scd2_close_and_insert, SCD2_ORACLE),
     ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
+    ("incremental_mv_orders", incremental_mv_orders, INCREMENTAL_MV_ORACLE),
 ]

@@ -156,3 +156,43 @@ def test_snapshot_diff_null_never_collides_with_any_string(spark):
                                 ["k", "name"])
     got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "update", 2: "update", 3: "unchanged"}
+
+
+def _encode_reference(word: str, merges) -> int:
+    """Greedy left-to-right application of the learned merges, in
+    training order — subword count for one token."""
+    syms = list(word)
+    for _step, l, r, merged, _c in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(merged); i += 2
+            else:
+                out.append(syms[i]); i += 1
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_matches_reference(spark):
+    """bpe_encode_docs' per-doc subword counts must equal applying
+    the SAME learned merges with a pure-Python greedy encoder."""
+    import re
+    from mapreduce_rust_spark.llm.bpe import (
+        N_MERGES, _word_freqs, bpe_encode_docs, bpe_train)
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    merges = bpe_train(_word_freqs(spark, SF_SMOKE), N_MERGES)
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    want = {}
+    for d, txt in docs.items():
+        toks = [t for t in re.split(r"\s+", txt) if t]
+        want[d] = (len(toks), sum(_encode_reference(t, merges)
+                                  for t in toks))
+    got = {r.doc_id: (r.n_tokens, r.n_subwords)
+           for r in bpe_encode_docs(spark, SF_SMOKE).collect()}
+    assert got == want
+    # merges must actually fire on the corpus they were trained on
+    assert any(ns < sum(len(t) for t in re.split(r"\s+", docs[d]) if t)
+               for d, (_, ns) in got.items())
