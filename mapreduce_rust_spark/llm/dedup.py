@@ -590,8 +590,15 @@ def bloom_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_rust_spark.operators.bloom import (
         bloom_prefilter, build_bitmap)
     docs = load_table(spark, sf_dir, "documents")
+    # materialize fingerprints ONCE: four plan branches read them (the
+    # bitmap-build action, the bloom probe, the verify semi-join, and
+    # the output join), and the fingerprint is three regex passes over
+    # the full text — recomputing it per branch dominated the ×20
+    # measurement (13.4 s → 4.5 s, SCALE.md). A production pipeline
+    # stores fingerprints as a column for the same reason.
     fp = docs.select("doc_id", "source",
-                     fingerprint(F.col("text")).alias("fp"))
+                     fingerprint(F.col("text")).alias("fp")) \
+             .localCheckpoint(eager=True)
     prior = fp.filter(F.col("source").isin(*PRIOR_SOURCES))
     new = fp.filter(~F.col("source").isin(*PRIOR_SOURCES))
     bitmap = build_bitmap(prior.select("fp"), "fp")

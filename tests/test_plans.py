@@ -278,3 +278,37 @@ def test_round4_ops_plan_shapes(spark):
     for fn in (chunk_stride_docs, normalize_text_docs):
         p = _plan(fn(spark, SF_CORRECT))
         assert "Exchange" not in p, f"{fn.__name__} must not shuffle"
+
+
+def test_round4_new_operator_plan_shapes(spark):
+    """Plan pins for the round-4 additions (see each op's docstring
+    for the claimed shape being pinned here)."""
+    from mapreduce_rust_spark.llm.bpe import bpe_encode_docs
+    from mapreduce_rust_spark.llm.quality import dsir_importance_docs
+    from mapreduce_rust_spark.llm.textanalysis import boolean_search_docs
+    from mapreduce_rust_spark.operators.bloom import bloom_semijoin_revenue
+
+    # bloom semi-join: the k bit-tests run as a plain Filter (codegen,
+    # scan stage — 'shiftright' only exists in the probe expression)
+    # and the exact verify is a real semi join
+    plan = _plan(bloom_semijoin_revenue(spark, SF_CORRECT))
+    assert "shiftright" in plan
+    assert "LeftSemi" in plan
+    # the bit-test filter must sit BELOW any exchange: everything
+    # before the first Exchange line includes the shiftright filter
+    before_first_exchange = plan.split("Exchange")[-1]
+    assert "shiftright" in before_first_exchange, \
+        "bloom prefilter must run before the shuffle, not after"
+
+    # conjunctive search: one scan, zero shuffles
+    plan = _plan(boolean_search_docs(spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+    # BPE encode: after training, the encode itself is a pure scan
+    plan = _plan(bpe_encode_docs(spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+    # DSIR: the λ table joins back via broadcast — the corpus-side
+    # token stream must not shuffle for the join
+    plan = _plan(dsir_importance_docs(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
