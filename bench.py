@@ -132,6 +132,8 @@ HEADLINE = [
     "boolean_search_docs",
     "bpe_encode_docs",
     "bloom_crawl_dedup",
+    "domain_keywords_docs",
+    "bucket_pad_stats_docs",
 ]
 
 

@@ -227,8 +227,66 @@ WHERE rank <= {RESERVOIR_K}
 """
 
 
+PAD_BUCKETS = (64, 128, 256, 512)   # allowed padded sequence lengths
+
+
+def bucket_pad_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch-padding analysis: assign every document
+    to the smallest ``PAD_BUCKETS`` length that fits (docs longer
+    than the max bucket truncate to it — stated convention), and
+    report per bucket the doc count, real-token total, padded-token
+    total, and the exact waste fraction (padding ÷ padded slots) —
+    the numbers that decide a serving/training batcher's bucket
+    boundaries (uniform max-length padding wastes the difference;
+    bucketing recovers most of it).
+
+    Pure per-row arithmetic + one ≤|buckets|-group aggregate — a
+    single scan at any corpus size. All integers until the final
+    division of two exact longs."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks(F.col("text"))).cast("long")
+    bucket = F.lit(PAD_BUCKETS[-1])
+    for b in reversed(PAD_BUCKETS):
+        bucket = F.when(n_tok <= b, F.lit(b)).otherwise(bucket)
+    real = F.least(n_tok, F.lit(PAD_BUCKETS[-1]))  # truncation rule
+    d = docs.select(bucket.cast("long").alias("bucket"),
+                    real.alias("real_toks"))
+    return (d.groupBy("bucket")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("real_toks").alias("real_tokens"),
+                  (F.count("*") * F.first("bucket")).alias("padded_tokens"))
+             .select("bucket", "n_docs", "real_tokens", "padded_tokens",
+                     ((F.col("padded_tokens") - F.col("real_tokens"))
+                      .cast("double") / F.col("padded_tokens"))
+                     .alias("waste_frac")))
+
+
+_BUCKET_CASE = " ".join(
+    f"WHEN n <= {b} THEN {b}" for b in PAD_BUCKETS)
+
+BUCKET_PAD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n
+  FROM documents
+),
+b AS (
+  SELECT CASE {_BUCKET_CASE} ELSE {PAD_BUCKETS[-1]} END AS bucket,
+         LEAST(n, {PAD_BUCKETS[-1]}) AS real_toks
+  FROM d
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+       CAST(SUM(real_toks) AS BIGINT) AS real_tokens,
+       CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+       CAST(COUNT(*) * bucket - SUM(real_toks) AS DOUBLE)
+         / (COUNT(*) * bucket) AS waste_frac
+FROM b GROUP BY bucket
+"""
+
+
 REGISTRATIONS = [
     ("dup_ngram_fraction_docs", dup_ngram_fraction_docs, DUP_NGRAM_ORACLE),
+    ("bucket_pad_stats_docs", bucket_pad_stats_docs, BUCKET_PAD_ORACLE),
     ("reservoir_sample_docs", reservoir_sample_docs, RESERVOIR_ORACLE),
     ("shuffle_shard_docs", shuffle_shard_docs, SHUFFLE_SHARD_ORACLE),
     ("embedding_normalize_quantize", embedding_normalize_quantize,

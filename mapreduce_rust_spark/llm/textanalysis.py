@@ -9,7 +9,7 @@ bit-for-bit. All linear scans — trivially 100 TB-safe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.text import PUNCT_RE, WS_RE, fingerprint, normalized
@@ -619,9 +619,79 @@ WHERE len(list_distinct(matched)) = {len(SEARCH_TERMS)}
 """
 
 
+KEYWORDS_TOP_K = 10
+KEYWORDS_MIN_COUNT = 5   # min in-domain occurrences (hapax guard)
+
+
+def domain_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive keywords per source: the ``KEYWORDS_TOP_K`` tokens
+    with the highest lift — (in-domain frequency) / (corpus
+    frequency) — per source, min-support filtered. The
+    domain-characterization step of corpus analysis (what makes
+    src7 different), and the exact-arithmetic stand-in for per-domain
+    TF-IDF: lift uses only integer counts and two correctly-rounded
+    double divisions, so unlike a log-idf it is bit-identical across
+    engines and fully hash-checkable.
+
+    Scale shape: one (source, tok) aggregate (the shuffle volume is
+    the distinct pair count, with map-side combine), one tok-level
+    aggregate derived FROM it (not from the raw stream), a broadcast
+    per-source total, and a per-source top-k window whose input is
+    already min-support-thinned — the window partition is bounded by
+    a single domain's qualifying vocabulary, never the corpus."""
+    tok = _tok_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source")
+    st = (tok.join(docs, "doc_id")
+             .groupBy("source", "tok")
+             .agg(F.count("*").alias("c_st")))
+    per_tok = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    per_src = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    total = per_tok.agg(F.sum("c_t").alias("n"))
+    lift = ((F.col("c_st").cast("double") / F.col("n_s"))
+            / (F.col("c_t").cast("double") / F.col("n")))
+    cand = (st.filter(F.col("c_st") >= KEYWORDS_MIN_COUNT)
+              .join(per_tok, "tok")
+              .join(F.broadcast(per_src), "source")
+              .crossJoin(F.broadcast(total))
+              .withColumn("lift", lift))
+    w = W.partitionBy("source").orderBy(F.col("lift").desc(), "tok")
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= KEYWORDS_TOP_K)
+                .select("source", "rank", "tok",
+                        F.col("c_st").cast("long").alias("c_st"), "lift"))
+
+
+DOMAIN_KEYWORDS_ORACLE = f"""
+WITH tok AS (
+  SELECT d.source, t.tok
+  FROM documents d,
+       UNNEST(regexp_split_to_array(d.text, '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+st AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+pt AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY 1),
+ps AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1),
+tot AS (SELECT SUM(c_t) AS n FROM pt),
+cand AS (
+  SELECT st.source, st.tok, st.c_st,
+         (CAST(st.c_st AS DOUBLE) / ps.n_s)
+           / (CAST(pt.c_t AS DOUBLE) / tot.n) AS lift
+  FROM st JOIN pt USING (tok) JOIN ps USING (source), tot
+  WHERE st.c_st >= {KEYWORDS_MIN_COUNT}
+)
+SELECT source, rank, tok, CAST(c_st AS BIGINT) AS c_st, lift
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY lift DESC, tok) AS BIGINT) AS rank
+      FROM cand)
+WHERE rank <= {KEYWORDS_TOP_K}
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
     ("boolean_search_docs", boolean_search_docs, BOOLEAN_SEARCH_ORACLE),
+    ("domain_keywords_docs", domain_keywords_docs, DOMAIN_KEYWORDS_ORACLE),
     ("normalize_text_docs", normalize_text_docs, NORMALIZE_TEXT_ORACLE),
     ("dedup_normalized_docs", dedup_normalized_docs, DEDUP_NORMALIZED_ORACLE),
     ("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_ORACLE),

@@ -196,3 +196,18 @@ def test_bpe_encode_matches_reference(spark):
     # merges must actually fire on the corpus they were trained on
     assert any(ns < sum(len(t) for t in re.split(r"\s+", docs[d]) if t)
                for d, (_, ns) in got.items())
+
+
+def test_ordered_pairs_matches_combinations(spark):
+    """_ordered_pairs must emit exactly itertools.combinations of the
+    sorted array (order preserved), including the 0/1-element edge
+    cases the descending-sequence trap would break."""
+    from mapreduce_rust_spark.operators.graph import _ordered_pairs
+    rows = [(i, sorted(random.Random(i).sample(range(50), k)))
+            for i, k in enumerate([0, 1, 2, 3, 7, 12])]
+    df = spark.createDataFrame(rows, ["id", "arr"])
+    got = {r.id: [(p.u, p.v) for p in r.pairs]
+           for r in df.select("id", _ordered_pairs(F.col("arr"))
+                              .alias("pairs")).collect()}
+    for i, arr in rows:
+        assert got[i] == list(itertools.combinations(arr, 2)), (i, arr)
