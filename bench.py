@@ -134,6 +134,8 @@ HEADLINE = [
     "bloom_crawl_dedup",
     "domain_keywords_docs",
     "bucket_pad_stats_docs",
+    "trend_ols_events",
+    "cusum_changepoint_events",
 ]
 
 

@@ -220,8 +220,177 @@ GROUP BY event_type
 """
 
 
+def trend_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value TREND: closed-form least-squares slope,
+    intercept, and R² of value-cents against seconds-since-window-
+    start — "is the purchase amount drifting upward this month", the
+    regression companion to the z-score point-anomaly check.
+
+    Determinism discipline (this is a float output that still
+    hash-matches): the five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) are summed EXACTLY — integer cents / integer seconds,
+    products in DECIMAL(38,0), so partitioning cannot change a bit —
+    then cast to double, and the closed-form combination is identical
+    single-threaded IEEE arithmetic on identical inputs in both
+    engines. No libm (R² avoids sqrt by reporting r², whose only
+    irrational-free form num²/(denx·deny) is pure ×/÷). The x origin
+    is the GLOBAL min event time (1-row broadcast, the tf_df
+    pattern), so x stays ~1e6 and intercepts mean 'cents at window
+    start'. One scan + one 5-group aggregate — trivially 100 TB-safe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"))
+    t0 = base.agg(F.min("us").alias("us0"))
+    dec = "decimal(38,0)"
+    x = F.expr("(us - us0) DIV 1000000").cast(dec)   # whole seconds
+    y = F.col("vc").cast(dec)
+    stats = (base.crossJoin(F.broadcast(t0))
+             .select("event_type", x.alias("x"), y.alias("y"))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum("x").cast("double").alias("sx"),
+                  F.sum("y").cast("double").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).cast("double").alias("syy")))
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return stats.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        slope.alias("slope_cents_per_sec"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept_cents"),
+        (num * num / (denx * deny)).alias("r2"))
+
+
+TREND_OLS_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+),
+t0 AS (SELECT MIN(us) AS us0 FROM base),
+xy AS (
+  SELECT event_type,
+         CAST((us - us0) // 1000000 AS DECIMAL(38,0)) AS x,
+         CAST(vc AS DECIMAL(38,0)) AS y
+  FROM base, t0
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_sec,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         AS intercept_cents,
+       (n * sxy - sx * sy) * (n * sxy - sx * sy)
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM stats
+"""
+
+
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the position where
+    the cumulative deviation from the type's mean value peaks — the
+    classic "where did the level shift" monitor (Page 1954).
+
+    Exact-integer trick: CUSUM_i = Σ_{j≤i}(v_j − μ) peaks where
+    N·prefix_i − i·S does (both sides scaled by N = count, S = Σv —
+    all BIGINTs, no float mean ever forms), so the argmax is exact
+    and the reported score is an exact integer cast to double.
+
+    Scale shape — NO per-type global window: the prefix sum uses the
+    sessionize_scalable two-phase decomposition. Within-day prefixes
+    run in (type, day) partitions (thousands, bounded); the day-level
+    carry-in offsets come from a window over DAY SUMMARIES only
+    (≤ days rows per type). The final argmax is a plain aggregate
+    (max of a struct — partial-combinable), not a rank window."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  F.unix_micros("ts").alias("us"), "event_id",
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    day_sums = (ev.groupBy("event_type", "day")
+                  .agg(F.sum("vc").alias("dv"), F.count("*").alias("dn")))
+    wd = W.partitionBy("event_type").orderBy("day")
+    day_off = day_sums.select(
+        "event_type", "day",
+        (F.sum("dv").over(wd) - F.col("dv")).alias("off_v"),
+        (F.sum("dn").over(wd) - F.col("dn")).alias("off_n"))
+    ww = (W.partitionBy("event_type", "day").orderBy("us", "event_id")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    within = ev.select(
+        "event_type", "day", "event_id",
+        F.sum("vc").over(ww).alias("pv"),
+        F.count("*").over(ww).alias("pn"))
+    totals = ev.groupBy("event_type").agg(F.sum("vc").alias("s"),
+                                          F.count("*").alias("n_tot"))
+    pref = (within.join(day_off, ["event_type", "day"])
+            .join(F.broadcast(totals), "event_type")
+            .select("event_type", "event_id", "n_tot",
+                    (F.col("off_n") + F.col("pn")).alias("i"),
+                    (F.col("n_tot") * (F.col("off_v") + F.col("pv"))
+                     - (F.col("off_n") + F.col("pn")) * F.col("s"))
+                    .alias("cusum_scaled")))
+    best = F.max(F.struct(F.abs(F.col("cusum_scaled")).alias("score"),
+                          (-F.col("i")).alias("neg_i"),
+                          (-F.col("event_id")).alias("neg_id"))).alias("b")
+    return (pref.groupBy("event_type")
+            .agg(F.first("n_tot").alias("n"), best)
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    (-F.col("b.neg_i")).cast("long").alias("changepoint_pos"),
+                    (-F.col("b.neg_id")).cast("long").alias("event_id"),
+                    F.col("b.score").cast("double").alias("peak_score")))
+
+
+# Oracle uses the single-window form (fine at sf0.01; the Spark plan
+# is the one that must scale) — identical integers, identical argmax
+# tie-break (score DESC, position ASC, event_id ASC).
+CUSUM_ORACLE = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+),
+pref AS (
+  SELECT event_type, event_id,
+         SUM(vc) OVER w AS pv,
+         CAST(COUNT(*) OVER w AS BIGINT) AS i,
+         SUM(vc) OVER (PARTITION BY event_type) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot
+  FROM ev
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT event_type, event_id, i, n_tot,
+         ABS(n_tot * pv - i * s) AS score,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(n_tot * pv - i * s) DESC,
+                                     i, event_id) AS rk
+  FROM pref
+)
+SELECT event_type, n_tot AS n, i AS changepoint_pos, event_id,
+       CAST(score AS DOUBLE) AS peak_score
+FROM scored WHERE rk = 1
+"""
+
+
 REGISTRATIONS = [
     ("zscore_anomaly_events", zscore_anomaly_events, ZSCORE_ORACLE),
     ("tv_drift_sources", tv_drift_sources, TV_DRIFT_ORACLE),
     ("interevent_gap_stats", interevent_gap_stats, INTEREVENT_GAP_ORACLE),
+    ("trend_ols_events", trend_ols_events, TREND_OLS_ORACLE),
+    ("cusum_changepoint_events", cusum_changepoint_events, CUSUM_ORACLE),
 ]

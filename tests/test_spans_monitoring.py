@@ -257,3 +257,66 @@ def test_dup_spans_matches_python_reference(spark, docs):
            for r in dup_spans(df, w=3).collect()}
     want = _py_dup_spans(data, 3)
     assert got == want
+
+
+def test_trend_ols_matches_numpy(spark):
+    """The closed-form sufficient-statistics slope/intercept/R2 must
+    agree with numpy's least squares on the same (x, y) points."""
+    import numpy as np
+    from mapreduce_rust_spark.operators.monitoring import trend_ols_events
+    from mapreduce_rust_spark.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    got = {r.event_type: r for r in
+           trend_ols_events(spark, SF_CORRECT).collect()}
+    ev = load_table(spark, SF_CORRECT, "events") \
+        .select("event_type", F.unix_micros("ts").alias("us"),
+                F.round(F.col("value") * 100).cast("long").alias("vc")) \
+        .collect()
+    us0 = min(r.us for r in ev)
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(
+            ((r.us - us0) // 1_000_000, r.vc))
+    for t, pts in by_type.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        g = got[t]
+        assert abs(g.slope_cents_per_sec - slope) <= 1e-9 * max(1, abs(slope))
+        assert abs(g.intercept_cents - intercept) <= 1e-6 * max(1, abs(intercept))
+        assert abs(g.r2 - r * r) <= 1e-9
+        assert g.n == len(pts)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """A series that jumps from level 100 to level 200 at position
+    300/500 must peak its CUSUM exactly at the shift point; a flat
+    series peaks with a near-zero score."""
+    import datetime
+    from mapreduce_rust_spark.operators import monitoring
+    from mapreduce_rust_spark.tables import load_table
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(500):
+        level = 1.00 if i < 300 else 2.00
+        rows.append((i, base + datetime.timedelta(seconds=i),
+                     "shifted", level))
+        rows.append((1000 + i, base + datetime.timedelta(seconds=i),
+                     "flat", 1.50))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double")
+
+    import unittest.mock as mock
+    with mock.patch.object(monitoring, "load_table",
+                           lambda spark_, sf_, name: ev):
+        got = {r.event_type: r for r in
+               monitoring.cusum_changepoint_events(spark, "ignored")
+               .collect()}
+    # CUSUM of a level shift peaks AT the last pre-shift point
+    assert got["shifted"].changepoint_pos == 300
+    assert got["shifted"].n == 500
+    # flat series: every deviation is 0, peak score 0
+    assert got["flat"].peak_score == 0.0
