@@ -136,6 +136,7 @@ HEADLINE = [
     "bucket_pad_stats_docs",
     "trend_ols_events",
     "cusum_changepoint_events",
+    "multimodal_resize",
 ]
 
 

@@ -275,3 +275,70 @@ GROUP BY sha256(text)
 REGISTRATIONS.append(
     ("multimodal_dedup_payload", multimodal_dedup_payload,
      MULTIMODAL_DEDUP_ORACLE))
+
+
+RESIZE_TARGET = 256   # output "pixels" (stub: characters)
+
+RESIZE_SCHEMA = ("doc_id long, orig_bytes long, resized_bytes long, "
+                 "resized_sha string")
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the RESIZE shape: decode (stub: UTF-8),
+    stride-downsample to ≤ ``RESIZE_TARGET`` samples (every s-th
+    unit, s = ceil(n / target) — a real image resize replaces the
+    slice with an interpolating kernel; the decode → downsample →
+    re-encode → digest plumbing is identical), re-encode, digest.
+    One Arrow batch in memory at a time."""
+    import hashlib
+    import math
+    for pdf in batches:
+        out = {"doc_id": [], "orig_bytes": [], "resized_bytes": [],
+               "resized_sha": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            decoded = payload.decode("utf-8")
+            s = max(1, math.ceil(len(decoded) / RESIZE_TARGET))
+            resized = decoded[::s].encode("utf-8")
+            out["doc_id"].append(doc_id)
+            out["orig_bytes"].append(len(payload))
+            out["resized_bytes"].append(len(resized))
+            out["resized_sha"].append(hashlib.sha256(resized).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample over binary payloads — the thumbnailing /
+    sample-rate-reduction stage of a multimodal pipeline, decode
+    stubbed like the ops above. Deterministic stride-downsampling
+    keeps the DuckDB oracle exact (ASCII fixture: char == byte)."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(_resize_batches, RESIZE_SCHEMA)
+
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(CEIL(LENGTH(text) / {RESIZE_TARGET}.0) AS BIGINT))
+           AS stride
+  FROM documents
+),
+r AS (
+  SELECT doc_id, octet_length(encode(text)) AS orig_bytes,
+         array_to_string(
+           list_transform(
+             range(0, CAST(CEIL(LENGTH(text) * 1.0 / stride) AS BIGINT)),
+             i -> substr(text, CAST(i * stride + 1 AS BIGINT), 1)),
+           '') AS resized
+  FROM s
+)
+SELECT doc_id, CAST(orig_bytes AS BIGINT) AS orig_bytes,
+       CAST(octet_length(encode(resized)) AS BIGINT) AS resized_bytes,
+       sha256(resized) AS resized_sha
+FROM r
+"""
+
+
+REGISTRATIONS.append(
+    ("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE))
