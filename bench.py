@@ -137,6 +137,7 @@ HEADLINE = [
     "trend_ols_events",
     "cusum_changepoint_events",
     "multimodal_resize",
+    "stream_trend_ols",
 ]
 
 

@@ -268,8 +268,78 @@ def stream_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "approx_users", "n")
 
 
+# Fixed x-origin for the streaming OLS twin: 2024-01-01T00:00:00 as
+# epoch microseconds. The batch op (monitoring.trend_ols_events) uses
+# the GLOBAL min event time — a second aggregation a single streaming
+# query cannot nest — so the stream pins the origin to the fixture
+# window's start instead; slope and R² are origin-invariant, the
+# intercept is 'cents at 2024-01-01'.
+TREND_T0_US = 1_704_067_200_000_000
+
+
+def stream_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.trend_ols_events`` — the OLS
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are classic
+    mergeable streaming state: one complete-mode aggregate per event
+    type, updated per micro-batch, with the closed-form combination
+    applied on top. Same exactness discipline as the batch op
+    (integer seconds/cents, DECIMAL(38) products), so the float
+    outputs hash-match the oracle bit-for-bit."""
+    ev = read_events_stream(spark, sf_dir)
+    dec = "decimal(38,0)"
+    x = ((F.unix_micros("ts") - F.lit(TREND_T0_US)) / F.lit(1_000_000)) \
+        .cast("long").cast(dec)
+    y = F.round(F.col("value") * 100).cast("long").cast(dec)
+    stats = (ev.select("event_type", x.alias("x"), y.alias("y"))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum("x").cast("double").alias("sx"),
+                  F.sum("y").cast("double").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).cast("double").alias("syy")))
+    out = _run_to_table(stats, "stream_trend_ols", "complete")
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        slope.alias("slope_cents_per_sec"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept_cents"),
+        (num * num / (denx * deny)).alias("r2"))
+
+
+STREAM_TREND_ORACLE = f"""
+WITH xy AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - {TREND_T0_US}) // 1000000 AS DECIMAL(38,0))
+           AS x,
+         CAST(CAST(round(value * 100, 0) AS BIGINT) AS DECIMAL(38,0)) AS y
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_sec,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         AS intercept_cents,
+       (n * sxy - sx * sy) * (n * sxy - sx * sy)
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM stats
+"""
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
+    ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
     ("stream_approx_distinct_users", stream_approx_distinct_users, None),
     ("stream_static_enrich", stream_static_enrich,
      STREAM_STATIC_ENRICH_ORACLE),

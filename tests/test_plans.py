@@ -64,7 +64,8 @@ def test_jvm_operators_have_no_python(spark):
     streaming = {"stream_tumbling_counts", "stream_sliding_counts",
                  "stream_session_windows", "stream_interval_join",
                  "stream_dedup_users", "stream_static_enrich",
-                 "stateful_session_flush", "stream_approx_distinct_users"}
+                 "stateful_session_flush", "stream_approx_distinct_users",
+                 "stream_zscore_anomaly", "stream_trend_ols"}
     for name, fn in registry.queries().items():
         if name in python_ok | streaming:
             continue
@@ -85,7 +86,8 @@ def test_no_cartesian_products_engine_wide(spark):
             "stream_session_windows", "stream_interval_join",
             "stream_dedup_users", "stream_static_enrich",
             "stateful_user_totals", "stateful_session_flush",
-            "stream_approx_distinct_users"}
+            "stream_approx_distinct_users",
+            "stream_zscore_anomaly", "stream_trend_ols"}
     for name, fn in registry.queries().items():
         if name in skip:
             continue
