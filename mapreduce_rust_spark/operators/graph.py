@@ -118,8 +118,12 @@ def triangle_count(edges: DataFrame,
                         "left")
                   .select(F.size(F.array_intersect(
                       F.col("sa.nbrs"),
+                      # empty-array fallback typed from the data (a
+                      # hard-coded array<bigint> cast would break int
+                      # ids on this path only); sa.nbrs is never null
+                      # (inner join), so slice(...,1,0) is safe
                       F.coalesce(F.col("ta.nbrs"),
-                                 F.expr("CAST(array() AS array<bigint>)"))))
+                                 F.slice(F.col("sa.nbrs"), 1, 0))))
                       .alias("n_tri")))
         return closed.agg(F.sum("n_tri").cast("long").alias("n_triangles"))
     # ABOVE the gate (a 100 TB graph): materialized wedge join — both

@@ -247,15 +247,29 @@ def trend_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     x = F.expr("(us - us0) DIV 1000000").cast(dec)   # whole seconds
     y = F.col("vc").cast(dec)
-    stats = (base.crossJoin(F.broadcast(t0))
-             .select("event_type", x.alias("x"), y.alias("y"))
-             .groupBy("event_type")
-             .agg(F.count("*").alias("n"),
-                  F.sum("x").cast("double").alias("sx"),
-                  F.sum("y").cast("double").alias("sy"),
-                  F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-                  F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-                  F.sum(F.col("y") * F.col("y")).cast("double").alias("syy")))
+    xy = (base.crossJoin(F.broadcast(t0))
+              .select("event_type", x.alias("x"), y.alias("y")))
+    return ols_closed_form(ols_stats_agg(xy))
+
+
+def ols_stats_agg(xy: DataFrame) -> DataFrame:
+    """Exact OLS sufficient statistics per event_type over an
+    (event_type, x DECIMAL, y DECIMAL) frame — shared by the batch op
+    and the streaming twin (the stats are mergeable, so the same agg
+    runs in a complete-mode stream)."""
+    return (xy.groupBy("event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum("x").cast("double").alias("sx"),
+                   F.sum("y").cast("double").alias("sy"),
+                   F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+                   F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+                   F.sum(F.col("y") * F.col("y")).cast("double").alias("syy")))
+
+
+def ols_closed_form(stats: DataFrame) -> DataFrame:
+    """Closed-form slope/intercept/R² from the sufficient statistics
+    — ONE definition so the batch op and streaming twin cannot
+    drift."""
     n = F.col("n").cast("double")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -268,20 +282,9 @@ def trend_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num * num / (denx * deny)).alias("r2"))
 
 
-TREND_OLS_ORACLE = """
-WITH base AS (
-  SELECT event_type,
-         epoch_us(ts) AS us,
-         CAST(round(value * 100, 0) AS BIGINT) AS vc
-  FROM events
-),
-t0 AS (SELECT MIN(us) AS us0 FROM base),
-xy AS (
-  SELECT event_type,
-         CAST((us - us0) // 1000000 AS DECIMAL(38,0)) AS x,
-         CAST(vc AS DECIMAL(38,0)) AS y
-  FROM base, t0
-),
+# Shared oracle tail: expects a CTE named xy(event_type, x, y) to be
+# in scope; composes as  f"WITH ..., xy AS (...), {OLS_ORACLE_TAIL}".
+OLS_ORACLE_TAIL = """
 stats AS (
   SELECT event_type, COUNT(*) AS n,
          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
@@ -297,6 +300,23 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        (n * sxy - sx * sy) * (n * sxy - sx * sy)
          / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
 FROM stats
+"""
+
+TREND_OLS_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+),
+t0 AS (SELECT MIN(us) AS us0 FROM base),
+xy AS (
+  SELECT event_type,
+         CAST((us - us0) // 1000000 AS DECIMAL(38,0)) AS x,
+         CAST(vc AS DECIMAL(38,0)) AS y
+  FROM base, t0
+),
+{OLS_ORACLE_TAIL}
 """
 
 

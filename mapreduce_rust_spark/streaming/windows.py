@@ -285,33 +285,22 @@ def stream_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied on top. Same exactness discipline as the batch op
     (integer seconds/cents, DECIMAL(38) products), so the float
     outputs hash-match the oracle bit-for-bit."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        ols_closed_form, ols_stats_agg)
     ev = read_events_stream(spark, sf_dir)
     dec = "decimal(38,0)"
     x = ((F.unix_micros("ts") - F.lit(TREND_T0_US)) / F.lit(1_000_000)) \
         .cast("long").cast(dec)
     y = F.round(F.col("value") * 100).cast("long").cast(dec)
-    stats = (ev.select("event_type", x.alias("x"), y.alias("y"))
-             .groupBy("event_type")
-             .agg(F.count("*").alias("n"),
-                  F.sum("x").cast("double").alias("sx"),
-                  F.sum("y").cast("double").alias("sy"),
-                  F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-                  F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-                  F.sum(F.col("y") * F.col("y")).cast("double").alias("syy")))
+    stats = ols_stats_agg(ev.select("event_type", x.alias("x"),
+                                    y.alias("y")))
     out = _run_to_table(stats, "stream_trend_ols", "complete")
-    n = F.col("n").cast("double")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num / denx
-    return out.select(
-        "event_type", F.col("n").cast("long").alias("n"),
-        slope.alias("slope_cents_per_sec"),
-        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept_cents"),
-        (num * num / (denx * deny)).alias("r2"))
+    return ols_closed_form(out)
 
 
-STREAM_TREND_ORACLE = f"""
+def _stream_trend_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import OLS_ORACLE_TAIL
+    return f"""
 WITH xy AS (
   SELECT event_type,
          CAST((epoch_us(ts) - {TREND_T0_US}) // 1000000 AS DECIMAL(38,0))
@@ -319,22 +308,11 @@ WITH xy AS (
          CAST(CAST(round(value * 100, 0) AS BIGINT) AS DECIMAL(38,0)) AS y
   FROM events
 ),
-stats AS (
-  SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-         CAST(SUM(x * y) AS DOUBLE) AS sxy,
-         CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         CAST(SUM(y * y) AS DOUBLE) AS syy
-  FROM xy GROUP BY event_type
-)
-SELECT event_type, CAST(n AS BIGINT) AS n,
-       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_sec,
-       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-         AS intercept_cents,
-       (n * sxy - sx * sy) * (n * sxy - sx * sy)
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-FROM stats
+{OLS_ORACLE_TAIL}
 """
+
+
+STREAM_TREND_ORACLE = _stream_trend_oracle()
 
 
 REGISTRATIONS = [

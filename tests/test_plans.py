@@ -9,6 +9,8 @@ contain Python evaluation.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_CORRECT
 
 
@@ -290,17 +292,28 @@ def test_round4_new_operator_plan_shapes(spark):
     from mapreduce_rust_spark.llm.textanalysis import boolean_search_docs
     from mapreduce_rust_spark.operators.bloom import bloom_semijoin_revenue
 
-    # bloom semi-join: the k bit-tests run as a plain Filter (codegen,
-    # scan stage — 'shiftright' only exists in the probe expression)
-    # and the exact verify is a real semi join
+    # bloom prefilter in isolation: the k bit-tests are a plain
+    # codegen Filter on the scan — the sub-plan must contain ZERO
+    # exchanges, which pins 'bit-test before any shuffle' by
+    # construction (an end-to-end text split is ambiguous: Catalyst
+    # mirrors the filter onto the build side via inference, so a
+    # shiftright below the BroadcastExchange proves nothing)
+    from mapreduce_rust_spark.operators.bloom import (
+        bloom_prefilter, build_bitmap)
+    from mapreduce_rust_spark.tables import load_table
+    urgent = (load_table(spark, SF_CORRECT, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+    pre = bloom_prefilter(load_table(spark, SF_CORRECT, "lineitem"),
+                          "l_orderkey", build_bitmap(urgent, "o_orderkey"))
+    pre_plan = _plan(pre)
+    assert "shiftright" in pre_plan
+    assert "Exchange" not in pre_plan, \
+        "bloom prefilter must be a pure scan-stage filter"
+    # end to end, the exact verify is a real semi join
     plan = _plan(bloom_semijoin_revenue(spark, SF_CORRECT))
     assert "shiftright" in plan
     assert "LeftSemi" in plan
-    # the bit-test filter must sit BELOW any exchange: everything
-    # before the first Exchange line includes the shiftright filter
-    before_first_exchange = plan.split("Exchange")[-1]
-    assert "shiftright" in before_first_exchange, \
-        "bloom prefilter must run before the shuffle, not after"
 
     # conjunctive search: one scan, zero shuffles
     plan = _plan(boolean_search_docs(spark, SF_CORRECT))
