@@ -173,3 +173,26 @@ def test_bloom_semijoin_equals_plain_semijoin(spark):
                        .agg(F.count("*").alias("n_lines"),
                             dsum(rev).alias("revenue")).collect()}
     assert got == want
+
+
+def test_bloom_prefilter_property_random_key_sets(spark):
+    """Property over adversarial key ranges (negative, near-int64-max,
+    sparse): the bitmap never drops a member key, and non-member pass
+    rate stays at bloom false-positive scale."""
+    import random
+    from mapreduce_rust_spark.operators.bloom import (
+        bloom_prefilter, build_bitmap)
+    rng = random.Random(13)
+    for lo, hi in [(-2**62, 2**62), (-1000, 1000), (0, 2**63 - 2)]:
+        members = {rng.randrange(lo, hi) for _ in range(500)}
+        others = {rng.randrange(lo, hi) for _ in range(2000)} - members
+        keys = spark.createDataFrame([(k,) for k in members], ["k"])
+        bitmap = build_bitmap(keys, "k")
+        probe = spark.createDataFrame(
+            [(k,) for k in sorted(members | others)], ["k"])
+        passed = {r.k for r in bloom_prefilter(probe, "k", bitmap).collect()}
+        assert members <= passed, "false negative!"
+        fp = passed - members
+        # 2^17 bits / 500 keys / k=3 -> theoretical fp ~1e-6; allow
+        # huge slack, the point is it's a FILTER, not a pass-through
+        assert len(fp) <= len(others) // 10, (lo, hi, len(fp))
