@@ -39,6 +39,34 @@ def _toks(col) -> F.Column:
     return F.filter(F.split(col, WS_RE), lambda t: t != F.lit(""))
 
 
+def md5_bucket(col, mod: int) -> F.Column:
+    """The file's hashing-trick convention, single-sourced: first 12
+    md5 hex chars as an integer, folded mod ``mod``. Every DuckDB
+    oracle mirrors it as
+    ``CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) % mod`` — the
+    prefix width and modulus must change HERE and in every oracle
+    together, never in one call site."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long") % mod
+
+
+def quality_score_exprs() -> tuple[F.Column, F.Column]:
+    """(n_toks, w_sum) expressions of the hashed-feature linear
+    quality score — shared by quality_classifier_score (keep/drop)
+    and curriculum_phase_docs (phase ordering) so the two can never
+    silently rank by different scores."""
+    toks = _toks(F.col("text"))
+    w_sum = F.aggregate(F.transform(toks, lambda t: md5_bucket(t, 2001) - 1000),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.size(toks).cast("long"), w_sum
+
+
+def quality_score_from(n_toks_col, w_sum_col) -> F.Column:
+    """Exact int÷int double score from the selected columns (0.0 for
+    empty docs)."""
+    return F.when(n_toks_col == 0, F.lit(0.0)) \
+            .otherwise(w_sum_col.cast("double") / n_toks_col)
+
+
 def _grams(toks_col, w: int, distinct: bool) -> F.Column:
     """Word n-grams of width ``w`` over a token array (with or
     without multiplicity).
@@ -242,8 +270,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, join-free, and shuffle-free until the reporting
     aggregate. Reports kept/total per language."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10) \
-        .cast("long") % 100
+    bucket = md5_bucket("text", 100)
     rate = F.lit(SAMPLE_DEFAULT_PCT)
     for lang, pct in SAMPLE_PCT.items():
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
@@ -451,8 +478,7 @@ def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept/total doc counts and exact kept/total char sums, making the
     length bias itself hash-verifiable."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10) \
-        .cast("long") % PPS_GRID
+    bucket = md5_bucket("text", PPS_GRID)
     # integer division on BOTH engines (`DIV` / `//`): a double divide
     # + cast would diverge (DuckDB's double->int cast rounds, Spark's
     # truncates)
@@ -531,8 +557,7 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.expr("w_l * m DIV n_l")))
                   .otherwise(F.lit(0).cast("long")))
              .select("lang", "keep_ppm"))
-    bucket = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10) \
-        .cast("long") % MIX_GRID
+    bucket = md5_bucket("text", MIX_GRID)
     kept = (bucket < F.col("keep_ppm")).cast("long")
     return (docs.join(F.broadcast(rates), "lang")
                 .select("lang", "keep_ppm", kept.alias("kept"))
@@ -585,17 +610,10 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer weight sums (|w|≤1000·n_toks ≪ 2^53) divide to
     bit-identical doubles on both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
-    weight = lambda t: (  # noqa: E731 — inline HOF lambda body
-        F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
-        % 2001 - 1000)
-    w_sum = F.aggregate(F.transform(toks, weight),
-                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_toks, w_sum = quality_score_exprs()
     d = docs.select("doc_id",
-                    F.size(toks).cast("long").alias("n_toks"),
-                    w_sum.alias("w_sum"))
-    score = F.when(F.col("n_toks") == 0, F.lit(0.0)) \
-             .otherwise(F.col("w_sum").cast("double") / F.col("n_toks"))
+                    n_toks.alias("n_toks"), w_sum.alias("w_sum"))
+    score = quality_score_from(F.col("n_toks"), F.col("w_sum"))
     return d.select("doc_id", "n_toks", "w_sum", score.alias("score"),
                     (score > 0).alias("keep"))
 
@@ -681,17 +699,10 @@ def curriculum_phase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort exists, and at 100 TB a giant domain sub-shards the
     stream key exactly like sessionize_events_scalable."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
-    weight = lambda t: (  # noqa: E731 — same family as the classifier
-        F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
-        % 2001 - 1000)
-    w_sum = F.aggregate(F.transform(toks, weight),
-                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_toks, w_sum = quality_score_exprs()   # SAME score as the classifier
     d = docs.select("lang", "doc_id",
-                    F.size(toks).cast("long").alias("n_toks"),
-                    w_sum.alias("w_sum"))
-    score = F.when(F.col("n_toks") == 0, F.lit(0.0)) \
-             .otherwise(F.col("w_sum").cast("double") / F.col("n_toks"))
+                    n_toks.alias("n_toks"), w_sum.alias("w_sum"))
+    score = quality_score_from(F.col("n_toks"), F.col("w_sum"))
     w = W.partitionBy("lang").orderBy("score", "doc_id")
     phased = (d.withColumn("score", score)
                .withColumn("phase",
@@ -763,8 +774,7 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
     tok = (docs.select("doc_id", is_target.alias("is_target"),
                        F.explode(_toks(F.col("text"))).alias("t"))
-               .withColumn("f", F.conv(F.substring(F.md5("t"), 1, 12),
-                                       16, 10).cast("long") % DSIR_BUCKETS))
+               .withColumn("f", md5_bucket("t", DSIR_BUCKETS)))
     buckets = (tok.groupBy("f")
                .agg(F.sum(F.col("is_target").cast("long")).alias("c_t"),
                     F.sum((~F.col("is_target")).cast("long")).alias("c_r")))

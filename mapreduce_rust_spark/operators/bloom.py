@@ -61,26 +61,22 @@ def _positions(key: Column) -> list[Column]:
 
 
 def build_bitmap(keys: DataFrame, key_col: str) -> list[int]:
-    """Aggregate the key set into a BLOOM_M-bit bitmap, executor-side.
-
-    The shuffle is keyed on the bit-word index (≤ _WORDS groups) with
-    per-partition partial aggregation, so the driver receives at most
-    _WORDS rows (each with ≤64 distinct bit offsets) however large
-    the key set is; the driver only ORs the final masks."""
+    """Aggregate the key set into a BLOOM_M-bit bitmap, executor-side:
+    `groupBy(bit word index)` + `bit_or` of per-position masks, with
+    per-partition partial aggregation — the driver receives at most
+    _WORDS pre-ORed longs however large the key set is, and only
+    places them into the list (no driver-side bit arithmetic; the
+    long masks are already correctly signed)."""
     pos = F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
     words = (keys.select(pos)
                  .select(F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
-                         F.expr("CAST(pos % 64 AS INT)").alias("bit"))
-                 .groupBy("w").agg(F.collect_set("bit").alias("bits"))
+                         F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+                          .alias("mask"))
+                 .groupBy("w").agg(F.bit_or("mask").alias("bits"))
                  .collect())
     bitmap = [0] * _WORDS
     for row in words:
-        m = 0
-        for b in row["bits"]:
-            m |= 1 << b
-        if m >= 1 << 63:   # wrap to the signed int64 the plan literal needs
-            m -= 1 << 64
-        bitmap[row["w"]] = m
+        bitmap[row["w"]] = row["bits"]
     return bitmap
 
 
@@ -89,18 +85,23 @@ def bloom_prefilter(df: DataFrame, key_col: str, bitmap: list[int]) -> DataFrame
     the literal bitmap — a pure codegen expression, no shuffle, no
     Python. May pass false positives; never drops a true key.
 
-    The bit test goes through SQL `shiftright` (the Python API only
-    accepts a constant shift count; the SQL form takes expressions)
-    against a temporary array-literal column, dropped on the way out."""
+    The probe positions come from the SAME ``_positions`` expressions
+    the build used (projected as temp columns) — the no-false-negative
+    guarantee holds only while build and probe hash identically, so
+    the formula must not exist twice. Only the bit test itself goes
+    through SQL (`shiftright`'s Python API takes constant shift
+    counts only); temp columns are dropped on the way out."""
+    out = df.withColumn("__bloom_bm", F.lit(bitmap))
     tests = []
-    for seed in range(BLOOM_K):
-        p = f"pmod(xxhash64({key_col}, {seed}), {BLOOM_M})"
-        word = f"element_at(__bloom_bm, CAST({p} DIV 64 AS INT) + 1)"
+    tmp = ["__bloom_bm"]
+    for idx, pos in enumerate(_positions(F.col(key_col))):
+        col = f"__bloom_p{idx}"
+        out = out.withColumn(col, pos)
+        tmp.append(col)
+        word = f"element_at(__bloom_bm, CAST({col} DIV 64 AS INT) + 1)"
         tests.append(
-            f"(shiftright({word}, CAST({p} % 64 AS INT)) & 1) = 1")
-    return (df.withColumn("__bloom_bm", F.lit(bitmap))
-              .filter(F.expr(" AND ".join(tests)))
-              .drop("__bloom_bm"))
+            f"(shiftright({word}, CAST({col} % 64 AS INT)) & 1) = 1")
+    return out.filter(F.expr(" AND ".join(tests))).drop(*tmp)
 
 
 def bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

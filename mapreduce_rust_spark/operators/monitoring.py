@@ -8,7 +8,7 @@ arithmetic so the DuckDB oracles hash-match bit-for-bit.
 Numeric discipline: event values live on the exact cents grid
 (``round(value*100)`` — the udaf.py convention, fixture values carry
 exactly 2 decimals), and the z-score test is algebraically cleared of
-division/sqrt: ``|v - S/n| > 3·sqrt((nQ - S²))/n²`` rewritten as
+division/sqrt: ``|v - S/n| > 3·sqrt(nQ - S²)/n`` rewritten as
 ``(v·n - S)² > 9·(nQ - S²)`` — pure BIGINT comparisons (worst case
 ~9e12, far inside int64), no float ever materializes.
 
@@ -32,7 +32,7 @@ PPM = 1_000_000
 
 def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score outliers: an event is anomalous when its
-    value sits more than 3 sample-stds from the mean of the previous
+    value sits more than 3 population-stds from the mean of the previous
     ``Z_WIN`` events of the same (event_type, day). Events with fewer
     than ``Z_MIN_N`` predecessors that day are unscored (cold start).
 
@@ -185,9 +185,14 @@ def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive events of that type — the latency/health panel for a
     stream ("are purchases arriving at the usual cadence?"). One LAG
     over a per-type window + one aggregate. Gaps are exact BIGINTs;
-    Spark ``percentile`` and DuckDB ``quantile_cont`` compute the
-    same linear interpolation, and integer-valued micros keep every
-    intermediate double exact (≪ 2^52). Per-type partitioning has
+    cross-engine parity rests on Spark ``percentile`` and DuckDB
+    ``quantile_cont`` evaluating the IDENTICAL interpolation
+    expression ``lo·(hi−idx) + hi·(idx−lo)`` (verified empirically —
+    the fractional index weights are NOT exact doubles, and the
+    algebraically-equal ``lo + (idx−lo)·(hi−lo)`` form differs in the
+    last ulp, so swapping in a different quantile implementation
+    breaks the hash even though the math is 'the same').
+    Per-type partitioning has
     the same few-keys skew as the z-score op — at 100 TB, profile per
     (type, day) and merge; the fixture shape keeps the single-key
     form honest."""
@@ -327,8 +332,10 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-integer trick: CUSUM_i = Σ_{j≤i}(v_j − μ) peaks where
     N·prefix_i − i·S does (both sides scaled by N = count, S = Σv —
-    all BIGINTs, no float mean ever forms), so the argmax is exact
-    and the reported score is an exact integer cast to double.
+    no float mean ever forms; the products run in DECIMAL(38,0)
+    because N·prefix exceeds int64 beyond ~1e8 events × 1e5 cents),
+    so the argmax is exact and the reported score is an exact value
+    cast to double.
 
     Scale shape — NO per-type global window: the prefix sum uses the
     sessionize_scalable two-phase decomposition. Within-day prefixes
@@ -356,12 +363,19 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(ww).alias("pn"))
     totals = ev.groupBy("event_type").agg(F.sum("vc").alias("s"),
                                           F.count("*").alias("n_tot"))
+    # the scaled statistic multiplies count-sized by sum-sized values
+    # (n_tot·prefix ~ 1e21 at 1e8 events × 1e5-cent values), which
+    # overflows int64 SILENTLY in non-ANSI Spark — route through
+    # DECIMAL(38,0) like trend_ols' sufficient statistics
+    dec38 = "decimal(38,0)"
     pref = (within.join(day_off, ["event_type", "day"])
             .join(F.broadcast(totals), "event_type")
             .select("event_type", "event_id", "n_tot",
                     (F.col("off_n") + F.col("pn")).alias("i"),
-                    (F.col("n_tot") * (F.col("off_v") + F.col("pv"))
-                     - (F.col("off_n") + F.col("pn")) * F.col("s"))
+                    (F.col("n_tot").cast(dec38)
+                     * (F.col("off_v") + F.col("pv")).cast(dec38)
+                     - (F.col("off_n") + F.col("pn")).cast(dec38)
+                     * F.col("s").cast(dec38))
                     .alias("cusum_scaled")))
     best = F.max(F.struct(F.abs(F.col("cusum_scaled")).alias("score"),
                           (-F.col("i")).alias("neg_i"),
