@@ -211,3 +211,39 @@ def test_ordered_pairs_matches_combinations(spark):
                               .alias("pairs")).collect()}
     for i, arr in rows:
         assert got[i] == list(itertools.combinations(arr, 2)), (i, arr)
+
+
+def test_incremental_mv_drops_groups_emptied_by_deletes(spark):
+    """A (priority, year) group whose base rows are ALL retracted must
+    vanish from the refreshed view (n_orders would be 0), and the
+    surviving groups must equal a from-scratch recompute."""
+    import datetime
+    import unittest.mock as mock
+    from mapreduce_rust_spark.operators import merge
+    from mapreduce_rust_spark.operators.merge import (
+        MV_CUTOFF, MV_DELETE_MOD, incremental_mv_orders)
+
+    cutoff = datetime.datetime.fromisoformat(MV_CUTOFF)
+    before = cutoff - datetime.timedelta(days=30)
+    after = cutoff + datetime.timedelta(days=30)
+    rows = [
+        # 'DOOMED' group: every base order key divisible by MOD, no
+        # inserts -> fully retracted, must not appear
+        (MV_DELETE_MOD, 1, "O", 10.0, before, "DOOMED"),
+        (2 * MV_DELETE_MOD, 1, "O", 20.0, before, "DOOMED"),
+        # 'KEPT' group: one survivor + one retracted + one insert
+        (1, 1, "O", 100.0, before, "KEPT"),
+        (3 * MV_DELETE_MOD, 1, "O", 50.0, before, "KEPT"),
+        (2, 1, "O", 7.5, after, "KEPT"),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    with mock.patch.object(merge, "load_table",
+                           lambda spark_, sf_, name: orders):
+        got = {(r.priority, r.year): (r.n_orders, r.revenue)
+               for r in incremental_mv_orders(spark, "ignored").collect()}
+    # both dates fall in the cutoff's year, so KEPT merges to one row:
+    # survivor (100.0) + insert (7.5), retraction (50.0) removed
+    assert got == {("KEPT", cutoff.year): (2, 107.5)}, got
