@@ -55,10 +55,17 @@ def _fake_features(payload: pd.Series) -> pd.DataFrame:
 
 
 def decode_image_stub(payload: bytes) -> object:
-    """Real decode entry point — not available in this container."""
+    """Real decode entry point. PNG payloads decode for real via the
+    pure-stdlib codec (``llm/imagecodec.py`` — 8-bit grey/RGB/RGBA,
+    round-trip tested); formats that genuinely need native codecs
+    this container lacks (JPEG/video/audio) still raise. Returns
+    (width, height, channels, raw_pixel_bytes) for PNG."""
+    from mapreduce_rust_spark.llm.imagecodec import decode_png, is_png
+    if is_png(payload):
+        return decode_png(payload)
     raise NotImplementedError(
-        "media decode requires PIL/ffmpeg; use _fake_features for the "
-        "deterministic test path")
+        "non-PNG media decode requires PIL/ffmpeg; use _fake_features "
+        "for the deterministic synthetic-corpus path")
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

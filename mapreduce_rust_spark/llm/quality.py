@@ -692,21 +692,48 @@ def curriculum_phase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the score is an exact integer÷integer double divide
     (correctly rounded identically on both engines — the
-    quality_classifier_score discipline) and the NTILE ordering
-    carries a doc_id tiebreak, so every phase assignment is
-    bit-reproducible. The window partitions per LANGUAGE (the
-    pack_sequences shape): phases are per-domain schedules, so no
-    global sort exists, and at 100 TB a giant domain sub-shards the
-    stream key exactly like sessionize_events_scalable."""
+    quality_classifier_score discipline) and the ordering carries a
+    doc_id tiebreak, so every phase assignment is bit-reproducible.
+
+    Scale shape — NO per-lang global window (few langs ⇒ few
+    partitions at 100 TB): the sessionize_scalable / CUSUM two-phase
+    decomposition, applied to ranking. Rows sub-shard on
+    (lang, score-range bucket) — floor(score·16), an ORDER-PRESERVING
+    split, so within-bucket row_number plus a carry-in offset equals
+    the per-lang global rank. The offsets come from a window over
+    BUCKET COUNTS only (langs × ≤3200 rows, broadcast-join back), and
+    NTILE's tile is then pure integer arithmetic on (rank, per-lang
+    n): the first n%k tiles take n DIV k + 1 rows, the rest n DIV k.
+    The oracle below stays the naive single-window NTILE — the hash
+    match IS the decomposition proof."""
     docs = load_table(spark, sf_dir, "documents")
     n_toks, w_sum = quality_score_exprs()   # SAME score as the classifier
     d = docs.select("lang", "doc_id",
                     n_toks.alias("n_toks"), w_sum.alias("w_sum"))
     score = quality_score_from(F.col("n_toks"), F.col("w_sum"))
-    w = W.partitionBy("lang").orderBy("score", "doc_id")
-    phased = (d.withColumn("score", score)
-               .withColumn("phase",
-                           F.ntile(CURRICULUM_PHASES).over(w).cast("long")))
+    scored = (d.withColumn("score", score)
+               .withColumn("sb", F.floor(F.col("score") * 16).cast("long")))
+    bucket_counts = scored.groupBy("lang", "sb").agg(F.count("*").alias("bn"))
+    wb = W.partitionBy("lang").orderBy("sb")
+    offsets = bucket_counts.select(
+        "lang", "sb", (F.sum("bn").over(wb) - F.col("bn")).alias("off"))
+    totals = scored.groupBy("lang").agg(F.count("*").alias("n"))
+    wl = (W.partitionBy("lang", "sb").orderBy("score", "doc_id"))
+    k = CURRICULUM_PHASES
+    ranked = (scored.join(F.broadcast(offsets), ["lang", "sb"])
+                    .join(F.broadcast(totals), "lang")
+                    .withColumn("r", F.row_number().over(wl) + F.col("off")))
+    # NTILE(k) closed form: base = n DIV k, rem = n % k; ranks up to
+    # (base+1)·rem fall in the first rem (larger) tiles, the rest in
+    # base-sized tiles. All-integer DIV ceilings; when base = 0 every
+    # row satisfies the first branch, so the base-division branch is
+    # never selected (Spark non-ANSI would yield NULL, not error).
+    phased = ranked.withColumn("phase", F.expr(f"""
+        CASE WHEN r <= (n DIV {k} + 1) * (n % {k})
+             THEN (r + n DIV {k}) DIV (n DIV {k} + 1)
+             ELSE n % {k} + (r - (n DIV {k} + 1) * (n % {k})
+                             + n DIV {k} - 1) DIV (n DIV {k})
+        END""").cast("long"))
     return (phased.groupBy("lang", "phase")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_toks").alias("n_tokens"),

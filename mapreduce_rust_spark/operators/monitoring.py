@@ -274,17 +274,25 @@ def ols_stats_agg(xy: DataFrame) -> DataFrame:
 def ols_closed_form(stats: DataFrame) -> DataFrame:
     """Closed-form slope/intercept/R² from the sufficient statistics
     — ONE definition so the batch op and streaming twin cannot
-    drift."""
+    drift.
+
+    Degenerate groups (n=1 or constant x ⇒ denx=0; constant y ⇒
+    deny=0) emit explicit NULLs on BOTH engines: Spark's non-ANSI
+    double division yields NULL on 0 while recent DuckDB defaults to
+    IEEE inf/NaN, so without the guard a degenerate group would
+    hash-mismatch the oracle (see OLS_ORACLE_TAIL's matching CASE)."""
     n = F.col("n").cast("double")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num / denx
+    slope = F.when(denx != 0, num / denx)
     return stats.select(
         "event_type", F.col("n").cast("long").alias("n"),
         slope.alias("slope_cents_per_sec"),
+        # slope NULL propagates: sy - NULL*sx is NULL, /n stays NULL
         ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept_cents"),
-        (num * num / (denx * deny)).alias("r2"))
+        F.when((denx != 0) & (deny != 0), num * num / (denx * deny))
+         .alias("r2"))
 
 
 # Shared oracle tail: expects a CTE named xy(event_type, x, y) to be
@@ -299,11 +307,17 @@ stats AS (
   FROM xy GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_sec,
-       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+       CASE WHEN (n * sxx - sx * sx) <> 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+         AS slope_cents_per_sec,
+       CASE WHEN (n * sxx - sx * sx) <> 0
+            THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+            END
          AS intercept_cents,
-       (n * sxy - sx * sy) * (n * sxy - sx * sy)
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+       CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+            THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+         AS r2
 FROM stats
 """
 

@@ -41,47 +41,45 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-4 window: all 50 slots spent on queries that have NEVER carried
-# a driver row (the round-3 window went 50/50 green — see COVERAGE.md),
-# converting the locally-proven remainder into driver evidence:
-# multimodal, graph, quantized ANN, the composed curation pipeline, the
-# UDAF/UDTF/sketch category's first hash rows, the TPC-H remainder
-# (evidence 11/22 -> 22/22), CDC diff, robust outliers, the streaming
-# remainder, sampling/sharding/PII, and the analytic remainder.
-# Left for a future window (their categories already carry hash rows):
-# fuzzy_match_parts, explode_outer_rare_tokens, bpe_pair_counts.
+# Round-5 window (the round-4 window went 50/50 green — see COVERAGE.md):
+# the 30 oracled queries that have NEVER carried a driver row (the whole
+# round-4 operator crop plus the three old deferrals), the tumbling
+# streaming twin PAIR so the artifact shows batch and stream passing the
+# SAME oracle (trend/zscore twins are in the crop already), and 18 slots
+# re-proving the r1-proven relational core whose newest driver evidence
+# is three rounds stale.
 DRIVER_WINDOW = [
-    # multimodal — the only §2 component group with zero driver rows
-    "multimodal_features", "multimodal_frame_sample", "multimodal_audio_energy",
-    # graph analytics
-    "triangle_count_copurchase", "reachable_parts_2hop",
-    # quantized ANN + embedding centroids + composed curation flow
-    "knn_quantized", "label_centroids", "curation_pipeline",
-    # UDAF / UDTF / sketches (first hash-verified rows for the category;
-    # udaf_gini_segment gained an exact cents-grid oracle this round)
-    "udaf_gini_segment", "chunk_docs_udtf", "countmin_token_counts",
-    "heavy_hitter_tokens",
-    # TPC-H remainder
-    "q2_min_cost_supplier", "q11_important_parts", "q12_priority_lines",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_diversity", "q17_small_qty_revenue",
-    "q19_disjunctive_revenue", "q20_excess_stock", "q22_global_sales",
-    # CDC snapshot diff + robust MAD outliers
-    "snapshot_diff_orders", "mad_outlier_orders",
-    # streaming remainder
-    "stream_static_enrich", "stream_sliding_counts", "stream_session_windows",
-    "stream_interval_join", "stream_dedup_users", "stateful_user_totals",
-    # sampling / sharding / PII / repetition
-    "pps_sample_docs", "stratified_sample_docs", "reservoir_sample_docs",
-    "shuffle_shard_docs", "scrub_pii_docs", "cross_corpus_dups",
-    "dup_ngram_fraction_docs", "repetition_stats_docs",
-    "embedding_normalize_quantize",
+    # --- round-4 crop: substring spans, chunking, PPJoin, bloom ops ---
+    "dup_span_docs", "chunk_stride_docs", "ppjoin_jaccard_pairs",
+    "bloom_semijoin_revenue", "bloom_crawl_dedup",
+    # incremental view maintenance
+    "incremental_mv_orders",
+    # monitoring family + streaming twins (twin and batch op both in
+    # window: the twins pass the SAME DuckDB oracle as their batch op)
+    "zscore_anomaly_events", "stream_zscore_anomaly",
+    "trend_ols_events", "stream_trend_ols",
+    "cusum_changepoint_events", "tv_drift_sources", "interevent_gap_stats",
+    "tumbling_event_counts", "stream_tumbling_counts",
+    # mixture balancing / curriculum / quality classifier
+    "domain_mix_sample", "domain_upsample_docs", "quality_classifier_score",
+    "curriculum_phase_docs",
+    # similarity + multimodal remainder
+    "allknn_within_label", "multimodal_resize", "multimodal_dedup_payload",
     # text analysis remainder
-    "token_count_bpe_docs", "train_test_split_docs", "fingerprint_docs",
-    # analytic remainder
-    "window_ntile_orders", "window_first_last_orders", "unpivot_part_metrics",
-    "stats_agg_lineitem", "argmax_orders_by_priority",
-    "histogram_totalprice", "profile_orders",
+    "normalize_text_docs", "dedup_normalized_docs", "event_trigrams",
+    "domain_keywords_docs", "boolean_search_docs", "bucket_pad_stats_docs",
+    # OLAP remainder
+    "funnel_timebound_events",
+    # old deferrals
+    "fuzzy_match_parts", "explode_outer_rare_tokens", "bpe_pair_counts",
+    # --- r1 relational core re-proof (newest evidence r2; 3 rounds stale) ---
+    "word_count", "word_count_sorted", "mr_word_count",
+    "filter_project", "q1_pricing_summary",
+    "join_revenue_by_nation", "join_left_order_counts", "join_semi_customers",
+    "join_anti_customers", "join_theta_qty_gt_size", "join_full_outer_nations",
+    "set_union_counts", "set_intersect_nations", "set_except_customers",
+    "window_topk_orders", "window_running_total", "window_lag_delta",
+    "window_rank_parts",
 ]
 
 

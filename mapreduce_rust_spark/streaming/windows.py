@@ -289,8 +289,11 @@ def stream_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ols_closed_form, ols_stats_agg)
     ev = read_events_stream(spark, sf_dir)
     dec = "decimal(38,0)"
-    x = ((F.unix_micros("ts") - F.lit(TREND_T0_US)) / F.lit(1_000_000)) \
-        .cast("long").cast(dec)
+    # Integer DIV like the batch op and the oracle's `//` — no float
+    # rounding in the x path even for extreme epoch ranges. (A
+    # pre-2024 event would still differ trunc-vs-floor; the fixture
+    # and the fixed-origin design keep diffs nonnegative.)
+    x = F.expr(f"(unix_micros(ts) - {TREND_T0_US}) DIV 1000000").cast(dec)
     y = F.round(F.col("value") * 100).cast("long").cast(dec)
     stats = ols_stats_agg(ev.select("event_type", x.alias("x"),
                                     y.alias("y")))

@@ -46,6 +46,27 @@ def test_knn_ivf_recall(spark):
     assert recall > 0.15, f"recall {recall}"
 
 
+def test_knn_rank_adjacent_gap(spark):
+    """knn_bruteforce ranks by dot(unit(a), unit(b)); the DuckDB
+    oracle ranks by list_cosine_similarity — different IEEE paths
+    whose results differ in final ulps (~1e-15). Rank parity holds
+    iff the similarity gap between rank-adjacent neighbors dwarfs
+    that divergence; assert it on the fixture so a future rank flip
+    is triaged as a near-tie, not a logic bug."""
+    import numpy as np
+    from mapreduce_rust_spark.llm.similarity import K, N_QUERIES, _emb
+    rows = _emb(spark, SF_CORRECT).collect()
+    vecs = {r.vec_id: np.asarray(r.e, dtype=np.float64) for r in rows}
+    units = {k: v / np.linalg.norm(v) for k, v in vecs.items()}
+    min_gap = float("inf")
+    for q in range(N_QUERIES):
+        sims = sorted((float(units[q] @ u) for k, u in units.items() if k != q),
+                      reverse=True)[: K + 1]
+        min_gap = min(min_gap, *(a - b for a, b in zip(sims, sims[1:])))
+    print(f"min rank-adjacent similarity gap (top {K + 1}): {min_gap:.3e}")
+    assert min_gap > 1e-9, f"near-tie at {min_gap}: cross-engine rank unstable"
+
+
 def test_sketches_close_to_exact(spark):
     from mapreduce_rust_spark.operators.relational import (
         sketch_distinct_parts, sketch_quantile_price)

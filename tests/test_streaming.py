@@ -321,6 +321,35 @@ def test_foreachbatch_streaming_upsert(spark, tmp_path):
     assert got == want
 
 
+def test_stream_trend_equals_batch_invariants(spark):
+    """Third leg of the streaming-twin pattern (tumbling and zscore
+    above assert exact row equality; trend is the approximate leg):
+    the OLS twin pins x to a FIXED origin while the batch op uses the
+    global min event time. Slope/R² are origin-invariant in exact
+    arithmetic, but BOTH ops truncate x to whole seconds (integer
+    DIV) from their own origin, so each point's x carries ±1 s of
+    origin-dependent quantization jitter — over a ~month fixture
+    range that bounds slope/R² agreement to ~1e-4 relative, not ulps.
+    Compare n exactly and slope/R² to 1e-3; the intercept is
+    origin-dependent by design and excluded. Exact evidence for each
+    side separately is its own shared-OLS_ORACLE_TAIL driver oracle
+    (both are in the r5 window)."""
+    import pytest as _pytest
+    from mapreduce_rust_spark.operators.monitoring import trend_ols_events
+    from mapreduce_rust_spark.streaming.windows import stream_trend_ols
+    from tests.conftest import SF_CORRECT
+    got = {r.event_type: (r.n, r.slope_cents_per_sec, r.r2)
+           for r in stream_trend_ols(spark, SF_CORRECT).collect()}
+    want = {r.event_type: (r.n, r.slope_cents_per_sec, r.r2)
+            for r in trend_ols_events(spark, SF_CORRECT).collect()}
+    assert set(got) == set(want) and got
+    for et, (n, slope, r2) in want.items():
+        gn, gslope, gr2 = got[et]
+        assert gn == n
+        assert gslope == _pytest.approx(slope, rel=1e-3)
+        assert gr2 == _pytest.approx(r2, rel=1e-3)
+
+
 def test_stream_zscore_equals_batch(spark):
     """Kappa parity, asserted directly (not just via the shared
     oracle): the stateful streaming scorer must emit exactly the
