@@ -711,8 +711,12 @@ def curriculum_phase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("lang", "doc_id",
                     n_toks.alias("n_toks"), w_sum.alias("w_sum"))
     score = quality_score_from(F.col("n_toks"), F.col("w_sum"))
+    # three consumers (bucket counts, totals, rank join) — materialize
+    # the md5-heavy score projection once or every branch recomputes
+    # it (the domain_keywords / bloom_crawl_dedup lesson)
     scored = (d.withColumn("score", score)
-               .withColumn("sb", F.floor(F.col("score") * 16).cast("long")))
+               .withColumn("sb", F.floor(F.col("score") * 16).cast("long"))
+               .localCheckpoint(eager=True))
     bucket_counts = scored.groupBy("lang", "sb").agg(F.count("*").alias("bn"))
     wb = W.partitionBy("lang").orderBy("sb")
     offsets = bucket_counts.select(
