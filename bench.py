@@ -138,6 +138,18 @@ HEADLINE = [
     "cusum_changepoint_events",
     "multimodal_resize",
     "stream_trend_ols",
+    # round 5: scalable-rank equi-depth histogram, session path mining,
+    # seasonality/chi-square monitoring (+ streaming twins), lexical
+    # diversity, bigram LM head, graph degree profile
+    "equidepth_hist_totalprice",
+    "session_path_counts",
+    "dow_seasonality_events",
+    "chisq_cells_events",
+    "stream_dow_profile",
+    "stream_chisq_cells",
+    "ttr_docs",
+    "bigram_lm_docs",
+    "copurchase_degree_hist",
 ]
 
 

@@ -696,16 +696,12 @@ def curriculum_phase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak, so every phase assignment is bit-reproducible.
 
     Scale shape — NO per-lang global window (few langs ⇒ few
-    partitions at 100 TB): the sessionize_scalable / CUSUM two-phase
-    decomposition, applied to ranking. Rows sub-shard on
-    (lang, score-range bucket) — floor(score·16), an ORDER-PRESERVING
-    split, so within-bucket row_number plus a carry-in offset equals
-    the per-lang global rank. The offsets come from a window over
-    BUCKET COUNTS only (langs × ≤3200 rows, broadcast-join back), and
-    NTILE's tile is then pure integer arithmetic on (rank, per-lang
-    n): the first n%k tiles take n DIV k + 1 rows, the rest n DIV k.
+    partitions at 100 TB): ``operators/ranking.scalable_rank`` with
+    (lang, floor(score·16)) order-preserving sub-shards, then
+    ``ntile_expr``'s closed-form integer tile on (rank, per-lang n).
     The oracle below stays the naive single-window NTILE — the hash
     match IS the decomposition proof."""
+    from mapreduce_rust_spark.operators.ranking import ntile_expr, scalable_rank
     docs = load_table(spark, sf_dir, "documents")
     n_toks, w_sum = quality_score_exprs()   # SAME score as the classifier
     d = docs.select("lang", "doc_id",
@@ -714,30 +710,13 @@ def curriculum_phase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (bucket counts, totals, rank join) — materialize
     # the md5-heavy score projection once or every branch recomputes
     # it (the domain_keywords / bloom_crawl_dedup lesson)
-    scored = (d.withColumn("score", score)
-               .withColumn("sb", F.floor(F.col("score") * 16).cast("long"))
-               .localCheckpoint(eager=True))
-    bucket_counts = scored.groupBy("lang", "sb").agg(F.count("*").alias("bn"))
-    wb = W.partitionBy("lang").orderBy("sb")
-    offsets = bucket_counts.select(
-        "lang", "sb", (F.sum("bn").over(wb) - F.col("bn")).alias("off"))
+    scored = d.withColumn("score", score).localCheckpoint(eager=True)
     totals = scored.groupBy("lang").agg(F.count("*").alias("n"))
-    wl = (W.partitionBy("lang", "sb").orderBy("score", "doc_id"))
-    k = CURRICULUM_PHASES
-    ranked = (scored.join(F.broadcast(offsets), ["lang", "sb"])
-                    .join(F.broadcast(totals), "lang")
-                    .withColumn("r", F.row_number().over(wl) + F.col("off")))
-    # NTILE(k) closed form: base = n DIV k, rem = n % k; ranks up to
-    # (base+1)·rem fall in the first rem (larger) tiles, the rest in
-    # base-sized tiles. All-integer DIV ceilings; when base = 0 every
-    # row satisfies the first branch, so the base-division branch is
-    # never selected (Spark non-ANSI would yield NULL, not error).
-    phased = ranked.withColumn("phase", F.expr(f"""
-        CASE WHEN r <= (n DIV {k} + 1) * (n % {k})
-             THEN (r + n DIV {k}) DIV (n DIV {k} + 1)
-             ELSE n % {k} + (r - (n DIV {k} + 1) * (n % {k})
-                             + n DIV {k} - 1) DIV (n DIV {k})
-        END""").cast("long"))
+    ranked = (scalable_rank(scored,
+                            F.floor(F.col("score") * 16).cast("long"),
+                            ["score", "doc_id"], part_cols=["lang"])
+              .join(F.broadcast(totals), "lang"))
+    phased = ranked.withColumn("phase", ntile_expr(CURRICULUM_PHASES))
     return (phased.groupBy("lang", "phase")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_toks").alias("n_tokens"),

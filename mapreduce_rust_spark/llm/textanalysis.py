@@ -694,8 +694,111 @@ WHERE rank <= {KEYWORDS_TOP_K}
 """
 
 
+def ttr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document — the lexical-diversity quality
+    signal (near-1 TTR at length ⇒ word salad / boilerplate lists;
+    very low TTR ⇒ repetition): distinct whitespace tokens over total
+    tokens. Entirely in-row (split → array_distinct → size): zero
+    shuffles, one codegen scan — the cheapest possible 100 TB shape.
+    Empty docs emit 0.0 explicitly on both engines (the
+    quality_score_from convention); the ratio is int÷int double
+    division, correctly rounded identically everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks").cast("long")
+    nd = F.size(F.array_distinct("toks")).cast("long")
+    ttr = (F.when(n == 0, F.lit(0.0))
+            .otherwise(nd.cast("double") / n.cast("double")))
+    return d.select("doc_id", n.alias("n_tokens"),
+                    nd.alias("n_distinct"), ttr.alias("ttr"))
+
+
+TTR_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS BIGINT) END AS ttr
+FROM d
+"""
+
+
+BIGRAM_TOP_PREFIXES = 20
+BIGRAM_TOP_CONT = 3
+
+
+def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model, head view: for the 20 highest-
+    frequency prefix tokens, the top-3 continuations with exact
+    counts and the conditional probability P(w2|w1) — the
+    next-token-distribution profile that backs autocomplete and the
+    unigram_logprob/DSIR feature stack.
+
+    Bigrams generate IN-ROW (sequence over token indices — guarded:
+    ``F.sequence(1, 0)`` DESCENDS) so the only corpus-sized shuffle
+    is the (w1, w2) count with map-side combine. The prefix top-20 is
+    a TakeOrderedAndProject re-aggregate of the pair counts (no
+    second corpus scan), broadcast back; the per-prefix top-3 window
+    runs over ≤ |pairs of 20 prefixes| rows. cond_p is exact-int ÷
+    exact-int."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    d = docs.select(toks.alias("toks"))
+    nt = F.size("toks")
+    idx = (F.when(nt >= 2, F.sequence(F.lit(1), nt - 1))
+            .otherwise(F.expr("CAST(array() AS array<int>)")))
+    pairs = F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + 1).alias("w2")))
+    big = d.select(F.explode(pairs).alias("b")).select("b.w1", "b.w2")
+    pc = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    pref = (pc.groupBy("w1").agg(F.sum("n").alias("wn"))
+              .orderBy(F.desc("wn"), "w1").limit(BIGRAM_TOP_PREFIXES))
+    j = pc.join(F.broadcast(pref), "w1")
+    w = W.partitionBy("w1").orderBy(F.desc("n"), "w2")
+    return (j.withColumn("rk", F.row_number().over(w).cast("long"))
+             .where(F.col("rk") <= BIGRAM_TOP_CONT)
+             .select("w1", "w2", "rk", "n",
+                     (F.col("n").cast("double") / F.col("wn").cast("double"))
+                     .alias("cond_p")))
+
+
+BIGRAM_LM_ORACLE = f"""
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+bi AS (SELECT toks, UNNEST(range(1, len(toks))) AS i FROM d),
+b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM bi),
+pc AS (SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2),
+pref AS (
+  SELECT w1, CAST(SUM(n) AS BIGINT) AS wn FROM pc GROUP BY w1
+  ORDER BY wn DESC, w1 LIMIT {BIGRAM_TOP_PREFIXES}
+),
+r AS (
+  SELECT pc.w1, w2, n, wn,
+         ROW_NUMBER() OVER (PARTITION BY pc.w1 ORDER BY n DESC, w2) AS rk
+  FROM pc JOIN pref ON pc.w1 = pref.w1
+)
+SELECT w1, w2, CAST(rk AS BIGINT) AS rk, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / CAST(wn AS DOUBLE) AS cond_p
+FROM r WHERE rk <= {BIGRAM_TOP_CONT}
+"""
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
+    ("ttr_docs", ttr_docs, TTR_ORACLE),
+    ("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_ORACLE),
     ("boolean_search_docs", boolean_search_docs, BOOLEAN_SEARCH_ORACLE),
     ("domain_keywords_docs", domain_keywords_docs, DOMAIN_KEYWORDS_ORACLE),
     ("normalize_text_docs", normalize_text_docs, NORMALIZE_TEXT_ORACLE),

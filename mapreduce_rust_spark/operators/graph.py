@@ -215,7 +215,42 @@ def reachable_parts_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(REACHABLE_SQL)
 
 
+def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many parts
+    have each co-purchase degree — the first thing to look at before
+    running the triangle/reachability analytics (it is what the
+    BROADCAST_EDGE_LIMIT gate and the O(√m) orientation bound are
+    reasoning about). Shares ``copurchase_edges``' two-shuffle edge
+    build; then a node-degree aggregate and a ≤ max-degree-sized
+    histogram aggregate — all partial-combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    # explode both endpoints in ONE pass — a union of two selects
+    # would instantiate (and re-run) the edge build per branch
+    deg = (edges.select(F.explode(F.array("u", "v")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    return (deg.groupBy("degree")
+               .agg(F.count("*").cast("long").alias("n_nodes")))
+
+
+DEGREE_HIST_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
 REGISTRATIONS = [
     ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE),
     ("reachable_parts_2hop", reachable_parts_2hop, REACHABLE_SQL),
+    ("copurchase_degree_hist", copurchase_degree_hist, DEGREE_HIST_ORACLE),
 ]

@@ -435,10 +435,151 @@ FROM scored WHERE rk = 1
 """
 
 
+def dow_profile_stats(ev: DataFrame) -> DataFrame:
+    """Shared core of the batch op and its streaming twin: per
+    (event_type, ISO day-of-week) exact sufficient statistics
+    (count, Σcents). Mergeable sums, so the identical aggregate runs
+    in a complete-mode stream."""
+    return (ev.groupBy("event_type", "dow")
+              .agg(F.count("*").alias("n"), F.sum("vc").alias("sv")))
+
+
+def dow_profile_closed_form(stats: DataFrame) -> DataFrame:
+    """Seasonality profile from the (event_type, dow) sufficient
+    statistics: mean cents per cell, and the cell-vs-type lift. ONE
+    definition shared by batch and streaming twin. Float discipline:
+    mean = exact-int ÷ exact-int (correctly rounded identically on
+    both engines), lift = one further division of those two doubles —
+    the same single-threaded IEEE DAG everywhere. The ≤ types×7-row
+    stats table is checkpointed: two consumers (cells + the totals
+    re-aggregate) would otherwise each re-run its upstream scan, and
+    the MemorySink view a streaming twin feeds in can't resolve the
+    self-join at all."""
+    stats = stats.localCheckpoint(eager=True)
+    totals = (stats.groupBy("event_type")
+              .agg(F.sum("n").alias("tn"), F.sum("sv").alias("tv")))
+    j = stats.join(F.broadcast(totals), "event_type")
+    mean_cell = F.col("sv").cast("double") / F.col("n").cast("double")
+    mean_type = F.col("tv").cast("double") / F.col("tn").cast("double")
+    return j.select(
+        "event_type", "dow", F.col("n").alias("n_events"),
+        mean_cell.alias("mean_cents"),
+        (mean_cell / mean_type).alias("dow_lift"))
+
+
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: mean value by
+    ISO weekday and its lift vs the type's overall mean — the
+    "is Monday supposed to look like this" baseline the z-score and
+    CUSUM monitors calibrate against.
+
+    Cross-engine note: Spark ``weekday`` (Mon=0) + 1 ≡ DuckDB
+    ``isodow`` (Mon=1); plain ``dayofweek`` disagrees between the
+    engines (Sun=1 vs Sun=0), so ISO numbering is the only portable
+    choice. One scan, ≤ types×7 groups, all partial-combinable —
+    trivially 100 TB-safe."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  (F.weekday("ts") + 1).cast("long").alias("dow"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    return dow_profile_closed_form(dow_profile_stats(ev))
+
+
+DOW_ORACLE = """
+WITH stats AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY event_type, isodow(ts)
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn,
+         CAST(SUM(sv) AS BIGINT) AS tv
+  FROM stats GROUP BY event_type
+)
+SELECT s.event_type, s.dow, s.n AS n_events,
+       CAST(s.sv AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean_cents,
+       (CAST(s.sv AS DOUBLE) / CAST(s.n AS DOUBLE))
+         / (CAST(t.tv AS DOUBLE) / CAST(t.tn AS DOUBLE)) AS dow_lift
+FROM stats s JOIN tot t ON s.event_type = t.event_type
+"""
+
+
+def chisq_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for event_type × ISO weekday:
+    per cell the observed count, the independence-expected count
+    E = row_total·col_total/N, and the χ² contribution (O−E)²/E —
+    the drift test behind "did the weekly mix shift". Per-cell output
+    on purpose: a global χ² is a float sum whose order Spark does not
+    fix, while each cell's term is a deterministic IEEE DAG over
+    exactly-counted integers (the TV-drift/ OLS discipline). The
+    marginal products run in DECIMAL(38,0) before the double cast —
+    row·col totals overflow int64 beyond ~3e9 rows each (the CUSUM
+    int64 lesson). Three broadcast joins of tiny aggregates over one
+    scan."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  (F.weekday("ts") + 1).cast("long").alias("dow")))
+    cells = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    return chisq_closed_form(cells)
+
+
+def chisq_closed_form(cells: DataFrame) -> DataFrame:
+    """Expected counts + χ² terms from an (event_type, dow, o)
+    contingency table — ONE definition shared by the batch op and the
+    streaming twin (the cells are mergeable counts, so the same
+    aggregate runs complete-mode). The ≤ types×7-row cells table is
+    checkpointed: FOUR consumers (cells + row/col/grand margins)
+    would otherwise each re-run the events scan."""
+    cells = cells.localCheckpoint(eager=True)
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("nn"))
+    dec = "decimal(38,0)"
+    j = (cells.join(F.broadcast(rows), "event_type")
+              .join(F.broadcast(cols), "dow")
+              .crossJoin(F.broadcast(n)))
+    e = ((F.col("rt").cast(dec) * F.col("ct").cast(dec)).cast("double")
+         / F.col("nn").cast("double"))
+    o = F.col("o").cast("double")
+    return j.select(
+        "event_type", "dow", F.col("o").alias("observed"),
+        e.alias("expected"),
+        ((o - e) * (o - e) / e).alias("chisq_term"))
+
+
+CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, COUNT(*) AS o
+  FROM events GROUP BY event_type, isodow(ts)
+),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+      FROM cells GROUP BY event_type),
+c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY dow),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells)
+SELECT cells.event_type, cells.dow, cells.o AS observed,
+       CAST(CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(nn AS DOUBLE) AS expected,
+       (CAST(o AS DOUBLE)
+          - CAST(CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0))
+                 AS DOUBLE) / CAST(nn AS DOUBLE))
+       * (CAST(o AS DOUBLE)
+          - CAST(CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0))
+                 AS DOUBLE) / CAST(nn AS DOUBLE))
+       / (CAST(CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0))
+               AS DOUBLE) / CAST(nn AS DOUBLE)) AS chisq_term
+FROM cells JOIN r ON cells.event_type = r.event_type
+           JOIN c ON cells.dow = c.dow
+           CROSS JOIN n
+"""
+
+
 REGISTRATIONS = [
     ("zscore_anomaly_events", zscore_anomaly_events, ZSCORE_ORACLE),
     ("tv_drift_sources", tv_drift_sources, TV_DRIFT_ORACLE),
     ("interevent_gap_stats", interevent_gap_stats, INTEREVENT_GAP_ORACLE),
     ("trend_ols_events", trend_ols_events, TREND_OLS_ORACLE),
     ("cusum_changepoint_events", cusum_changepoint_events, CUSUM_ORACLE),
+    ("dow_seasonality_events", dow_seasonality_events, DOW_ORACLE),
+    ("chisq_cells_events", chisq_cells_events, CHISQ_ORACLE),
 ]

@@ -250,6 +250,127 @@ GROUP BY bucket
 """
 
 
+EQUIDEPTH_TILES = 16
+
+
+def equidepth_hist_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order value: 16 tiles of
+    equal row count — the optimizer-statistics companion of the
+    equi-width ``histogram_totalprice`` (equal-count buckets resolve
+    heavy tails that fixed-width buckets smear). A naive NTILE over
+    all orders is a GLOBAL window = one partition; this uses
+    ``operators/ranking.scalable_rank`` with $5k price-range
+    sub-shards (order-preserving on cents) + the closed-form
+    ``ntile_expr``, the same decomposition curriculum_phase_docs
+    proves, with the naive single-window form as the oracle. Values
+    are exact integer cents throughout."""
+    from mapreduce_rust_spark.operators.ranking import ntile_expr, scalable_rank
+    orders = load_table(spark, sf_dir, "orders")
+    c = (orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey")
+         # narrow 2-column projection; scalable_rank consumes it twice
+         .localCheckpoint(eager=True))
+    totals = c.agg(F.count("*").alias("n"))
+    ranked = (scalable_rank(c, F.expr("cents DIV 500000"),
+                            ["cents", "o_orderkey"])
+              .crossJoin(F.broadcast(totals)))
+    tiled = ranked.withColumn("tile", ntile_expr(EQUIDEPTH_TILES))
+    return (tiled.groupBy("tile")
+            .agg(F.count("*").alias("n_orders"),
+                 F.min("cents").alias("min_cents"),
+                 F.max("cents").alias("max_cents"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+EQUIDEPTH_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+p AS (
+  SELECT cents,
+         CAST(NTILE({EQUIDEPTH_TILES}) OVER (ORDER BY cents, o_orderkey)
+              AS BIGINT) AS tile
+  FROM c
+)
+SELECT tile, COUNT(*) AS n_orders, MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM p GROUP BY tile
+"""
+
+
+SESSION_GAP_US = 1800 * 1_000_000   # same 30-min gap as sessionize_events
+PATH_MAX_STEPS = 8
+PATH_TOP_K = 20
+
+
+def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the ``PATH_TOP_K`` most common event-type
+    journeys, where a journey is the ordered sequence of a session's
+    first ``PATH_MAX_STEPS`` event types joined with '>' — the
+    product-analytics "what do users actually do" view, one step up
+    from ``event_trigrams``' fixed-length windows.
+
+    Sessions reuse sessionize_events' 30-min-gap definition (same
+    (us, event_id) ordering, so the two operators agree on session
+    boundaries). Scale: both windows and the path aggregate partition
+    on user_id — the proven sessionize shape, sub-shardable per
+    (user, day) at 100 TB; path strings are bounded (8 steps), the
+    path aggregate map-side combines, and the top-20 plans as
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0))
+    sess = F.sum("new_sess").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    paths = (marked.withColumn("sess", sess)
+             .groupBy("user_id", "sess")
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("us", "event_id", "event_type"))).alias("evs"))
+             .select(F.array_join(
+                 F.transform(F.slice("evs", 1, PATH_MAX_STEPS),
+                             lambda e: e["event_type"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path")
+            .limit(PATH_TOP_K))
+
+
+SESSION_PATH_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - LAG(us) OVER w IS NULL
+               OR us - LAG(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+),
+p AS (
+  SELECT user_id, sess,
+         array_to_string(
+           (array_agg(event_type ORDER BY us, event_id))[1:{PATH_MAX_STEPS}],
+           '>') AS path
+  FROM s GROUP BY user_id, sess
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {PATH_TOP_K}
+"""
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (ANALYZE-style): per column — row count, null
     count, distinct count. One pass: every statistic is a conditional
@@ -346,5 +467,8 @@ REGISTRATIONS = [
     ("cohort_retention_events", cohort_retention_events, COHORT_ORACLE),
     ("gapfill_hourly_events", gapfill_hourly_events, GAPFILL_ORACLE),
     ("histogram_totalprice", histogram_totalprice, HISTOGRAM_ORACLE),
+    ("equidepth_hist_totalprice", equidepth_hist_totalprice,
+     EQUIDEPTH_ORACLE),
+    ("session_path_counts", session_path_counts, SESSION_PATH_ORACLE),
     ("profile_orders", profile_orders, PROFILE_ORACLE),
 ]

@@ -318,9 +318,59 @@ WITH xy AS (
 STREAM_TREND_ORACLE = _stream_trend_oracle()
 
 
+def stream_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.dow_seasonality_events`` —
+    fourth leg of the kappa-parity family (tumbling, z-score, OLS
+    trend, now seasonality): per-(event_type, ISO weekday) count and
+    Σcents are mergeable sums maintained as one complete-mode
+    aggregate; the shared closed form divides on top. Checked against
+    the IDENTICAL DuckDB oracle as the batch op, and unlike the OLS
+    twin there is no origin parameter, so twin and batch agree
+    bit-for-bit."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        dow_profile_closed_form, dow_profile_stats)
+    ev = (read_events_stream(spark, sf_dir)
+          .select("event_type",
+                  (F.weekday("ts") + 1).cast("long").alias("dow"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    stats = dow_profile_stats(ev)
+    out = _run_to_table(stats, "stream_dow_profile", "complete")
+    # the closed form checkpoints internally, which also breaks the
+    # MemorySink lineage its self-join can't otherwise resolve
+    return dow_profile_closed_form(out)
+
+
+def stream_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.chisq_cells_events`` (fifth leg
+    of the kappa-parity family): the contingency cells are one
+    complete-mode count aggregate; the shared closed form computes
+    expected counts and χ² terms on top. Same oracle as the batch op;
+    bit-identical (pure counts, no origin parameter)."""
+    from mapreduce_rust_spark.operators.monitoring import chisq_closed_form
+    ev = (read_events_stream(spark, sf_dir)
+          .select("event_type",
+                  (F.weekday("ts") + 1).cast("long").alias("dow")))
+    cells = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    out = _run_to_table(cells, "stream_chisq_cells", "complete")
+    return chisq_closed_form(out)
+
+
+def _dow_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import DOW_ORACLE
+    return DOW_ORACLE
+
+
+def _chisq_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import CHISQ_ORACLE
+    return CHISQ_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
+    # twins share the batch op's oracle on purpose (kappa parity)
+    ("stream_dow_profile", stream_dow_profile, _dow_oracle()),
+    ("stream_chisq_cells", stream_chisq_cells, _chisq_oracle()),
     ("stream_approx_distinct_users", stream_approx_distinct_users, None),
     ("stream_static_enrich", stream_static_enrich,
      STREAM_STATIC_ENRICH_ORACLE),

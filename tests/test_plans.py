@@ -67,7 +67,8 @@ def test_jvm_operators_have_no_python(spark):
                  "stream_session_windows", "stream_interval_join",
                  "stream_dedup_users", "stream_static_enrich",
                  "stateful_session_flush", "stream_approx_distinct_users",
-                 "stream_zscore_anomaly", "stream_trend_ols"}
+                 "stream_zscore_anomaly", "stream_trend_ols",
+                 "stream_dow_profile", "stream_chisq_cells"}
     for name, fn in registry.queries().items():
         if name in python_ok | streaming:
             continue
@@ -89,7 +90,8 @@ def test_no_cartesian_products_engine_wide(spark):
             "stream_dedup_users", "stream_static_enrich",
             "stateful_user_totals", "stateful_session_flush",
             "stream_approx_distinct_users",
-            "stream_zscore_anomaly", "stream_trend_ols"}
+            "stream_zscore_anomaly", "stream_trend_ols",
+                 "stream_dow_profile", "stream_chisq_cells"}
     for name, fn in registry.queries().items():
         if name in skip:
             continue

@@ -320,3 +320,82 @@ def test_cusum_finds_planted_level_shift(spark):
     assert got["shifted"].n == 500
     # flat series: every deviation is 0, peak score 0
     assert got["flat"].peak_score == 0.0
+
+
+def test_dow_profile_invariants(spark):
+    """Per type: Σ(cell n) = type total, and the n-weighted mean of
+    cell means equals the type mean (lift weighted-average = 1)."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        dow_seasonality_events)
+    rows = dow_seasonality_events(spark, SF_CORRECT).collect()
+    assert rows and all(1 <= r.dow <= 7 for r in rows)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, cells in by_type.items():
+        n = sum(c.n_events for c in cells)
+        wlift = sum(c.dow_lift * c.n_events for c in cells) / n
+        assert abs(wlift - 1.0) < 1e-9, (et, wlift)
+
+
+def test_chisq_cells_margins_consistent(spark):
+    """Expected counts must reproduce the observed margins exactly:
+    Σ over a row (col) of E equals that row's (col's) observed total
+    — the defining property of the independence model."""
+    from mapreduce_rust_spark.operators.monitoring import chisq_cells_events
+    rows = chisq_cells_events(spark, SF_CORRECT).collect()
+    assert rows
+    row_o, row_e, col_o, col_e = {}, {}, {}, {}
+    for r in rows:
+        row_o[r.event_type] = row_o.get(r.event_type, 0) + r.observed
+        row_e[r.event_type] = row_e.get(r.event_type, 0.0) + r.expected
+        col_o[r.dow] = col_o.get(r.dow, 0) + r.observed
+        col_e[r.dow] = col_e.get(r.dow, 0.0) + r.expected
+        assert r.chisq_term >= 0.0
+    for k in row_o:
+        assert abs(row_e[k] - row_o[k]) < 1e-6 * row_o[k]
+    for k in col_o:
+        assert abs(col_e[k] - col_o[k]) < 1e-6 * col_o[k]
+
+
+def test_session_paths_planted(spark, tmp_path):
+    """Two users with known journeys (one gap-split) — paths and
+    session counts are exactly the hand-derived set."""
+    import pandas as pd
+    from mapreduce_rust_spark.operators.olap import session_path_counts
+    base = 1_704_067_200_000_000
+    rows = [
+        # user 1: A>B then (31-min gap) C
+        (1, 1, "A", base), (2, 1, "B", base + 60_000_000),
+        (3, 1, "C", base + 60_000_000 + 1860_000_000),
+        # user 2: A>B (same path as user 1's first session)
+        (4, 2, "A", base), (5, 2, "B", base + 120_000_000),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                      "event_type", "us"])
+    d = str(tmp_path / "events.parquet")
+    spark.createDataFrame(pdf).select(
+        "event_id", "user_id", "event_type",
+        F.lit("{}").alias("props"), F.lit(1.0).alias("value"),
+        F.timestamp_micros("us").alias("ts")).write.parquet(d)
+    got = {r.path: r.n_sessions
+           for r in session_path_counts(spark, str(tmp_path)).collect()}
+    assert got == {"A>B": 2, "C": 1}
+
+
+def test_equidepth_tiles_balanced_and_ordered(spark):
+    """Equi-depth contract: tile sizes differ by at most 1, tiles are
+    contiguous (max of tile t <= min of tile t+1), and counts sum to
+    the table size."""
+    from mapreduce_rust_spark.operators.olap import (
+        EQUIDEPTH_TILES, equidepth_hist_totalprice)
+    from mapreduce_rust_spark.tables import load_table
+    rows = sorted(equidepth_hist_totalprice(spark, SF_CORRECT).collect(),
+                  key=lambda r: r.tile)
+    assert [r.tile for r in rows] == list(range(1, EQUIDEPTH_TILES + 1))
+    sizes = {r.n_orders for r in rows}
+    assert max(sizes) - min(sizes) <= 1
+    total = load_table(spark, SF_CORRECT, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents <= b.min_cents
