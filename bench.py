@@ -150,6 +150,33 @@ HEADLINE = [
     "ttr_docs",
     "bigram_lm_docs",
     "copurchase_degree_hist",
+    # round 5 second crop: behavioral analytics (Markov, interp
+    # gapfill, rolling median), DQ screens (Benford, checksum),
+    # retrieval/corpus analysis (BM25, PMI, Simpson, vocab overlap),
+    # order-sensitive EWMA + stateful twin
+    "markov_transitions_events",
+    "interp_gapfill_events",
+    "rolling_median_orders",
+    "benford_orders",
+    "table_checksum_orders",
+    "bm25_search_docs",
+    "collocations_pmi_docs",
+    "simpson_diversity_sources",
+    "source_vocab_overlap",
+    "ewma_user_value",
+    "stream_ewma_user_value",
+    # round 5 third crop: market-basket rules, Pareto/RFM/attribution,
+    # semantic dedup keep-list, Markov stateful twin
+    "assoc_rules_parts",
+    "abc_pareto_parts",
+    "rfm_segments",
+    "attribution_last_touch",
+    "semantic_dedup_embeddings",
+    "stream_markov_transitions",
+    "quantile_normalize_docs",
+    "containment_pairs_docs",
+    "dedup_eval_lsh",
+    "labelprop_components",
 ]
 
 

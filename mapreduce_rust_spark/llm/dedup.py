@@ -489,6 +489,228 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline EVALUATION as an operator: precision / recall / F1 of
+    the MinHash-LSH dedup path (``minhash_lsh_pairs``) against the
+    df-capped exhaustive inverted-index join (``ngram_jaccard_pairs``)
+    over the same J ≥ 0.3 target — the measurement a production dedup
+    rollout runs before swapping the exact join for the sketch path
+    (is the banding's recall acceptable on OUR corpus?). Both sides
+    exact-verify candidates, so deviations are pure candidate-
+    generation differences: band non-collisions (LSH misses) and
+    df-cap drops (truth-side misses).
+
+    Composition, not reimplementation: the operator calls the two
+    registered queries and reduces their full-outer pair join to one
+    confusion row; the oracle nests the two registered ORACLES as
+    CTEs the same way — the checked artifact proves the composed
+    pipeline, not just the parts. All metrics are exact-int ratios
+    (F1 = 2tp/(2tp+fp+fn): single int÷int division, no float chain
+    of precision·recall)."""
+    pred = (minhash_lsh_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b", F.lit(1).alias("p")))
+    truth = (ngram_jaccard_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b", F.lit(1).alias("t")))
+    j = pred.join(truth, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("p").isNotNull()
+                     & F.col("t").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("p").isNotNull()
+                     & F.col("t").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("p").isNull()
+                     & F.col("t").isNotNull(), 1).otherwise(0)).alias("fn"))
+    return agg.select(
+        "tp", "fp", "fn",
+        (F.col("tp").cast("double")
+         / (F.col("tp") + F.col("fp")).cast("double")).alias("precision"),
+        (F.col("tp").cast("double")
+         / (F.col("tp") + F.col("fn")).cast("double")).alias("recall"),
+        ((2 * F.col("tp")).cast("double")
+         / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"))
+        .alias("f1"))
+
+
+def _dedup_eval_oracle() -> str:
+    return f"""
+WITH pred AS ({MINHASH_LSH_ORACLE}),
+truth AS ({NGRAM_JACCARD_ORACLE}),
+j AS (
+  SELECT p.doc_a AS pa, t.doc_a AS ta
+  FROM pred p FULL OUTER JOIN truth t
+    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pa IS NOT NULL AND ta IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN pa IS NULL AND ta IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+       CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+FROM c
+"""
+
+
+CONTAIN_T_NUM = 9    # containment threshold 9/10
+CONTAIN_T_DEN = 10
+
+
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC set-containment join: directed pairs where ≥ 9/10
+    of the inner doc's shingles also occur in the outer doc —
+    quote/excerpt/mirror detection, the case symmetric Jaccard
+    misses by construction (a paragraph quoted inside a book has
+    tiny Jaccard but containment ≈ 1).
+
+    Prefix filtering adapts to the asymmetry: only the INNER side
+    can be prefix-pruned (the required overlap ⌈t·|A|⌉ depends on A
+    alone), so candidates come from A-prefixes (rarest ~10% + 1 of
+    each doc) probing the FULL shingle index, with the integral
+    length filter t_den·|B| ≥ t_num·|A| (B must be able to hold the
+    required overlap). Completeness: overlap ≥ ⌈t·|A|⌉ forces a
+    collision within A's prefix — lossless, like PPJoin. Fanout per
+    prefix shingle is its full df (no B-side prefix exists) — the
+    honest cost of the asymmetric variant; rarest-first ordering
+    keeps prefix shingles low-df except for boilerplate-only docs.
+    Verification recomputes the exact overlap; the threshold test is
+    integral (t_den·c ≥ t_num·|A|), containment = c/|A| exact-int
+    division."""
+    sh = _persisted_shingles(spark, sf_dir)
+    tn, td = CONTAIN_T_NUM, CONTAIN_T_DEN
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    ordered = (sh.join(dfreq, "s")
+                 .select("doc_id", "s",
+                         F.row_number().over(
+                             W.partitionBy("doc_id").orderBy("df", "s"))
+                          .alias("pos"),
+                         F.count("*").over(W.partitionBy("doc_id"))
+                          .alias("n")))
+    prefix = (ordered
+              .where(F.col("pos") <= F.col("n")
+                     - F.expr(f"({tn} * n + {tn}) div {td}") + 1)
+              .select(F.col("doc_id").alias("doc_inner"), "s",
+                      F.col("n").alias("na")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    full = (sh.withColumnsRenamed({"doc_id": "doc_outer"})
+              .join(sizes.withColumnsRenamed({"doc_id": "doc_outer"}),
+                    "doc_outer"))
+    cand = (prefix.join(full, "s")
+            .filter((F.col("doc_inner") != F.col("doc_outer"))
+                    & (F.lit(td) * F.col("nb") >= F.lit(tn) * F.col("na")))
+            .select("doc_inner", "doc_outer", "na").distinct())
+    sha = sh.withColumnsRenamed({"doc_id": "doc_inner"})
+    shb = sh.withColumnsRenamed({"doc_id": "doc_outer"})
+    common = (cand.join(sha, "doc_inner")
+                  .join(shb, ["doc_outer", "s"])
+                  .groupBy("doc_inner", "doc_outer", "na")
+                  .agg(F.count("*").alias("c")))
+    return (common
+            .filter(F.lit(td) * F.col("c") >= F.lit(tn) * F.col("na"))
+            .select("doc_inner", "doc_outer",
+                    (F.col("c").cast("double") / F.col("na"))
+                    .alias("containment")))
+
+
+def _containment_oracle() -> str:
+    tn, td = CONTAIN_T_NUM, CONTAIN_T_DEN
+    return f"""
+WITH {_oracle_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+-- oracle takes the exhaustive pair route on purpose: the prefix
+-- filter's losslessness is part of what the hash check proves
+SELECT doc_inner, doc_outer,
+       CAST(c AS DOUBLE) / sa.n AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_inner
+WHERE {td} * c >= {tn} * sa.n
+"""
+
+
+CONTAINMENT_ORACLE = _containment_oracle()
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup KEEP LIST: within each label
+    block (at scale: a k-means/IVF cluster id — the SemDeDup recipe),
+    a vector is dropped iff a LOWER-id vector in the same block sits
+    within cosine ≥ 0.35 of it; survivors are the canonical
+    representatives. The deterministic keep-lowest-id rule turns the
+    pair view (``embedding_neardup_pairs``) into an actual
+    deduplicated corpus — the step that feeds training.
+
+    Plan: the SAME block-local pair join as the pair op, folded to a
+    per-block report in ONE aggregation pass — no new shuffle shape,
+    and pair volume stays Σ|block|², never corpus². The duplicate set
+    comes back as a LEFT join + flag (not an anti join + a second
+    count-all aggregate: kept/total/first-kept are conditional
+    aggregates of the SAME flagged frame, one groupBy instead of
+    two aggs and a re-join). The
+    pair-side input is materialized once; block sizes are the knob
+    that bounds the quadratic term (re-cluster finer when a block
+    outgrows its budget).
+
+    Pair similarity is ONE dot fold over pre-unit-normalized vectors
+    (the allknn convention — cosine() would re-fold both norms on
+    the |block|² hot path; both changes together measured
+    5.9 → 3.6 s at sf0.1). The threshold test
+    dot(unit(a), unit(b)) ≥ τ is mathematically cosine ≥ τ; as with
+    every cosine op here, the cross-engine float path differs in
+    final ulps, so a pair landing WITHIN ulp of τ could flip vs the
+    oracle — a near-tie, not a logic bug (the knn_bruteforce
+    doctrine; measured fixture margin to τ is ~5e-4, ≫ ulp scale)."""
+    from mapreduce_rust_spark.functions.vector import dot, to_double, unit
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "label",
+                   unit(to_double(F.col("embedding"))).alias("e"))
+           .localCheckpoint(eager=True))   # pair join reads it twice
+    a, b = emb.alias("a"), emb.alias("b")
+    dupes = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+              .filter(dot(F.col("a.e"), F.col("b.e")) >= 0.35)
+              .select(F.col("b.vec_id").alias("vec_id")).distinct()
+              .withColumn("is_dup", F.lit(1)))
+    flagged = (emb.select("vec_id", "label")
+               .join(dupes, "vec_id", "left")
+               .withColumn("keep", F.col("is_dup").isNull()))
+    return (flagged.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.min(F.when(F.col("keep"), F.col("vec_id")))
+                  .alias("first_kept")))
+
+
+SEMANTIC_DEDUP_ORACLE = """
+WITH dupes AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.35
+),
+kept AS (
+  SELECT e.label, e.vec_id FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM dupes)
+)
+SELECT k.label,
+       (SELECT COUNT(*) FROM embeddings e2 WHERE e2.label = k.label)
+         AS n_vecs,
+       COUNT(*) AS n_kept,
+       MIN(k.vec_id) AS first_kept
+FROM kept k GROUP BY k.label
+"""
+
+
 # --- segment-level dedup (CCNet/C4-style boilerplate removal) --------------
 
 SEG_TOKENS = 16  # segment width — the "line"/"paragraph" unit
@@ -634,6 +856,11 @@ REGISTRATIONS = [
     ("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_LSH_ORACLE),
     ("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
     ("ppjoin_jaccard_pairs", ppjoin_jaccard_pairs, PPJOIN_ORACLE),
+    ("containment_pairs_docs", containment_pairs_docs, CONTAINMENT_ORACLE),
+    # oracle composed from the two component oracles (see docstring)
+    ("dedup_eval_lsh", dedup_eval_lsh, _dedup_eval_oracle()),
     ("simhash_docs", simhash_docs, SIMHASH_ORACLE),
     ("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_ORACLE),
+    ("semantic_dedup_embeddings", semantic_dedup_embeddings,
+     SEMANTIC_DEDUP_ORACLE),
 ]

@@ -804,8 +804,68 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("logw")))
 
 
+def quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: each document's length
+    statistic is replaced by the GLOBAL value at its within-source
+    quantile — the score-calibration step that makes per-domain
+    quality/length scores comparable before a single corpus-wide
+    threshold or curriculum is applied (a p90 doc of a short-doc
+    crawl maps to the corpus p90, not to its raw length). The
+    genomics quantile-normalization recipe, applied to corpus
+    curation.
+
+    All-integer: within-source rank r (ties broken by doc_id), its
+    target global rank ⌈r·N/n_s⌉ by integer DIV, and a join to the
+    global rank table — no percentile interpolation floats anywhere.
+    BOTH rankings use ``ranking.scalable_rank`` (order-preserving
+    length-bucket sub-shards), so neither the per-source nor the
+    global order ever funnels through a single window partition —
+    this operator IS the 100 TB form, not the naive one. The rank
+    join shuffles on an integer rank, uniform by construction."""
+    from mapreduce_rust_spark.operators.ranking import scalable_rank
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars")
+            .localCheckpoint(eager=True))   # 4 consumers below
+    bucket = F.floor(F.col("n_chars") / 64).cast("long")
+    n_s = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_tot = docs.agg(F.count("*").alias("n")).localCheckpoint()
+    s = scalable_rank(docs, bucket, ["n_chars", "doc_id"],
+                      part_cols=["source"], rank_col="r_src")
+    g = (scalable_rank(docs, bucket, ["n_chars", "doc_id"],
+                       rank_col="r_glob")
+         .select("r_glob", F.col("n_chars").alias("norm_chars")))
+    j = (s.join(F.broadcast(n_s), "source")
+          .crossJoin(F.broadcast(n_tot))
+          .withColumn("r_tgt", F.expr("(r_src * n + n_s - 1) DIV n_s")))
+    return (j.join(g, j.r_tgt == g.r_glob)
+             .select("doc_id", "source", "n_chars", "norm_chars"))
+
+
+QUANTILE_NORM_ORACLE = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+s AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r_src,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM d
+),
+g AS (
+  SELECT n_chars AS norm_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r_glob
+  FROM d
+),
+t AS (SELECT COUNT(*) AS n FROM d)
+SELECT s.doc_id, s.source, s.n_chars, g.norm_chars
+FROM s, t
+JOIN g ON g.r_glob = (s.r_src * t.n + s.n_s - 1) // s.n_s
+"""
+
+
 REGISTRATIONS = [
     ("unigram_logprob_docs", unigram_logprob_docs, None),
+    ("quantile_normalize_docs", quantile_normalize_docs,
+     QUANTILE_NORM_ORACLE),
     ("curriculum_phase_docs", curriculum_phase_docs, CURRICULUM_ORACLE),
     ("dsir_importance_docs", dsir_importance_docs, None),
     ("domain_mix_sample", domain_mix_sample, DOMAIN_MIX_ORACLE),

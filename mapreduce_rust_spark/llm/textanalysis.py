@@ -795,11 +795,322 @@ FROM r WHERE rk <= {BIGRAM_TOP_CONT}
 """
 
 
+COLLOC_WINDOW = 2       # skip-gram co-occurrence radius (word2vec-style)
+COLLOC_MIN_COUNT = 5    # min pair support (hapax-pair guard)
+COLLOC_TOP_K = 20
+
+
+def collocations_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram collocation mining: the ``COLLOC_TOP_K`` token pairs
+    co-occurring within a ±``COLLOC_WINDOW`` window with the highest
+    PMI lift — the statistic word2vec/GloVe implicitly factorize and
+    the collocation detector ("new york") of corpus analysis. Lift is
+    the exponential-free PMI: p(a,b) / (p(a)·p(b)) with p(a,b) =
+    c_ab/P (P = total windowed pairs) and p(w) = c_w/N (N = total
+    tokens) — written as the identical fixed-order chain of
+    correctly-rounded double divisions on both engines (the
+    domain_keywords discipline; no log, so no libm).
+
+    Pairs generate IN-ROW (nested index transforms, ≤ W·len per doc,
+    canonicalized least/greatest so (a,b) ≡ (b,a)), so the only
+    corpus-sized shuffles are the pair count and the unigram count,
+    both map-side combined; N, P broadcast as 1-row literals; the
+    top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    d = docs.select(toks.alias("toks"))
+    nt = F.size("toks")
+    idx = (F.when(nt >= 2, F.sequence(F.lit(1), nt - 1))
+            .otherwise(F.expr("CAST(array() AS array<int>)")))
+    pairs = F.flatten(F.transform(idx, lambda i: F.transform(
+        F.sequence(i + 1, F.least(i + COLLOC_WINDOW, nt)),
+        lambda j: F.struct(
+            F.least(F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), j)).alias("w1"),
+            F.greatest(F.element_at(F.col("toks"), i),
+                       F.element_at(F.col("toks"), j)).alias("w2")))))
+    pc = (d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("c_ab")))
+    uni = (d.select(F.explode("toks").alias("w"))
+            .groupBy("w").agg(F.count("*").alias("c_w")))
+    totals = (pc.agg(F.sum("c_ab").alias("p_tot"))
+                .crossJoin(uni.agg(F.sum("c_w").alias("n_tot")))
+                .localCheckpoint(eager=True))
+    cand = (pc.filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+              .join(uni.withColumnRenamed("w", "w1")
+                       .withColumnRenamed("c_w", "c_a"), "w1")
+              .join(uni.withColumnRenamed("w", "w2")
+                       .withColumnRenamed("c_w", "c_b"), "w2")
+              .crossJoin(F.broadcast(totals)))
+    lift = ((F.col("c_ab").cast("double") / F.col("p_tot"))
+            / ((F.col("c_a").cast("double") / F.col("n_tot"))
+               * (F.col("c_b").cast("double") / F.col("n_tot"))))
+    return (cand.withColumn("lift", lift)
+            .select("w1", "w2", "c_ab", "c_a", "c_b", "lift")
+            .orderBy(F.desc("lift"), "w1", "w2")
+            .limit(COLLOC_TOP_K))
+
+
+COLLOC_PMI_ORACLE = f"""
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+ij AS (SELECT toks, UNNEST(range(1, len(toks))) AS i FROM d),
+pj AS (SELECT toks, i,
+              UNNEST(range(i + 1, least(i + {COLLOC_WINDOW}, len(toks)) + 1))
+                AS j
+       FROM ij),
+pr AS (SELECT least(toks[i], toks[j]) AS w1,
+              greatest(toks[i], toks[j]) AS w2
+       FROM pj),
+pc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pr GROUP BY w1, w2),
+uni AS (SELECT t.tok AS w, COUNT(*) AS c_w
+        FROM d, UNNEST(toks) AS t(tok) GROUP BY 1),
+tot AS (SELECT (SELECT SUM(c_ab) FROM pc) AS p_tot,
+               (SELECT SUM(c_w) FROM uni) AS n_tot)
+SELECT pc.w1, pc.w2, pc.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+       (CAST(pc.c_ab AS DOUBLE) / p_tot)
+         / ((CAST(a.c_w AS DOUBLE) / n_tot)
+            * (CAST(b.c_w AS DOUBLE) / n_tot)) AS lift
+FROM pc
+JOIN uni a ON a.w = pc.w1
+JOIN uni b ON b.w = pc.w2, tot
+WHERE pc.c_ab >= {COLLOC_MIN_COUNT}
+ORDER BY lift DESC, pc.w1, pc.w2
+LIMIT {COLLOC_TOP_K}
+"""
+
+
+def simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration per source: Simpson/Herfindahl index
+    λ = Σ c_i² / n² over each source's token distribution — the
+    log-free diversity measure (1/λ is the effective vocabulary
+    size; λ→1 means one token dominates ⇒ boilerplate). The mixture
+    designer's per-domain "how repetitive is this corpus" signal,
+    complementing ``ttr_docs``' per-document view.
+
+    Exactness: counts and Σc² accumulate as integer/DECIMAL(38,0)
+    sufficient statistics (c² ≤ n² ≈ 1e24 at 100 TB — past int64,
+    inside decimal), then ONE identical IEEE combination per source:
+    double(Σc²) / (double(n)·double(n)). Scale: a (source, tok)
+    aggregate with map-side combine, re-aggregated to ≤ |sources|
+    rows — the domain_keywords shuffle shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    st = (docs.select("source", F.explode(toks).alias("tok"))
+              .groupBy("source", "tok").agg(F.count("*").alias("c")))
+    per_src = st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("ssq"))
+    return per_src.select(
+        "source", "n_tokens", "vocab",
+        (F.col("ssq").cast("double")
+         / (F.col("n_tokens").cast("double")
+            * F.col("n_tokens").cast("double"))).alias("simpson"))
+
+
+SIMPSON_ORACLE = """
+WITH tok AS (
+  SELECT d.source, t.tok
+  FROM documents d,
+       UNNEST(regexp_split_to_array(d.text, '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+st AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
+         / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+            * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)) AS simpson
+FROM st GROUP BY source
+"""
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    similarity matrix mixture design reads before weighting domains
+    (two near-identical crawls shouldn't both get full weight). For
+    every source pair: each side's vocabulary size, the shared-type
+    count, and Jaccard |A∩B| / |A∪B| as exact int ÷ int.
+
+    Scale: the corpus collapses to DISTINCT (source, tok) first —
+    the self-join runs on vocabularies, not token streams, and each
+    tok join-group is bounded by |sources| (≤ |sources|² pairs per
+    type), so there is no skew amplification; output is
+    |sources|²/2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    vt = (docs.select("source", F.explode(toks).alias("tok")).distinct())
+    sizes = vt.groupBy("source").agg(F.count("*").alias("v"))
+    a, b = vt.alias("a"), vt.alias("b")
+    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.source") < F.col("b.source")))
+              .groupBy(F.col("a.source").alias("src_a"),
+                       F.col("b.source").alias("src_b"))
+              .agg(F.count("*").alias("n_common")))
+    return (inter
+            .join(F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                                   .withColumnRenamed("v", "v_a")), "src_a")
+            .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                                   .withColumnRenamed("v", "v_b")), "src_b")
+            .select("src_a", "src_b", "v_a", "v_b", "n_common",
+                    (F.col("n_common").cast("double")
+                     / (F.col("v_a") + F.col("v_b") - F.col("n_common"))
+                       .cast("double")).alias("jaccard")))
+
+
+VOCAB_OVERLAP_ORACLE = """
+WITH vt AS (
+  SELECT DISTINCT d.source, t.tok
+  FROM documents d,
+       UNNEST(regexp_split_to_array(d.text, '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sizes AS (SELECT source, COUNT(*) AS v FROM vt GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, sa.v AS v_a, sb.v AS v_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.v + sb.v - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style ranked retrieval for the ``SEARCH_TERMS`` query —
+    the scoring step ``boolean_search_docs``' filter feeds: per-term
+    saturated TF × inverse document frequency, summed over query
+    terms, top-``BM25_TOP_K`` docs. IDF is the log-free lift N/df
+    (monotone in Robertson's idf, so ranking-equivalent on any fixed
+    query; no libm). tf_norm = tf·(k1+1) / (tf + k1·(1−b+b·len/avg)).
+
+    Float discipline: every input (tf, df, len, N, Σlen) is an exact
+    integer; the per-term score is a fixed chain of IEEE ops written
+    identically in the oracle, and the cross-term SUM — the one
+    order-sensitive float reduction — is pivoted into per-term
+    columns and added LEFT-TO-RIGHT in query-literal order, so no
+    engine is free to re-associate. Scale: one (doc, term) aggregate
+    over a pre-filtered token stream (terms are a literal IN — the
+    scan prunes everything else), df/N/avg are ≤|terms|-row
+    broadcasts, top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    base = docs.select("doc_id", toks.alias("toks"))
+    lens = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = lens.agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("dl").alias("sum_dl")).localCheckpoint()
+    tf = (base.select("doc_id", F.explode("toks").alias("term"))
+              .filter(F.col("term").isin(*SEARCH_TERMS))
+              .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df_t), "term")
+                .join(lens, "doc_id")
+                .crossJoin(F.broadcast(stats)))
+    avg_dl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tf_d = F.col("tf").cast("double")
+    norm = (tf_d * (BM25_K1 + 1.0)
+            / (tf_d + BM25_K1 * (1.0 - BM25_B
+                                 + BM25_B * (F.col("dl").cast("double")
+                                             / avg_dl))))
+    idf = F.col("n_docs").cast("double") / F.col("df").cast("double")
+    per_term = scored.select(
+        "doc_id", "term", (norm * idf).alias("s"))
+    # fixed-order cross-term sum: one column per query-literal term,
+    # added left-to-right — no order-sensitive SUM() over floats
+    piv = per_term.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("term") == t, F.col("s")))
+          .alias(f"s_{i}") for i, t in enumerate(SEARCH_TERMS)])
+    total = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(SEARCH_TERMS)):
+        total = total + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    n_terms = sum(
+        (F.when(F.col(f"s_{i}").isNotNull(), 1).otherwise(0)
+         for i in range(len(SEARCH_TERMS))), F.lit(0))
+    return (piv.select("doc_id", n_terms.cast("long").alias("n_terms"),
+                       total.alias("score"))
+               .orderBy(F.desc("score"), "doc_id")
+               .limit(BM25_TOP_K))
+
+
+def _bm25_oracle() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    s_cols = ",\n         ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(SEARCH_TERMS))
+    total = " + ".join(f"COALESCE(s_{i}, 0.0)"
+                       for i in range(len(SEARCH_TERMS)))
+    n_terms = " + ".join(
+        f"CASE WHEN s_{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(SEARCH_TERMS)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
+tf AS (
+  SELECT doc_id, t.tok AS term, COUNT(*) AS tf
+  FROM base, UNNEST(toks) AS t(tok)
+  WHERE t.tok IN ({terms_in})
+  GROUP BY doc_id, t.tok
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)
+          / (CAST(tf.tf AS DOUBLE)
+             + {BM25_K1} * (1.0 - {BM25_B}
+                            + {BM25_B} * (CAST(lens.dl AS DOUBLE)
+                                          / (CAST(sum_dl AS DOUBLE)
+                                             / CAST(n_docs AS DOUBLE))))))
+           * (CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS s
+  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats
+),
+piv AS (
+  SELECT doc_id,
+         {s_cols}
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({n_terms} AS BIGINT) AS n_terms,
+       {total} AS score
+FROM piv
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+BM25_ORACLE = _bm25_oracle()
+
+
 REGISTRATIONS = [
     ("token_stats_docs", token_stats_docs, TOKEN_STATS_ORACLE),
     ("ttr_docs", ttr_docs, TTR_ORACLE),
     ("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_ORACLE),
     ("boolean_search_docs", boolean_search_docs, BOOLEAN_SEARCH_ORACLE),
+    ("bm25_search_docs", bm25_search_docs, BM25_ORACLE),
+    ("collocations_pmi_docs", collocations_pmi_docs, COLLOC_PMI_ORACLE),
+    ("simpson_diversity_sources", simpson_diversity_sources,
+     SIMPSON_ORACLE),
+    ("source_vocab_overlap", source_vocab_overlap, VOCAB_OVERLAP_ORACLE),
     ("domain_keywords_docs", domain_keywords_docs, DOMAIN_KEYWORDS_ORACLE),
     ("normalize_text_docs", normalize_text_docs, NORMALIZE_TEXT_ORACLE),
     ("dedup_normalized_docs", dedup_normalized_docs, DEDUP_NORMALIZED_ORACLE),

@@ -417,6 +417,63 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+ROLLING_MEDIAN_N = 5
+
+
+def rolling_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median — each customer's median order value over
+    their trailing ``ROLLING_MEDIAN_N`` orders. Spark has no
+    median-as-window-function, so this demonstrates the general
+    recipe for ANY exact order statistic over a bounded frame:
+    collect_list over a ROWS frame (bounded — at most N values per
+    row, so state never grows with partition size), sort_array
+    in-row, then pick the middle element(s) with element_at. The
+    robust alternative to ``window_running_total``'s mean for
+    dashboard smoothing.
+
+    Exactness: values are cents longs; the even-count median is
+    (lo+hi) — an int64 sum — divided by 2.0 exactly once, the same
+    single-IEEE-op rule both engines follow. Scale: one shuffle on
+    o_custkey, frame bounded at N, everything after the window is
+    in-row codegen. Probe-set filter keeps checked output small
+    (window family convention)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    vc = F.bround(F.col("o_totalprice") * 100).cast("long")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(-(ROLLING_MEDIAN_N - 1), W.currentRow))
+    d = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", vc.alias("vc")).withColumn(
+        "arr", F.sort_array(F.collect_list("vc").over(w)))
+    n = F.size("arr")
+    # floor-div, NOT cast-of-float-division: DuckDB CAST(1.5 AS INT)
+    # rounds half-to-even while Spark truncates — `//`/floor agree
+    lo = F.element_at("arr", F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at("arr", F.floor(n / 2).cast("int") + 1)
+    return d.select(
+        "o_custkey", "o_orderkey",
+        n.cast("long").alias("n_window"),
+        ((lo + hi).cast("double") / 2.0 / 100.0).alias("rolling_median"))
+
+
+ROLLING_MEDIAN_ORACLE = f"""
+WITH d AS (
+  SELECT o_custkey, o_orderkey,
+         list_sort(list(CAST(round_even(o_totalprice * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN {ROLLING_MEDIAN_N - 1} PRECEDING
+                                  AND CURRENT ROW)) AS arr
+  FROM orders WHERE o_custkey < 300
+)
+SELECT o_custkey, o_orderkey,
+       CAST(len(arr) AS BIGINT) AS n_window,
+       CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
+            + arr[CAST(len(arr) // 2 AS INT) + 1] AS DOUBLE)
+         / 2.0 / 100.0 AS rolling_median
+FROM d
+"""
+
+
 # --- fuzzy string matching ---------------------------------------------
 
 FUZZY_MAX_DIST = 4
@@ -592,6 +649,7 @@ REGISTRATIONS = [
     ("window_ntile_orders", window_ntile_orders, WINDOW_NTILE_ORACLE),
     ("window_first_last_orders", window_first_last_orders,
      WINDOW_FIRST_LAST_ORACLE),
+    ("rolling_median_orders", rolling_median_orders, ROLLING_MEDIAN_ORACLE),
     ("fuzzy_match_parts", fuzzy_match_parts, FUZZY_MATCH_ORACLE),
     ("stats_agg_lineitem", stats_agg_lineitem, STATS_AGG_ORACLE),
     ("argmax_orders_by_priority", argmax_orders_by_priority, ARGMAX_ORACLE),

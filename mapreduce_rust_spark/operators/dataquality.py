@@ -238,8 +238,122 @@ GROUP BY pr
 """
 
 
+# Expected Benford leading-digit shares in exact ppm: round(1e6 *
+# log10(1 + 1/d)). Baked as literals so neither engine evaluates a
+# transcendental at query time (the DSIR lesson: libm differs across
+# engines; a constant table can't). Sums to exactly 1,000,000.
+BENFORD_EXP_PPM = (301030, 176091, 124939, 96910, 79181,
+                   66947, 57992, 51153, 45757)
+
+
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order values — the
+    classic fabricated-data / unit-mixing detector for financial
+    columns. Leading digit is taken from the cents-quantized integer
+    (a ×100 shift is a power of ten, so it cannot change the
+    first-digit distribution); observed share is integer ppm
+    (c·1e6 div n — exact); expected ppm comes from the literal
+    ``BENFORD_EXP_PPM`` table; the report is per-digit deviation in
+    ppm, all integers end to end. Scale: one partial+final aggregate
+    to ≤9 groups, then in-row arithmetic against a broadcast-literal
+    array — nothing after the scan touches more than 9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    vc = F.bround(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(vc.cast("string"), 1, 1).cast("long")
+    counts = (orders.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count("*").alias("n_orders")))
+    total = counts.agg(F.sum("n_orders").alias("n")).localCheckpoint()
+    exp = F.element_at(F.array(*[F.lit(p) for p in BENFORD_EXP_PPM]),
+                       F.col("digit").cast("int")).cast("long")
+    obs = F.expr("(n_orders * 1000000) DIV n")   # exact int, ≡ oracle `//`
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n_orders", obs.alias("obs_ppm"),
+                    exp.alias("exp_ppm"))
+            .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm")))
+
+
+def _benford_exp_sql() -> str:
+    return "[" + ", ".join(str(p) for p in BENFORD_EXP_PPM) + "]"
+
+
+BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+t AS (SELECT SUM(n_orders) AS n FROM c)
+SELECT digit, n_orders,
+       CAST((n_orders * 1000000) // n AS BIGINT) AS obs_ppm,
+       CAST(({_benford_exp_sql()})[CAST(digit AS INT)] AS BIGINT) AS exp_ppm,
+       CAST((n_orders * 1000000) // n AS BIGINT)
+         - CAST(({_benford_exp_sql()})[CAST(digit AS INT)] AS BIGINT)
+         AS dev_ppm
+FROM c, t
+"""
+
+
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content fingerprint — the cheap
+    equality certificate incremental pipelines use to verify a
+    rebuilt / migrated / incrementally-maintained table against its
+    source without comparing rows (the one-row companion of
+    ``snapshot_diff_orders``, which tells you WHAT changed; this
+    tells you IF, for the cost of one scan). Per row: md5 of a
+    '|'-joined canonical string of the business columns (dates in
+    ISO text, money in cents so no float formatting is involved);
+    the first 12 hex chars parse to a 48-bit integer, and the
+    fingerprint is the SUM as DECIMAL(38,0) — commutative, so
+    partition order never matters, and mergeable, so partial
+    checksums of shards combine by addition (1e12 rows × 2^48 ≈
+    3e26 ≪ 10^38: no overflow at any realistic scale — an int64 sum
+    would overflow near ~30 B rows). The checked output reduces the
+    exact decimal sum mod the largest sub-2^63 prime to a BIGINT
+    (wide decimals round-trip as floats through Arrow/pandas; the
+    residue is equality-preserving up to the prime and both engines
+    compute it on the exact sum). One map-side-combinable aggregate;
+    output is a single row."""
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.bround(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderdate").cast("string"))
+    h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    agg = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h48.cast("decimal(38,0)")).alias("s"))
+    return agg.select(
+        "n_rows",
+        (F.col("s") % F.lit(CHECKSUM_MOD)).cast("long").alias("checksum"))
+
+
+CHECKSUM_MOD = 9223372036854775783   # largest prime < 2^63
+
+TABLE_CHECKSUM_ORACLE = f"""
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CAST(CAST(concat('0x', substr(md5(
+               concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                         CAST(o_custkey AS VARCHAR),
+                         o_orderstatus,
+                         CAST(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR),
+                         CAST(o_orderdate AS VARCHAR))), 1, 12)) AS BIGINT)
+             AS DECIMAL(38,0))) AS s
+  FROM orders
+)
+SELECT n_rows, CAST(s % {CHECKSUM_MOD} AS BIGINT) AS checksum FROM s
+"""
+
+
 REGISTRATIONS = [
     ("dq_check_orders_lineitem", dq_check_orders_lineitem, DQ_CHECK_ORACLE),
     ("winsorize_prices", winsorize_prices, WINSORIZE_ORACLE),
     ("mad_outlier_orders", mad_outlier_orders, MAD_OUTLIER_ORACLE),
+    ("benford_orders", benford_orders, BENFORD_ORACLE),
+    ("table_checksum_orders", table_checksum_orders, TABLE_CHECKSUM_ORACLE),
 ]

@@ -249,8 +249,80 @@ FROM deg GROUP BY degree
 """
 
 
+LABELPROP_ROUNDS = 3
+
+
+def labelprop_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded synchronous min-label propagation over the co-purchase
+    graph: every node starts labeled with its own id; each round
+    takes the MIN label over its closed neighborhood (self + nbrs);
+    after exactly ``LABELPROP_ROUNDS`` rounds, report per-label
+    member counts. This is the ORACLE-CHECKABLE face of connected
+    components — the deterministic k-round prefix of the fixpoint
+    the rows-only union-find/pointer-jumping op
+    (``llm/pipeline.neardup_clusters``) computes, and the shape every
+    iterative graph algorithm takes through Catalyst: a fixed-depth
+    chain of join + min-aggregate rounds, each one shuffle on node
+    id (k rounds resolve components of graph-distance ≤ k from each
+    component's minimum; pointer jumping needs O(log d) rounds —
+    the declarative-vs-custom tradeoff made measurable).
+
+    The closed neighborhood is adjacency ∪ self-loops, so each round
+    is ONE join + ONE min-agg (no union-with-previous step); the
+    adjacency is built once (both directions in one explode) and
+    persisted across rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    adj = (edges.select(F.explode(F.array(
+                F.struct(F.col("u").alias("node"), F.col("v").alias("nbr")),
+                F.struct(F.col("v").alias("node"), F.col("u").alias("nbr"))))
+            .alias("e"))
+           .select("e.node", "e.nbr"))
+    nodes = adj.select("node").distinct()
+    closed = adj.unionAll(nodes.select(
+        "node", F.col("node").alias("nbr"))).persist()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(LABELPROP_ROUNDS):
+        labels = (closed
+                  .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                  .groupBy("node").agg(F.min("lbl").alias("lbl")))
+    return (labels.groupBy("lbl").agg(F.count("*").alias("n_nodes"))
+            .select(F.col("lbl").alias("component_min"), "n_nodes"))
+
+
+def _labelprop_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, LABELPROP_ROUNDS + 1):
+        rounds.append(f"""
+l{k} AS (
+  SELECT c.node, MIN(x.lbl) AS lbl
+  FROM closed c JOIN {prev} x ON x.node = c.nbr
+  GROUP BY c.node
+)""")
+        prev = f"l{k}"
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+adj AS (SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT node FROM adj),
+closed AS (SELECT * FROM adj UNION ALL SELECT node, node FROM nodes),
+l0 AS (SELECT node, node AS lbl FROM nodes),{','.join(rounds)}
+SELECT lbl AS component_min, COUNT(*) AS n_nodes
+FROM {prev} GROUP BY lbl
+"""
+
+
+LABELPROP_ORACLE = _labelprop_oracle()
+
+
 REGISTRATIONS = [
     ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE),
     ("reachable_parts_2hop", reachable_parts_2hop, REACHABLE_SQL),
     ("copurchase_degree_hist", copurchase_degree_hist, DEGREE_HIST_ORACLE),
+    ("labelprop_components", labelprop_components, LABELPROP_ORACLE),
 ]

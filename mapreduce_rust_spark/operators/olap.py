@@ -459,6 +459,470 @@ LIMIT 20
 """
 
 
+ASSOC_ITEM_MIN = 5    # Apriori item-support floor (a pair can't be
+                      # frequent unless both items are)
+ASSOC_PAIR_MIN = 3    # pair-support floor
+ASSOC_TOP_K = 25
+
+
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts: the
+    ``ASSOC_TOP_K`` part pairs with the highest lift, with support
+    count and both directional confidences — the recommender /
+    affinity-analysis classic (FP-growth's 2-itemset slice as one
+    declarative plan).
+
+    The Apriori property does the pruning: item supports are counted
+    FIRST (one distinct (order, part) aggregate) and baskets are
+    thinned to frequent items BEFORE any pair is generated — the
+    downward-closure step that keeps the pair explosion proportional
+    to frequent-item baskets, not raw baskets. Pairs then generate
+    IN-ROW over each basket's sorted frequent-part set (bounded by
+    basket width, the copurchase_edges discipline), one map-side
+    combined pair count, and a pair-support floor before the top-k.
+    Lift/confidence are fixed-order chains of correctly-rounded
+    double divisions (c_ab/c_a, (c_ab/c_a)/(c_b/N)); N, the basket
+    universe, is a 1-row broadcast."""
+    from mapreduce_rust_spark.operators.graph import _ordered_pairs
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    item = (li.distinct()
+              .groupBy("l_partkey").agg(F.count("*").alias("c_i")))
+    freq = item.filter(F.col("c_i") >= ASSOC_ITEM_MIN)
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n")).localCheckpoint(eager=True)
+    baskets = (li.join(F.broadcast(freq), "l_partkey")
+                 .groupBy("l_orderkey")
+                 .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    pairs = (baskets.select(F.explode(_ordered_pairs(F.col("ps")))
+                            .alias("e"))
+             .groupBy(F.col("e.u").alias("part_a"),
+                      F.col("e.v").alias("part_b"))
+             .agg(F.count("*").alias("c_ab"))
+             .filter(F.col("c_ab") >= ASSOC_PAIR_MIN))
+    ca = freq.select(F.col("l_partkey").alias("part_a"),
+                     F.col("c_i").alias("c_a"))
+    cb = freq.select(F.col("l_partkey").alias("part_b"),
+                     F.col("c_i").alias("c_b"))
+    j = (pairs.join(F.broadcast(ca), "part_a")
+              .join(F.broadcast(cb), "part_b")
+              .crossJoin(F.broadcast(n_orders)))
+    conf_ab = F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+    conf_ba = F.col("c_ab").cast("double") / F.col("c_b").cast("double")
+    lift = conf_ab / (F.col("c_b").cast("double") / F.col("n").cast("double"))
+    return (j.select("part_a", "part_b", "c_ab", "c_a", "c_b",
+                     conf_ab.alias("conf_ab"), conf_ba.alias("conf_ba"),
+                     lift.alias("lift"))
+             .orderBy(F.desc("lift"), "part_a", "part_b")
+             .limit(ASSOC_TOP_K))
+
+
+ASSOC_RULES_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item AS (SELECT l_partkey, COUNT(*) AS c_i FROM d GROUP BY 1),
+freq AS (SELECT * FROM item WHERE c_i >= {ASSOC_ITEM_MIN}),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+-- oracle takes the self-join route on purpose: in-row pair
+-- generation over collect_set ≡ the distinct-pair join, so the two
+-- formulations checking each other is part of the evidence
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS c_ab
+  FROM d a
+  JOIN freq fa ON fa.l_partkey = a.l_partkey
+  JOIN d b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+  JOIN freq fb ON fb.l_partkey = b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {ASSOC_PAIR_MIN}
+)
+SELECT part_a, part_b, c_ab, fa.c_i AS c_a, fb.c_i AS c_b,
+       CAST(c_ab AS DOUBLE) / CAST(fa.c_i AS DOUBLE) AS conf_ab,
+       CAST(c_ab AS DOUBLE) / CAST(fb.c_i AS DOUBLE) AS conf_ba,
+       (CAST(c_ab AS DOUBLE) / CAST(fa.c_i AS DOUBLE))
+         / (CAST(fb.c_i AS DOUBLE) / CAST(n.n AS DOUBLE)) AS lift
+FROM pairs
+JOIN freq fa ON fa.l_partkey = part_a
+JOIN freq fb ON fb.l_partkey = part_b, n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {ASSOC_TOP_K}
+"""
+
+
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank every
+    part by total discounted revenue, accumulate the running share,
+    and label A (first 80 % of revenue), B (next 15 %), C (tail) —
+    the inventory-analytics classic ("which 20 % of parts make 80 %
+    of revenue"). Everything stays exact until the last cast: revenue
+    sums in DECIMAL(18,6) partials, the running total is a DECIMAL
+    window sum, and the class test multiplies decimals by integer
+    percentages (cum·100 ≤ total·80) — no division, no float
+    compare. Scale: per-part agg with map-side combine, then one
+    global window over PARTS (corpus/1000-scale; the scalable_rank
+    bucket decomposition in operators/ranking.py is the drop-in if
+    parts themselves outgrow one stage)."""
+    from mapreduce_rust_spark.operators.relational import DEC_MONEY
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))).cast(DEC_MONEY))
+                     .alias("rev")))
+    w = W.orderBy(F.desc("rev"), "l_partkey")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = per_part.agg(F.sum("rev").alias("tot")).localCheckpoint()
+    d = (per_part
+         .withColumn("rnk", F.row_number().over(w).cast("long"))
+         .withColumn("cum", F.sum("rev").over(wcum))
+         .crossJoin(F.broadcast(total)))
+    cls = (F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+            .otherwise("C"))
+    return d.select("l_partkey", "rnk",
+                    F.col("rev").cast("double").alias("revenue"),
+                    F.col("cum").cast("double").alias("cum_revenue"),
+                    cls.alias("abc_class"))
+
+
+ABC_PARETO_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT SUM(rev) AS tot FROM per_part),
+d AS (
+  SELECT l_partkey, rev,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_part
+  WINDOW w AS (ORDER BY rev DESC, l_partkey)
+)
+SELECT l_partkey, rnk,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(cum AS DOUBLE) AS cum_revenue,
+       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM d, t
+"""
+
+
+RFM_BINS = 5
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, quintile scores for Recency
+    (days since last order, as-of the corpus max date), Frequency
+    (order count), and Monetary (total spend in cents), concatenated
+    into the marketing segment label ("555" = best). Scores are
+    plain ascending NTILEs with custkey tiebreak, so a LOW r_score
+    means a LONG time since the last order — every score is
+    deterministic on both engines and all inputs are exact integers
+    (date diffs in days, counts, cents). The as-of anchor is a 1-row
+    broadcast (the decay_weighted convention). Scale: one per-
+    customer aggregate, then three NTILE windows over CUSTOMERS —
+    each replaceable by ranking.ntile_expr's two-phase form at
+    100 TB (the curriculum decomposition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count("*").alias("frequency"),
+        F.sum(F.bround(F.col("o_totalprice") * 100).cast("long"))
+         .alias("monetary_c"))
+    anchor = orders.agg(F.max("o_orderdate").alias("t_max"))
+    d = (per_cust.crossJoin(F.broadcast(anchor))
+         .withColumn("recency_days",
+                     F.datediff("t_max", "last_dt").cast("long")))
+    wr = W.orderBy("recency_days", "o_custkey")
+    wf = W.orderBy("frequency", "o_custkey")
+    wm = W.orderBy("monetary_c", "o_custkey")
+    d = (d.withColumn("r_score", F.ntile(RFM_BINS).over(wr).cast("long"))
+          .withColumn("f_score", F.ntile(RFM_BINS).over(wf).cast("long"))
+          .withColumn("m_score", F.ntile(RFM_BINS).over(wm).cast("long")))
+    return d.select(
+        "o_custkey", "recency_days", "frequency", "monetary_c",
+        "r_score", "f_score", "m_score",
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")).alias("segment"))
+
+
+RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_dt,
+         COUNT(*) AS frequency,
+         SUM(CAST(round_even(o_totalprice * 100, 0) AS BIGINT))
+           AS monetary_c
+  FROM orders GROUP BY o_custkey
+),
+a AS (SELECT MAX(o_orderdate) AS t_max FROM orders),
+d AS (
+  SELECT o_custkey, frequency,
+         CAST(monetary_c AS BIGINT) AS monetary_c,
+         CAST(date_diff('day', last_dt, t_max) AS BIGINT) AS recency_days
+  FROM per_cust, a
+)
+SELECT o_custkey, recency_days, frequency, monetary_c,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY recency_days, o_custkey)
+            AS BIGINT) AS r_score,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY frequency, o_custkey)
+            AS BIGINT) AS f_score,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY monetary_c, o_custkey)
+            AS BIGINT) AS m_score,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY recency_days, o_custkey)
+            AS VARCHAR)
+         || CAST(NTILE({RFM_BINS}) OVER (ORDER BY frequency, o_custkey)
+                 AS VARCHAR)
+         || CAST(NTILE({RFM_BINS}) OVER (ORDER BY monetary_c, o_custkey)
+                 AS VARCHAR) AS segment
+FROM d
+"""
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase event is
+    credited to the MOST RECENT non-purchase event in the same
+    30-min session (no prior touch ⇒ 'direct'), aggregated to
+    credits per touch type — the marketing-analytics join of the
+    sessionize family.
+
+    The "last preceding touch" is a MAX over a preceding-rows window
+    of a zero-padded '(us|event_id|type)' string — lexicographic max
+    of fixed-width numeric text ≡ numeric (us, event_id) max, a
+    total order both engines agree on (the struct-max argmax trick,
+    in its portable string form because the window needs
+    PRECEDING-frame aggregation over a composite). One sessionize
+    window + one bounded aggregate; output ≤ |event types| + 1."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0))
+    sess = F.sum("new_sess").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    s = marked.withColumn("sess", sess)
+    ws = (W.partitionBy("user_id", "sess").orderBy("us", "event_id")
+           .rowsBetween(W.unboundedPreceding, -1))
+    touch_key = F.when(
+        F.col("event_type") != "purchase",
+        F.format_string("%020d|%020d|%s", F.col("us"), F.col("event_id"),
+                        F.col("event_type")))
+    credited = (s.withColumn("last_touch", F.max(touch_key).over(ws))
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.coalesce(
+                     F.element_at(F.split("last_touch", r"\|"), 3),
+                     F.lit("direct")).alias("touch_type")))
+    return (credited.groupBy("touch_type")
+            .agg(F.count("*").alias("n_conversions")))
+
+
+ATTRIBUTION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER w IS NULL
+                  OR us - LAG(us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+),
+c AS (
+  SELECT event_type,
+         MAX(CASE WHEN event_type <> 'purchase' THEN
+               printf('%020d|%020d|%s', us, event_id, event_type) END)
+           OVER (PARTITION BY user_id, sess ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM s
+)
+SELECT COALESCE(string_split(last_touch, '|')[3], 'direct') AS touch_type,
+       COUNT(*) AS n_conversions
+FROM c WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over sessionized event
+    streams: for every (from_type, to_type) pair of CONSECUTIVE
+    events inside a 30-min-gap session, the transition count and the
+    conditional probability P(to | from) — the normalized pairwise
+    companion of ``session_path_counts`` (paths show whole journeys;
+    this is the memoryless model product analytics fits to them).
+
+    Session boundaries reuse sessionize_events' definition verbatim
+    (same gap, same (us, event_id) ordering): a transition exists
+    only when the NEXT row of the per-user stream is in the same
+    session, read off ``lead(new_sess) = 0`` — no second sessionize
+    pass and no self-join. Scale: one user_id-partitioned window
+    (the proven sessionize shape), then an aggregate whose output is
+    bounded by |event_types|² — map-side combine collapses the
+    shuffle to the matrix size. P is int÷int double division,
+    correctly rounded identically on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0))
+    pairs = (marked
+             .withColumn("to_type", F.lead("event_type").over(w))
+             .withColumn("to_new", F.lead("new_sess").over(w))
+             .filter(F.col("to_new") == 0)
+             .select(F.col("event_type").alias("from_type"), "to_type"))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_trans"))
+    w_from = W.partitionBy("from_type")
+    return (counts
+            .withColumn("n_from", F.sum("n_trans").over(w_from))
+            .select("from_type", "to_type", "n_trans",
+                    (F.col("n_trans").cast("double")
+                     / F.col("n_from").cast("double")).alias("p_cond")))
+
+
+MARKOV_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - LAG(us) OVER w IS NULL
+               OR us - LAG(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+p AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER w AS to_type,
+         LEAD(new_sess) OVER w AS to_new
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_trans
+  FROM p WHERE to_new = 0
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_trans,
+       CAST(n_trans AS DOUBLE)
+         / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS p_cond
+FROM c
+"""
+
+
+def interp_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the exact-arithmetic companion
+    of ``gapfill_hourly_events``' LOCF: empty hourly buckets on the
+    same dense per-user grid are filled by the straight line between
+    the PREVIOUS and NEXT observed hours; hours before the first /
+    after the last observation stay NULL (no extrapolation — an
+    honest edge, unlike LOCF's zero-fill).
+
+    Exactness: observations are 1e6-quantized longs, timestamps
+    integer epoch-seconds, and the interpolation numerator
+    ``vq_prev·(t_next−t) + vq_next·(t−t_prev)`` is computed wholly in
+    int64 (bounded: |vq| ≲ 1e10 × grid span 2.6e6 s ≈ 2.6e16 ≪ 2^63)
+    before ONE double division by ``(t_next−t_prev)·1e6`` — the same
+    single-IEEE-op discipline as the OLS closed form, so floats
+    hash-match. Scale: grid build and both IGNORE-NULLS windows
+    partition per user (sub-shardable per (user, week) at 100 TB
+    with boundary-observation exchange, the sessionize pattern)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAPFILL_USERS)
+    hourly = (ev.groupBy("user_id",
+                         (F.floor(F.unix_seconds(F.col("ts")) / 3600)
+                          * 3600).alias("hour_epoch"))
+                .agg(F.sum(F.bround(F.col("value") * 1e6, 0).cast("long"))
+                      .alias("vq")))
+    start = F.to_timestamp(F.lit(GAPFILL_START))
+    users = (ev.select("user_id").distinct()
+               .select("user_id",
+                       F.explode(F.sequence(
+                           F.lit(0), F.lit(GAPFILL_HOURS - 1))).alias("h"))
+               .select("user_id",
+                       (F.unix_seconds(start) + F.col("h") * 3600)
+                       .alias("hour_epoch")))
+    g = users.join(hourly, ["user_id", "hour_epoch"], "left")
+    wp = (W.partitionBy("user_id").orderBy("hour_epoch")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("user_id").orderBy("hour_epoch")
+           .rowsBetween(W.currentRow, W.unboundedFollowing))
+    t_obs = F.when(F.col("vq").isNotNull(), F.col("hour_epoch"))
+    g = (g.withColumn("v_prev", F.last("vq", ignorenulls=True).over(wp))
+          .withColumn("t_prev", F.last(t_obs, ignorenulls=True).over(wp))
+          .withColumn("v_next", F.first("vq", ignorenulls=True).over(wn))
+          .withColumn("t_next", F.first(t_obs, ignorenulls=True).over(wn)))
+    num = (F.col("v_prev") * (F.col("t_next") - F.col("hour_epoch"))
+           + F.col("v_next") * (F.col("hour_epoch") - F.col("t_prev")))
+    interp = F.when(
+        F.col("vq").isNotNull(), F.col("vq").cast("double") / 1e6).when(
+        F.col("v_prev").isNotNull() & F.col("v_next").isNotNull(),
+        num.cast("double")
+        / ((F.col("t_next") - F.col("t_prev")).cast("double") * 1e6))
+    return g.select("user_id", "hour_epoch",
+                    (F.col("vq").cast("double") / 1e6).alias("hour_value"),
+                    interp.alias("interp_value"))
+
+
+INTERP_GAPFILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+         SUM(CAST(round_even(value * 1e6, 0) AS BIGINT)) AS vq
+  FROM events WHERE user_id < {GAPFILL_USERS}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id,
+         CAST(epoch(TIMESTAMP '{GAPFILL_START}') + h * 3600 AS BIGINT)
+           AS hour_epoch
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < {GAPFILL_USERS}) u,
+       UNNEST(range(0, {GAPFILL_HOURS})) AS t(h)
+),
+g AS (
+  SELECT g.user_id, g.hour_epoch, h.vq,
+         CASE WHEN h.vq IS NOT NULL THEN g.hour_epoch END AS t_obs
+  FROM grid g LEFT JOIN hourly h
+    ON g.user_id = h.user_id AND g.hour_epoch = h.hour_epoch
+),
+w AS (
+  SELECT user_id, hour_epoch, vq,
+         LAST_VALUE(vq IGNORE NULLS) OVER wp AS v_prev,
+         LAST_VALUE(t_obs IGNORE NULLS) OVER wp AS t_prev,
+         FIRST_VALUE(vq IGNORE NULLS) OVER wn AS v_next,
+         FIRST_VALUE(t_obs IGNORE NULLS) OVER wn AS t_next
+  FROM g
+  WINDOW wp AS (PARTITION BY user_id ORDER BY hour_epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY hour_epoch
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hour_epoch,
+       CAST(vq AS DOUBLE) / 1e6 AS hour_value,
+       CASE WHEN vq IS NOT NULL THEN CAST(vq AS DOUBLE) / 1e6
+            WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN
+              CAST(v_prev * (t_next - hour_epoch)
+                   + v_next * (hour_epoch - t_prev) AS DOUBLE)
+                / (CAST(t_next - t_prev AS DOUBLE) * 1e6)
+       END AS interp_value
+FROM w
+"""
+
+
 REGISTRATIONS = [
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
     ("funnel_timebound_events", funnel_timebound_events,
@@ -470,5 +934,12 @@ REGISTRATIONS = [
     ("equidepth_hist_totalprice", equidepth_hist_totalprice,
      EQUIDEPTH_ORACLE),
     ("session_path_counts", session_path_counts, SESSION_PATH_ORACLE),
+    ("markov_transitions_events", markov_transitions_events, MARKOV_ORACLE),
+    ("interp_gapfill_events", interp_gapfill_events, INTERP_GAPFILL_ORACLE),
+    ("assoc_rules_parts", assoc_rules_parts, ASSOC_RULES_ORACLE),
+    ("abc_pareto_parts", abc_pareto_parts, ABC_PARETO_ORACLE),
+    ("rfm_segments", rfm_segments, RFM_ORACLE),
+    ("attribution_last_touch", attribution_last_touch,
+     ATTRIBUTION_ORACLE),
     ("profile_orders", profile_orders, PROFILE_ORACLE),
 ]

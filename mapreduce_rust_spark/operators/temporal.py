@@ -300,9 +300,62 @@ FROM weighted GROUP BY user_id
 """
 
 
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential EWMA per user with α = 1/2: s₁ = v₁,
+    sᵢ = (vᵢ + sᵢ₋₁)/2 over the (us, event_id)-ordered event stream —
+    the event-ORDER-weighted companion of
+    ``decay_weighted_user_value``'s wall-clock decay (α=1/2 halves a
+    value's weight per EVENT, not per day), and the batch half of a
+    kappa pair with ``stream_ewma_user_value``.
+
+    A sequential recurrence has no commutative partial-aggregate
+    form, so it runs as an in-row left fold over the sorted per-user
+    array — the general Spark recipe for order-sensitive per-key
+    recurrences (and why the dyadic α matters: /2.0 is an exact
+    exponent decrement, and +/÷ are single IEEE ops both engines
+    apply in the SAME left-to-right order, so floats hash-match;
+    an arbitrary α would need pow()). Scale: one shuffle on
+    user_id; state per user is its event list — bounded by per-human
+    activity, and sub-shardable by folding (user, day) segments then
+    chaining daily carries (the sessionize decomposition) if a key
+    ever isn't."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.unix_micros("ts").alias("us"),
+                     "event_id",
+                     F.bround(F.col("value") * 100).cast("long").alias("vc"))
+    arr = F.sort_array(F.collect_list(F.struct("us", "event_id", "vc")))
+    g = base.groupBy("user_id").agg(arr.alias("arr"))
+    darr = F.transform("arr", lambda x: x["vc"].cast("double"))
+    s = F.aggregate(F.slice(darr, 2, F.size(darr) - 1),
+                    F.element_at(darr, 1),
+                    lambda acc, x: (x + acc) / F.lit(2.0))
+    return g.select("user_id",
+                    F.size("arr").cast("long").alias("n_events"),
+                    (s / F.lit(100.0)).alias("ewma"))
+
+
+EWMA_ORACLE = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         CAST(array_agg(vc ORDER BY us, event_id) AS DOUBLE[]) AS darr
+  FROM b GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(darr) AS BIGINT) AS n_events,
+       list_reduce(darr, (acc, x) -> (x + acc) / 2.0) / 100.0 AS ewma
+FROM g
+"""
+
+
 REGISTRATIONS = [
     ("asof_last_error", asof_last_error, ASOF_ORACLE),
     ("decay_weighted_user_value", decay_weighted_user_value, DECAY_ORACLE),
+    ("ewma_user_value", ewma_user_value, EWMA_ORACLE),
     ("asof_next_purchase", asof_next_purchase, ASOF_FWD_ORACLE),
     ("twa_user_value", twa_user_value, TWA_ORACLE),
     ("range_join_ship_near_order", range_join_ship_near_order,

@@ -233,7 +233,127 @@ def stream_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(scored, "stream_zscore", "update")
 
 
+EWMA_OUT_SCHEMA = "user_id long, n_events long, ewma double"
+EWMA_STATE_SCHEMA = "n long, s double"
+
+
+def _update_ewma(key, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user sequential EWMA (α = 1/2) carried across micro-batches
+    as one (n, s) pair — THE canonical stateful-streaming accumulator
+    (state is two scalars per key, never a window). Python floats are
+    IEEE doubles and the update (vc + s) / 2.0 is the identical op
+    sequence as the batch op's JVM fold, so twin and batch stay
+    bit-identical under in-order batches (the zscore twin's ordering
+    contract)."""
+    (user_id,) = key
+    n, s = state.get if state.exists else (0, 0.0)
+    rows = []
+    for pdf in pdfs:
+        rows += list(zip((int(x) for x in pdf["us"]),
+                         (int(x) for x in pdf["event_id"]),
+                         (int(x) for x in pdf["vc"])))
+    rows.sort()
+    for _us, _eid, vc in rows:
+        s = float(vc) if n == 0 else (float(vc) + s) / 2.0
+        n += 1
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "ewma": [s / 100.0]})
+
+
+def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``temporal.ewma_user_value`` — kappa parity
+    for the order-sensitive recurrence class (the prior twins cover
+    mergeable aggregates; this one has NO commutative partial form,
+    which is exactly why its streaming shape is per-key scalar state
+    rather than a complete-mode agg). Emissions are per-batch
+    cumulative; the final row per user is the one with the largest
+    n_events (struct-max — n strictly increases). Same DuckDB oracle
+    as the batch op."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", F.unix_micros("ts").alias("us"), "event_id",
+                  F.bround(F.col("value") * 100).cast("long").alias("vc")))
+    updated = (ev.groupBy("user_id")
+                 .applyInPandasWithState(
+                     _update_ewma, EWMA_OUT_SCHEMA, EWMA_STATE_SCHEMA,
+                     "update", GroupStateTimeout.NoTimeout))
+    out = _run_to_table(updated, "stream_ewma", "update")
+    last = F.max(F.struct("n_events", "ewma")).alias("m")
+    return (out.groupBy("user_id").agg(last)
+               .select("user_id", F.col("m.n_events").alias("n_events"),
+                       F.col("m.ewma").alias("ewma")))
+
+
+MARKOV_OUT_SCHEMA = "from_type string, to_type string, n long"
+MARKOV_STATE_SCHEMA = "last_us long, last_eid long, last_type string"
+MARKOV_GAP_US = 1800 * 1_000_000   # sessionize/olap 30-min gap
+
+
+def _update_markov(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user last-event state (3 scalars per key): each event in
+    (us, event_id) order emits a (last_type → type) transition iff
+    the gap stays inside the session, then becomes the new last
+    event. Transitions are pre-counted per batch so the sink holds
+    (from, to, n) partials, not per-event rows."""
+    from collections import Counter
+    last = state.get if state.exists else None
+    rows = []
+    for pdf in pdfs:
+        rows += list(zip((int(x) for x in pdf["us"]),
+                         (int(x) for x in pdf["event_id"]),
+                         pdf["event_type"]))
+    rows.sort()
+    counts: Counter = Counter()
+    for us, eid, etype in rows:
+        if last is not None and us - last[0] <= MARKOV_GAP_US:
+            counts[(last[2], etype)] += 1
+        last = (us, eid, etype)
+    if last is not None:
+        state.update(last)
+    if counts:
+        ks = sorted(counts)
+        yield pd.DataFrame({"from_type": [k[0] for k in ks],
+                            "to_type": [k[1] for k in ks],
+                            "n": [counts[k] for k in ks]})
+
+
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``olap.markov_transitions_events`` — the
+    transition counts are per-key sequential state (last event per
+    user, 3 scalars), the second member of the order-sensitive kappa
+    class beside stream_ewma; the normalization P(to|from) is a
+    batch finish over the bounded |types|² count table. Emitted
+    partials are per-batch increments (append semantics), so the
+    final aggregate is a plain SUM — no struct-max dance. Same
+    DuckDB oracle as the batch op."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    from pyspark.sql import Window as W
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", F.unix_micros("ts").alias("us"), "event_id",
+                  "event_type"))
+    updated = (ev.groupBy("user_id")
+                 .applyInPandasWithState(
+                     _update_markov, MARKOV_OUT_SCHEMA, MARKOV_STATE_SCHEMA,
+                     "update", GroupStateTimeout.NoTimeout))
+    out = _run_to_table(updated, "stream_markov", "update")
+    counts = out.groupBy("from_type", "to_type").agg(
+        F.sum("n").alias("n_trans"))
+    w_from = W.partitionBy("from_type")
+    return (counts
+            .withColumn("n_from", F.sum("n_trans").over(w_from))
+            .select("from_type", "to_type", "n_trans",
+                    (F.col("n_trans").cast("double")
+                     / F.col("n_from").cast("double")).alias("p_cond")))
+
+
 from mapreduce_rust_spark.operators.monitoring import ZSCORE_ORACLE  # noqa: E402
+from mapreduce_rust_spark.operators.olap import MARKOV_ORACLE  # noqa: E402
+from mapreduce_rust_spark.operators.temporal import EWMA_ORACLE  # noqa: E402
 
 REGISTRATIONS = [
     ("stateful_user_totals", stateful_user_totals, STATEFUL_ORACLE),
@@ -241,4 +361,6 @@ REGISTRATIONS = [
      STATEFUL_SESSION_ORACLE),
     # streaming twin of the batch operator — same oracle on purpose
     ("stream_zscore_anomaly", stream_zscore_anomaly, ZSCORE_ORACLE),
+    ("stream_ewma_user_value", stream_ewma_user_value, EWMA_ORACLE),
+    ("stream_markov_transitions", stream_markov_transitions, MARKOV_ORACLE),
 ]

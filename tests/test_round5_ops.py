@@ -1,0 +1,466 @@
+"""Behavioral checks for the round-5 second crop (Markov transitions,
+interpolating gapfill, rolling median, Benford, table checksum, BM25,
+PMI collocations, Simpson diversity, vocab overlap, EWMA + twin).
+Bit-level correctness is covered by the DuckDB oracle mirror; these
+pin semantics and cross-operator consistency on the fixture."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+# --- markov_transitions_events ----------------------------------------
+
+def test_markov_rows_are_probability_distributions(spark):
+    from mapreduce_rust_spark.operators.olap import markov_transitions_events
+    rows = markov_transitions_events(spark, SF_CORRECT).collect()
+    assert rows
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert r.n_trans > 0 and 0.0 < r.p_cond <= 1.0
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p_cond
+    for total in by_from.values():
+        assert math.isclose(total, 1.0, rel_tol=1e-12)
+
+
+def test_markov_transition_total_matches_sessionize(spark):
+    """Total transitions ≡ Σ(session length − 1): both operators claim
+    the same 30-min session boundaries, so the counts must agree."""
+    from mapreduce_rust_spark.operators.olap import markov_transitions_events
+    from mapreduce_rust_spark.operators.relational import sessionize_events
+    n_trans = (markov_transitions_events(spark, SF_CORRECT)
+               .agg(F.sum("n_trans")).collect()[0][0])
+    sess = sessionize_events(spark, SF_CORRECT)   # per-USER rollup
+    agg = sess.agg(F.sum("n_events").alias("ev"),
+                   F.sum("n_sessions").alias("se")).collect()[0]
+    assert n_trans == agg.ev - agg.se
+
+
+# --- interp_gapfill_events --------------------------------------------
+
+def test_interp_matches_observed_and_bounds(spark):
+    from mapreduce_rust_spark.operators.olap import interp_gapfill_events
+    df = interp_gapfill_events(spark, SF_CORRECT)
+    # observed hours: interp == hour_value exactly
+    assert df.filter(
+        F.col("hour_value").isNotNull()
+        & (F.col("interp_value") != F.col("hour_value"))).count() == 0
+    pdf = df.orderBy("user_id", "hour_epoch").toPandas()
+    for _uid, g in pdf.groupby("user_id"):
+        obs = g["hour_value"].dropna()
+        if obs.empty:
+            continue
+        lo, hi = obs.min(), obs.max()
+        filled = g["interp_value"].dropna()
+        # interpolation never exceeds the observed envelope
+        assert (filled >= lo - 1e-9).all() and (filled <= hi + 1e-9).all()
+        # before first / after last observation stays NULL
+        first_obs = g["hour_value"].first_valid_index()
+        last_obs = g["hour_value"].last_valid_index()
+        assert g.loc[: first_obs - 1, "interp_value"].isna().all() \
+            if first_obs is not None and first_obs > g.index[0] else True
+        assert g.loc[last_obs + 1:, "interp_value"].isna().all()
+
+
+# --- rolling_median_orders --------------------------------------------
+
+def test_rolling_median_matches_pandas(spark):
+    from mapreduce_rust_spark.operators.analytic import (
+        ROLLING_MEDIAN_N, rolling_median_orders)
+    from mapreduce_rust_spark.tables import load_table
+    got = rolling_median_orders(spark, SF_CORRECT).toPandas()
+    orders = (load_table(spark, SF_CORRECT, "orders")
+              .filter(F.col("o_custkey") < 300)
+              .select("o_custkey", "o_orderkey", "o_orderdate",
+                      F.bround(F.col("o_totalprice") * 100).cast("long")
+                      .alias("vc"))
+              .toPandas()
+              .sort_values(["o_custkey", "o_orderdate", "o_orderkey"]))
+    exp = (orders.groupby("o_custkey")["vc"]
+           .rolling(ROLLING_MEDIAN_N, min_periods=1).median()
+           .reset_index(level=0, drop=True) / 100.0)
+    orders["expect"] = exp
+    merged = got.merge(orders, on=["o_custkey", "o_orderkey"])
+    assert len(merged) == len(got) > 0
+    assert (merged["rolling_median"] - merged["expect"]).abs().max() < 1e-9
+    assert merged["n_window"].max() <= ROLLING_MEDIAN_N
+
+
+# --- benford_orders ---------------------------------------------------
+
+def test_benford_report_shape_and_exactness(spark):
+    from mapreduce_rust_spark.operators.dataquality import (
+        BENFORD_EXP_PPM, benford_orders)
+    rows = benford_orders(spark, SF_CORRECT).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(BENFORD_EXP_PPM) == 1_000_000
+    n = sum(r.n_orders for r in rows)
+    for r in rows:
+        assert r.obs_ppm == (r.n_orders * 1_000_000) // n
+        assert r.exp_ppm == BENFORD_EXP_PPM[r.digit - 1]
+        assert r.dev_ppm == r.obs_ppm - r.exp_ppm
+
+
+# --- table_checksum_orders --------------------------------------------
+
+def test_checksum_is_partition_order_independent(spark):
+    """The fingerprint must not depend on row order or partitioning —
+    the property that makes shard partials mergeable by addition."""
+    from mapreduce_rust_spark.operators.dataquality import (
+        table_checksum_orders)
+    from mapreduce_rust_spark.tables import load_table
+    base = table_checksum_orders(spark, SF_CORRECT).collect()[0]
+    orders = load_table(spark, SF_CORRECT, "orders").repartition(17)
+    orders.createOrReplaceTempView("_chk_orders")
+    # same op over a reshuffled copy via a temp-table round trip
+    shuffled = spark.table("_chk_orders")
+    canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"), F.col("o_orderstatus"),
+        F.bround(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderdate").cast("string"))
+    from mapreduce_rust_spark.operators.dataquality import CHECKSUM_MOD
+    h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    again = (shuffled.agg(F.sum(h48.cast("decimal(38,0)")).alias("s"))
+             .select((F.col("s") % F.lit(CHECKSUM_MOD)).cast("long")
+                     .alias("checksum")).collect()[0])
+    assert base.checksum == again.checksum
+    spark.catalog.dropTempView("_chk_orders")
+
+
+def test_checksum_detects_single_value_change(spark):
+    from mapreduce_rust_spark.operators.dataquality import (
+        CHECKSUM_MOD, table_checksum_orders)
+    from mapreduce_rust_spark.tables import load_table
+    base = table_checksum_orders(spark, SF_CORRECT).collect()[0]
+    orders = load_table(spark, SF_CORRECT, "orders")
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == orders.select(F.min("o_orderkey"))
+               .collect()[0][0],
+               F.col("o_totalprice") + 0.01).otherwise(
+                   F.col("o_totalprice")))
+    canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"), F.col("o_orderstatus"),
+        F.bround(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderdate").cast("string"))
+    h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    mut = (mutated.agg(F.sum(h48.cast("decimal(38,0)")).alias("s"))
+           .select((F.col("s") % F.lit(CHECKSUM_MOD)).cast("long")
+                   .alias("checksum")).collect()[0])
+    assert base.checksum != mut.checksum
+
+
+# --- bm25_search_docs -------------------------------------------------
+
+def test_bm25_matches_pure_python(spark):
+    """Re-derive the exact BM25 ranking in pure Python/pandas over the
+    fixture and compare doc-by-doc (same float formula, so equality is
+    to near-ulp; ranking must match exactly)."""
+    from mapreduce_rust_spark.llm.textanalysis import (
+        BM25_B, BM25_K1, BM25_TOP_K, SEARCH_TERMS, bm25_search_docs)
+    from mapreduce_rust_spark.tables import load_table
+    got = bm25_search_docs(spark, SF_CORRECT).toPandas()
+    assert 0 < len(got) <= BM25_TOP_K
+    docs = load_table(spark, SF_CORRECT, "documents") \
+        .select("doc_id", "text").toPandas()
+    toks = {r.doc_id: [t for t in r.text.split() if t]
+            for r in docs.itertuples()}
+    n_docs = len(toks)
+    avg_dl = sum(len(v) for v in toks.values()) / n_docs
+    df_t = {t: sum(1 for v in toks.values() if t in v)
+            for t in SEARCH_TERMS}
+    scores = {}
+    for did, words in toks.items():
+        s = 0.0
+        hits = 0
+        for t in SEARCH_TERMS:
+            tf = words.count(t)
+            if not tf:
+                continue
+            hits += 1
+            norm = (tf * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1.0 - BM25_B
+                                       + BM25_B * (len(words) / avg_dl))))
+            s += norm * (n_docs / df_t[t])
+        if hits:
+            scores[did] = (s, hits)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    expect = expect[:BM25_TOP_K]
+    assert list(got["doc_id"]) == [d for d, _ in expect]
+    for (_, (s, hits)), (_, row) in zip(expect, got.iterrows()):
+        assert row["n_terms"] == hits
+        assert math.isclose(row["score"], s, rel_tol=1e-9)
+
+
+# --- collocations_pmi_docs --------------------------------------------
+
+def test_collocations_respect_window_and_support(spark):
+    from mapreduce_rust_spark.llm.textanalysis import (
+        COLLOC_MIN_COUNT, COLLOC_TOP_K, collocations_pmi_docs)
+    rows = collocations_pmi_docs(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= COLLOC_TOP_K
+    for r in rows:
+        assert r.w1 <= r.w2                  # canonical pair order
+        assert r.c_ab >= COLLOC_MIN_COUNT
+        assert r.c_a >= r.c_ab or r.c_b >= r.c_ab
+        assert r.lift > 0.0
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+# --- simpson_diversity_sources ----------------------------------------
+
+def test_simpson_bounds_and_token_totals(spark):
+    from mapreduce_rust_spark.llm.textanalysis import (
+        simpson_diversity_sources)
+    from mapreduce_rust_spark.tables import load_table
+    rows = simpson_diversity_sources(spark, SF_CORRECT).collect()
+    assert rows
+    total_direct = (load_table(spark, SF_CORRECT, "documents")
+                    .select(F.explode(F.split("text", r"\s+")).alias("t"))
+                    .filter(F.col("t") != "").count())
+    assert sum(r.n_tokens for r in rows) == total_direct
+    for r in rows:
+        # 1/vocab (uniform) <= simpson <= 1 (single token)
+        assert 1.0 / r.vocab - 1e-12 <= r.simpson <= 1.0
+        assert r.vocab <= r.n_tokens
+
+
+# --- source_vocab_overlap ---------------------------------------------
+
+def test_vocab_overlap_jaccard_bounds(spark):
+    from mapreduce_rust_spark.llm.textanalysis import source_vocab_overlap
+    rows = source_vocab_overlap(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.n_common <= min(r.v_a, r.v_b)
+        expect = r.n_common / (r.v_a + r.v_b - r.n_common)
+        assert math.isclose(r.jaccard, expect, rel_tol=1e-12)
+
+
+# --- ewma_user_value + streaming twin ---------------------------------
+
+def _py_ewma(vals):
+    s = None
+    for v in vals:
+        s = float(v) if s is None else (float(v) + s) / 2.0
+    return s / 100.0
+
+
+def test_ewma_matches_pure_python(spark):
+    from mapreduce_rust_spark.operators.temporal import ewma_user_value
+    from mapreduce_rust_spark.tables import load_table
+    got = {r.user_id: r for r in
+           ewma_user_value(spark, SF_CORRECT).collect()}
+    ev = (load_table(spark, SF_CORRECT, "events")
+          .select("user_id", F.unix_micros("ts").alias("us"), "event_id",
+                  F.bround(F.col("value") * 100).cast("long").alias("vc"))
+          .toPandas())
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        expect = _py_ewma(list(g["vc"]))
+        assert got[uid].n_events == len(g)
+        assert got[uid].ewma == expect      # bit-identical fold
+
+
+# --- assoc_rules_parts ------------------------------------------------
+
+def test_assoc_rules_internal_consistency(spark):
+    from mapreduce_rust_spark.operators.olap import (
+        ASSOC_ITEM_MIN, ASSOC_PAIR_MIN, assoc_rules_parts)
+    rows = assoc_rules_parts(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert ASSOC_PAIR_MIN <= r.c_ab <= min(r.c_a, r.c_b)
+        assert r.c_a >= ASSOC_ITEM_MIN and r.c_b >= ASSOC_ITEM_MIN
+        assert math.isclose(r.conf_ab, r.c_ab / r.c_a, rel_tol=1e-12)
+        assert math.isclose(r.conf_ba, r.c_ab / r.c_b, rel_tol=1e-12)
+
+
+# --- abc_pareto_parts -------------------------------------------------
+
+def test_abc_classes_partition_revenue(spark):
+    from mapreduce_rust_spark.operators.olap import abc_pareto_parts
+    pdf = (abc_pareto_parts(spark, SF_CORRECT)
+           .orderBy("rnk").toPandas())
+    n = len(pdf)
+    assert list(pdf["rnk"]) == list(range(1, n + 1))
+    assert pdf["revenue"].is_monotonic_decreasing
+    assert pdf["cum_revenue"].is_monotonic_increasing
+    total = pdf["revenue"].sum()
+    # class boundaries: A ends at the first part whose cumulative
+    # share EXCEEDS 80%, B at 95%
+    classes = list(pdf["abc_class"])
+    assert classes == sorted(classes)        # A block, then B, then C
+    a = pdf[pdf["abc_class"] == "A"]
+    assert not a.empty and a["cum_revenue"].iloc[-1] <= total * 0.8 + 1e-6
+    assert set(classes) <= {"A", "B", "C"} and classes[-1] == "C"
+
+
+# --- rfm_segments -----------------------------------------------------
+
+def test_rfm_scores_are_balanced_quintiles(spark):
+    from mapreduce_rust_spark.operators.olap import RFM_BINS, rfm_segments
+    pdf = rfm_segments(spark, SF_CORRECT).toPandas()
+    assert len(pdf) > 0
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = pdf[col].value_counts()
+        assert set(sizes.index) == set(range(1, RFM_BINS + 1))
+        assert sizes.max() - sizes.min() <= 1          # NTILE balance
+    assert (pdf["segment"]
+            == pdf["r_score"].astype(str) + pdf["f_score"].astype(str)
+            + pdf["m_score"].astype(str)).all()
+
+
+# --- attribution_last_touch -------------------------------------------
+
+def test_attribution_conserves_purchases(spark):
+    from mapreduce_rust_spark.operators.olap import attribution_last_touch
+    from mapreduce_rust_spark.tables import load_table
+    rows = attribution_last_touch(spark, SF_CORRECT).collect()
+    total = sum(r.n_conversions for r in rows)
+    purchases = (load_table(spark, SF_CORRECT, "events")
+                 .filter(F.col("event_type") == "purchase").count())
+    assert total == purchases                 # every purchase credited once
+    types = {r.touch_type for r in rows}
+    assert "purchase" not in types            # never self-credited
+
+
+# --- semantic_dedup_embeddings ----------------------------------------
+
+def test_semantic_dedup_agrees_with_pair_view(spark):
+    """kept ≡ vectors that never appear as the HIGHER id of a
+    near-dup pair — the keep-list must be exactly the pair view's
+    complement."""
+    from mapreduce_rust_spark.llm.dedup import (
+        embedding_neardup_pairs, semantic_dedup_embeddings)
+    from mapreduce_rust_spark.tables import load_table
+    dropped = {r.vec_b for r in
+               embedding_neardup_pairs(spark, SF_CORRECT).collect()}
+    per_label_drop: dict[int, int] = {}
+    labels = (load_table(spark, SF_CORRECT, "embeddings")
+              .select("vec_id", "label").toPandas())
+    for r in labels.itertuples():
+        if r.vec_id in dropped:
+            per_label_drop[r.label] = per_label_drop.get(r.label, 0) + 1
+    for row in semantic_dedup_embeddings(spark, SF_CORRECT).collect():
+        assert row.n_kept == row.n_vecs - per_label_drop.get(row.label, 0)
+        assert 1 <= row.n_kept <= row.n_vecs
+
+
+# --- quantile_normalize_docs ------------------------------------------
+
+def test_quantile_normalize_matches_pandas_mapping(spark):
+    """norm value ≡ global (n_chars, doc_id)-ordered value at rank
+    ⌈r·N/n_s⌉ — recomputed independently in pandas."""
+    from mapreduce_rust_spark.llm.quality import quantile_normalize_docs
+    from mapreduce_rust_spark.tables import load_table
+    got = quantile_normalize_docs(spark, SF_CORRECT).toPandas()
+    docs = (load_table(spark, SF_CORRECT, "documents")
+            .select("doc_id", "source", "n_chars").toPandas())
+    assert len(got) == len(docs)
+    docs = docs.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    global_vals = list(docs["n_chars"])          # rank i+1 -> vals[i]
+    n = len(docs)
+    expect = {}
+    for _src, g in docs.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"])
+        n_s = len(g)
+        for r, doc_id in enumerate(g["doc_id"], start=1):
+            expect[doc_id] = global_vals[-(-r * n // n_s) - 1]
+    for row in got.itertuples():
+        assert row.norm_chars == expect[row.doc_id]
+
+
+# --- containment_pairs_docs -------------------------------------------
+
+def test_containment_superset_of_high_jaccard(spark):
+    """J ≥ 0.9 ⟹ containment ≥ 0.9 in BOTH directions (c/na ≥
+    c/(na+nb−c) = J): every very-high-Jaccard pair from the exact
+    inverted-index join must appear twice in the containment output."""
+    from mapreduce_rust_spark.llm.dedup import (
+        containment_pairs_docs, ngram_jaccard_pairs)
+    cont = {(r.doc_inner, r.doc_outer)
+            for r in containment_pairs_docs(spark, SF_CORRECT).collect()}
+    assert cont
+    high_j = [r for r in ngram_jaccard_pairs(spark, SF_CORRECT).collect()
+              if r.jaccard >= 0.9]
+    for r in high_j:
+        assert (r.doc_a, r.doc_b) in cont
+        assert (r.doc_b, r.doc_a) in cont
+    rows = containment_pairs_docs(spark, SF_CORRECT).collect()
+    assert all(r.containment >= 0.9 - 1e-12 for r in rows)
+
+
+# --- dedup_eval_lsh ---------------------------------------------------
+
+def test_dedup_eval_confusion_row_is_consistent(spark):
+    from mapreduce_rust_spark.llm.dedup import (
+        dedup_eval_lsh, minhash_lsh_pairs, ngram_jaccard_pairs)
+    row = dedup_eval_lsh(spark, SF_CORRECT).collect()[0]
+    n_pred = minhash_lsh_pairs(spark, SF_CORRECT).count()
+    n_truth = ngram_jaccard_pairs(spark, SF_CORRECT).count()
+    assert row.tp + row.fp == n_pred
+    assert row.tp + row.fn == n_truth
+    assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
+    assert row.f1 == 2 * row.tp / (2 * row.tp + row.fp + row.fn)
+
+
+# --- labelprop_components ---------------------------------------------
+
+def test_labelprop_matches_python_simulation(spark):
+    """Exactly LABELPROP_ROUNDS synchronous min-label rounds,
+    re-simulated in pure Python over the same edge set — label
+    histogram must match row-for-row."""
+    from mapreduce_rust_spark.operators.graph import (
+        LABELPROP_ROUNDS, copurchase_edges, labelprop_components)
+    from mapreduce_rust_spark.tables import load_table
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    edges = [(r.u, r.v) for r in copurchase_edges(li).collect()]
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(LABELPROP_ROUNDS):
+        lbl = {n: min([lbl[n]] + [lbl[m] for m in nbrs[n]]) for n in nbrs}
+    expect: dict[int, int] = {}
+    for v in lbl.values():
+        expect[v] = expect.get(v, 0) + 1
+    got = {r.component_min: r.n_nodes
+           for r in labelprop_components(spark, SF_CORRECT).collect()}
+    assert got == expect
+
+
+# --- stream_markov_transitions ----------------------------------------
+
+def test_stream_markov_twin_is_row_identical_to_batch(spark):
+    from mapreduce_rust_spark.operators.olap import markov_transitions_events
+    from mapreduce_rust_spark.streaming.stateful import (
+        stream_markov_transitions)
+    batch = {(r.from_type, r.to_type): (r.n_trans, r.p_cond)
+             for r in markov_transitions_events(spark, SF_CORRECT).collect()}
+    twin = {(r.from_type, r.to_type): (r.n_trans, r.p_cond)
+            for r in stream_markov_transitions(spark, SF_CORRECT).collect()}
+    assert batch == twin
+
+
+def test_stream_ewma_twin_is_row_identical_to_batch(spark):
+    from mapreduce_rust_spark.operators.temporal import ewma_user_value
+    from mapreduce_rust_spark.streaming.stateful import (
+        stream_ewma_user_value)
+    batch = {r.user_id: (r.n_events, r.ewma)
+             for r in ewma_user_value(spark, SF_CORRECT).collect()}
+    twin = {r.user_id: (r.n_events, r.ewma)
+            for r in stream_ewma_user_value(spark, SF_CORRECT).collect()}
+    assert batch == twin
