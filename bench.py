@@ -177,6 +177,10 @@ HEADLINE = [
     "containment_pairs_docs",
     "dedup_eval_lsh",
     "labelprop_components",
+    "active_streaks_users",
+    "active_users_7d",
+    "seasonal_outlier_events",
+    "kwic_snippets_docs",
 ]
 
 

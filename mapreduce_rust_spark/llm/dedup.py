@@ -579,8 +579,23 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps prefix shingles low-df except for boilerplate-only docs.
     Verification recomputes the exact overlap; the threshold test is
     integral (t_den·c ≥ t_num·|A|), containment = c/|A| exact-int
-    division."""
-    sh = _persisted_shingles(spark, sf_dir)
+    division.
+
+    PIPELINE ORDERING: exact duplicates are collapsed FIRST (one
+    representative per content hash, the exact_dedup_docs rule —
+    min doc_id). Containment is a NEAR-containment pass; on a
+    duplicate-heavy crawl every copy pair is containment 1.0 in both
+    directions, so without the collapse both candidate AND output
+    volume grow quadratically in the copy count (measured: the ×20
+    replicated corpus runs >10 min un-collapsed vs seconds
+    collapsed) — the same run-exact-dedup-first ordering
+    curation_pipeline encodes."""
+    sh_all = _persisted_shingles(spark, sf_dir)
+    reps = (load_table(spark, sf_dir, "documents")
+            .groupBy(F.sha2(F.col("text"), 256).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    sh = sh_all.join(reps, "doc_id", "semi")
     tn, td = CONTAIN_T_NUM, CONTAIN_T_DEN
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     ordered = (sh.join(dfreq, "s")
@@ -619,7 +634,10 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_oracle() -> str:
     tn, td = CONTAIN_T_NUM, CONTAIN_T_DEN
     return f"""
-WITH {_oracle_shingles_cte()},
+WITH {_oracle_shingles_cte().replace('sh AS (', 'sh_all AS (')},
+reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         GROUP BY sha256(text)),
+sh AS (SELECT s.* FROM sh_all s SEMI JOIN reps USING (doc_id)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, COUNT(*) AS c

@@ -985,6 +985,54 @@ JOIN sizes sb ON sb.source = src_b
 """
 
 
+KWIC_TERM = "batch"     # first SEARCH_TERMS entry
+KWIC_RADIUS = 2
+
+
+def kwic_snippets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context: for every doc containing ``KWIC_TERM``,
+    the token position of its FIRST occurrence and a snippet of
+    ±``KWIC_RADIUS`` tokens around it — the result-presentation step
+    after boolean/BM25 retrieval (what the user actually sees), and
+    the context-window extraction primitive behind concordance
+    analysis. Entirely in-row (array_position → clamped slice →
+    join): zero shuffles, one codegen scan; the scan's filter is the
+    array_position > 0 predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks"))
+    p = F.array_position("toks", KWIC_TERM)
+    n = F.size("toks")
+    start = F.greatest(F.lit(1), p - KWIC_RADIUS)
+    end = F.least(n.cast("bigint"), p + KWIC_RADIUS)
+    return (d.withColumn("pos", p)
+             .filter(F.col("pos") > 0)
+             .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                     F.array_join(
+                         F.slice("toks", start.cast("int"),
+                                 (end - start + 1).cast("int")),
+                         " ").alias("snippet")))
+
+
+KWIC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, toks, list_position(toks, '{KWIC_TERM}') AS pos
+  FROM d
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(
+         toks[GREATEST(1, pos - {KWIC_RADIUS}):
+              LEAST(len(toks), pos + {KWIC_RADIUS})], ' ') AS snippet
+FROM p WHERE pos IS NOT NULL AND pos > 0
+"""
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 10
@@ -1107,6 +1155,7 @@ REGISTRATIONS = [
     ("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_ORACLE),
     ("boolean_search_docs", boolean_search_docs, BOOLEAN_SEARCH_ORACLE),
     ("bm25_search_docs", bm25_search_docs, BM25_ORACLE),
+    ("kwic_snippets_docs", kwic_snippets_docs, KWIC_ORACLE),
     ("collocations_pmi_docs", collocations_pmi_docs, COLLOC_PMI_ORACLE),
     ("simpson_diversity_sources", simpson_diversity_sources,
      SIMPSON_ORACLE),

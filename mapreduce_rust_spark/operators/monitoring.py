@@ -467,6 +467,68 @@ def dow_profile_closed_form(stats: DataFrame) -> DataFrame:
         (mean_cell / mean_type).alias("dow_lift"))
 
 
+SEASONAL_MIN_N = 30   # minimum peer count before scoring
+
+
+def seasonal_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware outliers: an event is flagged when its value
+    is > 3 population-σ from the mean of its OWN (event_type, ISO
+    weekday) peer group — "anomalous FOR a Monday purchase", closing
+    the gap the trailing z-score leaves (a normal Saturday spike
+    looks anomalous against a Friday-trailing window; against the
+    Saturday population it doesn't). The test is LEAVE-ONE-OUT: each
+    event is scored against peer statistics with ITSELF removed
+    (m = n−1, S' = S−v, Q' = Q−v²), so a lone extreme value cannot
+    mask itself by inflating its own baseline.
+
+    Shapes: ONE aggregate to ≤ |types|·7 groups (map-side combined),
+    broadcast back — no window at all, so nothing serializes at
+    100 TB. The 3σ test stays in exact integers exactly like
+    zscore_anomaly_events: (v·m − S')² > 9·(m·Q' − S'²), BIGINT on
+    both engines (same envelope as the zscore/CUSUM family: cents ×
+    group sizes < 2^63 through sf ~10; DECIMAL(38) partials are the
+    documented upgrade past that)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  (F.weekday("ts") + 1).cast("long").alias("dow"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    g = ev.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("q"))
+    j = ev.join(F.broadcast(g), ["event_type", "dow"])
+    m = F.col("n") - 1
+    s1 = F.col("s") - F.col("vc")
+    q1 = F.col("q") - F.col("vc") * F.col("vc")
+    d = F.col("vc") * m - s1
+    var_m2 = m * q1 - s1 * s1
+    return (j.where(m >= SEASONAL_MIN_N)
+             .select("event_id", "event_type", "dow",
+                     m.alias("n_peers"),
+                     (d * d > F.lit(9) * var_m2).alias("is_outlier")))
+
+
+SEASONAL_OUTLIER_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+g AS (
+  SELECT event_type, dow, COUNT(*) AS n, SUM(vc) AS s,
+         SUM(vc * vc) AS q
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_id, ev.event_type, ev.dow,
+       CAST(n - 1 AS BIGINT) AS n_peers,
+       (vc * (n - 1) - (s - vc)) * (vc * (n - 1) - (s - vc))
+         > 9 * ((n - 1) * (q - vc * vc) - (s - vc) * (s - vc))
+         AS is_outlier
+FROM ev JOIN g USING (event_type, dow)
+WHERE n - 1 >= {SEASONAL_MIN_N}
+"""
+
+
 def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: mean value by
     ISO weekday and its lift vs the type's overall mean — the
@@ -581,5 +643,7 @@ REGISTRATIONS = [
     ("trend_ols_events", trend_ols_events, TREND_OLS_ORACLE),
     ("cusum_changepoint_events", cusum_changepoint_events, CUSUM_ORACLE),
     ("dow_seasonality_events", dow_seasonality_events, DOW_ORACLE),
+    ("seasonal_outlier_events", seasonal_outlier_events,
+     SEASONAL_OUTLIER_ORACLE),
     ("chisq_cells_events", chisq_cells_events, CHISQ_ORACLE),
 ]

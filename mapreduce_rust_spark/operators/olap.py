@@ -459,6 +459,85 @@ LIMIT 20
 """
 
 
+def active_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    engagement metric behind "7-day streak" product features, and
+    the date-grain gaps-and-islands classic: collapse events to
+    DISTINCT (user, day), then ``day − row_number()`` is constant
+    exactly within a run of consecutive days (the island key), so
+    the longest streak is a max over island sizes. Two bounded
+    shuffles (per-user day dedup, island aggregate); the rank window
+    partitions per user — the sessionize scale shape on a ≤ |days|
+    frame per user."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w)))
+    streaks = (isl.groupBy("user_id", "island")
+               .agg(F.count("*").alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").cast("long").alias("longest_streak"),
+                 F.sum("len").cast("long").alias("n_active_days")))
+
+
+ACTIVE_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS island
+  FROM days
+),
+s AS (SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM s GROUP BY user_id
+"""
+
+
+ACTIVE_WINDOW_DAYS = 7
+
+
+def active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day — THE dashboard engagement
+    metric (WAU on a daily grid), computed EXACTLY: distinct
+    (user, day) pairs range-joined to the observed-day grid
+    (grid day − 6 ≤ active day ≤ grid day), then a distinct-user
+    count per grid day. COUNT(DISTINCT) OVER a RANGE frame isn't
+    expressible as a window in either engine — the range join IS the
+    standard exact form. Fanout is ≤ 7 grid rows per (user, day)
+    pair, the join is day↔day (no skew: days are uniform), and the
+    mergeable-HLL sketch family is the documented approximate path
+    when exactness can yield (stream_approx_distinct_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grid = ud.select("day").distinct().withColumnRenamed("day", "gday")
+    j = ud.join(grid,
+                (F.col("day") <= F.col("gday"))
+                & (F.col("day") >= F.date_sub("gday",
+                                              ACTIVE_WINDOW_DAYS - 1)))
+    return (j.groupBy("gday")
+            .agg(F.countDistinct("user_id").alias("active_users"))
+            .select(F.col("gday").cast("string").alias("day"),
+                    "active_users"))
+
+
+ACTIVE_7D_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grid AS (SELECT DISTINCT day AS gday FROM ud)
+SELECT CAST(gday AS VARCHAR) AS day,
+       COUNT(DISTINCT user_id) AS active_users
+FROM ud JOIN grid
+  ON day <= gday AND day >= gday - {ACTIVE_WINDOW_DAYS - 1}
+GROUP BY gday
+"""
+
+
 ASSOC_ITEM_MIN = 5    # Apriori item-support floor (a pair can't be
                       # frequent unless both items are)
 ASSOC_PAIR_MIN = 3    # pair-support floor
@@ -936,6 +1015,8 @@ REGISTRATIONS = [
     ("session_path_counts", session_path_counts, SESSION_PATH_ORACLE),
     ("markov_transitions_events", markov_transitions_events, MARKOV_ORACLE),
     ("interp_gapfill_events", interp_gapfill_events, INTERP_GAPFILL_ORACLE),
+    ("active_streaks_users", active_streaks_users, ACTIVE_STREAKS_ORACLE),
+    ("active_users_7d", active_users_7d, ACTIVE_7D_ORACLE),
     ("assoc_rules_parts", assoc_rules_parts, ASSOC_RULES_ORACLE),
     ("abc_pareto_parts", abc_pareto_parts, ABC_PARETO_ORACLE),
     ("rfm_segments", rfm_segments, RFM_ORACLE),

@@ -382,6 +382,89 @@ def test_quantile_normalize_matches_pandas_mapping(spark):
         assert row.norm_chars == expect[row.doc_id]
 
 
+# --- active_streaks_users / active_users_7d ---------------------------
+
+def test_streaks_and_wau_match_python(spark):
+    from mapreduce_rust_spark.operators.olap import (
+        ACTIVE_WINDOW_DAYS, active_streaks_users, active_users_7d)
+    from mapreduce_rust_spark.tables import load_table
+    ud = (load_table(spark, SF_CORRECT, "events")
+          .select("user_id", F.to_date("ts").alias("day"))
+          .distinct().toPandas())
+    by_user: dict[int, list] = {}
+    for r in ud.itertuples():
+        by_user.setdefault(r.user_id, []).append(r.day)
+    streaks = {r.user_id: (r.longest_streak, r.n_active_days)
+               for r in active_streaks_users(spark, SF_CORRECT).collect()}
+    for uid, days in by_user.items():
+        days = sorted(days)
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if (b - a).days == 1 else 1
+            best = max(best, run)
+        assert streaks[uid] == (best, len(days))
+    wau = {r.day: r.active_users
+           for r in active_users_7d(spark, SF_CORRECT).collect()}
+    all_days = sorted({r.day for r in ud.itertuples()})
+    for g in all_days:
+        expect = len({r.user_id for r in ud.itertuples()
+                      if 0 <= (g - r.day).days < ACTIVE_WINDOW_DAYS})
+        assert wau[str(g)] == expect
+
+
+# --- seasonal_outlier_events ------------------------------------------
+
+def test_seasonal_outlier_is_leave_one_out_3_sigma(spark):
+    from mapreduce_rust_spark.operators.monitoring import (
+        SEASONAL_MIN_N, seasonal_outlier_events)
+    from mapreduce_rust_spark.tables import load_table
+    ev = (load_table(spark, SF_CORRECT, "events")
+          .select("event_id", "event_type",
+                  (F.weekday("ts") + 1).alias("dow"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc"))
+          .toPandas())
+    groups: dict[tuple, list] = {}
+    for r in ev.itertuples():
+        groups.setdefault((r.event_type, r.dow), []).append((r.event_id,
+                                                            int(r.vc)))
+    expect = {}
+    for key, rows in groups.items():
+        n = len(rows)
+        s = sum(v for _, v in rows)
+        q = sum(v * v for _, v in rows)
+        for eid, v in rows:
+            m, s1, q1 = n - 1, s - v, q - v * v
+            if m >= SEASONAL_MIN_N:
+                d = v * m - s1
+                expect[eid] = d * d > 9 * (m * q1 - s1 * s1)
+    got = {r.event_id: r.is_outlier
+           for r in seasonal_outlier_events(spark, SF_CORRECT).collect()}
+    assert got == expect
+    assert any(got.values())          # the fixture has real outliers
+
+
+# --- kwic_snippets_docs -----------------------------------------------
+
+def test_kwic_positions_and_snippets(spark):
+    from mapreduce_rust_spark.llm.textanalysis import (
+        KWIC_RADIUS, KWIC_TERM, kwic_snippets_docs)
+    from mapreduce_rust_spark.tables import load_table
+    rows = kwic_snippets_docs(spark, SF_CORRECT).collect()
+    assert rows
+    texts = {r.doc_id: [t for t in r.text.split() if t]
+             for r in load_table(spark, SF_CORRECT, "documents")
+             .select("doc_id", "text").collect()}
+    hits = {d for d, toks in texts.items() if KWIC_TERM in toks}
+    assert {r.doc_id for r in rows} == hits
+    for r in rows:
+        toks = texts[r.doc_id]
+        first = toks.index(KWIC_TERM) + 1          # 1-based
+        assert r.pos == first
+        lo = max(0, first - 1 - KWIC_RADIUS)
+        hi = min(len(toks), first + KWIC_RADIUS)
+        assert r.snippet == " ".join(toks[lo:hi])
+
+
 # --- containment_pairs_docs -------------------------------------------
 
 def test_containment_superset_of_high_jaccard(spark):
@@ -389,12 +472,17 @@ def test_containment_superset_of_high_jaccard(spark):
     c/(na+nb−c) = J): every very-high-Jaccard pair from the exact
     inverted-index join must appear twice in the containment output."""
     from mapreduce_rust_spark.llm.dedup import (
-        containment_pairs_docs, ngram_jaccard_pairs)
+        containment_pairs_docs, exact_dedup_docs, ngram_jaccard_pairs)
     cont = {(r.doc_inner, r.doc_outer)
             for r in containment_pairs_docs(spark, SF_CORRECT).collect()}
     assert cont
+    # containment runs on exact-dedup representatives (pipeline
+    # ordering) — restrict the expectation to representative pairs
+    reps = {r.keep_doc_id
+            for r in exact_dedup_docs(spark, SF_CORRECT).collect()}
     high_j = [r for r in ngram_jaccard_pairs(spark, SF_CORRECT).collect()
-              if r.jaccard >= 0.9]
+              if r.jaccard >= 0.9
+              and r.doc_a in reps and r.doc_b in reps]
     for r in high_j:
         assert (r.doc_a, r.doc_b) in cont
         assert (r.doc_b, r.doc_a) in cont
