@@ -181,6 +181,9 @@ HEADLINE = [
     "active_users_7d",
     "seasonal_outlier_events",
     "kwic_snippets_docs",
+    "winnow_pairs_docs",
+    "stream_attribution",
+    "stream_active_users_7d",
 ]
 
 

@@ -489,6 +489,99 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+WINNOW_K = 3        # k-gram width (tokens) — matches SHINGLE_W
+WINNOW_W = 4        # winnowing window over the k-gram hash sequence
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs (Schleimer–Wilkerson–Aiken
+    "winnowing", the MOSS algorithm): hash every POSITIONAL k-gram,
+    slide a w-window over the hash sequence, keep each window's
+    minimum — the selected hashes are the doc's fingerprints, with
+    the winnowing guarantee that any shared run of ≥ w+k−1 tokens
+    shares ≥ 1 fingerprint. Docs sharing ≥ ``WINNOW_MIN_SHARED``
+    fingerprints pair up. vs MinHash: winnowing is POSITION-aware
+    (it finds shared passages, not whole-doc similarity) and
+    deterministic per content; vs dup_span's inverted index it
+    stores ~1/w of the positions.
+
+    Positional k-grams (not the DISTINCT shingle set — selection
+    depends on sequence order) generate IN-ROW, as do the window
+    minima: per-doc O(n·w) inside one codegen projection, zero
+    shuffle until the fingerprint explode. The pair join is
+    df-capped exactly like the n-gram index (a boilerplate
+    fingerprint shared by >DF_CAP docs leaves the index), and runs
+    on exact-dedup representatives (the containment_pairs pipeline
+    ordering). Hashes are the house 48-bit md5 prefix — identical
+    integers on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+                .agg(F.min("doc_id").alias("doc_id")))
+    d = (docs.join(reps, "doc_id", "semi")
+             .select("doc_id",
+                     F.filter(F.split("text", r"\s+"),
+                              lambda t: t != F.lit("")).alias("toks")))
+    n = F.size("toks")
+    k, w = WINNOW_K, WINNOW_W
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.conv(F.substring(
+            F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+            1, 12), 16, 10).cast("long"))
+    hs = (d.filter(n >= k)
+           .select("doc_id", grams.alias("hs")))
+    m = F.size("hs")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("hs"), j, w)))
+    fps = (hs.select("doc_id",
+                     F.explode(F.array_distinct(mins)).alias("fp")))
+    hot = (fps.groupBy("fp").agg(F.count("*").alias("df"))
+              .filter(F.col("df") > DF_CAP).select("fp"))
+    idx = fps.join(hot, "fp", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= WINNOW_MIN_SHARED))
+
+
+WINNOW_ORACLE = f"""
+WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+              GROUP BY sha256(text)),
+d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents SEMI JOIN reps USING (doc_id)
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(toks) - {WINNOW_K} + 2),
+           i -> CAST('0x' || substr(md5(
+                  array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')),
+                  1, 12) AS BIGINT)) AS hs
+  FROM d WHERE len(toks) >= {WINNOW_K}
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp
+  FROM hs, UNNEST(list_distinct(list_transform(
+         range(1, GREATEST(len(hs) - {WINNOW_W} + 1, 1) + 1),
+         j -> list_min(hs[j:j+{WINNOW_W - 1}])))) AS t(fp)
+),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > {DF_CAP}),
+idx AS (SELECT * FROM fps ANTI JOIN hot USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline EVALUATION as an operator: precision / recall / F1 of
     the MinHash-LSH dedup path (``minhash_lsh_pairs``) against the
@@ -875,6 +968,7 @@ REGISTRATIONS = [
     ("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
     ("ppjoin_jaccard_pairs", ppjoin_jaccard_pairs, PPJOIN_ORACLE),
     ("containment_pairs_docs", containment_pairs_docs, CONTAINMENT_ORACLE),
+    ("winnow_pairs_docs", winnow_pairs_docs, WINNOW_ORACLE),
     # oracle composed from the two component oracles (see docstring)
     ("dedup_eval_lsh", dedup_eval_lsh, _dedup_eval_oracle()),
     ("simhash_docs", simhash_docs, SIMHASH_ORACLE),

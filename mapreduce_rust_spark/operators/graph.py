@@ -281,8 +281,10 @@ def labelprop_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = adj.select("node").distinct()
     closed = adj.unionAll(nodes.select(
         "node", F.col("node").alias("nbr"))).persist()
-    labels = nodes.select("node", F.col("node").alias("lbl"))
-    for _ in range(LABELPROP_ROUNDS):
+    # round 1 needs no join: labels start as identity, so the min
+    # label over the closed neighborhood IS min(nbr) — one agg
+    labels = closed.groupBy("node").agg(F.min("nbr").alias("lbl"))
+    for _ in range(LABELPROP_ROUNDS - 1):
         labels = (closed
                   .join(labels.withColumnRenamed("node", "nbr"), "nbr")
                   .groupBy("node").agg(F.min("lbl").alias("lbl")))

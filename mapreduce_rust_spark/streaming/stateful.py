@@ -351,8 +351,65 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("n_from").cast("double")).alias("p_cond")))
 
 
+ATTR_OUT_SCHEMA = "touch_type string, n long"
+ATTR_STATE_SCHEMA = "last_us long, touch_type string"
+
+
+def _update_attribution(key, pdfs: Iterator[pd.DataFrame],
+                        state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user 2-scalar state: last event time (session-gap test)
+    and the current session's most recent non-purchase touch. A
+    purchase emits a credit to the stored touch ('direct' when the
+    session has none); a session gap clears the touch. Credits are
+    pre-counted per batch."""
+    from collections import Counter
+    last_us, touch = state.get if state.exists else (None, None)
+    rows = []
+    for pdf in pdfs:
+        rows += list(zip((int(x) for x in pdf["us"]),
+                         (int(x) for x in pdf["event_id"]),
+                         pdf["event_type"]))
+    rows.sort()
+    counts: Counter = Counter()
+    for us, _eid, etype in rows:
+        if last_us is not None and us - last_us > MARKOV_GAP_US:
+            touch = None
+        if etype == "purchase":
+            counts[touch if touch is not None else "direct"] += 1
+        else:
+            touch = etype
+        last_us = us
+    state.update((last_us, touch))
+    if counts:
+        ks = sorted(counts)
+        yield pd.DataFrame({"touch_type": ks,
+                            "n": [counts[k] for k in ks]})
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``olap.attribution_last_touch`` — third
+    member of the order-sensitive kappa class (EWMA: numeric
+    recurrence; Markov: last-event pair state; this: a small state
+    MACHINE with session-reset semantics). Per-batch credit
+    increments sum to the final report; same DuckDB oracle as the
+    batch op."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", F.unix_micros("ts").alias("us"), "event_id",
+                  "event_type"))
+    updated = (ev.groupBy("user_id")
+                 .applyInPandasWithState(
+                     _update_attribution, ATTR_OUT_SCHEMA,
+                     ATTR_STATE_SCHEMA, "update",
+                     GroupStateTimeout.NoTimeout))
+    out = _run_to_table(updated, "stream_attribution", "update")
+    return (out.groupBy("touch_type")
+               .agg(F.sum("n").alias("n_conversions")))
+
+
 from mapreduce_rust_spark.operators.monitoring import ZSCORE_ORACLE  # noqa: E402
-from mapreduce_rust_spark.operators.olap import MARKOV_ORACLE  # noqa: E402
+from mapreduce_rust_spark.operators.olap import ATTRIBUTION_ORACLE, MARKOV_ORACLE  # noqa: E402
 from mapreduce_rust_spark.operators.temporal import EWMA_ORACLE  # noqa: E402
 
 REGISTRATIONS = [
@@ -363,4 +420,5 @@ REGISTRATIONS = [
     ("stream_zscore_anomaly", stream_zscore_anomaly, ZSCORE_ORACLE),
     ("stream_ewma_user_value", stream_ewma_user_value, EWMA_ORACLE),
     ("stream_markov_transitions", stream_markov_transitions, MARKOV_ORACLE),
+    ("stream_attribution", stream_attribution, ATTRIBUTION_ORACLE),
 ]

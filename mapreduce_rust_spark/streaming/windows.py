@@ -211,6 +211,35 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def stream_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``olap.active_users_7d``: the trailing-WAU
+    metric's streaming state is just the distinct (user_id, day) set
+    — one complete-mode count aggregate (state: one entry per
+    user-day, NOT per event); the day-grid range join and the exact
+    distinct count finish batch-side on the ≤ \\|users\\|·\\|days\\|
+    output table. Same DuckDB oracle as the batch op."""
+    from mapreduce_rust_spark.operators.olap import ACTIVE_WINDOW_DAYS
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", F.to_date("ts").alias("day")))
+    ud = ev.groupBy("user_id", "day").agg(F.count("*").alias("n"))
+    out = _run_to_table(ud, "stream_active_7d", "complete")
+    ud2 = out.select("user_id", "day")
+    grid = ud2.select("day").distinct().withColumnRenamed("day", "gday")
+    j = ud2.join(grid,
+                 (F.col("day") <= F.col("gday"))
+                 & (F.col("day") >= F.date_sub("gday",
+                                               ACTIVE_WINDOW_DAYS - 1)))
+    return (j.groupBy("gday")
+            .agg(F.countDistinct("user_id").alias("active_users"))
+            .select(F.col("gday").cast("string").alias("day"),
+                    "active_users"))
+
+
+def _active_7d_oracle() -> str:
+    from mapreduce_rust_spark.operators.olap import ACTIVE_7D_ORACLE
+    return ACTIVE_7D_ORACLE
+
+
 from mapreduce_rust_spark.operators.temporal import INTERVAL_JOIN_ORACLE  # noqa: E402
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,4 +407,7 @@ REGISTRATIONS = [
     ("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE),
     ("stream_interval_join", stream_interval_join, INTERVAL_JOIN_ORACLE),
     ("stream_dedup_users", stream_dedup_users, STREAM_DEDUP_ORACLE),
+    # twin shares the batch op's oracle (kappa parity)
+    ("stream_active_users_7d", stream_active_users_7d,
+     _active_7d_oracle()),
 ]

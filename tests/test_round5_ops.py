@@ -543,6 +543,45 @@ def test_stream_markov_twin_is_row_identical_to_batch(spark):
     assert batch == twin
 
 
+def test_winnow_finds_near_identical_docs(spark):
+    """Winnowing guarantee (shared run of ≥ w+k−1 tokens ⟹ shared
+    fingerprint): near-identical representative pairs from the exact
+    Jaccard join must surface in the winnowed pair set."""
+    from mapreduce_rust_spark.llm.dedup import (
+        WINNOW_MIN_SHARED, exact_dedup_docs, ngram_jaccard_pairs,
+        winnow_pairs_docs)
+    rows = winnow_pairs_docs(spark, SF_CORRECT).collect()
+    assert rows
+    assert all(r.n_shared >= WINNOW_MIN_SHARED for r in rows)
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    reps = {r.keep_doc_id
+            for r in exact_dedup_docs(spark, SF_CORRECT).collect()}
+    for r in ngram_jaccard_pairs(spark, SF_CORRECT).collect():
+        if r.jaccard >= 0.9 and r.doc_a in reps and r.doc_b in reps:
+            assert (r.doc_a, r.doc_b) in pairs
+
+
+def test_stream_wau_twin_is_row_identical_to_batch(spark):
+    from mapreduce_rust_spark.operators.olap import active_users_7d
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_active_users_7d)
+    batch = {r.day: r.active_users
+             for r in active_users_7d(spark, SF_CORRECT).collect()}
+    twin = {r.day: r.active_users
+            for r in stream_active_users_7d(spark, SF_CORRECT).collect()}
+    assert batch == twin
+
+
+def test_stream_attribution_twin_is_row_identical_to_batch(spark):
+    from mapreduce_rust_spark.operators.olap import attribution_last_touch
+    from mapreduce_rust_spark.streaming.stateful import stream_attribution
+    batch = {r.touch_type: r.n_conversions
+             for r in attribution_last_touch(spark, SF_CORRECT).collect()}
+    twin = {r.touch_type: r.n_conversions
+            for r in stream_attribution(spark, SF_CORRECT).collect()}
+    assert batch == twin
+
+
 def test_stream_ewma_twin_is_row_identical_to_batch(spark):
     from mapreduce_rust_spark.operators.temporal import ewma_user_value
     from mapreduce_rust_spark.streaming.stateful import (
