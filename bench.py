@@ -184,6 +184,7 @@ HEADLINE = [
     "winnow_pairs_docs",
     "stream_attribution",
     "stream_active_users_7d",
+    "temperature_mix_docs",
 ]
 
 

@@ -804,6 +804,80 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("logw")))
 
 
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain sampler at α = 1/2 (the
+    multilingual-pretraining recipe: sample domain d with probability
+    ∝ n_d^α, flattening the natural distribution so small domains
+    aren't drowned): the target weight per SOURCE is isqrt(n_d), and
+    the kept corpus matches that composition via the same
+    integer-exact hash-Bernoulli machinery as ``domain_mix_sample``
+    (feasible size maximized subject to never upsampling; all rate
+    arithmetic integer DIV on the ppm grid).
+
+    α = 1/2 is the one non-trivial temperature that stays EXACT:
+    IEEE sqrt is correctly rounded (a required operation, unlike
+    libm's ln/pow which the oracle discipline bans), and the
+    floor(sqrt(n)) is hardened to true isqrt with an integer
+    correction (s·s > n ⟹ s−1) written identically on both engines —
+    so the weights, rates, and sample are bit-reproducible
+    everywhere. Scale: per-source count agg, 1-row min, broadcast
+    rate join; the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_d"))
+    s = F.floor(F.sqrt(F.col("n_d").cast("double"))).cast("long")
+    w = F.when(s * s > F.col("n_d"), s - 1).otherwise(s)
+    counts = counts.withColumn("w_d", w)
+    m = counts.agg(F.min(F.expr(f"n_d * {MIX_GRID} DIV w_d")).alias("m"))
+    rates = (counts.crossJoin(F.broadcast(m))
+             .withColumn("keep_ppm",
+                         F.least(F.lit(MIX_GRID).cast("long"),
+                                 F.expr("w_d * m DIV n_d")))
+             .select("source", "keep_ppm"))
+    bucket = md5_bucket("text", MIX_GRID)
+    kept = (bucket < F.col("keep_ppm")).cast("long")
+    return (docs.join(F.broadcast(rates), "source")
+                .select("source", "keep_ppm", kept.alias("kept"))
+                .groupBy("source")
+                .agg(F.sum("kept").alias("n_kept"),
+                     F.count("*").alias("n_total"),
+                     F.first("keep_ppm").alias("keep_ppm")))
+
+
+def _temperature_mix_oracle() -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_d FROM documents GROUP BY source
+),
+wt AS (
+  SELECT source, n_d,
+         CASE WHEN CAST(FLOOR(SQRT(CAST(n_d AS DOUBLE))) AS BIGINT)
+                   * CAST(FLOOR(SQRT(CAST(n_d AS DOUBLE))) AS BIGINT)
+                   > n_d
+              THEN CAST(FLOOR(SQRT(CAST(n_d AS DOUBLE))) AS BIGINT) - 1
+              ELSE CAST(FLOOR(SQRT(CAST(n_d AS DOUBLE))) AS BIGINT)
+         END AS w_d
+  FROM counts
+),
+m AS (SELECT MIN(n_d * {MIX_GRID} // w_d) AS m FROM wt),
+rates AS (
+  SELECT source,
+         LEAST({MIX_GRID}, w_d * m.m // n_d) AS keep_ppm
+  FROM wt, m
+),
+k AS (
+  SELECT d.source, r.keep_ppm,
+         CASE WHEN CAST('0x' || substr(md5(d.text), 1, 12) AS BIGINT)
+                   % {MIX_GRID} < r.keep_ppm
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT source, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_total,
+       CAST(ANY_VALUE(keep_ppm) AS BIGINT) AS keep_ppm
+FROM k GROUP BY source
+"""
+
+
 def quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization: each document's length
     statistic is replaced by the GLOBAL value at its within-source
@@ -866,6 +940,8 @@ REGISTRATIONS = [
     ("unigram_logprob_docs", unigram_logprob_docs, None),
     ("quantile_normalize_docs", quantile_normalize_docs,
      QUANTILE_NORM_ORACLE),
+    ("temperature_mix_docs", temperature_mix_docs,
+     _temperature_mix_oracle()),
     ("curriculum_phase_docs", curriculum_phase_docs, CURRICULUM_ORACLE),
     ("dsir_importance_docs", dsir_importance_docs, None),
     ("domain_mix_sample", domain_mix_sample, DOMAIN_MIX_ORACLE),

@@ -542,6 +542,12 @@ ASSOC_ITEM_MIN = 5    # Apriori item-support floor (a pair can't be
                       # frequent unless both items are)
 ASSOC_PAIR_MIN = 3    # pair-support floor
 ASSOC_TOP_K = 25
+ASSOC_MAX_BASKET = 256   # per-basket width cap: one crawler-artifact
+                         # mega-basket of frequent items would
+                         # otherwise generate C(n,2) pair structs in
+                         # a SINGLE row (the in-row analogue of a hot
+                         # key); deterministic cap = the n smallest
+                         # part ids, mirrored in the oracle
 
 
 def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,7 +578,8 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n")).localCheckpoint(eager=True)
     baskets = (li.join(F.broadcast(freq), "l_partkey")
                  .groupBy("l_orderkey")
-                 .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+                 .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
+                              1, ASSOC_MAX_BASKET).alias("ps")))
     pairs = (baskets.select(F.explode(_ordered_pairs(F.col("ps")))
                             .alias("e"))
              .groupBy(F.col("e.u").alias("part_a"),
@@ -603,15 +610,22 @@ freq AS (SELECT * FROM item WHERE c_i >= {ASSOC_ITEM_MIN}),
 n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
 -- oracle takes the self-join route on purpose: in-row pair
 -- generation over collect_set ≡ the distinct-pair join, so the two
--- formulations checking each other is part of the evidence
+-- formulations checking each other is part of the evidence; the
+-- basket cap (n smallest frequent part ids) mirrors via row_number
+capped AS (
+  SELECT l_orderkey, l_partkey
+  FROM (SELECT d.l_orderkey, d.l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY d.l_orderkey
+                                  ORDER BY d.l_partkey) AS rn
+        FROM d JOIN freq f ON f.l_partkey = d.l_partkey)
+  WHERE rn <= {ASSOC_MAX_BASKET}
+),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          COUNT(*) AS c_ab
-  FROM d a
-  JOIN freq fa ON fa.l_partkey = a.l_partkey
-  JOIN d b ON a.l_orderkey = b.l_orderkey
-          AND a.l_partkey < b.l_partkey
-  JOIN freq fb ON fb.l_partkey = b.l_partkey
+  FROM capped a
+  JOIN capped b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= {ASSOC_PAIR_MIN}
 )

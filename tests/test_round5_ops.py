@@ -287,6 +287,25 @@ def test_assoc_rules_internal_consistency(spark):
         assert math.isclose(r.conf_ba, r.c_ab / r.c_b, rel_tol=1e-12)
 
 
+def test_temperature_mix_rates_follow_isqrt_weights(spark):
+    """keep_ppm must equal the integer algebra w_d·M DIV n_d with
+    w_d = isqrt(n_d) and M = min(n_d·GRID DIV w_d) — recomputed in
+    Python with math.isqrt; the binding (smallest-rate-capacity)
+    source keeps everything."""
+    import math
+    from mapreduce_rust_spark.llm.quality import (
+        MIX_GRID, temperature_mix_docs)
+    rows = temperature_mix_docs(spark, SF_CORRECT).collect()
+    assert rows
+    n = {r.source: r.n_total for r in rows}
+    w = {s: math.isqrt(v) for s, v in n.items()}
+    m = min(n[s] * MIX_GRID // w[s] for s in n)
+    for r in rows:
+        assert r.keep_ppm == min(MIX_GRID, w[r.source] * m // n[r.source])
+        assert 0 < r.n_kept <= r.n_total
+    assert any(r.keep_ppm == MIX_GRID for r in rows)   # binding source
+
+
 # --- abc_pareto_parts -------------------------------------------------
 
 def test_abc_classes_partition_revenue(spark):
