@@ -286,6 +286,59 @@ def test_round4_ops_plan_shapes(spark):
         assert "Exchange" not in p, f"{fn.__name__} must not shuffle"
 
 
+def test_round5_operator_plan_shapes(spark):
+    """Plan pins for the round-5 crop's load-bearing shapes:
+    - kwic / ttr: ZERO exchanges (in-row only);
+    - bm25: top-k plans as TakeOrderedAndProject, never a global
+      sort, and no sort-merge join (df/stats are broadcast);
+    - rolling median: the collect_list window is per-customer with a
+      BOUNDED ROWS frame (never unbounded state per row);
+    - quantile_normalize: the DATA-carrying rank windows are
+      sub-sharded on the order-preserving bucket (_sb in the
+      partition spec) — the documented no-global-window form;
+    - benford: joins are broadcast-only (9-row dims);
+    - assoc rules: the frequent-item dims join broadcast, never
+      sort-merge;
+    - seasonal outliers: NO window at all — stats come back via a
+      broadcast join."""
+    from mapreduce_rust_spark.llm.quality import quantile_normalize_docs
+    from mapreduce_rust_spark.llm.textanalysis import (
+        bm25_search_docs, kwic_snippets_docs, ttr_docs)
+    from mapreduce_rust_spark.operators.analytic import (
+        rolling_median_orders)
+    from mapreduce_rust_spark.operators.dataquality import benford_orders
+    from mapreduce_rust_spark.operators.monitoring import (
+        seasonal_outlier_events)
+    from mapreduce_rust_spark.operators.olap import assoc_rules_parts
+
+    for fn in (kwic_snippets_docs, ttr_docs):
+        assert "Exchange" not in _plan(fn(spark, SF_CORRECT)), \
+            f"{fn.__name__} must not shuffle"
+
+    p = _plan(bm25_search_docs(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+    p = _plan(rolling_median_orders(spark, SF_CORRECT))
+    assert "windowspecdefinition(o_custkey" in p
+    assert "specifiedwindowframe(RowFrame, -4, currentrow$())" in p
+
+    p = _plan(quantile_normalize_docs(spark, SF_CORRECT))
+    assert "windowspecdefinition(source#" in p and ", _sb#" in p, \
+        "per-source rank window must sub-shard on the bucket"
+
+    p = _plan(benford_orders(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+    p = _plan(assoc_rules_parts(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    p = _plan(seasonal_outlier_events(spark, SF_CORRECT))
+    assert "Window" not in p, "seasonal outliers must not use a window"
+    assert "BroadcastHashJoin" in p
+
+
 def test_round4_new_operator_plan_shapes(spark):
     """Plan pins for the round-4 additions (see each op's docstring
     for the claimed shape being pinned here)."""
