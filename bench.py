@@ -185,6 +185,7 @@ HEADLINE = [
     "stream_attribution",
     "stream_active_users_7d",
     "temperature_mix_docs",
+    "cluster_keywords_embeddings",
 ]
 
 

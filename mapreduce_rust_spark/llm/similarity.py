@@ -293,8 +293,82 @@ WHERE rank = 1
 """
 
 
+CLUSTER_KW_TOP = 3
+CLUSTER_KW_MIN = 3    # min in-cluster occurrences
+
+
+def cluster_keywords_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: for each embedding cluster (``label`` — at
+    scale the k-means/IVF cell), the ``CLUSTER_KW_TOP`` most
+    DISTINCTIVE tokens of its member documents by frequency lift —
+    the human-readable "what is this cluster about" summary every
+    clustering/SemDeDup pass needs, and the engine's cross-modal
+    join: embeddings (vec_id) ⋈ documents (doc_id) is the 1:1
+    id-correspondence the fixture guarantees.
+
+    Same exact-arithmetic shape as domain_keywords_docs (integer
+    counts, two correctly-rounded double divisions, no log-idf);
+    the (label, tok) aggregate is materialized once for its three
+    consumer branches; the per-label top-k window input is
+    min-support-thinned."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.explode(F.filter(F.split("text", r"\s+"),
+                                       lambda t: t != F.lit("")))
+                     .alias("tok")))
+    lab = (load_table(spark, sf_dir, "embeddings")
+           .select(F.col("vec_id").alias("doc_id"), "label"))
+    lt = (docs.join(lab, "doc_id")
+              .groupBy("label", "tok").agg(F.count("*").alias("c_lt"))
+              .localCheckpoint(eager=True))
+    per_tok = lt.groupBy("tok").agg(F.sum("c_lt").alias("c_t"))
+    per_lab = lt.groupBy("label").agg(F.sum("c_lt").alias("n_l"))
+    total = per_tok.agg(F.sum("c_t").alias("n"))
+    lift = ((F.col("c_lt").cast("double") / F.col("n_l"))
+            / (F.col("c_t").cast("double") / F.col("n")))
+    cand = (lt.filter(F.col("c_lt") >= CLUSTER_KW_MIN)
+              .join(per_tok, "tok")
+              .join(F.broadcast(per_lab), "label")
+              .crossJoin(F.broadcast(total))
+              .withColumn("lift", lift))
+    w = W.partitionBy("label").orderBy(F.col("lift").desc(), "tok")
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= CLUSTER_KW_TOP)
+                .select("label", "rank", "tok",
+                        F.col("c_lt").cast("long").alias("c_lt"), "lift"))
+
+
+CLUSTER_KEYWORDS_ORACLE = f"""
+WITH tok AS (
+  SELECT e.label, t.tok
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id,
+       UNNEST(regexp_split_to_array(d.text, '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+lt AS (SELECT label, tok, COUNT(*) AS c_lt FROM tok GROUP BY 1, 2),
+pt AS (SELECT tok, SUM(c_lt) AS c_t FROM lt GROUP BY 1),
+pl AS (SELECT label, SUM(c_lt) AS n_l FROM lt GROUP BY 1),
+tot AS (SELECT SUM(c_t) AS n FROM pt),
+cand AS (
+  SELECT lt.label, lt.tok, lt.c_lt,
+         (CAST(lt.c_lt AS DOUBLE) / pl.n_l)
+           / (CAST(pt.c_t AS DOUBLE) / tot.n) AS lift
+  FROM lt JOIN pt USING (tok) JOIN pl USING (label), tot
+  WHERE lt.c_lt >= {CLUSTER_KW_MIN}
+)
+SELECT label, rank, tok, CAST(c_lt AS BIGINT) AS c_lt, lift
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY label ORDER BY lift DESC, tok) AS BIGINT) AS rank
+      FROM cand)
+WHERE rank <= {CLUSTER_KW_TOP}
+"""
+
+
 REGISTRATIONS = [
     ("knn_bruteforce", knn_bruteforce, KNN_BRUTEFORCE_ORACLE),
+    ("cluster_keywords_embeddings", cluster_keywords_embeddings,
+     CLUSTER_KEYWORDS_ORACLE),
     ("allknn_within_label", allknn_within_label, ALLKNN_ORACLE),
     ("knn_lsh", knn_lsh, None),  # approximate — recall-tested, rows-only check
     ("knn_ivf", knn_ivf, None),  # approximate — recall-tested, rows-only check
