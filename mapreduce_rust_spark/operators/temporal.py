@@ -316,10 +316,19 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply in the SAME left-to-right order, so floats hash-match;
     an arbitrary α would need pow()). Scale: one shuffle on
     user_id; state per user is its event list — bounded by per-human
-    activity, and sub-shardable by folding (user, day) segments then
-    chaining daily carries (the sessionize decomposition) if a key
-    ever isn't."""
-    ev = load_table(spark, sf_dir, "events")
+    activity. If a key ever isn't bounded, the (user, day)-segment
+    decomposition applies: a segment of length m maps an incoming
+    carry c to A + c·2⁻ᵐ (the 2⁻ᵐ scaling is exact), so day partials
+    chain with one FMA-shaped step per day — value-equivalent to ulp
+    accuracy, but NOT bit-identical (the composition moves rounding
+    points), so the oracle-checked registry form stays the direct
+    fold."""
+    return ewma_from_events(load_table(spark, sf_dir, "events"))
+
+
+def ewma_from_events(ev: DataFrame) -> DataFrame:
+    """Core of :func:`ewma_user_value` over any
+    ``(user_id, ts, event_id, value)`` frame."""
     base = ev.select("user_id", F.unix_micros("ts").alias("us"),
                      "event_id",
                      F.bround(F.col("value") * 100).cast("long").alias("vc"))

@@ -105,6 +105,29 @@ def test_scalable_sessionize_matches_plain_under_giant_key(spark):
     ev.unpersist()
 
 
+def test_ewma_survives_giant_user_key(spark):
+    """The per-key sequential fold's honest hazard: ONE user with
+    200k events materializes a 200k-element array in a single row.
+    Must complete in bounded time and match the pure-Python fold
+    bit-for-bit (the same IEEE sequence)."""
+    from mapreduce_rust_spark.operators.temporal import ewma_from_events
+    ev = (_skewed_events(spark, n_giant=200_000)
+          .withColumn("value", (F.col("event_id") % 997).cast("double"))
+          .persist())
+    ev.count()
+    t0 = time.perf_counter()
+    rows = {r.user_id: r for r in ewma_from_events(ev).collect()}
+    took = time.perf_counter() - t0
+    assert rows[0].n_events == 200_000
+    s = None
+    for i in range(200_000):
+        vc = float((i % 997) * 100)
+        s = vc if s is None else (vc + s) / 2.0
+    assert rows[0].ewma == s / 100.0        # bit-identical giant fold
+    assert took < 60, f"giant-user ewma took {took:.1f}s"
+    ev.unpersist()
+
+
 from hypothesis import given, settings, strategies as st
 
 # events as (user_id, offset_seconds) — offsets span >3 days so day
