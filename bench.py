@@ -186,6 +186,7 @@ HEADLINE = [
     "stream_active_users_7d",
     "temperature_mix_docs",
     "cluster_keywords_embeddings",
+    "lagged_corr_events",
 ]
 
 

@@ -467,6 +467,127 @@ def dow_profile_closed_form(stats: DataFrame) -> DataFrame:
         (mean_cell / mean_type).alias("dow_lift"))
 
 
+LAGCORR_A = "click"      # leading series
+LAGCORR_B = "purchase"   # lagged series
+LAGCORR_MAX = 3          # lags 0..3 days
+
+
+def lagged_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of two daily metric series — does
+    click volume predict purchase volume k days later? For each lag
+    k ∈ 0..``LAGCORR_MAX``: Pearson r between (daily click cents on
+    day t) and (daily purchase cents on day t+k), both series
+    ZERO-FILLED on the observed day range (a missing day is a real
+    zero, not a gap to skip — skipping would shift the alignment).
+    The lead-lag panel behind "which metric moves first" monitoring,
+    extending the OLS/seasonality family from one series to two.
+
+    Exactness is the stats_agg recipe one level up: daily sums in
+    exact cents, power sums (n, Σx, Σy, Σxy, Σx², Σy²) in
+    DECIMAL(38,0), then the identical covar/√var·√var double formula
+    (sqrt is IEEE-correctly-rounded — allowed, unlike libm ln/pow).
+    Scale: events collapse to ≤2·|days| daily rows FIRST (map-side
+    combined), so the lag joins and the per-lag aggregates run on
+    day-grain data — at 100 TB the expensive part is one partial
+    agg over the scan, everything after is metadata-sized."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin(LAGCORR_A, LAGCORR_B))
+          .select("event_type",
+                  F.datediff(F.to_date("ts"),
+                             F.lit("2024-01-01").cast("date"))
+                   .cast("long").alias("d"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    daily = (ev.groupBy("event_type", "d")
+               .agg(F.sum("vc").alias("sc"))).localCheckpoint(eager=True)
+    rng = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (rng.select(F.explode(F.sequence("d0", "d1")).alias("d")))
+    xa = (grid.join(daily.filter(F.col("event_type") == LAGCORR_A)
+                    .select("d", "sc"), "d", "left")
+              .select("d", F.coalesce("sc", F.lit(0)).alias("x")))
+    yb = (grid.join(daily.filter(F.col("event_type") == LAGCORR_B)
+                    .select("d", "sc"), "d", "left")
+              .select(F.col("d").alias("dy"),
+                      F.coalesce("sc", F.lit(0)).alias("y")))
+    lags = F.explode(F.array(*[F.lit(k) for k in
+                               range(LAGCORR_MAX + 1)])).alias("lag")
+    xl = xa.select("d", "x", lags)
+    j = xl.join(yb, xl.d + F.col("lag") == yb.dy)
+    dec = "decimal(38,0)"
+    agg = (j.groupBy("lag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("x").cast(dec)).alias("sx"),
+                 F.sum(F.col("y").cast(dec)).alias("sy"),
+                 F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+                 F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sx2"),
+                 F.sum((F.col("y") * F.col("y")).cast(dec)).alias("sy2")))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    var_x = (sx2 - sx * sx / n) / (n - 1)
+    var_y = (sy2 - sy * sy / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    corr = F.when((var_x > 0) & (var_y > 0),
+                  covar / (F.sqrt(var_x) * F.sqrt(var_y)))
+    return (agg.select(F.col("lag").cast("long").alias("lag"),
+                       "n", covar.alias("covar"), corr.alias("corr")))
+
+
+LAGGED_CORR_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+  WHERE event_type IN ('{LAGCORR_A}', '{LAGCORR_B}')
+),
+daily AS (SELECT event_type, d, SUM(vc) AS sc FROM ev GROUP BY 1, 2),
+rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+grid AS (SELECT UNNEST(range(d0, d1 + 1)) AS d FROM rng),
+xa AS (SELECT g.d, COALESCE(a.sc, 0) AS x
+       FROM grid g LEFT JOIN daily a
+         ON a.d = g.d AND a.event_type = '{LAGCORR_A}'),
+yb AS (SELECT g.d AS dy, COALESCE(b.sc, 0) AS y
+       FROM grid g LEFT JOIN daily b
+         ON b.d = g.d AND b.event_type = '{LAGCORR_B}'),
+j AS (
+  SELECT l.lag, x, y
+  FROM xa, UNNEST(range(0, {LAGCORR_MAX + 1})) AS l(lag)
+  JOIN yb ON xa.d + l.lag = yb.dy
+),
+agg AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sx2,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS sy2
+  FROM j GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar,
+       CASE WHEN (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) > 0
+             AND (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) > 0
+            THEN ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1))
+                 / (SQRT((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1))
+                    * SQRT((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+                              * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1)))
+       END AS corr
+FROM agg
+"""
+
+
 SEASONAL_MIN_N = 30   # minimum peer count before scoring
 
 
@@ -645,5 +766,6 @@ REGISTRATIONS = [
     ("dow_seasonality_events", dow_seasonality_events, DOW_ORACLE),
     ("seasonal_outlier_events", seasonal_outlier_events,
      SEASONAL_OUTLIER_ORACLE),
+    ("lagged_corr_events", lagged_corr_events, LAGGED_CORR_ORACLE),
     ("chisq_cells_events", chisq_cells_events, CHISQ_ORACLE),
 ]

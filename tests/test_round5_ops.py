@@ -462,6 +462,34 @@ def test_seasonal_outlier_is_leave_one_out_3_sigma(spark):
     assert any(got.values())          # the fixture has real outliers
 
 
+# --- lagged_corr_events -----------------------------------------------
+
+def test_lagged_corr_matches_numpy(spark):
+    import numpy as np
+    from mapreduce_rust_spark.operators.monitoring import (
+        LAGCORR_A, LAGCORR_B, LAGCORR_MAX, lagged_corr_events)
+    from mapreduce_rust_spark.tables import load_table
+    got = {r.lag: r for r in lagged_corr_events(spark, SF_CORRECT).collect()}
+    ev = (load_table(spark, SF_CORRECT, "events")
+          .filter(F.col("event_type").isin(LAGCORR_A, LAGCORR_B))
+          .select("event_type",
+                  F.datediff(F.to_date("ts"),
+                             F.lit("2024-01-01").cast("date")).alias("d"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc"))
+          .toPandas())
+    daily = ev.groupby(["event_type", "d"])["vc"].sum()
+    d0 = int(ev["d"].min())
+    d1 = int(ev["d"].max())
+    days = range(d0, d1 + 1)
+    x = np.array([daily.get((LAGCORR_A, d), 0) for d in days], dtype=float)
+    y = np.array([daily.get((LAGCORR_B, d), 0) for d in days], dtype=float)
+    for k in range(LAGCORR_MAX + 1):
+        xs, ys = x[: len(x) - k or None], y[k:]
+        assert got[k].n == len(xs) == len(days) - k
+        expect = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[k].corr - expect) < 1e-9
+
+
 # --- kwic_snippets_docs -----------------------------------------------
 
 def test_kwic_positions_and_snippets(spark):
