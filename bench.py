@@ -187,6 +187,8 @@ HEADLINE = [
     "temperature_mix_docs",
     "cluster_keywords_embeddings",
     "lagged_corr_events",
+    "weighted_median_price",
+    "life_table_reorders",
 ]
 
 

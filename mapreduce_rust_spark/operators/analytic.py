@@ -417,6 +417,137 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: per return flag, the line price at which the
+    CUMULATIVE QUANTITY first reaches half the flag's total quantity
+    — the volume-weighted order statistic ("half the units ship at
+    or below this price"), which a plain median misses whenever
+    quantity correlates with price. The general recipe for weighted
+    percentiles: sort, cumulative-sum the weights, take the first
+    crossing.
+
+    All-integer: prices in cents, quantities integral, the crossing
+    test 2·cumw ≥ totw in BIGINT. One per-flag window (three flags —
+    at scale sub-shard via scalable_rank's bucket decomposition with
+    per-bucket weight offsets, same as the rank case), one
+    TakeOrdered-style min per flag."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.bround(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"))
+    w = (W.partitionBy("l_returnflag")
+          .orderBy("pc", "l_orderkey", "l_linenumber")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = W.partitionBy("l_returnflag")
+    d = (li.withColumn("cumw", F.sum("q").over(w))
+           .withColumn("totw", F.sum("q").over(tot))
+           .filter(2 * F.col("cumw") >= F.col("totw")))
+    return (d.groupBy("l_returnflag")
+             .agg(F.min("pc").alias("mpc"),
+                  F.first("totw").alias("totw"))
+             .select("l_returnflag",
+                     (F.col("mpc").cast("double") / 100.0)
+                     .alias("weighted_median_price"),
+                     F.col("totw").cast("long").alias("total_qty")))
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, pc,
+         SUM(q) OVER (PARTITION BY l_returnflag
+                      ORDER BY pc, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(q) OVER (PARTITION BY l_returnflag) AS totw
+  FROM li
+)
+SELECT l_returnflag,
+       CAST(MIN(pc) AS DOUBLE) / 100.0 AS weighted_median_price,
+       CAST(ANY_VALUE(totw) AS BIGINT) AS total_qty
+FROM c WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+"""
+
+
+LIFE_BUCKET_DAYS = 30
+LIFE_MAX_BUCKET = 24
+
+
+def life_table_reorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis of repurchase behavior: a life table over
+    time-to-next-order, with proper right-censoring (a customer's
+    LAST order has no successor — it is censored at the corpus max
+    date, not dropped; dropping censored spells biases hazards up).
+    Per 30-day bucket k: d_k reorders, c_k censored exits, the risk
+    set n_k = Σ_{j≥k}(d_j + c_j), and the discrete hazard d_k/n_k —
+    the Kaplan-Meier ingredients, emitted per-row so no
+    order-sensitive float product appears in checked output (the
+    survival curve is a trivial running product the consumer folds).
+
+    Scale: one per-customer LEAD window (the sessionize shape), a
+    ≤ LIFE_MAX_BUCKET-row aggregate, and a reverse cumulative sum
+    over BUCKET ROWS only. Hazard is exact int ÷ int."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+    anchor = orders.agg(F.max("o_orderdate").alias("amax"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    spells = (orders.withColumn("next_dt", nxt)
+              .crossJoin(F.broadcast(anchor))
+              .select(
+                  F.when(F.col("next_dt").isNotNull(), 1).otherwise(0)
+                   .alias("event"),
+                  F.datediff(F.coalesce("next_dt", "amax"), "o_orderdate")
+                   .alias("gap")))
+    b = F.least(F.floor(F.col("gap") / LIFE_BUCKET_DAYS),
+                F.lit(LIFE_MAX_BUCKET)).cast("long")
+    counts = (spells.groupBy(b.alias("bucket"))
+              .agg(F.sum("event").alias("d"),
+                   F.sum(1 - F.col("event")).alias("c")))
+    wr = (W.orderBy(F.desc("bucket"))
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (counts
+            .withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(wr))
+            .select("bucket", F.col("d").cast("long").alias("d"),
+                    F.col("c").cast("long").alias("c"),
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    (F.col("d").cast("double")
+                     / F.col("n_risk").cast("double")).alias("hazard")))
+
+
+LIFE_TABLE_ORACLE = f"""
+WITH a AS (SELECT MAX(o_orderdate) AS amax FROM orders),
+s AS (
+  SELECT CASE WHEN LEAD(o_orderdate) OVER w IS NOT NULL
+              THEN 1 ELSE 0 END AS event,
+         date_diff('day', o_orderdate,
+                   COALESCE(LEAD(o_orderdate) OVER w, a.amax)) AS gap
+  FROM orders, a
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+c AS (
+  SELECT LEAST(gap // {LIFE_BUCKET_DAYS}, {LIFE_MAX_BUCKET}) AS bucket,
+         SUM(event) AS d, SUM(1 - event) AS c
+  FROM s GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       CAST(SUM(d + c) OVER (ORDER BY bucket DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_risk,
+       CAST(d AS DOUBLE)
+         / CAST(SUM(d + c) OVER (ORDER BY bucket DESC
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS hazard
+FROM c
+"""
+
+
 ROLLING_MEDIAN_N = 5
 
 
@@ -650,6 +781,9 @@ REGISTRATIONS = [
     ("window_first_last_orders", window_first_last_orders,
      WINDOW_FIRST_LAST_ORACLE),
     ("rolling_median_orders", rolling_median_orders, ROLLING_MEDIAN_ORACLE),
+    ("weighted_median_price", weighted_median_price,
+     WEIGHTED_MEDIAN_ORACLE),
+    ("life_table_reorders", life_table_reorders, LIFE_TABLE_ORACLE),
     ("fuzzy_match_parts", fuzzy_match_parts, FUZZY_MATCH_ORACLE),
     ("stats_agg_lineitem", stats_agg_lineitem, STATS_AGG_ORACLE),
     ("argmax_orders_by_priority", argmax_orders_by_priority, ARGMAX_ORACLE),

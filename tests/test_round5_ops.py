@@ -92,6 +92,47 @@ def test_rolling_median_matches_pandas(spark):
     assert merged["n_window"].max() <= ROLLING_MEDIAN_N
 
 
+def test_weighted_median_matches_pandas(spark):
+    from mapreduce_rust_spark.operators.analytic import (
+        weighted_median_price)
+    from mapreduce_rust_spark.tables import load_table
+    got = {r.l_returnflag: r for r in
+           weighted_median_price(spark, SF_CORRECT).collect()}
+    li = (load_table(spark, SF_CORRECT, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber",
+                  F.bround(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("pc"),
+                  F.col("l_quantity").cast("long").alias("q")).toPandas())
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values(["pc", "l_orderkey", "l_linenumber"])
+        tot = g["q"].sum()
+        cum = g["q"].cumsum()
+        crossing = g.loc[2 * cum >= tot, "pc"].iloc[0]
+        assert got[flag].weighted_median_price == crossing / 100.0
+        assert got[flag].total_qty == tot
+
+
+def test_life_table_conserves_spells(spark):
+    """Every order opens exactly one spell: Σd = reorders
+    (orders − customers), Σc = customers (each censored once), and
+    the largest risk set equals total spells; hazards in [0, 1] and
+    risk sets shrink as buckets grow."""
+    from mapreduce_rust_spark.operators.analytic import life_table_reorders
+    from mapreduce_rust_spark.tables import load_table
+    rows = sorted(life_table_reorders(spark, SF_CORRECT).collect(),
+                  key=lambda r: r.bucket)
+    orders = load_table(spark, SF_CORRECT, "orders")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.d for r in rows) == n_orders - n_cust
+    assert sum(r.c for r in rows) == n_cust
+    assert rows[0].n_risk == n_orders
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_risk > b.n_risk or a.n_risk == b.n_risk
+        assert b.n_risk == a.n_risk - a.d - a.c
+    assert all(0.0 <= r.hazard <= 1.0 for r in rows)
+
+
 # --- benford_orders ---------------------------------------------------
 
 def test_benford_report_shape_and_exactness(spark):
