@@ -189,6 +189,8 @@ HEADLINE = [
     "lagged_corr_events",
     "weighted_median_price",
     "life_table_reorders",
+    "did_estimate_events",
+    "cuped_adjusted_events",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Experimentation (A/B-test) analytics — the readout operators an
+online-experiment platform runs at scale: difference-in-differences
+estimation and CUPED variance reduction. Both follow the engine's
+exact-sufficient-statistics discipline (integer cents, DECIMAL(38,0)
+power sums, one fixed IEEE combination at the end — the stats_agg /
+trend_ols recipe), so their float outputs hash-match the DuckDB
+oracle bit-for-bit.
+
+Treatment assignment is a deterministic hash of the unit id (even /
+odd user_id here — the fixture has no experiment column; a real
+platform swaps in its assignment table via the same broadcast-join
+shape), and the pre/post split is the fixture midpoint. Both are
+plan literals, so the whole readout is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.tables import load_table
+
+# fixture spans 2024-01-01 .. 2024-01-30; midpoint split
+EXP_SPLIT = "2024-01-16"
+
+
+def _cells(spark, sf_dir) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.to_date("ts") >= F.lit(EXP_SPLIT).cast("date")).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"))
+
+
+def did_estimate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: ΔΔ = (ȳ_treat,post − ȳ_treat,pre)
+    − (ȳ_ctrl,post − ȳ_ctrl,pre) — the experiment readout that nets
+    out both the group baseline and the common time trend. One
+    partial+final aggregate to FOUR cells; each cell mean is one
+    int÷int double division and the estimate is three subtractions
+    in a fixed written order — nothing for an engine to re-associate.
+    Output keeps the four cell means so the estimate is auditable."""
+    cells = (_cells(spark, sf_dir)
+             .groupBy("treat", "post")
+             .agg(F.count("*").alias("n"), F.sum("vc").alias("s")))
+    m = (cells.select("treat", "post",
+                      (F.col("s").cast("double") / F.col("n").cast("double")
+                       / 100.0).alias("mean"))
+         .groupBy()
+         .pivot("treat", [True, False])
+         .agg(F.max(F.when(F.col("post"), F.col("mean"))).alias("post"),
+              F.max(F.when(~F.col("post"), F.col("mean"))).alias("pre")))
+    did = ((F.col("true_post") - F.col("true_pre"))
+           - (F.col("false_post") - F.col("false_pre")))
+    return m.select(
+        F.col("true_pre").alias("treat_pre"),
+        F.col("true_post").alias("treat_post"),
+        F.col("false_pre").alias("ctrl_pre"),
+        F.col("false_post").alias("ctrl_post"),
+        did.alias("did"))
+
+
+DID_ORACLE = f"""
+WITH c AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         (CAST(ts AS DATE) >= DATE '{EXP_SPLIT}') AS post,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+g AS (
+  SELECT treat, post,
+         CAST(SUM(vc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+           AS mean
+  FROM c GROUP BY treat, post
+),
+p AS (
+  SELECT
+    MAX(CASE WHEN treat AND NOT post THEN mean END) AS treat_pre,
+    MAX(CASE WHEN treat AND post THEN mean END) AS treat_post,
+    MAX(CASE WHEN NOT treat AND NOT post THEN mean END) AS ctrl_pre,
+    MAX(CASE WHEN NOT treat AND post THEN mean END) AS ctrl_post
+  FROM g
+)
+SELECT treat_pre, treat_post, ctrl_pre, ctrl_post,
+       (treat_post - treat_pre) - (ctrl_post - ctrl_pre) AS did
+FROM p
+"""
+
+
+def cuped_adjusted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): adjust each
+    user's experiment-period metric by their PRE-period covariate,
+    y' = y − θ(x − x̄) with θ = cov(x, y)/var(x), and report the
+    variance-reduction ratio var(y′)/var(y) = 1 − ρ² per treatment
+    arm — the sensitivity win every mature experiment platform takes
+    before reading a result.
+
+    Shapes: one per-user two-period aggregate (users with activity
+    in BOTH periods enter — the standard CUPED population), then one
+    per-arm power-sum aggregate (n, Σx, Σy, Σxy, Σx², Σy²) in
+    DECIMAL(38,0), then θ, ρ², and the ratio as one fixed IEEE
+    expression per arm (the stats_agg covar/var forms — no sqrt even,
+    since 1 − ρ² needs only ratios of the already-portable
+    subexpressions). Per-user means are exact int sums divided once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.to_date("ts") >= F.lit(EXP_SPLIT).cast("date")).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(~F.col("post"), F.col("vc"))).alias("sx"),
+                     F.sum(F.when(F.col("post"), F.col("vc"))).alias("sy"))
+                .filter(F.col("sx").isNotNull() & F.col("sy").isNotNull())
+                .select("user_id",
+                        (F.col("user_id") % 2 == 1).alias("treat"),
+                        F.col("sx").alias("x"), F.col("sy").alias("y")))
+    dec = "decimal(38,0)"
+    agg = (per_user.groupBy("treat")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("x").cast(dec)).alias("sx"),
+                F.sum(F.col("y").cast(dec)).alias("sy"),
+                F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+                F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sx2"),
+                F.sum((F.col("y") * F.col("y")).cast(dec)).alias("sy2")))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    var_x = (sx2 - sx * sx / n) / (n - 1)
+    var_y = (sy2 - sy * sy / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    theta = covar / var_x
+    rho2 = (covar / var_x) * (covar / var_y)
+    return agg.select(
+        "treat", "n",
+        theta.alias("theta"),
+        rho2.alias("rho2"),
+        (F.lit(1.0) - rho2).alias("var_ratio"))
+
+
+CUPED_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         (CAST(ts AS DATE) >= DATE '{EXP_SPLIT}') AS post,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+per_user AS (
+  SELECT user_id, (user_id % 2 = 1) AS treat,
+         SUM(CASE WHEN NOT post THEN vc END) AS x,
+         SUM(CASE WHEN post THEN vc END) AS y
+  FROM ev GROUP BY user_id
+  HAVING SUM(CASE WHEN NOT post THEN vc END) IS NOT NULL
+     AND SUM(CASE WHEN post THEN vc END) IS NOT NULL
+),
+agg AS (
+  SELECT treat, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sx2,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS sy2
+  FROM per_user GROUP BY treat
+)
+SELECT treat, n,
+       ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+         / ((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS theta,
+       (((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+          / ((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+         * (((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+              / ((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+                    * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+         AS rho2,
+       1.0 - (((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                / ((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+             * (((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                  / ((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+                        * CAST(sy AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+         AS var_ratio
+FROM agg
+"""
+
+
+REGISTRATIONS = [
+    ("did_estimate_events", did_estimate_events, DID_ORACLE),
+    ("cuped_adjusted_events", cuped_adjusted_events, CUPED_ORACLE),
+]

@@ -503,6 +503,61 @@ def test_seasonal_outlier_is_leave_one_out_3_sigma(spark):
     assert any(got.values())          # the fixture has real outliers
 
 
+# --- experimentation analytics ----------------------------------------
+
+def test_did_matches_cell_means(spark):
+    from mapreduce_rust_spark.operators.experiment import (
+        EXP_SPLIT, did_estimate_events)
+    from mapreduce_rust_spark.tables import load_table
+    row = did_estimate_events(spark, SF_CORRECT).collect()[0]
+    ev = (load_table(spark, SF_CORRECT, "events")
+          .select((F.col("user_id") % 2 == 1).alias("treat"),
+                  (F.to_date("ts") >= F.lit(EXP_SPLIT).cast("date"))
+                  .alias("post"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc"))
+          .toPandas())
+    means = {}
+    for (t, p), g in ev.groupby(["treat", "post"]):
+        means[(t, p)] = g["vc"].sum() / len(g) / 100.0
+    assert row.treat_pre == means[(True, False)]
+    assert row.treat_post == means[(True, True)]
+    assert row.ctrl_pre == means[(False, False)]
+    assert row.ctrl_post == means[(False, True)]
+    assert row.did == ((means[(True, True)] - means[(True, False)])
+                       - (means[(False, True)] - means[(False, False)]))
+
+
+def test_cuped_theta_and_ratio_match_numpy(spark):
+    import numpy as np
+    from mapreduce_rust_spark.operators.experiment import (
+        EXP_SPLIT, cuped_adjusted_events)
+    from mapreduce_rust_spark.tables import load_table
+    rows = {r.treat: r
+            for r in cuped_adjusted_events(spark, SF_CORRECT).collect()}
+    ev = (load_table(spark, SF_CORRECT, "events")
+          .select("user_id",
+                  (F.to_date("ts") >= F.lit(EXP_SPLIT).cast("date"))
+                  .alias("post"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc"))
+          .toPandas())
+    pre = ev[~ev["post"]].groupby("user_id")["vc"].sum()
+    post = ev[ev["post"]].groupby("user_id")["vc"].sum()
+    both = pre.index.intersection(post.index)
+    for treat in (True, False):
+        uids = [u for u in both if (u % 2 == 1) == treat]
+        x = np.array([pre[u] for u in uids], dtype=float)
+        y = np.array([post[u] for u in uids], dtype=float)
+        r = rows[treat]
+        assert r.n == len(uids)
+        cov = np.cov(x, y, ddof=1)
+        theta = cov[0, 1] / cov[0, 0]
+        rho2 = cov[0, 1] ** 2 / (cov[0, 0] * cov[1, 1])
+        assert abs(r.theta - theta) < 1e-9 * max(1, abs(theta))
+        assert abs(r.rho2 - rho2) < 1e-9
+        assert 0.0 <= r.rho2 < 1.0
+        assert abs(r.var_ratio - (1.0 - rho2)) < 1e-9
+
+
 # --- lagged_corr_events -----------------------------------------------
 
 def test_lagged_corr_matches_numpy(spark):
