@@ -191,6 +191,8 @@ HEADLINE = [
     "life_table_reorders",
     "did_estimate_events",
     "cuped_adjusted_events",
+    "forecast_backtest_events",
+    "k_anonymity_orders",
 ]
 
 

@@ -238,6 +238,57 @@ GROUP BY pr
 """
 
 
+KANON_K = 5
+
+
+def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over a quasi-identifier tuple —
+    (order priority, exact order date): how many equivalence classes
+    fall below k = ``KANON_K`` members, and what fraction of ROWS
+    sit in those re-identifiable classes — the privacy companion of
+    ``scrub_pii_docs`` (scrubbing removes direct identifiers; this
+    measures whether the remaining quasi-identifiers still single
+    people out, the release gate for any published dataset — "I know
+    the day and priority of your order" is the classic linkage
+    attack). One map-side-combined aggregate to the class table, one
+    single-row rollup; at-risk share is integer ppm (DIV — exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    classes = (orders.groupBy(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_day"))
+        .agg(F.count("*").alias("n")))
+    risky = F.col("n") < KANON_K
+    return (classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(risky, 1).otherwise(0)).alias("n_risky_classes"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(risky, F.col("n")).otherwise(0)).alias("n_risky_rows"),
+        F.min("n").alias("min_class_size"))
+        .select("n_classes", "n_risky_classes", "n_rows", "n_risky_rows",
+                "min_class_size",
+                F.expr("n_risky_rows * 1000000 DIV n_rows")
+                .alias("risk_ppm")))
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH classes AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS VARCHAR) AS o_day,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       CAST(MIN(n) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) * 1000000
+            // SUM(n) AS BIGINT) AS risk_ppm
+FROM classes
+"""
+
+
 # Expected Benford leading-digit shares in exact ppm: round(1e6 *
 # log10(1 + 1/d)). Baked as literals so neither engine evaluates a
 # transcendental at query time (the DSIR lesson: libm differs across
@@ -355,5 +406,6 @@ REGISTRATIONS = [
     ("winsorize_prices", winsorize_prices, WINSORIZE_ORACLE),
     ("mad_outlier_orders", mad_outlier_orders, MAD_OUTLIER_ORACLE),
     ("benford_orders", benford_orders, BENFORD_ORACLE),
+    ("k_anonymity_orders", k_anonymity_orders, K_ANONYMITY_ORACLE),
     ("table_checksum_orders", table_checksum_orders, TABLE_CHECKSUM_ORACLE),
 ]

@@ -588,6 +588,91 @@ FROM agg
 """
 
 
+FORECAST_LAG_DAYS = 7
+
+
+def forecast_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    cent volume with the value ``FORECAST_LAG_DAYS`` days earlier
+    and score the forecast over every scorable day — the baseline
+    every real forecasting model must beat, and the backtest harness
+    shape (align → error → aggregate) fancier models drop into.
+    Reported per type: MAE in cents (exact integer |err| sum ÷
+    count) and WAPE = Σ|err| / Σactual — the weighted-APE form,
+    chosen over MAPE deliberately: MAPE is a float MEAN of per-day
+    ratios (order-sensitive sum, division-by-zero days), WAPE is one
+    ratio of two exact integer sums. Zero-filled day grid so missing
+    days are real zeros (the lagged_corr alignment rule). Scale:
+    day-grain collapse first; everything after is metadata-sized."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.datediff(F.to_date("ts"),
+                             F.lit("2024-01-01").cast("date"))
+                   .cast("long").alias("d"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    daily = (ev.groupBy("event_type", "d").agg(F.sum("vc").alias("sc"))
+             .localCheckpoint(eager=True))
+    rng = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (daily.select("event_type").distinct()
+            .crossJoin(F.broadcast(rng))
+            .select("event_type", F.explode(F.sequence("d0", "d1"))
+                    .alias("d")))
+    dense = (grid.join(daily, ["event_type", "d"], "left")
+             .select("event_type", "d",
+                     F.coalesce("sc", F.lit(0)).alias("y")))
+    a, f = dense.alias("a"), dense.alias("f")
+    j = (a.join(f, (F.col("a.event_type") == F.col("f.event_type"))
+                & (F.col("a.d") == F.col("f.d") + FORECAST_LAG_DAYS))
+          .select(F.col("a.event_type").alias("event_type"),
+                  F.col("a.y").alias("actual"),
+                  F.col("f.y").alias("pred")))
+    err = F.abs(F.col("actual") - F.col("pred"))
+    return (j.groupBy("event_type")
+             .agg(F.count("*").alias("n_days"),
+                  F.sum(err).alias("sae"),
+                  F.sum("actual").alias("sa"))
+             .select("event_type", "n_days",
+                     (F.col("sae").cast("double")
+                      / F.col("n_days").cast("double")).alias("mae_cents"),
+                     (F.col("sae").cast("double")
+                      / F.col("sa").cast("double")).alias("wape")))
+
+
+FORECAST_BACKTEST_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+daily AS (SELECT event_type, d, SUM(vc) AS sc FROM ev GROUP BY 1, 2),
+rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM daily) t,
+       (SELECT UNNEST(range(d0, d1 + 1)) AS d FROM rng) g
+),
+dense AS (
+  SELECT g.event_type, g.d, COALESCE(daily.sc, 0) AS y
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+),
+j AS (
+  SELECT a.event_type, a.y AS actual, f.y AS pred
+  FROM dense a JOIN dense f
+    ON a.event_type = f.event_type
+   AND a.d = f.d + {FORECAST_LAG_DAYS}
+)
+SELECT event_type, COUNT(*) AS n_days,
+       CAST(SUM(ABS(actual - pred)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mae_cents,
+       CAST(SUM(ABS(actual - pred)) AS DOUBLE)
+         / CAST(SUM(actual) AS DOUBLE) AS wape
+FROM j GROUP BY event_type
+"""
+
+
 SEASONAL_MIN_N = 30   # minimum peer count before scoring
 
 
@@ -767,5 +852,7 @@ REGISTRATIONS = [
     ("seasonal_outlier_events", seasonal_outlier_events,
      SEASONAL_OUTLIER_ORACLE),
     ("lagged_corr_events", lagged_corr_events, LAGGED_CORR_ORACLE),
+    ("forecast_backtest_events", forecast_backtest_events,
+     FORECAST_BACKTEST_ORACLE),
     ("chisq_cells_events", chisq_cells_events, CHISQ_ORACLE),
 ]

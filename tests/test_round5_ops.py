@@ -503,6 +503,50 @@ def test_seasonal_outlier_is_leave_one_out_3_sigma(spark):
     assert any(got.values())          # the fixture has real outliers
 
 
+# --- forecast backtest / k-anonymity ----------------------------------
+
+def test_forecast_backtest_wape_consistency(spark):
+    """Σ|err| and Σactual re-derived in pandas over the zero-filled
+    lag-7 alignment must reproduce MAE and WAPE exactly."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        FORECAST_LAG_DAYS, forecast_backtest_events)
+    from mapreduce_rust_spark.tables import load_table
+    got = {r.event_type: r
+           for r in forecast_backtest_events(spark, SF_CORRECT).collect()}
+    ev = (load_table(spark, SF_CORRECT, "events")
+          .select("event_type",
+                  F.datediff(F.to_date("ts"),
+                             F.lit("2024-01-01").cast("date")).alias("d"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc"))
+          .toPandas())
+    daily = ev.groupby(["event_type", "d"])["vc"].sum()
+    d0, d1 = int(ev["d"].min()), int(ev["d"].max())
+    for et in got:
+        series = {d: daily.get((et, d), 0) for d in range(d0, d1 + 1)}
+        pairs = [(series[d], series[d - FORECAST_LAG_DAYS])
+                 for d in range(d0 + FORECAST_LAG_DAYS, d1 + 1)]
+        sae = sum(abs(a - p) for a, p in pairs)
+        sa = sum(a for a, _ in pairs)
+        assert got[et].n_days == len(pairs)
+        assert got[et].mae_cents == sae / len(pairs)
+        assert got[et].wape == sae / sa
+
+
+def test_k_anonymity_accounts_every_row(spark):
+    from mapreduce_rust_spark.operators.dataquality import (
+        KANON_K, k_anonymity_orders)
+    from mapreduce_rust_spark.tables import load_table
+    r = k_anonymity_orders(spark, SF_CORRECT).collect()[0]
+    n_orders = load_table(spark, SF_CORRECT, "orders").count()
+    assert r.n_rows == n_orders
+    assert 0 <= r.n_risky_rows <= r.n_rows
+    assert r.n_risky_classes <= r.n_classes
+    assert r.risk_ppm == r.n_risky_rows * 1_000_000 // r.n_rows
+    assert r.min_class_size >= 1
+    # fixture is sparse at day grain — risk must actually be present
+    assert r.n_risky_classes > 0 or r.min_class_size >= KANON_K
+
+
 # --- experimentation analytics ----------------------------------------
 
 def test_did_matches_cell_means(spark):
