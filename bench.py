@@ -193,6 +193,10 @@ HEADLINE = [
     "cuped_adjusted_events",
     "forecast_backtest_events",
     "k_anonymity_orders",
+    # round 5 fourth crop: classifier-eval readouts (exact AUC via
+    # the bucketed prefix decomposition, fixed-width calibration)
+    "auc_quality_docs",
+    "calibration_bins_docs",
 ]
 
 

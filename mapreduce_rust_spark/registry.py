@@ -143,12 +143,13 @@ for _name, _fn, _oracle in udaf.REGISTRATIONS:
 for _name, _fn, _oracle in graph.REGISTRATIONS:
     register(_name, _fn, _oracle)
 
-from mapreduce_rust_spark.llm import bpe, dedup, multimodal, pipeline, quality, sharding, similarity, spans, textanalysis  # noqa: E402
+from mapreduce_rust_spark.llm import bpe, dedup, evaluation, multimodal, pipeline, quality, sharding, similarity, spans, textanalysis  # noqa: E402
 from mapreduce_rust_spark.operators import experiment, monitoring  # noqa: E402
 from mapreduce_rust_spark.streaming import stateful, windows  # noqa: E402
 
 for _mod in (dedup, similarity, textanalysis, multimodal, pipeline,
              quality, sharding, spans, bpe, monitoring, experiment,
+             evaluation,
              windows, stateful):
     for _name, _fn, _oracle in _mod.REGISTRATIONS:
         register(_name, _fn, _oracle)

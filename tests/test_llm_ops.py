@@ -269,3 +269,49 @@ def test_shingle_index_is_memoized_per_session_and_dir(spark):
     assert a.storageLevel.useMemory, "index must actually be persisted"
     c = _persisted_shingles(spark, SF_CORRECT)
     assert c is not a, "different sf_dir must not share an index"
+
+
+def test_auc_prefix_decomposition_equals_pair_count(spark):
+    """The two-phase AUC must equal the O(n^2) Mann-Whitney pair count
+    (1 per pos>neg pair, 0.5 per tie) on adversarial score sets:
+    heavy ties, negative scores, bucket-boundary values, a class with
+    a single member."""
+    from itertools import product
+    from mapreduce_rust_spark.llm.evaluation import auc_from_scores
+
+    cases = [
+        [(1.0, True), (0.5, False)],
+        [(1.0, True), (1.0, False)],                      # pure tie
+        [(-3.0, True), (-3.0, False), (-2.5, True), (7.0, False),
+         (0.0, True), (0.0, False), (0.0, True)],         # tie pile-up
+        [(float(x), x % 3 == 0) for x in range(-20, 20)], # boundaries
+        [(2.0, True)] + [(float(i) / 7, False) for i in range(10)],
+    ]
+    for pairs in cases:
+        pos = [s for s, p in pairs if p]
+        neg = [s for s, p in pairs if not p]
+        expect2 = sum(2 if sp > sn else (1 if sp == sn else 0)
+                      for sp, sn in product(pos, neg))
+        d = spark.createDataFrame(pairs, "score double, pos boolean")
+        row = auc_from_scores(d).collect()[0]
+        assert row.n_pos == len(pos) and row.n_neg == len(neg)
+        assert row.auc_num2 == expect2, pairs
+        assert row.auc == expect2 / (2 * len(pos) * len(neg))
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    """Bins are disjoint fixed-width intervals: totals must re-add to
+    the corpus count, positives to the en-doc count, and every rate
+    must be n_pos/n exactly."""
+    from pyspark.sql import functions as F
+    from mapreduce_rust_spark.llm.evaluation import calibration_bins_docs
+    from tests.conftest import SF_CORRECT
+    rows = calibration_bins_docs(spark, SF_CORRECT).collect()
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    assert sum(r.n for r in rows) == docs.count()
+    assert (sum(r.n_pos for r in rows)
+            == docs.filter(F.col("lang") == "en").count())
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n
+        assert r.pos_rate == r.n_pos / r.n
+        assert r.score_lo == r.bin * 100

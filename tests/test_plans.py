@@ -382,3 +382,22 @@ def test_round4_new_operator_plan_shapes(spark):
     # token stream must not shuffle for the join
     plan = _plan(dsir_importance_docs(spark, SF_CORRECT))
     assert "BroadcastHashJoin" in plan
+
+
+def test_evaluation_plan_shapes(spark):
+    """Classifier-eval pins:
+    - AUC: the DATA-carrying prefix window sub-shards on the score
+      bucket (_b in the partition spec — never a single global
+      window) and the cross-bucket offsets come back via broadcast;
+    - calibration: pure partial+final aggregate — no window, no join."""
+    from mapreduce_rust_spark.llm.evaluation import (
+        auc_quality_docs, calibration_bins_docs)
+
+    p = _plan(auc_quality_docs(spark, SF_CORRECT))
+    assert "windowspecdefinition(_b#" in p, \
+        "AUC prefix window must sub-shard on the score bucket"
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    p = _plan(calibration_bins_docs(spark, SF_CORRECT))
+    assert "Window" not in p and "Join" not in p
+    assert "partial" in p.lower()
