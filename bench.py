@@ -197,6 +197,8 @@ HEADLINE = [
     # the bucketed prefix decomposition, fixed-width calibration)
     "auc_quality_docs",
     "calibration_bins_docs",
+    "retrieval_eval_bm25",
+    "key_skew_stats",
 ]
 
 

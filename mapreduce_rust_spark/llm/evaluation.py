@@ -211,7 +211,130 @@ ORDER BY bin
 """
 
 
+REL_TF = 2      # graded relevance: a doc is relevant to a term iff tf >= 2
+EVAL_K = 10     # cutoff for P@k / recall@k
+
+
+def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation of the BM25 scorer: per query term,
+    precision@k, recall@k and reciprocal rank against a graded
+    relevance set (``tf >= REL_TF`` — docs that mention the term
+    repeatedly; the single-mention tail is retrievable but not
+    "relevant", so the metrics are non-degenerate and fully exact).
+    A real pipeline swaps in a judged qrels table broadcast-joined on
+    (term, doc_id); every plan shape below survives that unchanged.
+
+    Per term, candidates are docs containing the term (the inverted
+    tf relation BM25 already builds — the IN-literal scan prunes all
+    other tokens), ranked by the SAME score chain
+    ``bm25_search_docs`` hash-proved, tie-broken by doc_id. The rank
+    window partitions by term; if one term matched billions of docs
+    at 100 TB, sub-shard its rank on the order-preserving score
+    bucket exactly as ranking.scalable_rank does (the AUC above is
+    that pattern in production). Metrics are integer counts plus
+    int÷int divisions; div-by-zero guarded to NULL on BOTH engines
+    (Spark non-ANSI NULL vs DuckDB IEEE inf — the ols_closed_form
+    lesson)."""
+    from mapreduce_rust_spark.llm.textanalysis import (
+        BM25_B, BM25_K1, SEARCH_TERMS)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    base = docs.select("doc_id", toks.alias("toks"))
+    lens = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = lens.agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("dl").alias("sum_dl")).localCheckpoint()
+    tf = (base.select("doc_id", F.explode("toks").alias("term"))
+              .filter(F.col("term").isin(*SEARCH_TERMS))
+              .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df_t), "term")
+                .join(lens, "doc_id")
+                .crossJoin(F.broadcast(stats)))
+    avg_dl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tf_d = F.col("tf").cast("double")
+    norm = (tf_d * (BM25_K1 + 1.0)
+            / (tf_d + BM25_K1 * (1.0 - BM25_B
+                                 + BM25_B * (F.col("dl").cast("double")
+                                             / avg_dl))))
+    idf = F.col("n_docs").cast("double") / F.col("df").cast("double")
+    w = W.partitionBy("term").orderBy(F.desc("s"), "doc_id")
+    ranked = (scored.select("term", "doc_id", "tf", (norm * idf).alias("s"))
+                    .withColumn("rnk", F.row_number().over(w)))
+    rel = F.col("tf") >= REL_TF
+    agg = (ranked.groupBy("term").agg(
+        F.count("*").alias("n_cand"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_rel"),
+        F.sum(F.when(rel & (F.col("rnk") <= EVAL_K), 1).otherwise(0))
+         .cast("long").alias("n_ret_rel"),
+        F.min(F.when(rel, F.col("rnk"))).alias("first_rel_rank")))
+    return agg.select(
+        "term", "n_cand", "n_rel", "n_ret_rel", "first_rel_rank",
+        (F.col("n_ret_rel").cast("double") / float(EVAL_K)).alias("p_at_k"),
+        F.when(F.col("n_rel") > 0,
+               F.col("n_ret_rel").cast("double")
+               / F.col("n_rel").cast("double")).alias("recall_at_k"),
+        F.when(F.col("first_rel_rank").isNotNull(),
+               F.lit(1.0) / F.col("first_rel_rank").cast("double"))
+         .alias("rr")).orderBy("term")
+
+
+def _retrieval_eval_oracle() -> str:
+    from mapreduce_rust_spark.llm.textanalysis import (
+        BM25_B, BM25_K1, SEARCH_TERMS)
+    terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
+tf AS (
+  SELECT doc_id, t.tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM base, UNNEST(toks) AS t(tok)
+  WHERE t.tok IN ({terms_in})
+  GROUP BY doc_id, t.tok
+),
+df_t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.term
+           ORDER BY (CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0)
+                     / (CAST(tf AS DOUBLE)
+                        + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * (CAST(dl AS DOUBLE)
+                          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                    * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                    tf.doc_id) AS rnk
+  FROM tf JOIN df_t USING (term) JOIN lens USING (doc_id), stats
+),
+agg AS (
+  SELECT term, COUNT(*) AS n_cand,
+         CAST(SUM(CASE WHEN tf >= {REL_TF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         CAST(SUM(CASE WHEN tf >= {REL_TF} AND rnk <= {EVAL_K}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ret_rel,
+         MIN(CASE WHEN tf >= {REL_TF} THEN rnk END) AS first_rel_rank
+  FROM ranked GROUP BY term
+)
+SELECT term, n_cand, n_rel, n_ret_rel, first_rel_rank,
+       CAST(n_ret_rel AS DOUBLE) / {EVAL_K}.0 AS p_at_k,
+       CASE WHEN n_rel > 0
+            THEN CAST(n_ret_rel AS DOUBLE) / CAST(n_rel AS DOUBLE) END
+         AS recall_at_k,
+       CASE WHEN first_rel_rank IS NOT NULL
+            THEN 1.0 / CAST(first_rel_rank AS DOUBLE) END AS rr
+FROM agg
+ORDER BY term
+"""
+
+
 REGISTRATIONS = [
     ("auc_quality_docs", auc_quality_docs, AUC_QUALITY_ORACLE),
     ("calibration_bins_docs", calibration_bins_docs, CALIBRATION_ORACLE),
+    ("retrieval_eval_bm25", retrieval_eval_bm25, _retrieval_eval_oracle()),
 ]

@@ -71,6 +71,62 @@ GROUP BY c_mktsegment
 """
 
 
+SKEW_TOP_N = 10
+
+
+def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew PROBE that decides whether to reach for salted_join /
+    AQE skew splitting: per hottest join/aggregation key, its row
+    count, share of the table, and hot_factor = count ÷ the
+    uniform-key expectation (total / n_keys). A hot_factor ≫ number
+    of shuffle partitions means one reducer owns that key's rows and
+    the plain shuffle is bound by it — the exact regime salting
+    exists for. Probed here: ``events.user_id``, the engine's
+    sessionize/stateful grouping key.
+
+    Cost shape is the cheapest the engine has: one map-side-combined
+    aggregate to the key-count relation, a second tiny aggregate over
+    it for (total, n_keys) broadcast back as one row, and a global
+    top-N that plans as TakeOrderedAndProject — never a global sort.
+    At 100 TB this is exactly the pre-flight a planner can afford to
+    run on every candidate join key; counts stay int64 (<2^63 rows)
+    and both ratios are single int÷int IEEE divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("total"),
+                        F.count("*").alias("n_keys"))
+    top = (counts.crossJoin(F.broadcast(totals))
+                 .orderBy(F.desc("cnt"), "user_id")
+                 .limit(SKEW_TOP_N))
+    return top.select(
+        "user_id", "cnt", "total", "n_keys",
+        (F.col("cnt").cast("double") / F.col("total").cast("double"))
+        .alias("share"),
+        (F.col("cnt").cast("double") * F.col("n_keys").cast("double")
+         / F.col("total").cast("double")).alias("hot_factor"))
+
+
+KEY_SKEW_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+)
+SELECT user_id, cnt, total, n_keys,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+         / CAST(total AS DOUBLE) AS hot_factor
+FROM counts, totals
+ORDER BY cnt DESC, user_id
+LIMIT {SKEW_TOP_N}
+"""
+
+
 REGISTRATIONS = [
     ("salted_join_revenue", salted_join_revenue, SALTED_JOIN_ORACLE),
+    ("key_skew_stats", key_skew_stats, KEY_SKEW_ORACLE),
 ]

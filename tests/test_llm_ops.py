@@ -315,3 +315,45 @@ def test_calibration_bins_partition_the_corpus(spark):
         assert 0 <= r.n_pos <= r.n
         assert r.pos_rate == r.n_pos / r.n
         assert r.score_lo == r.bin * 100
+
+
+def test_key_skew_stats_identifies_true_hot_keys(spark):
+    """Top-N must be exactly the N largest per-key counts (ties by
+    key), and hot_factor must re-derive from (cnt, n_keys, total)."""
+    from pyspark.sql import functions as F
+    from mapreduce_rust_spark.operators.skew import (
+        SKEW_TOP_N, key_skew_stats)
+    from tests.conftest import SF_CORRECT
+    rows = key_skew_stats(spark, SF_CORRECT).collect()
+    assert len(rows) == SKEW_TOP_N
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    want = (ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+              .orderBy(F.desc("cnt"), "user_id").limit(SKEW_TOP_N)
+              .collect())
+    assert [(r.user_id, r.cnt) for r in rows] \
+        == [(r.user_id, r.cnt) for r in want]
+    for r in rows:
+        assert r.hot_factor == r.cnt * r.n_keys / r.total
+        assert r.share == r.cnt / r.total
+
+
+def test_retrieval_eval_metrics_are_consistent(spark):
+    """P@k <= 1, n_ret_rel <= min(k, n_rel), rr = 1/first_rel_rank,
+    and the relevant-doc universe agrees with a direct tf count."""
+    from pyspark.sql import functions as F
+    from mapreduce_rust_spark.llm.evaluation import (
+        EVAL_K, REL_TF, retrieval_eval_bm25)
+    from tests.conftest import SF_CORRECT
+    rows = retrieval_eval_bm25(spark, SF_CORRECT).collect()
+    assert rows, "every search term should have candidates at sf0.01"
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    for r in rows:
+        direct = (docs.select(F.size(F.filter(toks,
+                      lambda t: t == F.lit(r.term))).alias("tf"))
+                      .filter(F.col("tf") >= REL_TF).count())
+        assert r.n_rel == direct
+        assert r.n_ret_rel <= min(EVAL_K, r.n_rel)
+        assert r.p_at_k == r.n_ret_rel / EVAL_K
+        if r.first_rel_rank is not None:
+            assert r.rr == 1.0 / r.first_rel_rank

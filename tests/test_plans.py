@@ -391,7 +391,8 @@ def test_evaluation_plan_shapes(spark):
       window) and the cross-bucket offsets come back via broadcast;
     - calibration: pure partial+final aggregate — no window, no join."""
     from mapreduce_rust_spark.llm.evaluation import (
-        auc_quality_docs, calibration_bins_docs)
+        auc_quality_docs, calibration_bins_docs, retrieval_eval_bm25)
+    from mapreduce_rust_spark.operators.skew import key_skew_stats
 
     p = _plan(auc_quality_docs(spark, SF_CORRECT))
     assert "windowspecdefinition(_b#" in p, \
@@ -401,3 +402,12 @@ def test_evaluation_plan_shapes(spark):
     p = _plan(calibration_bins_docs(spark, SF_CORRECT))
     assert "Window" not in p and "Join" not in p
     assert "partial" in p.lower()
+
+    p = _plan(retrieval_eval_bm25(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p, "df/stats sides must broadcast"
+    assert "windowspecdefinition(term#" in p, \
+        "rank must partition by term, never a global window"
+
+    p = _plan(key_skew_stats(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in p, "top-N must not global-sort"
+    assert "SortMergeJoin" not in p and "partial" in p.lower()
