@@ -199,6 +199,8 @@ HEADLINE = [
     "calibration_bins_docs",
     "retrieval_eval_bm25",
     "key_skew_stats",
+    "l_diversity_orders",
+    "readability_docs",
 ]
 
 

@@ -401,8 +401,65 @@ SELECT n_rows, CAST(s % {CHECKSUM_MOD} AS BIGINT) AS checksum FROM s
 """
 
 
+LDIV_L = 2
+
+
+def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate — the companion k-anonymity misses:
+    a quasi-identifier class can hold ≥ k rows yet still leak the
+    sensitive attribute if every row in it shares one value (the
+    homogeneity attack: "all five orders that day at that priority
+    were cancelled"). Same QI tuple as ``k_anonymity_orders``
+    (priority, exact order date); sensitive attribute =
+    ``o_orderstatus``; a class violates when it has fewer than
+    ``LDIV_L`` distinct statuses.
+
+    Shape: one aggregate to the class table computing per-class size
+    AND exact distinct-sensitive count in the same pass (count
+    distinct inside group-by — Spark expands, still partial-agg'd),
+    then a one-row rollup; violation share is integer ppm (DIV,
+    exact). Cost at 100 TB identical to the k-anonymity probe."""
+    orders = load_table(spark, sf_dir, "orders")
+    classes = (orders.groupBy(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_day"))
+        .agg(F.count("*").alias("n"),
+             F.countDistinct("o_orderstatus").alias("l")))
+    bad = F.col("l") < LDIV_L
+    return (classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_homog_classes"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(bad, F.col("n")).otherwise(0)).alias("n_homog_rows"),
+        F.min("l").alias("min_diversity"))
+        .select("n_classes", "n_homog_classes", "n_rows", "n_homog_rows",
+                "min_diversity",
+                F.expr("n_homog_rows * 1000000 DIV n_rows")
+                .alias("homog_ppm")))
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH classes AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS VARCHAR) AS o_day,
+         COUNT(*) AS n, COUNT(DISTINCT o_orderstatus) AS l
+  FROM orders GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN l < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_homog_classes,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l < {LDIV_L} THEN n ELSE 0 END) AS BIGINT)
+         AS n_homog_rows,
+       CAST(MIN(l) AS BIGINT) AS min_diversity,
+       CAST(SUM(CASE WHEN l < {LDIV_L} THEN n ELSE 0 END) * 1000000
+            // SUM(n) AS BIGINT) AS homog_ppm
+FROM classes
+"""
+
+
 REGISTRATIONS = [
     ("dq_check_orders_lineitem", dq_check_orders_lineitem, DQ_CHECK_ORACLE),
+    ("l_diversity_orders", l_diversity_orders, L_DIVERSITY_ORACLE),
     ("winsorize_prices", winsorize_prices, WINSORIZE_ORACLE),
     ("mad_outlier_orders", mad_outlier_orders, MAD_OUTLIER_ORACLE),
     ("benford_orders", benford_orders, BENFORD_ORACLE),

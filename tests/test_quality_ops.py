@@ -225,3 +225,51 @@ def test_curriculum_phases_are_balanced_and_ordered(spark):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         for lo, hi in zip(rs, rs[1:]):
             assert lo.max_score <= hi.min_score, (lang, lo, hi)
+
+
+def test_l_diversity_consistent_with_class_table(spark):
+    """Rollup counters must re-derive from the explicit QI-class
+    relation, and a homogeneity-attack class is exactly one with
+    fewer than LDIV_L distinct statuses."""
+    from pyspark.sql import functions as F
+    from mapreduce_rust_spark.operators.dataquality import (
+        LDIV_L, l_diversity_orders)
+    from tests.conftest import SF_CORRECT
+    row = l_diversity_orders(spark, SF_CORRECT).collect()[0]
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    classes = (orders.groupBy("o_orderpriority", "o_orderdate")
+               .agg(F.count("*").alias("n"),
+                    F.countDistinct("o_orderstatus").alias("l"))
+               .collect())
+    assert row.n_classes == len(classes)
+    assert row.n_rows == sum(c.n for c in classes)
+    assert row.n_homog_classes == sum(1 for c in classes if c.l < LDIV_L)
+    assert row.n_homog_rows == sum(c.n for c in classes if c.l < LDIV_L)
+    assert row.min_diversity == min(c.l for c in classes) >= 1
+    assert row.homog_ppm == row.n_homog_rows * 10**6 // row.n_rows
+
+
+def test_readability_counts_match_python_regex(spark):
+    """Spark's regexp_count on the FRE patterns must agree with
+    Python re on real fixture text, and the FRE value must re-derive
+    from the emitted integer counters."""
+    import re
+    from pyspark.sql import functions as F
+    from mapreduce_rust_spark.llm.quality import readability_docs
+    from tests.conftest import SF_CORRECT
+    out = {r.doc_id: r for r in
+           readability_docs(spark, SF_CORRECT).collect()}
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .orderBy("doc_id").limit(25).collect())
+    for d in docs:
+        r = out[d.doc_id]
+        assert r.n_words == len([t for t in re.split(r"\s+", d.text) if t])
+        assert r.n_sentences == len(re.findall(r"[.!?]+", d.text))
+        assert r.n_syllables == len(re.findall(r"[aeiouyAEIOUY]+", d.text))
+        if r.n_words == 0:
+            assert r.flesch is None
+        else:
+            assert r.flesch == (206.835
+                                - 1.015 * (r.n_words
+                                           / max(r.n_sentences, 1))
+                                - 84.6 * (r.n_syllables / r.n_words))
