@@ -201,6 +201,14 @@ HEADLINE = [
     "key_skew_stats",
     "l_diversity_orders",
     "readability_docs",
+    # round 5 fifth crop: skyline frontier, per-node clustering
+    # coefficient, first-seen cumulative distinct, conformal
+    # intervals + Theil-Sen robust trend over the shared daily grid
+    "skyline_parts",
+    "clustering_coeff_parts",
+    "cumulative_distinct_users",
+    "conformal_interval_events",
+    "theil_sen_trend_events",
 ]
 
 

@@ -63,6 +63,33 @@ BROADCAST_EDGE_LIMIT = 5_000_000  # ~80 MB packed; same gate idea as
                                   # llm/pipeline's union-find threshold
 
 
+def _orient(edges: DataFrame) -> DataFrame:
+    """Degree-orient distinct (u < v) edges: src = endpoint with the
+    smaller (degree, id) — a total order, so orientation is acyclic
+    and out-degrees are O(√m) (module docstring). Materialized
+    (localCheckpoint): every caller reads it from ≥2 plan branches,
+    and without materialization Catalyst re-executes the degree join
+    once per alias."""
+    deg = (edges.select(F.col("u").alias("n"))
+           .unionAll(edges.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    du, dv = deg.alias("du"), deg.alias("dv")
+    return (edges
+            .join(du, F.col("u") == F.col("du.n"))
+            .join(dv, F.col("v") == F.col("dv.n"))
+            .select(
+                F.when((F.col("du.d") < F.col("dv.d"))
+                       | ((F.col("du.d") == F.col("dv.d"))
+                          & (F.col("u") < F.col("v"))),
+                       F.struct(F.col("u").alias("s"),
+                                F.col("v").alias("t")))
+                 .otherwise(F.struct(F.col("v").alias("s"),
+                                     F.col("u").alias("t")))
+                 .alias("e"))
+            .select("e.s", "e.t")
+            .localCheckpoint(eager=True))
+
+
 def triangle_count(edges: DataFrame,
                    n_edges: int | None = None) -> DataFrame:
     """Global triangle count of an undirected graph given as distinct
@@ -75,28 +102,7 @@ def triangle_count(edges: DataFrame,
     size-gated choice the near-dup clustering makes between
     driver-side union-find and distributed pointer jumping. Above the
     gate (a 100 TB graph), both sides shuffle-join on (a, b)."""
-    deg = (edges.select(F.col("u").alias("n"))
-           .unionAll(edges.select(F.col("v").alias("n")))
-           .groupBy("n").agg(F.count("*").alias("d")))
-    # orient: src = endpoint with smaller (degree, id) — total order,
-    # so orientation is acyclic and out-degrees are O(sqrt(m))
-    du, dv = deg.alias("du"), deg.alias("dv")
-    oriented = (edges
-                .join(du, F.col("u") == F.col("du.n"))
-                .join(dv, F.col("v") == F.col("dv.n"))
-                .select(
-                    F.when((F.col("du.d") < F.col("dv.d"))
-                           | ((F.col("du.d") == F.col("dv.d"))
-                              & (F.col("u") < F.col("v"))),
-                           F.struct(F.col("u").alias("s"),
-                                    F.col("v").alias("t")))
-                     .otherwise(F.struct(F.col("v").alias("s"),
-                                         F.col("u").alias("t")))
-                     .alias("e"))
-                .select("e.s", "e.t")
-                # both wedge sides read this; without materialization
-                # Catalyst re-executes the degree join once per alias
-                .localCheckpoint(eager=True))
+    oriented = _orient(edges)
     if n_edges is not None and n_edges < BROADCAST_EDGE_LIMIT:
         # FAST PATH (size-gated): edge-iterator with adjacency-set
         # intersection. A triangle a<b<c (orientation order) has
@@ -249,6 +255,106 @@ FROM deg GROUP BY degree
 """
 
 
+def triangle_corners(edges: DataFrame,
+                     n_edges: int | None = None) -> DataFrame:
+    """One row per (triangle, corner node) — column ``n`` — for
+    distinct (u < v) edges. Per-node twin of :func:`triangle_count`:
+    the same degree orientation and the same size gate, but instead
+    of counting closures it EMITS each triangle's three corners
+    (below the gate the third corner comes from exploding the
+    adjacency intersection; above it, from the wedge-closure join).
+    Every triangle yields exactly 3 rows, once each."""
+    oriented = _orient(edges)
+    if n_edges is not None and n_edges < BROADCAST_EDGE_LIMIT:
+        adj = (oriented.groupBy(F.col("s").alias("n"))
+               .agg(F.array_sort(F.collect_list("t")).alias("nbrs")))
+        sa, ta = adj.alias("sa"), adj.alias("ta")
+        tri = (oriented
+               .join(F.broadcast(sa), F.col("s") == F.col("sa.n"))
+               .join(F.broadcast(ta), F.col("t") == F.col("ta.n"))
+               .select("s", "t",
+                       F.explode(F.array_intersect(
+                           F.col("sa.nbrs"), F.col("ta.nbrs")))
+                        .alias("c")))
+    else:
+        w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+        wedges = (w1.join(w2, (F.col("w1.s") == F.col("w2.s"))
+                          & (F.col("w1.t") < F.col("w2.t")))
+                    .select(F.col("w1.s").alias("s"),
+                            F.col("w1.t").alias("a"),
+                            F.col("w2.t").alias("b")))
+        tri = (wedges.join(edges, (F.col("a") == F.col("u"))
+                           & (F.col("b") == F.col("v")))
+                     .select("s", F.col("a").alias("t"),
+                             F.col("b").alias("c")))
+    return tri.select(F.explode(F.array("s", "t", "c")).alias("n"))
+
+
+def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part in the co-purchase
+    graph: lcc(n) = 2·tri(n) / (deg(n)·(deg(n)−1)) — what fraction of
+    a part's co-purchase neighbors are themselves co-purchased. The
+    per-node refinement of ``triangle_count_copurchase`` (Watts–
+    Strogatz); nodes with deg < 2 have no defined coefficient and are
+    excluded (the oracle applies the same predicate).
+
+    Scale: corner emission inherits triangle_count's degree-oriented
+    O(m^1.5) bound and broadcast gate; the corner aggregate is a
+    partial-combinable count on node id. lcc is one IEEE division of
+    two exact BIGINTs — both engines divide the identical integers,
+    so the doubles are bit-equal.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=True)
+    n = edges.count()
+    ntri = (triangle_corners(edges, n_edges=n)
+            .groupBy("n").agg(F.count("*").alias("n_tri")))
+    deg = (edges.select(F.explode(F.array("u", "v")).alias("n"))
+           .groupBy("n").agg(F.count("*").alias("deg")))
+    return (deg.where(F.col("deg") >= 2)
+            .join(ntri, "n", "left")
+            .select(F.col("n").alias("p_partkey"),
+                    F.col("deg").cast("long").alias("deg"),
+                    F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+                     .alias("n_tri"),
+                    ((F.coalesce(F.col("n_tri"), F.lit(0)) * 2)
+                     .cast("double")
+                     / (F.col("deg") * (F.col("deg") - 1)).cast("double"))
+                    .alias("lcc")))
+
+
+CLUSTERING_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+ntri AS (SELECT n, COUNT(*) AS n_tri FROM corners GROUP BY n),
+deg AS (
+  SELECT n, COUNT(*) AS deg
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY n
+)
+SELECT d.n AS p_partkey,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(COALESCE(t.n_tri, 0) * 2 AS DOUBLE)
+         / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS lcc
+FROM deg d LEFT JOIN ntri t ON t.n = d.n
+WHERE d.deg >= 2
+"""
+
+
 LABELPROP_ROUNDS = 3
 
 
@@ -327,4 +433,5 @@ REGISTRATIONS = [
     ("reachable_parts_2hop", reachable_parts_2hop, REACHABLE_SQL),
     ("copurchase_degree_hist", copurchase_degree_hist, DEGREE_HIST_ORACLE),
     ("labelprop_components", labelprop_components, LABELPROP_ORACLE),
+    ("clustering_coeff_parts", clustering_coeff_parts, CLUSTERING_ORACLE),
 ]

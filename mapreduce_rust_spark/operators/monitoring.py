@@ -591,6 +591,33 @@ FROM agg
 FORECAST_LAG_DAYS = 7
 
 
+def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled per-(event_type, day-index) cent-volume grid —
+    the shared alignment step of the forecasting family
+    (forecast_backtest / conformal interval / Theil–Sen). Day index
+    is days since 2024-01-01 (the lagged_corr convention); missing
+    days become real zeros. Carries the observed range (d0, d1) on
+    every row so callers can split without re-aggregating. Scale:
+    the day-grain collapse is the only pass over event rows;
+    everything downstream is metadata-sized (types × days)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.datediff(F.to_date("ts"),
+                             F.lit("2024-01-01").cast("date"))
+                   .cast("long").alias("d"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    daily = (ev.groupBy("event_type", "d").agg(F.sum("vc").alias("sc"))
+             .localCheckpoint(eager=True))
+    rng = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (daily.select("event_type").distinct()
+            .crossJoin(F.broadcast(rng))
+            .select("event_type", "d0", "d1",
+                    F.explode(F.sequence("d0", "d1")).alias("d")))
+    return (grid.join(daily, ["event_type", "d"], "left")
+            .select("event_type", "d", "d0", "d1",
+                    F.coalesce("sc", F.lit(0)).alias("y")))
+
+
 def forecast_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest: predict each day's per-type
     cent volume with the value ``FORECAST_LAG_DAYS`` days earlier
@@ -604,22 +631,7 @@ def forecast_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio of two exact integer sums. Zero-filled day grid so missing
     days are real zeros (the lagged_corr alignment rule). Scale:
     day-grain collapse first; everything after is metadata-sized."""
-    ev = (load_table(spark, sf_dir, "events")
-          .select("event_type",
-                  F.datediff(F.to_date("ts"),
-                             F.lit("2024-01-01").cast("date"))
-                   .cast("long").alias("d"),
-                  F.round(F.col("value") * 100).cast("long").alias("vc")))
-    daily = (ev.groupBy("event_type", "d").agg(F.sum("vc").alias("sc"))
-             .localCheckpoint(eager=True))
-    rng = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    grid = (daily.select("event_type").distinct()
-            .crossJoin(F.broadcast(rng))
-            .select("event_type", F.explode(F.sequence("d0", "d1"))
-                    .alias("d")))
-    dense = (grid.join(daily, ["event_type", "d"], "left")
-             .select("event_type", "d",
-                     F.coalesce("sc", F.lit(0)).alias("y")))
+    dense = _dense_daily(spark, sf_dir).select("event_type", "d", "y")
     a, f = dense.alias("a"), dense.alias("f")
     j = (a.join(f, (F.col("a.event_type") == F.col("f.event_type"))
                 & (F.col("a.d") == F.col("f.d") + FORECAST_LAG_DAYS))
@@ -670,6 +682,214 @@ SELECT event_type, COUNT(*) AS n_days,
        CAST(SUM(ABS(actual - pred)) AS DOUBLE)
          / CAST(SUM(actual) AS DOUBLE) AS wape
 FROM j GROUP BY event_type
+"""
+
+
+# split-conformal parameters: α = 1/5 → nominal 80% intervals; the
+# conformal quantile is the ⌈(n+1)(1−α)⌉-th smallest calibration
+# residual (Vovk; Lei et al.) — exact integer order statistic, no
+# float quantile interpolation to disagree across engines.
+CONF_ALPHA_DEN = 5
+
+
+def conformal_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster: calibrate on the first half of the scorable day range
+    (per type: the ⌈(n_cal+1)·4/5⌉-th smallest |residual| in cents is
+    the 80% interval half-width), then report the EMPIRICAL coverage
+    of ``pred ± q`` on the held-out second half — the
+    distribution-free "how wide must the band be, and does it hold
+    up" readout that turns the backtest's MAE into a calibrated
+    interval. Degenerate calibration sets (k > n_cal, i.e. n_cal < 4)
+    emit NULL width and coverage on both engines.
+
+    Scale: everything after the shared day-grain collapse
+    (``_dense_daily``) is metadata-sized; the order statistic runs as
+    a row_number window over ≤ types × days summary rows, and the
+    oracle derives the same quantile NON-procedurally (min residual
+    whose ≤-count reaches k) as the decomposition proof.
+
+    Output: ``(event_type, n_cal, q_cents, n_test, coverage)``.
+    """
+    # integer midpoint split — DIV, not float-divide-then-cast (the
+    # trunc-vs-floor trap closed in the round-4 ADVICE items)
+    dense = (_dense_daily(spark, sf_dir)
+             .withColumn("ds", F.expr("d0 + (d1 - d0) DIV 2")))
+    a, f = dense.alias("a"), dense.alias("f")
+    scored = (a.join(f, (F.col("a.event_type") == F.col("f.event_type"))
+                    & (F.col("a.d") == F.col("f.d") + FORECAST_LAG_DAYS))
+              .select(F.col("a.event_type").alias("event_type"),
+                      F.col("a.d").alias("d"), F.col("a.ds").alias("ds"),
+                      F.abs(F.col("a.y") - F.col("f.y")).alias("r"))
+              .localCheckpoint(eager=True))
+    cal = scored.where(F.col("d") < F.col("ds"))
+    tst = scored.where(F.col("d") >= F.col("ds"))
+    nk = (cal.groupBy("event_type")
+          .agg(F.count("*").alias("n_cal"))
+          .withColumn("k", F.expr(
+              f"((n_cal + 1) * {CONF_ALPHA_DEN - 1}"
+              f" + {CONF_ALPHA_DEN - 1}) DIV {CONF_ALPHA_DEN}")))
+    wq = W.partitionBy("event_type").orderBy("r", "d")
+    q = (cal.withColumn("_rn", F.row_number().over(wq))
+         .join(F.broadcast(nk), "event_type")
+         .where(F.col("_rn") == F.col("k"))
+         .select("event_type", F.col("r").alias("q")))
+    cov = (tst.join(F.broadcast(q), "event_type", "left")
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n_test"),
+                F.sum(F.when(F.col("r") <= F.col("q"), 1).otherwise(0))
+                 .alias("n_cov")))
+    return (nk.join(q, "event_type", "left")
+            .join(cov, "event_type", "left")
+            .select("event_type", "n_cal",
+                    F.col("q").cast("long").alias("q_cents"),
+                    F.col("n_test").cast("long").alias("n_test"),
+                    F.when(F.col("q").isNotNull(),
+                           F.col("n_cov").cast("double")
+                           / F.col("n_test").cast("double"))
+                     .alias("coverage")))
+
+
+_DENSE_DAILY_SQL = f"""
+ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+daily AS (SELECT event_type, d, SUM(vc) AS sc FROM ev GROUP BY 1, 2),
+rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+grid AS (
+  SELECT t.event_type, r.d0, r.d1, g.d
+  FROM (SELECT DISTINCT event_type FROM daily) t,
+       rng r,
+       (SELECT UNNEST(range(d0, d1 + 1)) AS d FROM rng) g
+),
+dense AS (
+  SELECT g.event_type, g.d, g.d0, g.d1, COALESCE(daily.sc, 0) AS y
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+)"""
+
+
+CONFORMAL_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+scored AS (
+  SELECT a.event_type, a.d,
+         a.d0 + (a.d1 - a.d0) // 2 AS ds,
+         ABS(a.y - f.y) AS r
+  FROM dense a JOIN dense f
+    ON a.event_type = f.event_type
+   AND a.d = f.d + {FORECAST_LAG_DAYS}
+),
+cal AS (SELECT * FROM scored WHERE d < ds),
+tst AS (SELECT * FROM scored WHERE d >= ds),
+nk AS (
+  SELECT event_type, COUNT(*) AS n_cal,
+         ((COUNT(*) + 1) * {CONF_ALPHA_DEN - 1} + {CONF_ALPHA_DEN - 1})
+           // {CONF_ALPHA_DEN} AS k
+  FROM cal GROUP BY 1
+),
+q AS (
+  SELECT c.event_type, MIN(c.r) AS q
+  FROM (SELECT c1.event_type, c1.r,
+               (SELECT COUNT(*) FROM cal b
+                WHERE b.event_type = c1.event_type AND b.r <= c1.r) AS cle
+        FROM cal c1) c
+  JOIN nk ON nk.event_type = c.event_type
+  WHERE c.cle >= nk.k
+  GROUP BY 1
+),
+cov AS (
+  SELECT t.event_type, COUNT(*) AS n_test,
+         SUM(CASE WHEN t.r <= q.q THEN 1 ELSE 0 END) AS n_cov
+  FROM tst t LEFT JOIN q ON q.event_type = t.event_type
+  GROUP BY 1
+)
+SELECT nk.event_type, nk.n_cal,
+       CAST(q.q AS BIGINT) AS q_cents,
+       CAST(cov.n_test AS BIGINT) AS n_test,
+       CASE WHEN q.q IS NOT NULL
+            THEN CAST(cov.n_cov AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+       END AS coverage
+FROM nk
+LEFT JOIN q ON q.event_type = nk.event_type
+LEFT JOIN cov ON cov.event_type = nk.event_type
+"""
+
+
+def theil_sen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the (lower) median of
+    all pairwise slopes (y_j − y_i)/(d_j − d_i) over the zero-filled
+    daily grid — the estimator that shrugs off the outlier days that
+    drag ``trend_ols_events``' least-squares line (29% breakdown
+    point vs 0%). Median = the ⌈m/2⌉-th smallest slope (lower median
+    — an order STATISTIC, not the two-middle average, so no float
+    addition enters the selection).
+
+    Slopes are IEEE divisions of exact integer (Δcents, Δdays) —
+    both engines divide identical integers, so the slope multiset
+    and its order statistics are bit-equal. Scale: pairs are built
+    from the day-grain summary (m = C(days, 2) per type — bounded by
+    the calendar², never by event count); the selection window runs
+    over pair summaries only. The oracle derives the median
+    non-procedurally (min slope whose ≤-count reaches k).
+
+    Output: ``(event_type, n_days, n_pairs, sen_slope)``.
+    """
+    dense = (_dense_daily(spark, sf_dir)
+             .select("event_type", "d", "y").localCheckpoint(eager=True))
+    a, b = dense.alias("a"), dense.alias("b")
+    pairs = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("a.d") < F.col("b.d")))
+             .select(F.col("a.event_type").alias("event_type"),
+                     F.col("a.d").alias("di"), F.col("b.d").alias("dj"),
+                     ((F.col("b.y") - F.col("a.y")).cast("double")
+                      / (F.col("b.d") - F.col("a.d")).cast("double"))
+                     .alias("slope")))
+    nk = (pairs.groupBy("event_type")
+          .agg(F.count("*").alias("n_pairs"))
+          .withColumn("k", F.expr("(n_pairs + 1) DIV 2")))
+    ws = W.partitionBy("event_type").orderBy("slope", "di", "dj")
+    sen = (pairs.withColumn("_rn", F.row_number().over(ws))
+           .join(F.broadcast(nk), "event_type")
+           .where(F.col("_rn") == F.col("k"))
+           .select("event_type", "n_pairs", F.col("slope").alias("sen_slope")))
+    nd = dense.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return (nd.join(sen, "event_type")
+            .select("event_type", F.col("n_days").cast("long").alias("n_days"),
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    "sen_slope"))
+
+
+THEIL_SEN_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM dense a JOIN dense b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+nk AS (
+  SELECT event_type, COUNT(*) AS n_pairs, (COUNT(*) + 1) // 2 AS k
+  FROM pairs GROUP BY 1
+),
+sen AS (
+  SELECT p.event_type, MIN(p.slope) AS sen_slope
+  FROM (SELECT c.event_type, c.slope,
+               (SELECT COUNT(*) FROM pairs b
+                WHERE b.event_type = c.event_type
+                  AND b.slope <= c.slope) AS cle
+        FROM pairs c) p
+  JOIN nk ON nk.event_type = p.event_type
+  WHERE p.cle >= nk.k
+  GROUP BY 1
+),
+nd AS (SELECT event_type, COUNT(*) AS n_days FROM dense GROUP BY 1)
+SELECT nd.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(nk.n_pairs AS BIGINT) AS n_pairs, sen.sen_slope
+FROM nd JOIN nk USING (event_type) JOIN sen USING (event_type)
 """
 
 
@@ -854,5 +1074,8 @@ REGISTRATIONS = [
     ("lagged_corr_events", lagged_corr_events, LAGGED_CORR_ORACLE),
     ("forecast_backtest_events", forecast_backtest_events,
      FORECAST_BACKTEST_ORACLE),
+    ("conformal_interval_events", conformal_interval_events,
+     CONFORMAL_ORACLE),
+    ("theil_sen_trend_events", theil_sen_trend_events, THEIL_SEN_ORACLE),
     ("chisq_cells_events", chisq_cells_events, CHISQ_ORACLE),
 ]

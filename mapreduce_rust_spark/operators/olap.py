@@ -538,6 +538,51 @@ GROUP BY gday
 """
 
 
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type per day — the
+    "lifetime audience" curve. COUNT(DISTINCT) over a growing window
+    isn't a window function in either engine; the exact scalable form
+    is the FIRST-SEEN decomposition: a user contributes to the
+    cumulative count from their first-seen day onward, so
+
+        cum(type, d) = Σ_{d' ≤ d} |{users whose min day = d'}|
+
+    One shuffle for the (type, user) min-day aggregate (partial-
+    combinable), one tiny prefix-sum window over the (type, day)
+    SUMMARY grid (≤ types × days rows), never over event rows — the
+    same summary-window discipline as scalable_rank / CUSUM. The
+    naive correlated-subquery oracle is the decomposition proof.
+
+    Output: ``(event_type, day, cum_users)`` for every observed
+    (type, day)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day"))
+    grid = ev.select("event_type", "day").distinct()
+    news = (ev.groupBy("event_type", "user_id")
+            .agg(F.min("day").alias("fday"))
+            .groupBy("event_type", F.col("fday").alias("day"))
+            .agg(F.count("*").alias("n_new")))
+    w = (W.partitionBy("event_type").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (grid.join(news, ["event_type", "day"], "left")
+            .withColumn("cum_users",
+                        F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w))
+            .select("event_type", F.col("day").cast("string").alias("day"),
+                    F.col("cum_users").cast("long").alias("cum_users")))
+
+
+CUMDIST_ORACLE = """
+WITH td AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CAST((SELECT COUNT(DISTINCT e2.user_id) FROM events e2
+             WHERE e2.event_type = td.event_type
+               AND CAST(e2.ts AS DATE) <= td.day) AS BIGINT) AS cum_users
+FROM td
+"""
+
+
 ASSOC_ITEM_MIN = 5    # Apriori item-support floor (a pair can't be
                       # frequent unless both items are)
 ASSOC_PAIR_MIN = 3    # pair-support floor
@@ -1016,6 +1061,75 @@ FROM w
 """
 
 
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of ``part`` minimizing
+    (retail price, size): the parts no other part beats on both
+    dimensions (≤ on both, < on at least one). The classic research
+    operator Spark has no primitive for (Börzsönyi et al., ICDE'01);
+    the sort-filter-skyline algorithm collapses to pure window
+    algebra in 2-D:
+
+        dominated(p)  ⇔  min size over price < p  ≤  size(p)
+                      OR  min size over price ≤ p  <  size(p)
+
+    (first clause: a strictly-cheaper part no bigger; second: a
+    no-pricier part strictly smaller — together exactly the ∃ with
+    one strict inequality; equal (price, size) twins dominate
+    neither way and both survive, matching the NOT EXISTS oracle).
+
+    Scale design: the two prefix-mins are NOT a global single-
+    partition window — prices sub-shard on an order-preserving $100
+    bucket (the scalable_rank decomposition, ranking.py): per-bucket
+    RANGE windows run in parallel and the cross-bucket carry-in is a
+    prefix-min over BUCKET SUMMARIES only (≤ price-range/100 rows,
+    broadcast back). One data shuffle on (bucket), one tiny summary
+    window. Prices compared on the exact cents grid.
+
+    Output: ``(p_partkey, price_cents, p_size)`` skyline rows.
+    """
+    p = (load_table(spark, sf_dir, "part")
+         .select("p_partkey",
+                 F.round(F.col("p_retailprice") * 100).cast("long")
+                  .alias("price_cents"),
+                 F.col("p_size").cast("long").alias("p_size"))
+         .withColumn("_b", F.col("price_cents") - F.col("price_cents") % 10000))
+    # cross-bucket carry-in: min size over all STRICTLY LOWER buckets
+    bmin = p.groupBy("_b").agg(F.min("p_size").alias("_bm"))
+    wb = W.partitionBy().orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    carry = bmin.select("_b", F.min("_bm").over(wb).alias("_pm"))
+    # within-bucket prefix mins on the exact cents axis (one window
+    # stage, two frames over the same (bucket ORDER BY price) sort)
+    wlt = (W.partitionBy("_b").orderBy("price_cents")
+           .rangeBetween(W.unboundedPreceding, -1))
+    wle = (W.partitionBy("_b").orderBy("price_cents")
+           .rangeBetween(W.unboundedPreceding, 0))
+    big = F.lit(1 << 62)
+    scored = (p.join(F.broadcast(carry), "_b")
+              .withColumn("_lt", F.least(F.coalesce(F.min("p_size").over(wlt), big),
+                                         F.coalesce(F.col("_pm"), big)))
+              .withColumn("_le", F.least(F.min("p_size").over(wle),
+                                         F.coalesce(F.col("_pm"), big))))
+    return (scored
+            .where(~((F.col("_lt") <= F.col("p_size"))
+                     | (F.col("_le") < F.col("p_size"))))
+            .select("p_partkey", "price_cents", "p_size"))
+
+
+SKYLINE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT p_partkey, price_cents, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))
+"""
+
+
 REGISTRATIONS = [
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
     ("funnel_timebound_events", funnel_timebound_events,
@@ -1037,4 +1151,7 @@ REGISTRATIONS = [
     ("attribution_last_touch", attribution_last_touch,
      ATTRIBUTION_ORACLE),
     ("profile_orders", profile_orders, PROFILE_ORACLE),
+    ("skyline_parts", skyline_parts, SKYLINE_ORACLE),
+    ("cumulative_distinct_users", cumulative_distinct_users,
+     CUMDIST_ORACLE),
 ]

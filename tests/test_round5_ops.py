@@ -778,3 +778,147 @@ def test_stream_ewma_twin_is_row_identical_to_batch(spark):
     twin = {r.user_id: (r.n_events, r.ewma)
             for r in stream_ewma_user_value(spark, SF_CORRECT).collect()}
     assert batch == twin
+
+
+# --- skyline_parts ----------------------------------------------------
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    """Every skyline row is undominated and every non-skyline part is
+    dominated by some part — the NOT EXISTS semantics recomputed
+    in-process over the full fixture."""
+    from mapreduce_rust_spark.operators.olap import skyline_parts
+    from mapreduce_rust_spark.tables import load_table
+    sky = skyline_parts(spark, SF_CORRECT).toPandas()
+    allp = (load_table(spark, SF_CORRECT, "part")
+            .select("p_partkey",
+                    F.round(F.col("p_retailprice") * 100).cast("long")
+                     .alias("price_cents"),
+                    F.col("p_size").cast("long").alias("p_size"))
+            .toPandas())
+    pts = list(allp[["price_cents", "p_size"]].itertuples(index=False))
+
+    def dominated(p, s):
+        return any((bp <= p and bs <= s) and (bp < p or bs < s)
+                   for bp, bs in pts)
+
+    sky_keys = set(sky["p_partkey"])
+    for r in allp.itertuples(index=False):
+        assert (r.p_partkey in sky_keys) == (
+            not dominated(r.price_cents, r.p_size))
+    # 2-D frontier is a strict staircase: sorted by price, sizes
+    # strictly decrease except among exact (price, size) twins
+    srt = sky.sort_values(["price_cents", "p_size"]).drop_duplicates(
+        ["price_cents", "p_size"])
+    sizes = list(srt["p_size"])
+    assert all(a > b for a, b in zip(sizes, sizes[1:]))
+
+
+# --- clustering_coeff_parts -------------------------------------------
+
+def test_clustering_coeff_consistency(spark):
+    """Corner totals tie back to the global triangle count (×3), the
+    coefficient stays in [0, 1], and a hand-checked node matches a
+    pandas recomputation of its neighborhood density."""
+    from mapreduce_rust_spark.operators.graph import (
+        clustering_coeff_parts, copurchase_edges, triangle_count)
+    from mapreduce_rust_spark.tables import load_table
+    lcc = clustering_coeff_parts(spark, SF_CORRECT).toPandas()
+    assert ((lcc["lcc"] >= 0) & (lcc["lcc"] <= 1.0)).all()
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=True)
+    n = edges.count()
+    glob = triangle_count(edges, n_edges=n).collect()[0]["n_triangles"]
+    assert int(lcc["n_tri"].sum()) == 3 * glob
+    # recompute one mid-degree node's lcc from the raw edge list
+    ep = edges.toPandas()
+    nbrs: dict[int, set[int]] = {}
+    for r in ep.itertuples(index=False):
+        nbrs.setdefault(r.u, set()).add(r.v)
+        nbrs.setdefault(r.v, set()).add(r.u)
+    node = int(lcc.sort_values("deg").iloc[len(lcc) // 2]["p_partkey"])
+    ns = nbrs[node]
+    tri = sum(1 for a in ns for b in ns
+              if a < b and b in nbrs.get(a, ()))
+    row = lcc[lcc["p_partkey"] == node].iloc[0]
+    assert int(row["deg"]) == len(ns) and int(row["n_tri"]) == tri
+
+
+# --- cumulative_distinct_users ----------------------------------------
+
+def test_cumulative_distinct_monotone_and_totals(spark):
+    from mapreduce_rust_spark.operators.olap import cumulative_distinct_users
+    from mapreduce_rust_spark.tables import load_table
+    cum = cumulative_distinct_users(spark, SF_CORRECT).toPandas()
+    ev = (load_table(spark, SF_CORRECT, "events")
+          .groupBy("event_type")
+          .agg(F.countDistinct("user_id").alias("n"))
+          .toPandas().set_index("event_type")["n"])
+    for t, g in cum.groupby("event_type"):
+        vals = list(g.sort_values("day")["cum_users"])
+        assert all(a <= b for a, b in zip(vals, vals[1:]))
+        assert vals[-1] == ev[t]   # last day has seen every user
+
+
+# --- conformal_interval_events ----------------------------------------
+
+def test_conformal_quantile_is_kth_residual(spark):
+    """q_cents is exactly the ⌈(n+1)·0.8⌉-th smallest calibration
+    residual and the reported coverage matches a pandas replay of the
+    held-out half."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        FORECAST_LAG_DAYS, _dense_daily, conformal_interval_events)
+    out = conformal_interval_events(spark, SF_CORRECT).toPandas()
+    assert len(out) and out["coverage"].between(0, 1).all()
+    dense = _dense_daily(spark, SF_CORRECT).toPandas()
+    for r in out.itertuples(index=False):
+        g = (dense[dense["event_type"] == r.event_type]
+             .sort_values("d").reset_index(drop=True))
+        ds = int(g["d0"][0] + (g["d1"][0] - g["d0"][0]) // 2)
+        y = g.set_index("d")["y"]
+        resid = {int(d): abs(int(y[d]) - int(y[d - FORECAST_LAG_DAYS]))
+                 for d in y.index if d - FORECAST_LAG_DAYS in y.index}
+        cal = sorted(v for d, v in resid.items() if d < ds)
+        k = ((len(cal) + 1) * 4 + 4) // 5
+        assert r.n_cal == len(cal) and r.q_cents == cal[k - 1]
+        tst = [v for d, v in resid.items() if d >= ds]
+        cov = sum(v <= r.q_cents for v in tst) / len(tst)
+        assert r.n_test == len(tst) and abs(r.coverage - cov) < 1e-15
+
+
+# --- theil_sen_trend_events -------------------------------------------
+
+def test_theil_sen_matches_numpy_lower_median(spark):
+    from mapreduce_rust_spark.operators.monitoring import (
+        _dense_daily, theil_sen_trend_events)
+    out = (theil_sen_trend_events(spark, SF_CORRECT).toPandas()
+           .set_index("event_type"))
+    dense = _dense_daily(spark, SF_CORRECT).toPandas()
+    for t, g in dense.groupby("event_type"):
+        ds = list(g.sort_values("d")["d"])
+        ys = list(g.sort_values("d")["y"])
+        slopes = sorted((ys[j] - ys[i]) / (ds[j] - ds[i])
+                        for i in range(len(ds)) for j in range(i + 1, len(ds)))
+        k = (len(slopes) + 1) // 2
+        r = out.loc[t]
+        assert r["n_pairs"] == len(slopes) and r["n_days"] == len(ds)
+        assert r["sen_slope"] == slopes[k - 1]
+
+
+def test_theil_sen_robust_to_planted_outlier(spark):
+    """The estimator's reason to exist: a single corrupted day swings
+    the OLS slope but leaves the Theil–Sen slope (near-)unchanged.
+    Build a 30-day synthetic series, corrupt one day by 1000×."""
+    import numpy as np
+    days = list(range(30))
+    clean = [(100 + 3 * d) for d in days]
+    dirty = list(clean)
+    dirty[28] = 100_000   # near the end: high leverage on OLS
+    def sen(ys):
+        slopes = sorted((ys[j] - ys[i]) / (j - i)
+                        for i in days for j in days if i < j)
+        return slopes[(len(slopes) + 1) // 2 - 1]
+    def ols(ys):
+        x = np.array(days, dtype=float); y = np.array(ys, dtype=float)
+        return float(np.polyfit(x, y, 1)[0])
+    assert abs(sen(dirty) - 3.0) < 0.5
+    assert abs(ols(dirty) - 3.0) > 100
