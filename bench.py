@@ -209,6 +209,12 @@ HEADLINE = [
     "cumulative_distinct_users",
     "conformal_interval_events",
     "theil_sen_trend_events",
+    "holt_user_value",
+    "stream_holt_user_value",
+    "embedding_covariance",
+    "embedding_pca_topk",
+    "hard_negatives",
+    "funnel_time_to_convert",
 ]
 
 

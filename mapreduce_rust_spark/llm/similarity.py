@@ -365,6 +365,178 @@ WHERE rank <= {CLUSTER_KW_TOP}
 """
 
 
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separable; the hardest ones sit just
+    across the decision boundary). Same broadcast-probe /
+    single-dot-fold plan as ``knn_bruteforce`` with the label
+    exclusion pushed into the candidate filter (evaluated before the
+    similarity, so excluded pairs never cost a fold). Same oracle
+    float-path caveat as knn_bruteforce: a future rank flip is a
+    near-tie, not a logic bug (adjacent-gap asserted in tests).
+
+    At 100 TB the probe set broadcasts and candidates stream; the
+    label filter thins the candidate stream by the label-mass of the
+    query's own class, and the IVF/LSH variants compose the same way
+    (mine within the probed cells only).
+
+    Output: ``(query_id, neighbor_id, neighbor_label, rank)``.
+    """
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", unit(F.col("e")).alias("en"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
+        F.col("en").alias("qe"))
+    cand = (F.broadcast(q)
+            .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                  F.col("label").alias("neighbor_label"),
+                                  F.col("en").alias("ne")))
+            .filter(F.col("qlabel") != F.col("neighbor_label"))
+            .withColumn("sim", dot(F.col("qe"), F.col("ne"))))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                          F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= K)
+                .select("query_id", "neighbor_id",
+                        F.col("neighbor_label").cast("long")
+                         .alias("neighbor_label"),
+                        F.col("rank").cast("long").alias("rank")))
+
+
+HARD_NEGATIVES_ORACLE = f"""
+SELECT query_id, neighbor_id, neighbor_label, rank FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(n.label AS BIGINT) AS neighbor_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           n.embedding::DOUBLE[]) DESC,
+                    n.vec_id) AS rank
+  FROM embeddings q JOIN embeddings n ON q.label <> n.label
+  WHERE q.vec_id < {N_QUERIES}
+)
+WHERE rank <= {K}
+"""
+
+
+COV_GRID = 1e4   # quantization grid for covariance sums: q ≤ ~5e3
+                 # per value, q² ≤ ~3e7 per product, so BIGINT sums
+                 # stay exact past 1e10 rows — the 100 TB embedding
+                 # corpus fits in int64 with no DECIMAL upgrade
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns on
+    the exact ``COV_GRID`` quantization grid — the sufficient
+    statistic behind PCA/whitening/feature-correlation diagnostics
+    of an embedding corpus, computed as ONE pass of exact integer
+    sums: per-row in-row pair products (d(d+1)/2 per row, in-row —
+    never a self-join over rows), then a partial-combinable groupBy
+    on (i, j) whose shuffle is d(d+1)/2 GROUPS regardless of corpus
+    size. cov = E[xy] − E[x]E[y] assembled from the integer sums in
+    one fixed IEEE DAG, identical on both engines.
+
+    Output: ``(i, j, n, sxy, cov)`` for i ≤ j (sxy = exact grid
+    product sum; cov unscaled back to data units).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.withColumn(
+        "q", F.transform("embedding",
+                         lambda v: F.bround(v.cast("double")
+                                            * F.lit(COV_GRID), 0)
+                                    .cast("long")))
+    # in-row upper triangle, q bound to a resolved attribute so HOF
+    # references are slot reads (the _ordered_pairs discipline)
+    qa = F.col("q")
+    pairs = F.flatten(F.transform(
+        qa, lambda x, i: F.transform(
+            F.slice(qa, i + 1, F.size(qa)),
+            lambda y, k: F.struct(i.alias("i"), (i + k).alias("j"),
+                                  (x * y).alias("p")))))
+    sxy = (q.select(F.explode(pairs).alias("e"))
+           .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+           .agg(F.sum("e.p").alias("sxy")))
+    sums = (q.select(F.posexplode("q").alias("dim", "qv"))
+            .groupBy("dim").agg(F.sum("qv").alias("sx")))
+    n = emb.agg(F.count("*").alias("n"))
+    si, sj = sums.alias("si"), sums.alias("sj")
+    nd = F.col("n").cast("double")
+    return (sxy.join(F.broadcast(si), F.col("i") == F.col("si.dim"))
+            .join(F.broadcast(sj), F.col("j") == F.col("sj.dim"))
+            .crossJoin(F.broadcast(n))
+            .select(F.col("i").cast("long").alias("i"),
+                    F.col("j").cast("long").alias("j"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("sxy").cast("long").alias("sxy"),
+                    ((F.col("sxy").cast("double") / nd
+                      - (F.col("si.sx").cast("double") / nd)
+                      * (F.col("sj.sx").cast("double") / nd))
+                     / F.lit(COV_GRID * COV_GRID)).alias("cov")))
+
+
+EMB_COV_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(round_even(CAST(u.v AS DOUBLE) * {COV_GRID:.0f}, 0)
+              AS BIGINT) AS qv
+  FROM embeddings,
+  LATERAL (SELECT embedding[i] AS v, i
+           FROM UNNEST(generate_series(1, len(embedding))) AS g(i)) u(v, i)
+),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+s AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS sx FROM q GROUP BY dim),
+p AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j, CAST(nn.n AS BIGINT) AS n, p.sxy,
+       (CAST(p.sxy AS DOUBLE) / CAST(nn.n AS DOUBLE)
+        - (CAST(si.sx AS DOUBLE) / CAST(nn.n AS DOUBLE))
+          * (CAST(sj.sx AS DOUBLE) / CAST(nn.n AS DOUBLE)))
+       / {COV_GRID * COV_GRID:.0f} AS cov
+FROM p
+JOIN s si ON si.dim = p.i
+JOIN s sj ON sj.dim = p.j
+CROSS JOIN nn
+"""
+
+
+PCA_TOP_K = 5
+
+
+def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PCA_TOP_K`` principal components of the embedding
+    corpus: the distributed part is exactly ``embedding_covariance``
+    (one pass, d(d+1)/2-group shuffle); the eigendecomposition runs
+    driver-side on the collected d×d matrix — d² floats, the same
+    bounded-collect pattern as kmeans' k×d centroids (a 64×64 eigh
+    is microseconds; no iteration ever touches the cluster). No SQL
+    oracle (eigenvectors aren't ANSI-expressible) — rows-only, with
+    a numpy-parity test pinning eigenvalues against a direct
+    ``np.cov`` of the full corpus.
+
+    Output: ``(component, eigenvalue, explained_ratio)`` — ratio is
+    over the FULL trace (all d eigenvalues), not just the top k.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    m = np.zeros((d, d))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = r["cov"]
+        m[r["j"], r["i"]] = r["cov"]
+    vals = np.linalg.eigvalsh(m)[::-1]        # descending
+    trace = float(vals.sum())
+    rows = [(k + 1, float(vals[k]), float(vals[k]) / trace)
+            for k in range(min(PCA_TOP_K, d))]
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, explained_ratio double")
+
+
 REGISTRATIONS = [
     ("knn_bruteforce", knn_bruteforce, KNN_BRUTEFORCE_ORACLE),
     ("cluster_keywords_embeddings", cluster_keywords_embeddings,
@@ -373,4 +545,7 @@ REGISTRATIONS = [
     ("knn_lsh", knn_lsh, None),  # approximate — recall-tested, rows-only check
     ("knn_ivf", knn_ivf, None),  # approximate — recall-tested, rows-only check
     ("knn_quantized", knn_quantized, KNN_QUANTIZED_ORACLE),
+    ("embedding_covariance", embedding_covariance, EMB_COV_ORACLE),
+    ("hard_negatives", hard_negatives, HARD_NEGATIVES_ORACLE),
+    ("embedding_pca_topk", embedding_pca_topk, None),  # eigh not SQL-expressible — numpy-parity-tested
 ]

@@ -19,12 +19,12 @@ from pyspark.sql import functions as F
 from mapreduce_rust_spark.tables import load_table
 
 
-def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel: view → later click → later purchase, per user,
-    reduced to stage-reach counts. Stage timestamps are chained
-    conditional MINs over per-user windows (one shuffle on user_id,
-    three window passes over the same partition — NOT three
-    self-joins). Timestamps compared in exact integer micros."""
+def _funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chained stage timestamps (t1=first view, t2=first
+    later click, t3=first later purchase) — the shared core of the
+    funnel family: chained conditional MINs over per-user windows
+    (one shuffle on user_id, three window passes over the same
+    partition — NOT three self-joins)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us"))
     w = W.partitionBy("user_id")
@@ -39,7 +39,16 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t3", F.min(F.when((F.col("event_type") == "purchase")
                            & (F.col("us") > F.col("t2")),
                            F.col("us"))).over(w))
-    per_user = s3.select("user_id", "t1", "t2", "t3").distinct()
+    return s3.select("user_id", "t1", "t2", "t3").distinct()
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → later click → later purchase, per user,
+    reduced to stage-reach counts. Stage timestamps are chained
+    conditional MINs over per-user windows (one shuffle on user_id,
+    three window passes over the same partition — NOT three
+    self-joins). Timestamps compared in exact integer micros."""
+    per_user = _funnel_user_stages(spark, sf_dir)
     return per_user.agg(
         F.count("*").alias("n_users"),
         F.count("t1").alias("n_viewed"),
@@ -61,6 +70,75 @@ SELECT COUNT(*) AS n_users,
        COUNT(t2) AS n_view_click,
        COUNT(t3) AS n_view_click_purchase
 FROM per_user
+"""
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time-to-convert per funnel step pair — the latency
+    readout that turns ``funnel_conversion_events``' reach counts
+    into "how long does the step take": for users who completed
+    view→click (and click→purchase), the lower-median whole-second
+    delay. Shares ``_funnel_user_stages``; the median is the
+    ⌈n/2⌉-th order statistic computed with ``ranking.scalable_rank``
+    (delays sub-shard on an hour bucket — no per-step-pair global
+    window ever sees user rows). Delays are exact integer seconds
+    (``DIV``, both engines); the oracle derives the same median
+    non-procedurally (min delay whose ≤-count reaches k).
+
+    Output: ``(step_pair, n_converted, median_seconds)``.
+    """
+    from mapreduce_rust_spark.operators.ranking import scalable_rank
+    pu = _funnel_user_stages(spark, sf_dir).localCheckpoint(eager=True)
+    d12 = (pu.where(F.col("t2").isNotNull())
+           .select(F.lit("view_click").alias("step_pair"), "user_id",
+                   F.expr("(t2 - t1) DIV 1000000").alias("secs")))
+    d23 = (pu.where(F.col("t3").isNotNull())
+           .select(F.lit("click_purchase").alias("step_pair"), "user_id",
+                   F.expr("(t3 - t2) DIV 1000000").alias("secs")))
+    d = d12.unionAll(d23).localCheckpoint(eager=True)
+    nk = (d.groupBy("step_pair").agg(F.count("*").alias("n_converted"))
+          .withColumn("k", F.expr("(n_converted + 1) DIV 2")))
+    ranked = scalable_rank(d, F.expr("secs DIV 3600"),
+                           ["secs", "user_id"], ["step_pair"])
+    return (ranked.join(F.broadcast(nk), "step_pair")
+            .where(F.col("r") == F.col("k"))
+            .select("step_pair",
+                    F.col("n_converted").cast("long").alias("n_converted"),
+                    F.col("secs").cast("long").alias("median_seconds")))
+
+
+FUNNEL_TTC_ORACLE = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                   OVER (PARTITION BY user_id) AS t1 FROM ev),
+s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+                   OVER (PARTITION BY user_id) AS t3 FROM s2),
+pu AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3),
+d AS (
+  SELECT 'view_click' AS step_pair, user_id, (t2 - t1) // 1000000 AS secs
+  FROM pu WHERE t2 IS NOT NULL
+  UNION ALL
+  SELECT 'click_purchase', user_id, (t3 - t2) // 1000000
+  FROM pu WHERE t3 IS NOT NULL
+),
+nk AS (SELECT step_pair, COUNT(*) AS n_converted,
+              (COUNT(*) + 1) // 2 AS k
+       FROM d GROUP BY 1),
+med AS (
+  SELECT x.step_pair, MIN(x.secs) AS median_seconds
+  FROM (SELECT a.step_pair, a.secs,
+               (SELECT COUNT(*) FROM d b
+                WHERE b.step_pair = a.step_pair AND b.secs <= a.secs) AS cle
+        FROM d a) x
+  JOIN nk USING (step_pair)
+  WHERE x.cle >= nk.k
+  GROUP BY 1
+)
+SELECT nk.step_pair, CAST(nk.n_converted AS BIGINT) AS n_converted,
+       CAST(med.median_seconds AS BIGINT) AS median_seconds
+FROM nk JOIN med USING (step_pair)
 """
 
 
@@ -1154,4 +1232,5 @@ REGISTRATIONS = [
     ("skyline_parts", skyline_parts, SKYLINE_ORACLE),
     ("cumulative_distinct_users", cumulative_distinct_users,
      CUMDIST_ORACLE),
+    ("funnel_time_to_convert", funnel_time_to_convert, FUNNEL_TTC_ORACLE),
 ]

@@ -361,10 +361,86 @@ FROM g
 """
 
 
+def holt_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (α = β = 1/2):
+    level + trend state over the (us, event_id)-ordered value stream,
+
+        l₁ = y₁, t₁ = 0
+        lᵢ = (yᵢ + (lᵢ₋₁ + tᵢ₋₁)) / 2
+        tᵢ = ((lᵢ − lᵢ₋₁) + tᵢ₋₁) / 2
+
+    — the trend-aware member of the order-sensitive kappa family
+    (EWMA tracks level only; Holt's one-step forecast l + t leads a
+    drifting series instead of lagging it). Same exactness argument
+    as ``ewma_user_value``: dyadic α/β make every update a single
+    IEEE add/divide both engines apply in the same order, so the
+    floats hash-match; the DuckDB oracle is a RECURSIVE CTE running
+    the identical expression DAG (a two-component accumulator is
+    where list_reduce stops working — its accumulator coerces to the
+    list element type — so recursion is the oracle's only faithful
+    form). Scale: one shuffle on user_id; in-row fold; state bounded
+    by per-human activity (same note as EWMA).
+
+    Output: ``(user_id, n_events, level, trend, forecast1)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.unix_micros("ts").alias("us"),
+                     "event_id",
+                     F.bround(F.col("value") * 100).cast("long").alias("vc"))
+    arr = F.sort_array(F.collect_list(F.struct("us", "event_id", "vc")))
+    g = base.groupBy("user_id").agg(arr.alias("arr"))
+    darr = F.transform("arr", lambda x: x["vc"].cast("double"))
+
+    def step(a, x):
+        # newl is repeated verbatim inside newt — same expression DAG
+        # as the oracle's recursive step (no let-binding in either)
+        newl = (x + (a["l"] + a["t"])) / F.lit(2.0)
+        newt = ((newl - a["l"]) + a["t"]) / F.lit(2.0)
+        return F.struct(newl.alias("l"), newt.alias("t"))
+
+    init = F.struct(F.element_at(darr, 1).alias("l"),
+                    F.lit(0.0).alias("t"))
+    acc = F.aggregate(F.slice(darr, 2, F.size(darr) - 1), init, step)
+    return g.select(
+        "user_id", F.size("arr").cast("long").alias("n_events"),
+        (acc["l"] / F.lit(100.0)).alias("level"),
+        (acc["t"] / F.lit(100.0)).alias("trend"),
+        ((acc["l"] + acc["t"]) / F.lit(100.0)).alias("forecast1"))
+
+
+HOLT_ORACLE = """
+WITH RECURSIVE b AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+),
+o AS (
+  SELECT user_id, CAST(vc AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS i
+  FROM b
+),
+n AS (SELECT user_id, COUNT(*) AS n FROM o GROUP BY 1),
+walk(user_id, i, l, t) AS (
+  SELECT user_id, i, y, CAST(0.0 AS DOUBLE) FROM o WHERE i = 1
+  UNION ALL
+  SELECT o.user_id, o.i,
+         (o.y + (w.l + w.t)) / 2.0,
+         ((((o.y + (w.l + w.t)) / 2.0) - w.l) + w.t) / 2.0
+  FROM walk w JOIN o ON o.user_id = w.user_id AND o.i = w.i + 1
+)
+SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
+       w.l / 100.0 AS level, w.t / 100.0 AS trend,
+       (w.l + w.t) / 100.0 AS forecast1
+FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
+"""
+
+
 REGISTRATIONS = [
     ("asof_last_error", asof_last_error, ASOF_ORACLE),
     ("decay_weighted_user_value", decay_weighted_user_value, DECAY_ORACLE),
     ("ewma_user_value", ewma_user_value, EWMA_ORACLE),
+    ("holt_user_value", holt_user_value, HOLT_ORACLE),
     ("asof_next_purchase", asof_next_purchase, ASOF_FWD_ORACLE),
     ("twa_user_value", twa_user_value, TWA_ORACLE),
     ("range_join_ship_near_order", range_join_ship_near_order,

@@ -287,6 +287,65 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("m.ewma").alias("ewma")))
 
 
+HOLT_OUT_SCHEMA = ("user_id long, n_events long, level double, "
+                   "trend double, forecast1 double")
+HOLT_STATE_SCHEMA = "n long, l double, t double"
+
+
+def _update_holt(key, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user Holt level+trend state (α = β = 1/2) carried across
+    micro-batches as (n, l, t). Python floats are IEEE doubles and
+    the update runs the identical op sequence as the batch op's JVM
+    fold and the oracle's recursive CTE, so all three stay
+    bit-identical under in-order batches."""
+    (user_id,) = key
+    n, l, t = state.get if state.exists else (0, 0.0, 0.0)
+    rows = []
+    for pdf in pdfs:
+        rows += list(zip((int(x) for x in pdf["us"]),
+                         (int(x) for x in pdf["event_id"]),
+                         (int(x) for x in pdf["vc"])))
+    rows.sort()
+    for _us, _eid, vc in rows:
+        if n == 0:
+            l, t = float(vc), 0.0
+        else:
+            newl = (float(vc) + (l + t)) / 2.0
+            t = ((newl - l) + t) / 2.0
+            l = newl
+        n += 1
+    state.update((n, l, t))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "level": [l / 100.0], "trend": [t / 100.0],
+                        "forecast1": [(l + t) / 100.0]})
+
+
+def stream_holt_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``temporal.holt_user_value`` — the
+    two-component member of the order-sensitive kappa class (EWMA
+    carries one scalar; Holt carries level AND trend, still O(1)
+    state per key). Emissions are per-batch cumulative; final row
+    per user = max n_events. Same recursive-CTE DuckDB oracle as
+    the batch op."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", F.unix_micros("ts").alias("us"), "event_id",
+                  F.bround(F.col("value") * 100).cast("long").alias("vc")))
+    updated = (ev.groupBy("user_id")
+                 .applyInPandasWithState(
+                     _update_holt, HOLT_OUT_SCHEMA, HOLT_STATE_SCHEMA,
+                     "update", GroupStateTimeout.NoTimeout))
+    out = _run_to_table(updated, "stream_holt", "update")
+    last = F.max(F.struct("n_events", "level", "trend", "forecast1")).alias("m")
+    return (out.groupBy("user_id").agg(last)
+               .select("user_id", F.col("m.n_events").alias("n_events"),
+                       F.col("m.level").alias("level"),
+                       F.col("m.trend").alias("trend"),
+                       F.col("m.forecast1").alias("forecast1")))
+
+
 MARKOV_OUT_SCHEMA = "from_type string, to_type string, n long"
 MARKOV_STATE_SCHEMA = "last_us long, last_eid long, last_type string"
 MARKOV_GAP_US = 1800 * 1_000_000   # sessionize/olap 30-min gap
@@ -410,7 +469,7 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from mapreduce_rust_spark.operators.monitoring import ZSCORE_ORACLE  # noqa: E402
 from mapreduce_rust_spark.operators.olap import ATTRIBUTION_ORACLE, MARKOV_ORACLE  # noqa: E402
-from mapreduce_rust_spark.operators.temporal import EWMA_ORACLE  # noqa: E402
+from mapreduce_rust_spark.operators.temporal import EWMA_ORACLE, HOLT_ORACLE  # noqa: E402
 
 REGISTRATIONS = [
     ("stateful_user_totals", stateful_user_totals, STATEFUL_ORACLE),
@@ -419,6 +478,7 @@ REGISTRATIONS = [
     # streaming twin of the batch operator — same oracle on purpose
     ("stream_zscore_anomaly", stream_zscore_anomaly, ZSCORE_ORACLE),
     ("stream_ewma_user_value", stream_ewma_user_value, EWMA_ORACLE),
+    ("stream_holt_user_value", stream_holt_user_value, HOLT_ORACLE),
     ("stream_markov_transitions", stream_markov_transitions, MARKOV_ORACLE),
     ("stream_attribution", stream_attribution, ATTRIBUTION_ORACLE),
 ]

@@ -922,3 +922,151 @@ def test_theil_sen_robust_to_planted_outlier(spark):
         return float(np.polyfit(x, y, 1)[0])
     assert abs(sen(dirty) - 3.0) < 0.5
     assert abs(ols(dirty) - 3.0) > 100
+
+
+# --- holt_user_value + stream twin ------------------------------------
+
+def test_stream_holt_twin_is_row_identical_to_batch(spark):
+    from mapreduce_rust_spark.operators.temporal import holt_user_value
+    from mapreduce_rust_spark.streaming.stateful import stream_holt_user_value
+    batch = {r["user_id"]: r for r in
+             holt_user_value(spark, SF_CORRECT).collect()}
+    stream = {r["user_id"]: r for r in
+              stream_holt_user_value(spark, SF_CORRECT).collect()}
+    assert set(batch) == set(stream)
+    for uid, b in batch.items():
+        s = stream[uid]
+        assert (b["n_events"], b["level"], b["trend"], b["forecast1"]) \
+            == (s["n_events"], s["level"], s["trend"], s["forecast1"])
+
+
+def test_holt_matches_python_replay(spark):
+    """Replay the recurrence in pure Python for every user and
+    require bit-identical doubles (the dyadic-α exactness claim)."""
+    from mapreduce_rust_spark.operators.temporal import holt_user_value
+    from mapreduce_rust_spark.tables import load_table
+    out = {r["user_id"]: r for r in
+           holt_user_value(spark, SF_CORRECT).collect()}
+    ev = (load_table(spark, SF_CORRECT, "events")
+          .select("user_id", F.unix_micros("ts").alias("us"), "event_id",
+                  F.bround(F.col("value") * 100).cast("long").alias("vc"))
+          .collect())
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["vc"]))
+    for uid, rows in per_user.items():
+        rows.sort()
+        l = t = None
+        for idx, (_u, _e, vc) in enumerate(rows):
+            if idx == 0:
+                l, t = float(vc), 0.0
+            else:
+                newl = (float(vc) + (l + t)) / 2.0
+                t = ((newl - l) + t) / 2.0
+                l = newl
+        r = out[uid]
+        assert r["n_events"] == len(rows)
+        assert r["level"] == l / 100.0 and r["trend"] == t / 100.0
+        assert r["forecast1"] == (l + t) / 100.0
+
+
+def test_holt_tracks_linear_trend():
+    """On y_i = a + b·i the fixed point of the α=β=1/2 recurrence is
+    level ≈ current value, trend ≈ b: the one-step forecast leads a
+    drifting series where EWMA lags it by design."""
+    l = t = None
+    b = 5.0
+    for i in range(200):
+        y = 100.0 + b * i
+        if l is None:
+            l, t = y, 0.0
+        else:
+            newl = (y + (l + t)) / 2.0
+            t = ((newl - l) + t) / 2.0
+            l = newl
+    assert abs(t - b) < 1e-6           # trend converges to the slope
+    assert abs((l + t) - (100.0 + b * 200)) < 1e-4   # forecast leads
+
+
+# --- embedding_covariance / embedding_pca_topk ------------------------
+
+def test_embedding_covariance_is_psd_and_matches_numpy(spark):
+    import numpy as np
+    from mapreduce_rust_spark.llm.similarity import (
+        COV_GRID, embedding_covariance, embedding_pca_topk)
+    from mapreduce_rust_spark.tables import load_table
+    cov = embedding_covariance(spark, SF_CORRECT).toPandas()
+    d = int(cov["j"].max()) + 1
+    assert len(cov) == d * (d + 1) // 2
+    m = np.zeros((d, d))
+    for r in cov.itertuples(index=False):
+        m[r.i, r.j] = m[r.j, r.i] = r.cov
+    assert (np.diag(m) >= 0).all()
+    assert np.linalg.eigvalsh(m).min() > -1e-9       # PSD
+    # numpy parity: same grid quantization, same assembly
+    E = np.array(load_table(spark, SF_CORRECT, "embeddings")
+                 .select("embedding").toPandas()["embedding"].tolist())
+    Q = np.round(E.astype(np.float64) * COV_GRID)
+    C = (Q.T @ Q / len(Q)
+         - np.outer(Q.mean(0), Q.mean(0))) / (COV_GRID * COV_GRID)
+    assert np.allclose(m, C, rtol=0, atol=1e-12)
+    pca = embedding_pca_topk(spark, SF_CORRECT).toPandas()
+    vals = np.linalg.eigvalsh(C)[::-1]
+    assert np.allclose(pca["eigenvalue"], vals[:5], rtol=1e-12)
+    ratios = list(pca["explained_ratio"])
+    assert all(a >= b for a, b in zip(ratios, ratios[1:]))
+    assert 0 < sum(ratios) <= 1.0
+
+
+# --- hard_negatives ---------------------------------------------------
+
+def test_hard_negatives_cross_label_and_gap(spark):
+    """Every mined negative carries a different label than its query,
+    ranks are the true cross-label cosine order (numpy recompute),
+    and rank-adjacent similarity gaps dwarf cross-engine ulp
+    divergence (the knn_bruteforce near-tie contract)."""
+    import numpy as np
+    from mapreduce_rust_spark.llm.similarity import (
+        K, N_QUERIES, _emb, hard_negatives)
+    out = hard_negatives(spark, SF_CORRECT).toPandas()
+    rows = _emb(spark, SF_CORRECT).collect()
+    labels = {r.vec_id: r.label for r in rows}
+    units = {r.vec_id: (lambda v: v / np.linalg.norm(v))(
+        np.asarray(r.e, dtype=np.float64)) for r in rows}
+    min_gap = float("inf")
+    for q in range(N_QUERIES):
+        g = out[out["query_id"] == q].sort_values("rank")
+        assert list(g["rank"]) == list(range(1, K + 1))
+        assert all(labels[n] != labels[q] for n in g["neighbor_id"])
+        scored = sorted(((float(units[q] @ u), -k) for k, u in units.items()
+                         if labels[k] != labels[q]), reverse=True)
+        expect = [-s[1] for s in scored[:K]]
+        assert list(g["neighbor_id"]) == expect
+        sims = [s[0] for s in scored[: K + 1]]
+        min_gap = min(min_gap, *(a - b for a, b in zip(sims, sims[1:])))
+    assert min_gap > 1e-9, f"near-tie at {min_gap}"
+
+
+# --- funnel_time_to_convert -------------------------------------------
+
+def test_funnel_ttc_consistent_with_funnel_counts(spark):
+    """n_converted per step pair must equal the reach counts the
+    funnel op reports, and the median is the lower median of a
+    pandas replay of the stage-delay multiset."""
+    from mapreduce_rust_spark.operators.olap import (
+        _funnel_user_stages, funnel_conversion_events,
+        funnel_time_to_convert)
+    ttc = {r["step_pair"]: r for r in
+           funnel_time_to_convert(spark, SF_CORRECT).collect()}
+    fun = funnel_conversion_events(spark, SF_CORRECT).collect()[0]
+    assert ttc["view_click"]["n_converted"] == fun["n_view_click"]
+    assert (ttc["click_purchase"]["n_converted"]
+            == fun["n_view_click_purchase"])
+    pu = _funnel_user_stages(spark, SF_CORRECT).toPandas()
+    for pair, a, b in [("view_click", "t1", "t2"),
+                       ("click_purchase", "t2", "t3")]:
+        d = pu.dropna(subset=[b])
+        secs = sorted((d[b].astype(int) - d[a].astype(int)) // 1_000_000)
+        k = (len(secs) + 1) // 2
+        assert ttc[pair]["median_seconds"] == secs[k - 1]
