@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -425,6 +427,47 @@ COV_GRID = 1e4   # quantization grid for covariance sums: q ≤ ~5e3
                  # per value, q² ≤ ~3e7 per product, so BIGINT sums
                  # stay exact past 1e10 rows — the 100 TB embedding
                  # corpus fits in int64 with no DECIMAL upgrade
+COV_INROW_DIM_LIMIT = 128   # above this, d(d+1)/2 structs PER ROW is
+                            # the in-row analogue of a hot key (d=512
+                            # → 131k structs/row); switch to the
+                            # per-Arrow-batch Gram path
+
+
+def _cov_pair_sums_inrow(q: DataFrame) -> DataFrame:
+    """Upper-triangle product sums via in-row pair explode — JVM-only,
+    right up to moderate d. ``q`` bound to a resolved attribute so
+    HOF references are slot reads (the _ordered_pairs discipline)."""
+    qa = F.col("q")
+    pairs = F.flatten(F.transform(
+        qa, lambda x, i: F.transform(
+            F.slice(qa, i + 1, F.size(qa)),
+            lambda y, k: F.struct(i.alias("i"), (i + k).alias("j"),
+                                  (x * y).alias("p")))))
+    return (q.select(F.explode(pairs).alias("e"))
+            .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+            .agg(F.sum("e.p").alias("sxy")))
+
+
+def _cov_pair_sums_blocked(q: DataFrame) -> DataFrame:
+    """Upper-triangle product sums via per-Arrow-batch integer Gram
+    matrices (``mapInPandas``): each ~10k-row batch contributes ONE
+    d(d+1)/2 partial (Qᵀ Q in int64 — exact), so the pre-shuffle
+    volume is (#batches)·d²/2, not (#rows)·d²/2 — a ~10⁴× reduction
+    at d = 512. Sums are integer in both paths, so the two are
+    bit-identical (asserted in tests) and either satisfies the same
+    oracle."""
+    def gram(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            G = Q.T @ Q
+            iu = np.triu_indices(G.shape[0])
+            yield pd.DataFrame({"i": iu[0], "j": iu[1], "p": G[iu]})
+
+    return (q.select("q").mapInPandas(gram, "i long, j long, p long")
+            .groupBy("i", "j").agg(F.sum("p").alias("sxy")))
 
 
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,17 +490,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                          lambda v: F.bround(v.cast("double")
                                             * F.lit(COV_GRID), 0)
                                     .cast("long")))
-    # in-row upper triangle, q bound to a resolved attribute so HOF
-    # references are slot reads (the _ordered_pairs discipline)
-    qa = F.col("q")
-    pairs = F.flatten(F.transform(
-        qa, lambda x, i: F.transform(
-            F.slice(qa, i + 1, F.size(qa)),
-            lambda y, k: F.struct(i.alias("i"), (i + k).alias("j"),
-                                  (x * y).alias("p")))))
-    sxy = (q.select(F.explode(pairs).alias("e"))
-           .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
-           .agg(F.sum("e.p").alias("sxy")))
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    sxy = (_cov_pair_sums_inrow(q) if dim <= COV_INROW_DIM_LIMIT
+           else _cov_pair_sums_blocked(q))
     sums = (q.select(F.posexplode("q").alias("dim", "qv"))
             .groupBy("dim").agg(F.sum("qv").alias("sx")))
     n = emb.agg(F.count("*").alias("n"))

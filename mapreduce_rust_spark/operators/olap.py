@@ -1139,6 +1139,9 @@ FROM w
 """
 
 
+SKYLINE_BUCKETS = 1024   # target sub-shard count for the price axis
+
+
 def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier) of ``part`` minimizing
     (retail price, size): the parts no other part beats on both
@@ -1156,21 +1159,31 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither way and both survive, matching the NOT EXISTS oracle).
 
     Scale design: the two prefix-mins are NOT a global single-
-    partition window — prices sub-shard on an order-preserving $100
+    partition window — prices sub-shard on an order-preserving
     bucket (the scalable_rank decomposition, ranking.py): per-bucket
     RANGE windows run in parallel and the cross-bucket carry-in is a
-    prefix-min over BUCKET SUMMARIES only (≤ price-range/100 rows,
-    broadcast back). One data shuffle on (bucket), one tiny summary
+    prefix-min over BUCKET SUMMARIES only (≤ SKYLINE_BUCKETS rows,
+    broadcast back). The bucket width ADAPTS to the observed price
+    range (one tiny min/max agg, broadcast) — a fixed width would
+    collapse to a single global window on any narrow-range
+    distribution, the same degenerate-key hazard the sessionize
+    decomposition guards. One data shuffle on (bucket), one summary
     window. Prices compared on the exact cents grid.
 
     Output: ``(p_partkey, price_cents, p_size)`` skyline rows.
     """
-    p = (load_table(spark, sf_dir, "part")
-         .select("p_partkey",
-                 F.round(F.col("p_retailprice") * 100).cast("long")
-                  .alias("price_cents"),
-                 F.col("p_size").cast("long").alias("p_size"))
-         .withColumn("_b", F.col("price_cents") - F.col("price_cents") % 10000))
+    base = (load_table(spark, sf_dir, "part")
+            .select("p_partkey",
+                    F.round(F.col("p_retailprice") * 100).cast("long")
+                     .alias("price_cents"),
+                    F.col("p_size").cast("long").alias("p_size")))
+    rng = base.agg(F.min("price_cents").alias("_lo"),
+                   F.max("price_cents").alias("_hi"))
+    p = (base.crossJoin(F.broadcast(rng))
+         .withColumn("_w", F.expr(
+             f"greatest(1L, (_hi - _lo + 1) DIV {SKYLINE_BUCKETS})"))
+         .withColumn("_b", F.expr("(price_cents - _lo) DIV _w"))
+         .drop("_lo", "_hi", "_w"))
     # cross-bucket carry-in: min size over all STRICTLY LOWER buckets
     bmin = p.groupBy("_b").agg(F.min("p_size").alias("_bm"))
     wb = W.partitionBy().orderBy("_b").rowsBetween(W.unboundedPreceding, -1)

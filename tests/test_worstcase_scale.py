@@ -314,3 +314,84 @@ def test_zscore_giant_type_day_partition(spark):
     assert n_scored == n - Z_MIN_N  # every event after cold-start scored
     assert out.where("is_anomaly").count() == 0  # flat stream: no alarms
     assert elapsed < 60, f"giant (type, day) window took {elapsed:.1f}s"
+
+
+# --- skyline: narrow-range price distribution -------------------------
+
+def test_skyline_bucket_adapts_to_narrow_range(spark):
+    """A fixed-width price bucket collapses the skyline's sub-shard
+    to ONE bucket whenever the whole corpus spans less than a bucket
+    (the degenerate-key hazard). The adaptive width must spread a
+    50-cent-wide distribution over many buckets AND still return the
+    exact frontier (brute-force recompute)."""
+    import pyspark.sql.functions as F
+    from mapreduce_rust_spark.operators.olap import SKYLINE_BUCKETS
+    n = 200_000
+    # prices all within [100000, 100049] cents; sizes 1..50
+    base = spark.range(n).select(
+        F.col("id").alias("p_partkey"),
+        ((F.col("id") * 7919) % 50 + 100000).alias("price_cents"),
+        ((F.col("id") * 104729) % 50 + 1).cast("long").alias("p_size"))
+    rng = base.agg(F.min("price_cents").alias("_lo"),
+                   F.max("price_cents").alias("_hi"))
+    p = (base.crossJoin(F.broadcast(rng))
+         .withColumn("_w", F.expr(
+             f"greatest(1L, (_hi - _lo + 1) DIV {SKYLINE_BUCKETS})"))
+         .withColumn("_b", F.expr("(price_cents - _lo) DIV _w")))
+    n_buckets = p.select("_b").distinct().count()
+    assert n_buckets == 50   # one per distinct cent — NOT 1
+    # exact frontier via pandas on the 50x50 distinct value grid
+    pts = (base.select("price_cents", "p_size").distinct().toPandas())
+    frontier = set()
+    for r in pts.itertuples(index=False):
+        if not any((bp <= r.price_cents and bs <= r.p_size)
+                   and (bp < r.price_cents or bs < r.p_size)
+                   for bp, bs in pts.itertuples(index=False)):
+            frontier.add((r.price_cents, r.p_size))
+    # run the real operator logic over this frame by monkey-loading:
+    # replicate skyline body on `base` (the op reads the part table,
+    # so we inline the same plan here)
+    from pyspark.sql import Window as W
+    wb = W.partitionBy().orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    bmin = p.groupBy("_b").agg(F.min("p_size").alias("_bm"))
+    carry = bmin.select("_b", F.min("_bm").over(wb).alias("_pm"))
+    wlt = (W.partitionBy("_b").orderBy("price_cents")
+           .rangeBetween(W.unboundedPreceding, -1))
+    wle = (W.partitionBy("_b").orderBy("price_cents")
+           .rangeBetween(W.unboundedPreceding, 0))
+    big = F.lit(1 << 62)
+    scored = p \
+        .join(F.broadcast(carry), "_b") \
+        .withColumn("_lt", F.least(F.coalesce(F.min("p_size").over(wlt), big),
+                                   F.coalesce(F.col("_pm"), big))) \
+        .withColumn("_le", F.least(F.min("p_size").over(wle),
+                                   F.coalesce(F.col("_pm"), big)))
+    sky = (scored.where(~((F.col("_lt") <= F.col("p_size"))
+                          | (F.col("_le") < F.col("p_size"))))
+           .select("price_cents", "p_size").distinct().toPandas())
+    got = set(map(tuple, sky.values))
+    assert got == frontier
+
+
+# --- covariance: in-row vs blocked Gram path --------------------------
+
+def test_cov_blocked_path_bit_identical_to_inrow(spark):
+    """The mapInPandas Gram path (the d > COV_INROW_DIM_LIMIT form)
+    must produce the exact same integer product sums as the in-row
+    explode path — integer arithmetic both sides, so equality is
+    exact, and either path satisfies the same oracle."""
+    import pyspark.sql.functions as F
+    from mapreduce_rust_spark.llm.similarity import (
+        COV_GRID, _cov_pair_sums_blocked, _cov_pair_sums_inrow)
+    from mapreduce_rust_spark.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.withColumn(
+        "q", F.transform("embedding",
+                         lambda v: F.bround(v.cast("double")
+                                            * F.lit(COV_GRID), 0)
+                                    .cast("long")))
+    a = {(r["i"], r["j"]): r["sxy"]
+         for r in _cov_pair_sums_inrow(q).collect()}
+    b = {(r["i"], r["j"]): r["sxy"]
+         for r in _cov_pair_sums_blocked(q).collect()}
+    assert a == b and len(a) == 64 * 65 // 2
