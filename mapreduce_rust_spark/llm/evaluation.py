@@ -232,9 +232,11 @@ def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB, sub-shard its rank on the order-preserving score
     bucket exactly as ranking.scalable_rank does (the AUC above is
     that pattern in production). Metrics are integer counts plus
-    int÷int divisions; div-by-zero guarded to NULL on BOTH engines
-    (Spark non-ANSI NULL vs DuckDB IEEE inf — the ols_closed_form
-    lesson)."""
+    int÷int divisions; div-by-zero explicitly guarded to NULL on BOTH
+    engines — DuckDB double division by zero also yields NULL (not
+    IEEE inf), so the guard isn't a workaround, it just pins the
+    identical NULL semantics explicitly instead of relying on each
+    engine's default."""
     from mapreduce_rust_spark.llm.textanalysis import (
         BM25_B, BM25_K1, SEARCH_TERMS)
     docs = load_table(spark, sf_dir, "documents")

@@ -567,7 +567,10 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m[r["j"], r["i"]] = r["cov"]
     vals = np.linalg.eigvalsh(m)[::-1]        # descending
     trace = float(vals.sum())
-    rows = [(k + 1, float(vals[k]), float(vals[k]) / trace)
+    # All-constant (zero-variance) corpus: trace == 0, ratios undefined —
+    # emit 0.0 rather than divide by zero.
+    rows = [(k + 1, float(vals[k]),
+             float(vals[k]) / trace if trace != 0.0 else 0.0)
             for k in range(min(PCA_TOP_K, d))]
     return spark.createDataFrame(
         rows, "component long, eigenvalue double, explained_ratio double")

@@ -305,13 +305,18 @@ def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-digit distribution); observed share is integer ppm
     (c·1e6 div n — exact); expected ppm comes from the literal
     ``BENFORD_EXP_PPM`` table; the report is per-digit deviation in
-    ppm, all integers end to end. Scale: one partial+final aggregate
-    to ≤9 groups, then in-row arithmetic against a broadcast-literal
-    array — nothing after the scan touches more than 9 rows."""
+    ppm, all integers end to end. Non-positive amounts (zero/negative
+    cents) carry no Benford-comparable leading digit, so the screen
+    keeps only digit 1–9 — same guard in the oracle, which also keeps
+    ``element_at`` index-safe on any input table. Scale: one
+    partial+final aggregate to ≤9 groups, then in-row arithmetic
+    against a broadcast-literal array — nothing after the scan touches
+    more than 9 rows."""
     orders = load_table(spark, sf_dir, "orders")
     vc = F.bround(F.col("o_totalprice") * 100).cast("long")
     digit = F.substring(vc.cast("string"), 1, 1).cast("long")
     counts = (orders.select(digit.alias("digit"))
+              .where(F.col("digit").between(1, 9))
               .groupBy("digit").agg(F.count("*").alias("n_orders")))
     total = counts.agg(F.sum("n_orders").alias("n")).localCheckpoint()
     exp = F.element_at(F.array(*[F.lit(p) for p in BENFORD_EXP_PPM]),
@@ -333,7 +338,8 @@ WITH d AS (
                           AS VARCHAR), 1, 1) AS BIGINT) AS digit
   FROM orders
 ),
-c AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+c AS (SELECT digit, COUNT(*) AS n_orders FROM d
+      WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
 t AS (SELECT SUM(n_orders) AS n FROM c)
 SELECT digit, n_orders,
        CAST((n_orders * 1000000) // n AS BIGINT) AS obs_ppm,

@@ -394,8 +394,15 @@ def labelprop_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (closed
                   .join(labels.withColumnRenamed("node", "nbr"), "nbr")
                   .groupBy("node").agg(F.min("lbl").alias("lbl")))
-    return (labels.groupBy("lbl").agg(F.count("*").alias("n_nodes"))
-            .select(F.col("lbl").alias("component_min"), "n_nodes"))
+    out = (labels.groupBy("lbl").agg(F.count("*").alias("n_nodes"))
+           .select(F.col("lbl").alias("component_min"), "n_nodes")
+           # materialize the per-label counts (≤ #components rows) so the
+           # cached adjacency can be released before returning — without
+           # this, repeated invocations in one long session (bench
+           # min-of-N loops) accumulate cached blocks until LRU eviction
+           .localCheckpoint())
+    closed.unpersist()
+    return out
 
 
 def _labelprop_oracle() -> str:

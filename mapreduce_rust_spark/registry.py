@@ -41,45 +41,50 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-5 window (the round-4 window went 50/50 green — see COVERAGE.md):
-# the 30 oracled queries that have NEVER carried a driver row (the whole
-# round-4 operator crop plus the three old deferrals), the tumbling
-# streaming twin PAIR so the artifact shows batch and stream passing the
-# SAME oracle (trend/zscore twins are in the crop already), and 18 slots
-# re-proving the r1-proven relational core whose newest driver evidence
-# is three rounds stale.
+# Round-6 window (the round-5 window went 50/50 green — see COVERAGE.md):
+# 50 of the 62 oracled queries registered during round 5 that have NEVER
+# carried a driver row. Every order-sensitive streaming twin is scheduled
+# WITH its batch op (dow/chisq/ewma/markov/attribution/active-users/holt
+# pairs) so the artifact shows batch and stream passing the SAME DuckDB
+# oracle. The 12 deferrals (standalone, categories already driver-proven)
+# are queued for round 7 alongside the next-oldest stale re-proofs —
+# see COVERAGE.md "Queued for the round-7 window".
 DRIVER_WINDOW = [
-    # --- round-4 crop: substring spans, chunking, PPJoin, bloom ops ---
-    "dup_span_docs", "chunk_stride_docs", "ppjoin_jaccard_pairs",
-    "bloom_semijoin_revenue", "bloom_crawl_dedup",
-    # incremental view maintenance
-    "incremental_mv_orders",
-    # monitoring family + streaming twins (twin and batch op both in
-    # window: the twins pass the SAME DuckDB oracle as their batch op)
-    "zscore_anomaly_events", "stream_zscore_anomaly",
-    "trend_ols_events", "stream_trend_ols",
-    "cusum_changepoint_events", "tv_drift_sources", "interevent_gap_stats",
-    "tumbling_event_counts", "stream_tumbling_counts",
-    # mixture balancing / curriculum / quality classifier
-    "domain_mix_sample", "domain_upsample_docs", "quality_classifier_score",
-    "curriculum_phase_docs",
-    # similarity + multimodal remainder
-    "allknn_within_label", "multimodal_resize", "multimodal_dedup_payload",
-    # text analysis remainder
-    "normalize_text_docs", "dedup_normalized_docs", "event_trigrams",
-    "domain_keywords_docs", "boolean_search_docs", "bucket_pad_stats_docs",
-    # OLAP remainder
-    "funnel_timebound_events",
-    # old deferrals
-    "fuzzy_match_parts", "explode_outer_rare_tokens", "bpe_pair_counts",
-    # --- r1 relational core re-proof (newest evidence r2; 3 rounds stale) ---
-    "word_count", "word_count_sorted", "mr_word_count",
-    "filter_project", "q1_pricing_summary",
-    "join_revenue_by_nation", "join_left_order_counts", "join_semi_customers",
-    "join_anti_customers", "join_theta_qty_gt_size", "join_full_outer_nations",
-    "set_union_counts", "set_intersect_nations", "set_except_customers",
-    "window_topk_orders", "window_running_total", "window_lag_delta",
-    "window_rank_parts",
+    # --- seasonality / chi-square twins ---
+    "dow_seasonality_events", "stream_dow_profile",
+    "chisq_cells_events", "stream_chisq_cells",
+    # --- Markov transition twins + time-series surface ---
+    "markov_transitions_events", "stream_markov_transitions",
+    "interp_gapfill_events", "rolling_median_orders",
+    "seasonal_outlier_events", "lagged_corr_events",
+    "forecast_backtest_events", "conformal_interval_events",
+    "theil_sen_trend_events",
+    # --- order-sensitive recurrence twins (EWMA / Holt) ---
+    "ewma_user_value", "stream_ewma_user_value",
+    "holt_user_value", "stream_holt_user_value",
+    # --- attribution / activity twins ---
+    "attribution_last_touch", "stream_attribution",
+    "active_users_7d", "stream_active_users_7d", "active_streaks_users",
+    # --- data-quality / integrity ---
+    "benford_orders", "table_checksum_orders", "k_anonymity_orders",
+    # --- IR / text wing ---
+    "bm25_search_docs", "collocations_pmi_docs", "simpson_diversity_sources",
+    "source_vocab_overlap", "kwic_snippets_docs",
+    # --- dedup wing ---
+    "winnow_pairs_docs", "containment_pairs_docs", "semantic_dedup_embeddings",
+    "dedup_eval_lsh",
+    # --- quality / mixture ---
+    "quantile_normalize_docs", "temperature_mix_docs",
+    # --- OLAP / retail analytics ---
+    "assoc_rules_parts", "abc_pareto_parts", "rfm_segments",
+    "skyline_parts", "cumulative_distinct_users", "weighted_median_price",
+    "life_table_reorders",
+    # --- experimentation ---
+    "did_estimate_events", "cuped_adjusted_events",
+    # --- graph ---
+    "labelprop_components", "clustering_coeff_parts",
+    # --- embeddings ---
+    "embedding_covariance", "hard_negatives", "cluster_keywords_embeddings",
 ]
 
 
