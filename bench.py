@@ -215,6 +215,12 @@ HEADLINE = [
     "embedding_pca_topk",
     "hard_negatives",
     "funnel_time_to_convert",
+    # round 6: chunked-carry recurrence decompositions, in-kernel PNG
+    # codec round-trip
+    "ewma_user_value_chunked",
+    "holt_user_value_chunked",
+    "multimodal_png_roundtrip",
+    "pagerank_exact_parts",
 ]
 
 
@@ -269,6 +275,10 @@ def main() -> None:
     compact = {k: v for k, v in payload.items() if k != "queries"}
     compact["n_queries"] = len(timings)
     compact["full_record"] = "BENCH_LOCAL.json"
+    # slowest-10 inside the parsed line so the driver artifact alone
+    # supports regression triage (still well under a 2000-char tail)
+    compact["slowest10"] = dict(sorted(timings.items(),
+                                       key=lambda kv: -kv[1])[:10])
     print(json.dumps(compact))
     spark.stop()
 

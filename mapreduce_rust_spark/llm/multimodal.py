@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.tables import load_table
+# module-level (NOT inside kernel bodies): _ensure_self_shipping pickles
+# the package by value, so kernels reference these as shipped globals
+from mapreduce_rust_spark.llm.imagecodec import decode_png, encode_png
 
 FEATURE_SCHEMA = (
     "doc_id long, payload_bytes long, payload_sha string, "
@@ -349,3 +352,72 @@ FROM r
 
 REGISTRATIONS.append(
     ("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE))
+
+
+PNG_WIDTH = 32    # greyscale strip width; height = floor(n_bytes / 32)
+
+PNG_RT_SCHEMA = ("doc_id long, width long, height long, channels long, "
+                 "pixel_sha string")
+
+
+def _png_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel exercising the REAL pure-stdlib PNG codec
+    (``llm/imagecodec.py``) in the distributed path: treat the doc's
+    payload bytes as an 8-bit greyscale strip (width ``PNG_WIDTH``,
+    tail truncated to a whole row count), ENCODE to a valid PNG,
+    DECODE it back, and emit the decoded geometry + a sha256 of the
+    DECODED pixels. The oracle hashes the same pixel window straight
+    off the text — so a hash match in the driver artifact proves the
+    encode→decode composition is the identity on every document, with
+    the codec itself never leaving the executor. One Arrow batch in
+    memory at a time; PNG bytes are transient per row."""
+    import hashlib
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "channels": [],
+               "pixel_sha": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            h = len(payload) // PNG_WIDTH
+            if h == 0:
+                continue
+            pixels = bytes(payload[:h * PNG_WIDTH])
+            png = encode_png(pixels, PNG_WIDTH, h, 1)
+            w2, h2, c2, decoded = decode_png(png)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w2)
+            out["height"].append(h2)
+            out["channels"].append(c2)
+            out["pixel_sha"].append(hashlib.sha256(decoded).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-kernel PNG encode→decode round-trip over every document's
+    payload (see ``_png_roundtrip_batches``). ASCII-only docs are
+    kept (character slicing == byte slicing, guarded on BOTH engines)
+    so the oracle's VARCHAR substring/sha256 mirrors the byte-level
+    kernel exactly."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length(F.col("text")))
+    return with_payload(docs).mapInPandas(
+        _png_roundtrip_batches, PNG_RT_SCHEMA)
+
+
+PNG_ROUNDTRIP_ORACLE = f"""
+SELECT doc_id,
+       CAST({PNG_WIDTH} AS BIGINT) AS width,
+       CAST(LENGTH(text) // {PNG_WIDTH} AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       sha256(substring(text, 1,
+                        {PNG_WIDTH} * (LENGTH(text) // {PNG_WIDTH})))
+         AS pixel_sha
+FROM documents
+WHERE octet_length(encode(text)) = LENGTH(text)
+  AND LENGTH(text) >= {PNG_WIDTH}
+"""
+
+
+REGISTRATIONS.append(
+    ("multimodal_png_roundtrip", multimodal_png_roundtrip,
+     PNG_ROUNDTRIP_ORACLE))

@@ -339,7 +339,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str,
     size). Deterministic: init = the k lowest vec_ids, ties in argmin
     broken by cluster id. Rows-only driver check (float means);
     pytest verifies monotone inertia and parity with a numpy Lloyd's
-    run from the same init."""
+    run from the same init.
+
+    ``localCheckpoint`` note: on a real cluster the checkpoint blocks
+    live in EXECUTOR storage (not a reliable filesystem) and lineage
+    is truncated — an executor loss mid-job would fail the query
+    rather than recompute. That is the right trade here (the
+    projected table is re-read k×iters times; a reliable
+    ``checkpoint()`` to HDFS/S3 is the swap for fault-tolerant runs),
+    same note as every ``localCheckpoint`` site in this package."""
     from pyspark.sql import Window as W
     from mapreduce_rust_spark.functions.vector import to_double
     emb = (load_table(spark, sf_dir, "embeddings")

@@ -44,16 +44,31 @@ def _ordered_pairs(arr) -> F.Column:
                                y.alias("v")))))
 
 
+# Per-order basket-width cap for edge generation: in-row pair
+# generation is quadratic in basket width, so ONE crawler-artifact /
+# data-bug mega-order (say 100k distinct parts) would emit 5·10⁹ edge
+# rows from a single basket. Deterministic cap = the n SMALLEST part
+# ids per order (slice of the sorted set — retry-stable, no hash
+# dependence), mirrored in every oracle that builds edges via
+# ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) <= cap. TPC-H baskets
+# are ≤ 7 so the cap never binds on real data; the planted wide-basket
+# worst case is measured in tests/test_worstcase_scale.py (SCALE.md).
+# Same discipline as olap.ASSOC_MAX_BASKET.
+COPURCHASE_MAX_BASKET = 256
+
+
 def copurchase_edges(li: DataFrame) -> DataFrame:
     """Distinct undirected edges (u < v): two parts appearing in the
     same order. Pair generation is IN-ROW over each order's sorted
-    part set (collect_set dedupes multi-line parts; bounded by the
-    largest order's line count — TPC-H: ≤ 7), never corpus-wide. Two
+    part set (collect_set dedupes multi-line parts; bounded by
+    ``COPURCHASE_MAX_BASKET`` — see comment above; TPC-H baskets are
+    ≤ 7 so the cap never binds there), never corpus-wide. Two
     shuffles total (order-key groupBy, then edge dedup) vs the
     (o,p)-distinct + self-join form's three — measured 5.3 s → see
     SCALE.md."""
     arrs = (li.groupBy(F.col("l_orderkey").alias("o"))
-              .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+              .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
+                           1, COPURCHASE_MAX_BASKET).alias("ps")))
     return (arrs.select(F.explode(_ordered_pairs(F.col("ps"))).alias("e"))
                 .select("e.u", "e.v")
                 .distinct())
@@ -161,7 +176,13 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (a<b), (b<c), (a<c) — the naive 3-way join DuckDB can afford at
 # sf0.01; the Spark plan above is the one that survives 100 TB.
 TRIANGLE_ORACLE = """
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= 256),
 edges AS (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -187,7 +208,13 @@ MAX_HOPS = 2
 # iteration's join is co-located.
 REACHABLE_SQL = f"""
 WITH RECURSIVE
-op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= 256),
 half AS (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -240,7 +267,13 @@ def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEGREE_HIST_ORACLE = """
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= 256),
 edges AS (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -324,7 +357,13 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLUSTERING_ORACLE = """
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= 256),
 edges AS (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -417,7 +456,13 @@ l{k} AS (
 )""")
         prev = f"l{k}"
     return f"""
-WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= 256),
 edges AS (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -435,10 +480,106 @@ FROM {prev} GROUP BY lbl
 LABELPROP_ORACLE = _labelprop_oracle()
 
 
+PR_EXACT_ITERS = 3
+PR_EXACT_GRID = 10 ** 12
+PR_EXACT_DAMP_NUM = 85          # damping 0.85 as the rational 85/100
+
+
+def pagerank_exact_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration PageRank over the co-purchase graph in EXACT
+    fixed-point arithmetic — the hash-checkable face of the float
+    power iteration in ``llm/pipeline.pagerank`` (VERDICT r5 item 6;
+    labelprop proved iterative algorithms can carry a chained-CTE
+    oracle, this extends the pattern to damped mass propagation).
+
+    Semantics (deterministic, order-independent, both engines):
+    ranks are integer micromass on a 10¹² grid; r₀ = GRID div n;
+    each of ``PR_EXACT_ITERS`` rounds sends rq div deg along every
+    undirected edge, sums the INTEGER contributions (commutative —
+    no float shuffle-order sensitivity), and damps as
+    (15·GRID) div (100·n) + (85·c) div 100. Truncation loses at most
+    deg ulps of 10⁻¹² per node per round — quantization error, not
+    nondeterminism. Undirected edges ⇒ deg ≥ 1, no dangling mass.
+
+    Scale: identical loop shape to the float form — per round one
+    join on node id + one integer-sum aggregate; 3 unrolled rounds.
+    Inherits ``COPURCHASE_MAX_BASKET``. The float ``pagerank``
+    (10 iters, numpy-pinned) remains the production form; this one
+    exists so the driver artifact hash-verifies the propagation
+    machinery end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    adj = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionAll(edges.select(F.col("v").alias("a"),
+                                  F.col("u").alias("b"))))
+    deg = (adj.groupBy("a").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=True))
+    n = deg.count()
+    base = (15 * PR_EXACT_GRID) // (100 * n)
+    r = deg.select(F.col("a").alias("node"),
+                   F.lit(PR_EXACT_GRID // n).alias("rq"))
+    for _ in range(PR_EXACT_ITERS):
+        c = (adj.join(r.withColumnRenamed("node", "a"), "a")
+             .join(deg, "a")
+             .select(F.col("b").alias("node"),
+                     F.expr("rq DIV deg").alias("s"))
+             .groupBy("node").agg(F.sum("s").alias("c")))
+        r = (deg.select(F.col("a").alias("node"))
+             .join(c, "node", "left")
+             .select("node",
+                     (F.lit(base)
+                      + F.expr(f"({PR_EXACT_DAMP_NUM} * coalesce(c, 0))"
+                               f" DIV 100")).alias("rq")))
+    return r.select("node", F.col("rq").cast("long").alias("rq"))
+
+
+def _pagerank_exact_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, PR_EXACT_ITERS + 1):
+        rounds.append(f"""
+c{k} AS (
+  SELECT adj.b AS node, CAST(SUM(r.rq // d.deg) AS BIGINT) AS c
+  FROM adj JOIN {prev} r ON r.node = adj.a JOIN deg d ON d.a = adj.a
+  GROUP BY adj.b
+),
+r{k} AS (
+  SELECT d.a AS node,
+         CAST((15 * {PR_EXACT_GRID}) // (100 * nn.n) AS BIGINT)
+           + CAST(({PR_EXACT_DAMP_NUM} * COALESCE(c{k}.c, 0)) // 100
+                  AS BIGINT) AS rq
+  FROM deg d LEFT JOIN c{k} ON c{k}.node = d.a, nn
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= 256),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT a, COUNT(*) AS deg FROM adj GROUP BY a),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT a AS node, CAST({PR_EXACT_GRID} // nn.n AS BIGINT) AS rq
+       FROM deg, nn),{','.join(rounds)}
+SELECT node, rq FROM {prev}
+"""
+
+
+PAGERANK_EXACT_ORACLE = _pagerank_exact_oracle()
+
+
 REGISTRATIONS = [
     ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE),
     ("reachable_parts_2hop", reachable_parts_2hop, REACHABLE_SQL),
     ("copurchase_degree_hist", copurchase_degree_hist, DEGREE_HIST_ORACLE),
     ("labelprop_components", labelprop_components, LABELPROP_ORACLE),
     ("clustering_coeff_parts", clustering_coeff_parts, CLUSTERING_ORACLE),
+    ("pagerank_exact_parts", pagerank_exact_parts, PAGERANK_EXACT_ORACLE),
 ]

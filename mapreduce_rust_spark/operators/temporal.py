@@ -361,6 +361,98 @@ FROM g
 """
 
 
+def ewma_user_value_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-user remedy for :func:`ewma_user_value`, implemented
+    (VERDICT r5 item 5) rather than documented: the (user, day)
+    two-phase decomposition the sessionize/CUSUM family already uses.
+
+    Phase 1 groups by (user, day) and folds each day SEGMENT in-row:
+    ``a0`` = the recurrence run from carry 0, ``a1`` = the run with
+    the first element as init (only a user's FIRST segment uses it),
+    ``m`` = segment length. Linearity of sᵢ = (vᵢ + sᵢ₋₁)/2 in the
+    carry means a segment maps an incoming carry c to a0 + c·2⁻ᵐ —
+    and 2⁻ᵐ = pow(0.5, m) is bit-exact on BOTH engines for every m
+    (probed 0..100k: powers of two are exactly representable and both
+    libms return them exactly), so phase 2 chains day partials with
+    one fused step per day, in-row over the user's sorted segment
+    list. State per ROW is now one day's events (phase 1) or one
+    day-partial per active day (phase 2) — the 400k-event giant user
+    becomes ~280 rows of ≤1440 events, no single row ever holds the
+    whole history.
+
+    NOT registered as a replacement for ``ewma_user_value``: the
+    composition moves IEEE rounding points, so it is value-equivalent
+    (ulp-level, asserted in tests/test_worstcase_scale.py) but not
+    bit-identical to the direct fold, and the direct fold is the
+    stream twin's shared-oracle anchor. This query carries its OWN
+    oracle running the identical decomposition (same DAG both
+    engines, so floats hash-match)."""
+    return ewma_chunked_from_events(load_table(spark, sf_dir, "events"))
+
+
+def ewma_chunked_from_events(ev: DataFrame) -> DataFrame:
+    """Core of :func:`ewma_user_value_chunked` over any
+    ``(user_id, ts, event_id, value)`` frame."""
+    base = ev.select("user_id", F.unix_micros("ts").alias("us"),
+                     "event_id",
+                     F.bround(F.col("value") * 100).cast("long").alias("vc"))
+    base = base.withColumn("day", F.expr("us DIV 86400000000"))
+    seg = (base.groupBy("user_id", "day")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("us", "event_id", "vc"))).alias("arr")))
+    darr = F.transform("arr", lambda x: x["vc"].cast("double"))
+    step = lambda acc, x: (x + acc) / F.lit(2.0)          # noqa: E731
+    a0 = F.aggregate(darr, F.lit(0.0), step)
+    a1 = F.aggregate(F.slice(darr, 2, F.size(darr) - 1),
+                     F.element_at(darr, 1), step)
+    p = seg.select("user_id", "day",
+                   F.size("arr").cast("long").alias("m"),
+                   a0.alias("a0"), a1.alias("a1"))
+    u = (p.groupBy("user_id")
+         .agg(F.sort_array(F.collect_list(
+                  F.struct("day", "m", "a0", "a1"))).alias("segs"),
+              F.sum("m").alias("n_events")))
+    chain = F.aggregate(
+        F.slice(F.col("segs"), 2, F.size("segs") - 1),
+        F.element_at(F.col("segs"), 1)["a1"],
+        lambda acc, s: s["a0"] + acc * F.pow(F.lit(0.5), s["m"]))
+    return u.select("user_id", F.col("n_events").cast("long"),
+                    (chain / F.lit(100.0)).alias("ewma"))
+
+
+EWMA_CHUNKED_ORACLE = """
+WITH RECURSIVE b AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS vc,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+seg AS (
+  SELECT user_id, day,
+         CAST(array_agg(vc ORDER BY us, event_id) AS DOUBLE[]) AS darr
+  FROM b GROUP BY user_id, day
+),
+p AS (
+  SELECT user_id, day, len(darr) AS m,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), darr),
+                     (acc, x) -> (x + acc) / 2.0) AS a0,
+         list_reduce(darr, (acc, x) -> (x + acc) / 2.0) AS a1,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+  FROM seg
+),
+n AS (SELECT user_id, COUNT(*) AS k, CAST(SUM(m) AS BIGINT) AS n_events
+      FROM p GROUP BY user_id),
+walk(user_id, i, acc) AS (
+  SELECT user_id, i, a1 FROM p WHERE i = 1
+  UNION ALL
+  SELECT p.user_id, p.i, p.a0 + w.acc * pow(0.5, p.m)
+  FROM walk w JOIN p ON p.user_id = w.user_id AND p.i = w.i + 1
+)
+SELECT w.user_id, n.n_events, w.acc / 100.0 AS ewma
+FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.k
+"""
+
+
 def holt_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double exponential smoothing per user (α = β = 1/2):
     level + trend state over the (us, event_id)-ordered value stream,
@@ -436,11 +528,159 @@ FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
 """
 
 
+def holt_user_value_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-user remedy for :func:`holt_user_value` (VERDICT r5
+    item 5), extending the chunked-carry template from EWMA's scalar
+    carry to Holt's TWO-component (level, trend) carry.
+
+    The per-event update is affine in the carry, so a whole segment
+    is an affine map F(c) = off + M·c. Phase 1 computes, per
+    (user, day) segment and entirely in-row, FOUR folds of the same
+    IEEE step: the Holt-init run (l1,t1 — used only for a user's
+    first segment) and three basis runs from carries (0,0), (1,0),
+    (0,1), which yield off and the two columns of M (a = F(e1)−off,
+    b = F(e2)−off, componentwise subtraction AFTER the fold, same
+    point in the oracle). Phase 2 chains the per-day affine maps
+    in-row over the user's sorted segment list:
+    c' = ((off + c_l·a) + c_t·b) per component — a fixed
+    parenthesization both engines share, so floats hash-match.
+
+    Like the EWMA twin, this is value-equivalent to the direct fold
+    (rounding points move: ulp-level, asserted in
+    tests/test_worstcase_scale.py) but not bit-identical, so it
+    carries its OWN decomposition-mirroring oracle (a recursive CTE
+    that walks each day segment's four states, then a second
+    recursion chaining days) and the direct form stays the stream
+    twin's shared-oracle anchor. Cost: 4× the per-event arithmetic of
+    the direct fold, bought down from one unbounded row per user to
+    per-day rows — the 100 TB trade."""
+    return holt_chunked_from_events(load_table(spark, sf_dir, "events"))
+
+
+def holt_chunked_from_events(ev: DataFrame) -> DataFrame:
+    """Core of :func:`holt_user_value_chunked` over any
+    ``(user_id, ts, event_id, value)`` frame."""
+    base = ev.select("user_id", F.unix_micros("ts").alias("us"),
+                     "event_id",
+                     F.bround(F.col("value") * 100).cast("long").alias("vc"))
+    base = base.withColumn("day", F.expr("us DIV 86400000000"))
+    seg = (base.groupBy("user_id", "day")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("us", "event_id", "vc"))).alias("arr")))
+    darr = F.transform("arr", lambda x: x["vc"].cast("double"))
+
+    def step(a, x):
+        newl = (x + (a["l"] + a["t"])) / F.lit(2.0)
+        newt = ((newl - a["l"]) + a["t"]) / F.lit(2.0)
+        return F.struct(newl.alias("l"), newt.alias("t"))
+
+    def basis(l0, t0):
+        return F.aggregate(
+            darr, F.struct(F.lit(l0).cast("double").alias("l"),
+                           F.lit(t0).cast("double").alias("t")), step)
+
+    init1 = F.struct(F.element_at(darr, 1).alias("l"),
+                     F.lit(0.0).alias("t"))
+    run1 = F.aggregate(F.slice(darr, 2, F.size(darr) - 1), init1, step)
+    off, ra, rb = basis(0.0, 0.0), basis(1.0, 0.0), basis(0.0, 1.0)
+    p = seg.select(
+        "user_id", "day", F.size("arr").cast("long").alias("m"),
+        run1["l"].alias("l1"), run1["t"].alias("t1"),
+        off["l"].alias("offl"), off["t"].alias("offt"),
+        (ra["l"] - off["l"]).alias("al"), (ra["t"] - off["t"]).alias("at"),
+        (rb["l"] - off["l"]).alias("bl"), (rb["t"] - off["t"]).alias("bt"))
+    u = (p.groupBy("user_id")
+         .agg(F.sort_array(F.collect_list(F.struct(
+                  "day", "m", "l1", "t1", "offl", "offt",
+                  "al", "at", "bl", "bt"))).alias("segs"),
+              F.sum("m").alias("n_events")))
+    first = F.element_at(F.col("segs"), 1)
+    chain = F.aggregate(
+        F.slice(F.col("segs"), 2, F.size("segs") - 1),
+        F.struct(first["l1"].alias("l"), first["t1"].alias("t")),
+        lambda acc, s: F.struct(
+            ((s["offl"] + acc["l"] * s["al"]) + acc["t"] * s["bl"])
+            .alias("l"),
+            ((s["offt"] + acc["l"] * s["at"]) + acc["t"] * s["bt"])
+            .alias("t")))
+    return u.select(
+        "user_id", F.col("n_events").cast("long"),
+        (chain["l"] / F.lit(100.0)).alias("level"),
+        (chain["t"] / F.lit(100.0)).alias("trend"),
+        ((chain["l"] + chain["t"]) / F.lit(100.0)).alias("forecast1"))
+
+
+HOLT_CHUNKED_ORACLE = """
+WITH RECURSIVE b AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS vc,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+o AS (
+  SELECT user_id, day, CAST(vc AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id, day
+                            ORDER BY us, event_id) AS j
+  FROM b
+),
+sm AS (SELECT user_id, day, COUNT(*) AS m FROM o GROUP BY user_id, day),
+-- four simultaneous state walks per (user, day) segment: the
+-- Holt-init run (l1,t1) and the three basis runs (off / F(e1) / F(e2))
+w1(user_id, day, j, l1, t1, fl, ft, al, at, bl, bt) AS (
+  SELECT user_id, day, j, y, CAST(0.0 AS DOUBLE),
+         (y + (0.0 + 0.0)) / 2.0,
+         ((((y + (0.0 + 0.0)) / 2.0) - 0.0) + 0.0) / 2.0,
+         (y + (1.0 + 0.0)) / 2.0,
+         ((((y + (1.0 + 0.0)) / 2.0) - 1.0) + 0.0) / 2.0,
+         (y + (0.0 + 1.0)) / 2.0,
+         ((((y + (0.0 + 1.0)) / 2.0) - 0.0) + 1.0) / 2.0
+  FROM o WHERE j = 1
+  UNION ALL
+  SELECT o.user_id, o.day, o.j,
+         (o.y + (w.l1 + w.t1)) / 2.0,
+         ((((o.y + (w.l1 + w.t1)) / 2.0) - w.l1) + w.t1) / 2.0,
+         (o.y + (w.fl + w.ft)) / 2.0,
+         ((((o.y + (w.fl + w.ft)) / 2.0) - w.fl) + w.ft) / 2.0,
+         (o.y + (w.al + w.at)) / 2.0,
+         ((((o.y + (w.al + w.at)) / 2.0) - w.al) + w.at) / 2.0,
+         (o.y + (w.bl + w.bt)) / 2.0,
+         ((((o.y + (w.bl + w.bt)) / 2.0) - w.bl) + w.bt) / 2.0
+  FROM w1 w JOIN o ON o.user_id = w.user_id AND o.day = w.day
+                  AND o.j = w.j + 1
+),
+p AS (
+  SELECT w.user_id, w.day, sm.m, w.l1, w.t1, w.fl AS offl, w.ft AS offt,
+         w.al - w.fl AS al, w.at - w.ft AS at,
+         w.bl - w.fl AS bl, w.bt - w.ft AS bt,
+         row_number() OVER (PARTITION BY w.user_id ORDER BY w.day) AS i
+  FROM w1 w JOIN sm ON sm.user_id = w.user_id AND sm.day = w.day
+                   AND w.j = sm.m
+),
+n AS (SELECT user_id, COUNT(*) AS k, CAST(SUM(m) AS BIGINT) AS n_events
+      FROM p GROUP BY user_id),
+w2(user_id, i, l, t) AS (
+  SELECT user_id, i, l1, t1 FROM p WHERE i = 1
+  UNION ALL
+  SELECT p.user_id, p.i,
+         ((p.offl + w.l * p.al) + w.t * p.bl),
+         ((p.offt + w.l * p.at) + w.t * p.bt)
+  FROM w2 w JOIN p ON p.user_id = w.user_id AND p.i = w.i + 1
+)
+SELECT w.user_id, n.n_events, w.l / 100.0 AS level,
+       w.t / 100.0 AS trend, (w.l + w.t) / 100.0 AS forecast1
+FROM w2 w JOIN n ON n.user_id = w.user_id AND w.i = n.k
+"""
+
+
 REGISTRATIONS = [
     ("asof_last_error", asof_last_error, ASOF_ORACLE),
     ("decay_weighted_user_value", decay_weighted_user_value, DECAY_ORACLE),
     ("ewma_user_value", ewma_user_value, EWMA_ORACLE),
+    ("ewma_user_value_chunked", ewma_user_value_chunked,
+     EWMA_CHUNKED_ORACLE),
     ("holt_user_value", holt_user_value, HOLT_ORACLE),
+    ("holt_user_value_chunked", holt_user_value_chunked,
+     HOLT_CHUNKED_ORACLE),
     ("asof_next_purchase", asof_next_purchase, ASOF_FWD_ORACLE),
     ("twa_user_value", twa_user_value, TWA_ORACLE),
     ("range_join_ship_near_order", range_join_ship_near_order,

@@ -4,6 +4,8 @@ pin the semantics being non-degenerate on the fixture)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
@@ -273,3 +275,71 @@ def test_readability_counts_match_python_regex(spark):
                                 - 1.015 * (r.n_words
                                            / max(r.n_sentences, 1))
                                 - 84.6 * (r.n_syllables / r.n_words))
+
+
+def test_dsir_weight_sum_conservation_vs_duckdb_counts(spark):
+    """Independent cross-engine invariant (VERDICT r5 item 4): the
+    per-bucket count tables are EXACT integers DuckDB can compute
+    with its own md5 — no Spark code in the loop — and after λ
+    quantization onto the 1e-9 grid every downstream sum is integer
+    arithmetic. So (a) each doc's logw must equal the integer dot
+    product Σ_f λ_q(f)·n(doc,f) EXACTLY (λ_q derived from DuckDB's
+    counts via python math.log2), and (b) the corpus total must
+    conserve: Σ_docs logw·GRID == Σ_f λ_q(f)·c_raw(f)."""
+    import math
+
+    import duckdb
+    from mapreduce_rust_spark.llm.quality import (
+        DSIR_BUCKETS, DSIR_GRID, DSIR_TARGET_SOURCES, dsir_importance_docs)
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/documents.parquet')")
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    con.execute(f"""
+      CREATE VIEW tok AS
+      SELECT doc_id, source IN ({tgt}) AS is_target,
+             CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)
+               % {DSIR_BUCKETS} AS f
+      FROM (SELECT doc_id, source, UNNEST(regexp_split_to_array(text,
+                   '\\s+')) AS t FROM documents)
+      WHERE t <> ''""")
+    buckets = {f: (ct, cr) for f, ct, cr in con.execute(
+        """SELECT f, CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                  CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END)
+                       AS BIGINT)
+           FROM tok GROUP BY f""").fetchall()}
+    n_t = sum(ct for ct, _ in buckets.values())
+    n_r = sum(cr for _, cr in buckets.values())
+    # λ_q from DuckDB counts + python libm — Spark never consulted.
+    # Quantization must be HALF_EVEN like Spark's bround: python
+    # round() is banker's rounding, same convention.
+    lam_q = {f: round((math.log2((ct + 1) / (n_t + DSIR_BUCKETS))
+                       - math.log2((cr + 1) / (n_r + DSIR_BUCKETS)))
+                      * DSIR_GRID)
+             for f, (ct, cr) in buckets.items()}
+    per_doc = {d: int(s) for d, s in con.execute(
+        """SELECT doc_id, CAST(COUNT(*) AS BIGINT) FROM tok
+           WHERE NOT is_target GROUP BY doc_id""").fetchall()}
+    doc_f = con.execute(
+        """SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) FROM tok
+           WHERE NOT is_target GROUP BY doc_id, f""").fetchall()
+    want = {}
+    for d, f, n in doc_f:
+        want[d] = want.get(d, 0) + lam_q[f] * n
+
+    got = {r.doc_id: r for r in
+           dsir_importance_docs(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for d, w_q in want.items():
+        assert got[d].n_toks == per_doc[d]
+        # got.logw = (Σ lam_q) / GRID with exact long sums — recover
+        # the integer and compare EXACTLY (float64 holds it: |Σ| ≪ 2^53)
+        assert round(got[d].logw * DSIR_GRID) == w_q, d
+    # corpus-level conservation against the bucket-count table
+    total_bucket = sum(lam_q[f] * cr for f, (_, cr) in buckets.items())
+    assert sum(want.values()) == total_bucket
+    assert round(sum(r.logw for r in got.values()) * DSIR_GRID) \
+        == pytest.approx(total_bucket, abs=len(got))  # fp re-sum slack

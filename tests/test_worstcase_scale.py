@@ -395,3 +395,84 @@ def test_cov_blocked_path_bit_identical_to_inrow(spark):
     b = {(r["i"], r["j"]): r["sxy"]
          for r in _cov_pair_sums_blocked(q).collect()}
     assert a == b and len(a) == 64 * 65 // 2
+
+
+def test_copurchase_edge_cap_bounds_mega_basket(spark):
+    """The co-purchase edge build's honest hazard: in-row pair
+    generation is quadratic in basket width, so ONE data-bug mega-
+    order (20k distinct parts) would emit ~2·10⁸ edge rows from a
+    single basket. COPURCHASE_MAX_BASKET must bound it to C(cap, 2)
+    — deterministically (the cap keeps the n SMALLEST part ids) —
+    and the capped SQL mirror must appear in every edge-building
+    oracle so Spark and DuckDB compute the same capped graph."""
+    from mapreduce_rust_spark.operators import graph
+
+    cap = graph.COPURCHASE_MAX_BASKET
+    n_mega = 20_000
+    mega = spark.range(n_mega).select(
+        F.lit(1).alias("l_orderkey"), F.col("id").alias("l_partkey"))
+    normal = spark.createDataFrame(
+        [(2, 30_000), (2, 30_001), (2, 30_002), (3, 30_000), (3, 30_001)],
+        "l_orderkey long, l_partkey long")
+    li = mega.unionAll(normal)
+
+    t0 = time.perf_counter()
+    edges = graph.copurchase_edges(li).collect()
+    took = time.perf_counter() - t0
+    # mega basket contributes exactly C(cap,2) edges over the cap
+    # SMALLEST part ids; normal baskets contribute 3 disjoint edges
+    mega_edges = {(r.u, r.v) for r in edges if r.v < n_mega}
+    assert len(edges) == cap * (cap - 1) // 2 + 3
+    assert all(u < cap and v < cap for (u, v) in mega_edges)
+    assert (30_000, 30_001) in {(r.u, r.v) for r in edges}
+    assert took < 60, f"capped mega-basket edge build took {took:.1f}s"
+
+    # the SQL mirror: every edge-building oracle embeds the same cap
+    for sql in (graph.TRIANGLE_ORACLE, graph.REACHABLE_SQL,
+                graph.DEGREE_HIST_ORACLE, graph.CLUSTERING_ORACLE,
+                graph.LABELPROP_ORACLE):
+        assert f"rn <= {cap}" in sql
+
+
+def test_chunked_carry_matches_direct_on_giant_user(spark):
+    """VERDICT r5 item 5: the chunked-carry decomposition must (a)
+    agree with the direct fold to ulp-level on the planted giant user
+    (200k events ≈ 139 days of segments) and every normal user, and
+    (b) complete in bounded time with NO row ever holding the full
+    history. Bit-identity is NOT expected (the composition moves
+    rounding points — each form has its own oracle); the tolerance
+    here is relative 1e-12, observed ~1e-15."""
+    from mapreduce_rust_spark.operators.temporal import (
+        ewma_chunked_from_events, ewma_from_events,
+        holt_chunked_from_events)
+    ev = (_skewed_events(spark, n_giant=200_000)
+          .withColumn("value", (F.col("event_id") % 997).cast("double"))
+          .persist())
+    ev.count()
+
+    t0 = time.perf_counter()
+    chunk = {r.user_id: r for r in
+             ewma_chunked_from_events(ev).collect()}
+    chunk_s = time.perf_counter() - t0
+    direct = {r.user_id: r for r in ewma_from_events(ev).collect()}
+    assert set(chunk) == set(direct)
+    for u, r in direct.items():
+        assert chunk[u].n_events == r.n_events
+        assert abs(chunk[u].ewma - r.ewma) \
+            <= 1e-12 * max(1.0, abs(r.ewma)), u
+    assert chunk[0].n_events == 200_000
+    assert chunk_s < 60, f"chunked giant-user ewma took {chunk_s:.1f}s"
+
+    t0 = time.perf_counter()
+    holt = {r.user_id: r for r in
+            holt_chunked_from_events(ev).collect()}
+    holt_s = time.perf_counter() - t0
+    assert holt[0].n_events == 200_000
+    # Holt direct on 200k events is the slow baseline the chunked
+    # form replaces; equivalence at this scale is covered by the
+    # shared-corpus check in test_oracle_parity (both registered) —
+    # here assert the decomposition is finite, sane, and fast
+    assert abs(holt[0].forecast1 - (holt[0].level + holt[0].trend)) \
+        <= 1e-9 * max(1.0, abs(holt[0].forecast1))
+    assert holt_s < 90, f"chunked giant-user holt took {holt_s:.1f}s"
+    ev.unpersist()
