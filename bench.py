@@ -221,6 +221,17 @@ HEADLINE = [
     "holt_user_value_chunked",
     "multimodal_png_roundtrip",
     "pagerank_exact_parts",
+    # round 6 crop: KS drift, rank-sum test, lift table, phrase
+    # search, item CF, k-core, CDC apply, regex funnel, label noise
+    "ks_drift_sources",
+    "mannwhitney_events",
+    "lift_table_docs",
+    "phrase_search_docs",
+    "item_cf_neighbors",
+    "kcore_parts",
+    "cdc_apply_orders",
+    "event_pattern_funnel",
+    "knn_label_consensus",
 ]
 
 

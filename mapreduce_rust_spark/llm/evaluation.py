@@ -335,8 +335,102 @@ ORDER BY term
 """
 
 
+LIFT_TILES = 10
+
+
+def lift_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table for the quality
+    classifier against the ``lang='en'`` reference label — the
+    business-facing readout next to AUC (which summarizes ranking
+    power in one number; the lift table says "the top 10% of the
+    ranking contains X× its share of positives", the form in which a
+    curation budget is actually allocated).
+
+    Deciles come from the SCALABLE rank decomposition
+    (``ranking.scalable_rank`` on the order-preserving −floor(score)
+    bucket, ties broken by doc_id) + closed-form ``ntile_expr`` —
+    never a global NTILE window; the DuckDB oracle uses the naive
+    ``NTILE(10) OVER (ORDER BY score DESC, doc_id)``, so hash
+    equality is one more decomposition proof. Per decile: exact
+    integer counts, then response rate, lift
+    (= share of positives ÷ share of rows), and cumulative gain as
+    single int÷int IEEE divisions.
+
+    Output: ``(decile, n, n_pos, resp_rate, lift, cum_gain)``.
+    """
+    from mapreduce_rust_spark.operators.ranking import (
+        ntile_expr, scalable_rank)
+    d = _scored_labeled(spark, sf_dir).localCheckpoint(eager=True)
+    ranked = scalable_rank(
+        d, (-F.floor("score")).cast("long"),
+        [F.col("score").desc(), "doc_id"])
+    tot = ranked.agg(F.count("*").alias("n"),
+                     F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                     .cast("long").alias("n_pos_all"))
+    t = (ranked.crossJoin(F.broadcast(tot))
+         .withColumn("decile", ntile_expr(LIFT_TILES)))
+    g = (t.groupBy("decile")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.col("pos"), 1).otherwise(0))
+              .cast("long").alias("n_pos"),
+              F.max("n_pos_all").alias("n_pos_all"),
+              F.max(F.col("n").cast("long")).alias("n_all")))
+    wc = W.partitionBy().orderBy("decile")
+    g = g.withColumn("cum_pos", F.sum("n_pos").over(wc))
+    return g.select(
+        "decile", "n", "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+        .alias("resp_rate"),
+        ((F.col("n_pos") * F.col("n_all")).cast("double")
+         / (F.col("n") * F.col("n_pos_all")).cast("double")).alias("lift"),
+        (F.col("cum_pos").cast("double")
+         / F.col("n_pos_all").cast("double")).alias("cum_gain"))
+
+
+LIFT_TABLE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         list_transform(
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+           t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2001 - 1000
+         ) AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE CAST(COALESCE(list_sum(ws), 0) AS DOUBLE) / len(ws)
+         END AS score
+  FROM d
+),
+t AS (
+  SELECT pos, NTILE({LIFT_TILES}) OVER (ORDER BY score DESC, doc_id)
+              AS decile
+  FROM s
+),
+g AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM t GROUP BY decile
+),
+x AS (
+  SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+         SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+         SUM(n) OVER () AS n_all, SUM(n_pos) OVER () AS n_pos_all
+  FROM g
+)
+SELECT decile, n, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS resp_rate,
+       CAST(n_pos * n_all AS DOUBLE)
+         / CAST(n * n_pos_all AS DOUBLE) AS lift,
+       CAST(cum_pos AS DOUBLE) / CAST(n_pos_all AS DOUBLE) AS cum_gain
+FROM x
+"""
+
+
 REGISTRATIONS = [
     ("auc_quality_docs", auc_quality_docs, AUC_QUALITY_ORACLE),
     ("calibration_bins_docs", calibration_bins_docs, CALIBRATION_ORACLE),
     ("retrieval_eval_bm25", retrieval_eval_bm25, _retrieval_eval_oracle()),
+    ("lift_table_docs", lift_table_docs, LIFT_TABLE_ORACLE),
 ]

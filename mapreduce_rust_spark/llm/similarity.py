@@ -295,6 +295,79 @@ WHERE rank = 1
 """
 
 
+LABEL_NOISE_K = 5
+
+
+def knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen by neighborhood agreement: for each vector,
+    take its ``LABEL_NOISE_K`` nearest neighbors (cosine) within its
+    embedding-cluster block and measure how often the neighbors'
+    LANGUAGE label (from the cross-modal documents join — the
+    1:1 vec_id = doc_id correspondence ``cluster_keywords_embeddings``
+    uses) agrees with the vector's own. Low agreement flags probable
+    mislabels — the Confident-Learning-style curation step run before
+    trusting labels for filtering or eval.
+
+    Shape: the ``allknn_within_label`` blocked discipline (block =
+    cluster id here, the IVF cell at 100 TB — Σ|block|², never
+    corpus²), a top-k window per vector instead of rank-1, one
+    broadcast-sized documents join for the labels, and one per-vector
+    integer aggregate. Similarity floats stay internal (ranking is
+    cross-engine stable on this data — the knn convention); the
+    output is integer counts + one int÷int division.
+
+    Output: ``(vec_id, lang, n_nbrs, n_agree, agree_rate)``.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang")
+    emb = (_emb(spark, sf_dir)
+           .select("vec_id", "label", unit(F.col("e")).alias("en"))
+           .join(F.broadcast(docs), "vec_id"))
+    a = emb.select("label", "vec_id", F.col("en").alias("ae"),
+                   F.col("lang").alias("lang"))
+    b = emb.select("label", F.col("vec_id").alias("nn_id"),
+                   F.col("en").alias("be"),
+                   F.col("lang").alias("nn_lang"))
+    cand = (a.join(b, "label")
+             .filter(F.col("vec_id") != F.col("nn_id"))
+             .withColumn("sim", dot(F.col("ae"), F.col("be"))))
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    top = (cand.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= LABEL_NOISE_K))
+    return (top.groupBy("vec_id", "lang")
+            .agg(F.count("*").cast("long").alias("n_nbrs"),
+                 F.sum(F.when(F.col("nn_lang") == F.col("lang"), 1)
+                       .otherwise(0)).cast("long").alias("n_agree"))
+            .withColumn("agree_rate",
+                        F.col("n_agree").cast("double")
+                        / F.col("n_nbrs").cast("double")))
+
+
+KNN_LABEL_CONSENSUS_ORACLE = f"""
+WITH lab AS (
+  SELECT e.vec_id, e.label, e.embedding, d.lang
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+cand AS (
+  SELECT a.vec_id, a.lang, b.lang AS nn_lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id) AS rank
+  FROM lab a JOIN lab b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+top AS (SELECT * FROM cand WHERE rank <= {LABEL_NOISE_K})
+SELECT vec_id, lang, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       CAST(SUM(CASE WHEN nn_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST(SUM(CASE WHEN nn_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS agree_rate
+FROM top GROUP BY vec_id, lang
+"""
+
+
 CLUSTER_KW_TOP = 3
 CLUSTER_KW_MIN = 3    # min in-cluster occurrences
 
@@ -586,5 +659,7 @@ REGISTRATIONS = [
     ("knn_quantized", knn_quantized, KNN_QUANTIZED_ORACLE),
     ("embedding_covariance", embedding_covariance, EMB_COV_ORACLE),
     ("hard_negatives", hard_negatives, HARD_NEGATIVES_ORACLE),
+    ("knn_label_consensus", knn_label_consensus,
+     KNN_LABEL_CONSENSUS_ORACLE),
     ("embedding_pca_topk", embedding_pca_topk, None),  # eigh not SQL-expressible — numpy-parity-tested
 ]

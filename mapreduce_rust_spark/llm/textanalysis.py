@@ -619,6 +619,70 @@ WHERE len(list_distinct(matched)) = {len(SEARCH_TERMS)}
 """
 
 
+PHRASE_TERMS = ("table", "hash")   # queried exact-adjacency phrase
+
+
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search (consecutive-token match) via the
+    POSITIONAL posting-list plan — the index-shaped sibling of
+    ``boolean_search_docs``' conjunctive scan: postings are
+    (doc_id, pos) lists per term, and a phrase hit is an equi-join of
+    the per-term postings on (doc_id, pos offset) — the classic IR
+    positional-index intersection, chained once per phrase term.
+
+    Scale shape: the token stream explodes ONCE with positions, is
+    filtered to the phrase's terms BEFORE anything shuffles (so join
+    input is df(term)-bounded, not corpus-sized), and the
+    (doc_id, pos)-keyed equi-joins are ordinary hash joins Catalyst
+    can broadcast when a term is rare. One final per-doc aggregate.
+    At 100 TB with a query workload, the posting table is built once
+    and bucketed on term — this plan is the per-query probe.
+
+    Output: ``(doc_id, n_hits, first_pos)`` (1-based), hit docs only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    posts = (docs.select("doc_id", F.posexplode(toks)
+                         .alias("pos", "tok"))
+                 .filter(F.col("tok").isin(*PHRASE_TERMS)))
+    hits = (posts.filter(F.col("tok") == PHRASE_TERMS[0])
+                 .select("doc_id", F.col("pos").alias("p0")))
+    for k, term in enumerate(PHRASE_TERMS[1:], start=1):
+        nxt = (posts.filter(F.col("tok") == term)
+                    .select(F.col("doc_id").alias("d"),
+                            F.col("pos").alias("pk")))
+        hits = (hits.join(nxt, (F.col("doc_id") == F.col("d"))
+                          & (F.col("pk") == F.col("p0") + k))
+                    .select("doc_id", "p0"))
+    return (hits.groupBy("doc_id")
+                .agg(F.count("*").cast("long").alias("n_hits"),
+                     (F.min("p0") + 1).cast("long").alias("first_pos")))
+
+
+def _phrase_oracle() -> str:
+    conds = " AND ".join(
+        f"ts[i + {k}] = '{t}'" for k, t in enumerate(PHRASE_TERMS))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+           AS ts
+  FROM documents
+),
+hit AS (
+  SELECT doc_id, i
+  FROM t, UNNEST(range(1, len(ts) - {len(PHRASE_TERMS) - 1} + 1)) AS u(i)
+  WHERE {conds}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(i) AS BIGINT) AS first_pos
+FROM hit GROUP BY doc_id
+"""
+
+
+PHRASE_SEARCH_ORACLE = _phrase_oracle()
+
+
 KEYWORDS_TOP_K = 10
 KEYWORDS_MIN_COUNT = 5   # min in-domain occurrences (hapax guard)
 
@@ -1154,6 +1218,7 @@ REGISTRATIONS = [
     ("ttr_docs", ttr_docs, TTR_ORACLE),
     ("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_ORACLE),
     ("boolean_search_docs", boolean_search_docs, BOOLEAN_SEARCH_ORACLE),
+    ("phrase_search_docs", phrase_search_docs, PHRASE_SEARCH_ORACLE),
     ("bm25_search_docs", bm25_search_docs, BM25_ORACLE),
     ("kwic_snippets_docs", kwic_snippets_docs, KWIC_ORACLE),
     ("collocations_pmi_docs", collocations_pmi_docs, COLLOC_PMI_ORACLE),

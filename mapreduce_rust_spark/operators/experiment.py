@@ -193,7 +193,87 @@ FROM agg
 """
 
 
+def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the treatment and
+    control arms' event values — the nonparametric effect readout an
+    experiment platform runs next to the mean-based DiD/CUPED pair
+    (robust to the heavy-tailed metrics means choke on). Also reports
+    the common-language effect size U/(n_t·n_c), which IS the ROC-AUC
+    of "treatment value > control value".
+
+    Exactness: midranks for a tied value group are half-integers, so
+    everything is carried DOUBLED — for a group of c tied values with
+    p values strictly below, 2·midrank = 2p + c + 1, and
+    2·U = Σ c_t·(2p + c + 1) − n_t·(n_t + 1) is a pure BIGINT both
+    engines compute identically; ``u`` and ``auc`` are one exact
+    halving and one int÷int double division.
+
+    Scale shape: one partial+final aggregate collapses the corpus to
+    per-distinct-value arm counts (cents grid ⇒ bounded dims table),
+    one ordered cumsum over that dims table (single-partition window
+    over dims rows, never the corpus — the KS/TV pattern), one final
+    1-row aggregate. The corpus shuffles once.
+
+    Output: ``(n_treat, n_ctrl, u2, u, auc)``.
+    """
+    cells = _cells(spark, sf_dir)
+    cnt = (cells.groupBy("vc")
+           .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
+                .cast("long").alias("ct"),
+                F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+                .cast("long").alias("cc")))
+    from pyspark.sql import Window as W
+    t = (cnt.withColumn("c", F.col("ct") + F.col("cc"))
+            .withColumn("cum", F.sum("c").over(W.orderBy("vc")))
+            .withColumn("p", F.col("cum") - F.col("c")))
+    agg = t.agg(
+        F.sum(F.col("ct") * (2 * F.col("p") + F.col("c") + 1))
+         .cast("long").alias("r2t"),
+        F.sum("ct").cast("long").alias("n_treat"),
+        F.sum("cc").cast("long").alias("n_ctrl"))
+    u2 = F.col("r2t") - F.col("n_treat") * (F.col("n_treat") + 1)
+    return agg.select(
+        "n_treat", "n_ctrl", u2.cast("long").alias("u2"),
+        (u2.cast("double") / F.lit(2.0)).alias("u"),
+        (u2.cast("double")
+         / (2 * F.col("n_treat") * F.col("n_ctrl")).cast("double"))
+        .alias("auc"))
+
+
+MANNWHITNEY_ORACLE = f"""
+WITH c AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+cnt AS (
+  SELECT vc,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM c GROUP BY vc
+),
+t AS (
+  SELECT vc, ct, cc, ct + cc AS cgrp,
+         SUM(ct + cc) OVER (ORDER BY vc) - (ct + cc) AS p
+  FROM cnt
+),
+agg AS (
+  SELECT CAST(SUM(ct * (2 * p + cgrp + 1)) AS BIGINT) AS r2t,
+         CAST(SUM(ct) AS BIGINT) AS n_treat,
+         CAST(SUM(cc) AS BIGINT) AS n_ctrl
+  FROM t
+)
+SELECT n_treat, n_ctrl,
+       CAST(r2t - n_treat * (n_treat + 1) AS BIGINT) AS u2,
+       CAST(r2t - n_treat * (n_treat + 1) AS DOUBLE) / 2.0 AS u,
+       CAST(r2t - n_treat * (n_treat + 1) AS DOUBLE)
+         / CAST(2 * n_treat * n_ctrl AS DOUBLE) AS auc
+FROM agg
+"""
+
+
 REGISTRATIONS = [
     ("did_estimate_events", did_estimate_events, DID_ORACLE),
     ("cuped_adjusted_events", cuped_adjusted_events, CUPED_ORACLE),
+    ("mannwhitney_events", mannwhitney_events, MANNWHITNEY_ORACLE),
 ]

@@ -575,6 +575,82 @@ SELECT node, rq FROM {prev}
 PAGERANK_EXACT_ORACLE = _pagerank_exact_oracle()
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling of the co-purchase graph
+    (k = ``KCORE_K``): repeatedly drop nodes with degree < k and the
+    edges touching them, ``KCORE_ROUNDS`` times, then report each
+    survivor's remaining degree — the density-core extraction used to
+    find the stable "always bought together" backbone (and the
+    standard preprocessing cut before the more expensive
+    triangle/clustering analytics).
+
+    Like ``labelprop_components``, this is the deterministic k-round
+    PREFIX of the peeling fixpoint, which is what makes it
+    hash-checkable: each round is one degree aggregate + two
+    semi-joins (both endpoints must survive), the exact shape the
+    oracle's chained CTEs replay. Convergence detection (loop until
+    no node drops) is the production variant — same per-round plan,
+    driver-side 1-row count check per round, the k-means/BPE loop
+    pattern. Inherits ``COPURCHASE_MAX_BASKET``; lineage truncated
+    per round.
+
+    Output: ``(part, core_deg)`` for nodes alive after the rounds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    alive = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+             .unionAll(edges.select(F.col("v").alias("a"),
+                                    F.col("u").alias("b")))
+             .localCheckpoint(eager=True))
+    for _ in range(KCORE_ROUNDS):
+        deg = alive.groupBy("a").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("a")
+        alive = (alive.join(keep, "a", "left_semi")
+                      .join(keep.withColumnRenamed("a", "b"), "b",
+                            "left_semi")
+                      .localCheckpoint(eager=True))
+    return (alive.groupBy(F.col("a").alias("part"))
+                 .agg(F.count("*").cast("long").alias("core_deg")))
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS (SELECT a, COUNT(*) AS d FROM {prev} GROUP BY a),
+k{r} AS (SELECT a FROM d{r} WHERE d >= {KCORE_K}),
+e{r} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{r} x ON x.a = e.a JOIN k{r} y ON y.a = e.b
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= 256),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+e0 AS (SELECT u AS a, v AS b FROM edges
+       UNION ALL SELECT v, u FROM edges),{','.join(rounds)}
+SELECT a AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM {prev} GROUP BY a
+"""
+
+
+KCORE_ORACLE = _kcore_oracle()
+
+
 REGISTRATIONS = [
     ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE),
     ("reachable_parts_2hop", reachable_parts_2hop, REACHABLE_SQL),
@@ -582,4 +658,5 @@ REGISTRATIONS = [
     ("labelprop_components", labelprop_components, LABELPROP_ORACLE),
     ("clustering_coeff_parts", clustering_coeff_parts, CLUSTERING_ORACLE),
     ("pagerank_exact_parts", pagerank_exact_parts, PAGERANK_EXACT_ORACLE),
+    ("kcore_parts", kcore_parts, KCORE_ORACLE),
 ]

@@ -356,9 +356,111 @@ FROM live GROUP BY priority, year
 """
 
 
+CDC_UPD_MOD = 7     # orderkeys getting an UPDATE (seq 1, price +10.00)
+CDC_DEL_MOD = 13    # orderkeys getting a DELETE (seq 2)
+CDC_N_INS = 5       # synthesized INSERT keys (negative — never collide)
+
+
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application WITH deletes — the missing member of
+    the write-path family (``merge_upsert`` has no DELETE arm;
+    ``incremental_mv_orders`` deletes but maintains an aggregate, not
+    the row set): apply an (op, seq, key, payload) insert/update/
+    delete log to a target with LATEST-WINS semantics per key, the
+    Debezium/lakehouse CDC-merge contract.
+
+    The fixture-derived changelog is deterministic: every
+    ``CDC_UPD_MOD``-th order gets U (seq 1, +10.00), every
+    ``CDC_DEL_MOD``-th a D (seq 2), and ``CDC_N_INS`` negative-key
+    inserts (seq 1) — so keys divisible by both mods carry U-then-D
+    and must come out DELETED, pinning the ordering semantics in the
+    driver artifact.
+
+    Scale shape: the log first collapses per key (one
+    max_by/arg-max aggregate — log length never joins the target),
+    the delete set leaves via LEFT ANTI, and the upsert set applies
+    through the same single full-outer merge as ``merge_upsert`` —
+    two key-hashed shuffles total, both co-locatable by bucketing.
+
+    Output: the post-CDC orders rowset
+    ``(o_orderkey, o_custkey, status, price_cents)``.
+    """
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.bround(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"))
+    upd = (base.filter(F.col("o_orderkey") % CDC_UPD_MOD == 0)
+           .select("o_orderkey", F.lit("U").alias("op"),
+                   F.lit(1).alias("seq"), "o_custkey",
+                   F.lit("P").alias("status"),
+                   (F.col("price_cents") + 1000).alias("price_cents")))
+    dele = (base.filter(F.col("o_orderkey") % CDC_DEL_MOD == 0)
+            .select("o_orderkey", F.lit("D").alias("op"),
+                    F.lit(2).alias("seq"),
+                    F.lit(None).cast("long").alias("o_custkey"),
+                    F.lit(None).cast("string").alias("status"),
+                    F.lit(None).cast("long").alias("price_cents")))
+    ins = spark.range(1, CDC_N_INS + 1).select(
+        (-F.col("id")).cast("long").alias("o_orderkey"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        F.lit(0).cast("long").alias("o_custkey"),
+        F.lit("N").alias("status"),
+        (F.col("id") * 100).cast("long").alias("price_cents"))
+    log = upd.unionByName(dele).unionByName(ins)
+    latest = (log.groupBy("o_orderkey")
+              .agg(F.max_by(F.struct("op", "o_custkey", "status",
+                                     "price_cents"), "seq").alias("x"))
+              .select("o_orderkey", "x.op", "x.o_custkey", "x.status",
+                      "x.price_cents"))
+    del_keys = latest.filter(F.col("op") == "D").select("o_orderkey")
+    ups = latest.filter(F.col("op") != "D").drop("op")
+    survivors = base.join(del_keys, "o_orderkey", "left_anti")
+    return merge_upsert(survivors, ups, "o_orderkey")
+
+
+CDC_APPLY_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+         CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders
+),
+log AS (
+  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_custkey, 'P' AS status,
+         price_cents + 1000 AS price_cents
+  FROM base WHERE o_orderkey % {CDC_UPD_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 2, NULL, NULL, NULL
+  FROM base WHERE o_orderkey % {CDC_DEL_MOD} = 0
+  UNION ALL
+  SELECT -i, 'I', 1, 0, 'N', i * 100
+  FROM UNNEST(range(1, {CDC_N_INS} + 1)) AS t(i)
+),
+latest AS (
+  SELECT o_orderkey, op, o_custkey, status, price_cents
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn FROM log)
+  WHERE rn = 1
+),
+survivors AS (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest WHERE op = 'D')
+),
+ups AS (SELECT o_orderkey, o_custkey, status, price_cents
+        FROM latest WHERE op <> 'D')
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CAST(COALESCE(s.o_custkey, t.o_custkey) AS BIGINT) AS o_custkey,
+       COALESCE(s.status, t.status) AS status,
+       CAST(COALESCE(s.price_cents, t.price_cents) AS BIGINT)
+         AS price_cents
+FROM survivors t FULL OUTER JOIN ups s ON s.o_orderkey = t.o_orderkey
+"""
+
+
 REGISTRATIONS = [
     ("merge_upsert_customers", merge_upsert_customers, MERGE_UPSERT_ORACLE),
     ("scd2_close_and_insert", scd2_close_and_insert, SCD2_ORACLE),
     ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
     ("incremental_mv_orders", incremental_mv_orders, INCREMENTAL_MV_ORACLE),
+    ("cdc_apply_orders", cdc_apply_orders, CDC_APPLY_ORACLE),
 ]

@@ -1062,6 +1062,100 @@ FROM cells JOIN r ON cells.event_type = r.event_type
 """
 
 
+def ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov–Smirnov drift: for each
+    document source, the KS statistic between that source's doc-length
+    distribution and the REST of the corpus — the exact-distribution
+    companion of ``tv_drift_sources`` (TV buckets and can miss shape
+    drift inside a bucket; KS is the sup-norm over the EXACT empirical
+    CDFs, the standard two-sample drift test).
+
+    Exactness: D = max_x |F_src(x) − F_rest(x)| and every CDF value is
+    a rational count/n, so D·n_s·n_r = max_x |cum_s·n_r − cum_r·n_s|
+    is an INTEGER both engines compute identically; the reported
+    ``ks`` double is one int÷int division (correctly rounded, same
+    DAG). cum·n products stay inside int64 while both sample sizes
+    are ≤ ~3·10⁹ docs per source — beyond that, move the final ratio
+    to DECIMAL (the χ² oracle's DECIMAL(38) pattern).
+
+    Scale shape: one groupBy to (source, length) counts, after which
+    everything is dims-sized (sources × distinct lengths): a
+    broadcast grid fills zero cells, two window cumsums give the
+    per-source and global CDFs (rest = global − source), and one max
+    per source finishes. The corpus shuffles exactly once.
+
+    Output: ``(source, n_src, n_rest, ks_num, ks)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (docs.select("source", F.col("n_chars").alias("x"))
+               .groupBy("source", "x").agg(F.count("*").alias("c")))
+    grid = (cnt.select("source").distinct()
+               .crossJoin(cnt.select("x").distinct())
+               .join(cnt, ["source", "x"], "left")
+               .withColumn("c", F.coalesce("c", F.lit(0))))
+    wsx = W.partitionBy("source").orderBy("x")
+    filled = (grid
+              .withColumn("g", F.sum("c").over(W.partitionBy("x")))
+              .withColumn("cum_s", F.sum("c").over(wsx))
+              .withColumn("cum_g", F.sum("g").over(wsx))
+              .withColumn("n_s", F.sum("c").over(W.partitionBy("source")))
+              .withColumn("n_all", F.sum("c").over(
+                  W.partitionBy(F.lit(1)))))
+    d = filled.select(
+        "source", "n_s", (F.col("n_all") - F.col("n_s")).alias("n_r"),
+        F.abs(F.col("cum_s") * (F.col("n_all") - F.col("n_s"))
+              - (F.col("cum_g") - F.col("cum_s")) * F.col("n_s"))
+         .alias("dnum"))
+    return (d.groupBy("source")
+             .agg(F.max("n_s").cast("long").alias("n_src"),
+                  F.max("n_r").cast("long").alias("n_rest"),
+                  F.max("dnum").cast("long").alias("ks_num"))
+             .withColumn("ks", F.when(
+                 F.col("n_rest") > 0,
+                 F.col("ks_num") / (F.col("n_src") * F.col("n_rest")))))
+
+
+KS_DRIFT_ORACLE = """
+WITH cnt AS (
+  SELECT source, n_chars AS x, COUNT(*) AS c
+  FROM documents GROUP BY source, n_chars
+),
+grid AS (
+  SELECT s.source, v.x, COALESCE(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM cnt) s
+  CROSS JOIN (SELECT DISTINCT x FROM cnt) v
+  LEFT JOIN cnt ON cnt.source = s.source AND cnt.x = v.x
+),
+wg AS (
+  SELECT source, x, c, SUM(c) OVER (PARTITION BY x) AS g
+  FROM grid
+),
+filled AS (
+  SELECT source, x, c, g,
+         SUM(c) OVER (PARTITION BY source ORDER BY x) AS cum_s,
+         SUM(g) OVER (PARTITION BY source ORDER BY x) AS cum_g,
+         SUM(c) OVER (PARTITION BY source) AS n_s,
+         SUM(c) OVER () AS n_all
+  FROM wg
+),
+d AS (
+  SELECT source, CAST(n_s AS BIGINT) AS n_s,
+         CAST(n_all - n_s AS BIGINT) AS n_r,
+         CAST(abs(cum_s * (n_all - n_s) - (cum_g - cum_s) * n_s)
+              AS BIGINT) AS dnum
+  FROM filled
+)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_src,
+       CAST(MAX(n_r) AS BIGINT) AS n_rest,
+       CAST(MAX(dnum) AS BIGINT) AS ks_num,
+       CASE WHEN MAX(n_r) > 0
+            THEN CAST(MAX(dnum) AS BIGINT)
+                 / (CAST(MAX(n_s) AS BIGINT) * CAST(MAX(n_r) AS BIGINT))
+       END AS ks
+FROM d GROUP BY source
+"""
+
+
 REGISTRATIONS = [
     ("zscore_anomaly_events", zscore_anomaly_events, ZSCORE_ORACLE),
     ("tv_drift_sources", tv_drift_sources, TV_DRIFT_ORACLE),
@@ -1078,4 +1172,5 @@ REGISTRATIONS = [
      CONFORMAL_ORACLE),
     ("theil_sen_trend_events", theil_sen_trend_events, THEIL_SEN_ORACLE),
     ("chisq_cells_events", chisq_cells_events, CHISQ_ORACLE),
+    ("ks_drift_sources", ks_drift_sources, KS_DRIFT_ORACLE),
 ]

@@ -1221,6 +1221,162 @@ WHERE NOT EXISTS (
 """
 
 
+ITEM_CF_TOP_K = 5
+ITEM_CF_MIN_CO = 2   # min shared orders before a neighbor counts
+
+
+def item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order co-occurrence —
+    the "customers who bought X also bought Y" neighbor table, scored
+    by cosine over binary order-vectors: cos(u, v) =
+    n_uv / √(n_u·n_v) where n_uv = orders containing both parts and
+    n_u = orders containing u. The recsys companion of
+    ``assoc_rules_parts`` (lift ranks by dependence; cosine is the
+    symmetric similarity an item-kNN recommender serves).
+
+    Exactness: all inputs are integer order counts; √ is IEEE-exact
+    (correctly rounded everywhere, unlike libm ln/pow — the
+    temperature-mix precedent), so cos is the same two-op double DAG
+    on both engines and ranks/hashes match bit-for-bit. Ties in the
+    top-k break on neighbor id.
+
+    Scale shape: the pair stream comes from the capped IN-ROW basket
+    pair generation (``graph.copurchase_edges`` discipline /
+    ``ASSOC_MAX_BASKET``), one (u, v) count aggregate, one broadcast
+    join back to per-item totals, and a per-item top-k window
+    (partitioned by item — bounded by that item's neighbor count,
+    itself Σ co-baskets, never corpus-wide).
+
+    Output: ``(part, neighbor, n_co, cos, rk)``, top
+    ``ITEM_CF_TOP_K`` per part with ≥ ``ITEM_CF_MIN_CO`` shared
+    orders.
+    """
+    from mapreduce_rust_spark.operators.graph import _ordered_pairs
+    from pyspark.sql import Window as W
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy(F.col("l_orderkey").alias("o"))
+                 .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
+                              1, ASSOC_MAX_BASKET).alias("ps"))
+                 .localCheckpoint(eager=True))
+    n_u = (baskets.select(F.explode("ps").alias("part"))
+                  .groupBy("part").agg(F.count("*").alias("n")))
+    pairs = (baskets.select(F.explode(_ordered_pairs(F.col("ps")))
+                            .alias("e"))
+                    .groupBy(F.col("e.u").alias("u"),
+                             F.col("e.v").alias("v"))
+                    .agg(F.count("*").alias("n_co"))
+                    .filter(F.col("n_co") >= ITEM_CF_MIN_CO))
+    both = (pairs.select("u", "v", "n_co")
+                 .unionAll(pairs.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v"), "n_co")))
+    scored = (both
+              .join(F.broadcast(n_u.withColumnRenamed("part", "u")
+                                   .withColumnRenamed("n", "nu")), "u")
+              .join(F.broadcast(n_u.withColumnRenamed("part", "v")
+                                   .withColumnRenamed("n", "nv")), "v")
+              .select(F.col("u").alias("part"),
+                      F.col("v").alias("neighbor"),
+                      F.col("n_co").cast("long").alias("n_co"),
+                      (F.col("n_co").cast("double")
+                       / F.sqrt((F.col("nu") * F.col("nv"))
+                                .cast("double"))).alias("cos")))
+    wk = W.partitionBy("part").orderBy(F.col("cos").desc(), "neighbor")
+    return (scored.withColumn("rk", F.row_number().over(wk).cast("long"))
+                  .filter(F.col("rk") <= ITEM_CF_TOP_K))
+
+
+ITEM_CF_ORACLE = f"""
+WITH op AS (
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= {ASSOC_MAX_BASKET}),
+n_u AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+pairs AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS n_co
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {ITEM_CF_MIN_CO}
+),
+bidir AS (SELECT u, v, n_co FROM pairs
+          UNION ALL SELECT v, u, n_co FROM pairs),
+scored AS (
+  SELECT b.u AS part, b.v AS neighbor, CAST(b.n_co AS BIGINT) AS n_co,
+         CAST(b.n_co AS DOUBLE)
+           / sqrt(CAST(nu.n * nv.n AS DOUBLE)) AS cos
+  FROM bidir b JOIN n_u nu ON nu.p = b.u JOIN n_u nv ON nv.p = b.v
+),
+rk AS (
+  SELECT part, neighbor, n_co, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY part
+              ORDER BY cos DESC, neighbor) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT part, neighbor, n_co, cos, rk FROM rk WHERE rk <= {ITEM_CF_TOP_K}
+"""
+
+
+FUNNEL_PATTERN = "v[vc]*p"   # view, any views/clicks, purchase
+
+
+def event_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex sequence matching over per-user event streams — the
+    MATCH_RECOGNIZE-lite behavioral operator: encode each user's
+    (ts, event_id)-ordered event types as a character string (one
+    char per event — types map to distinct first letters) and count
+    non-overlapping matches of ``FUNNEL_PATTERN`` ("a view, then any
+    run of views/clicks, then a purchase" — the browse-to-buy motif
+    ``funnel_conversion_events``' fixed-step form can't express).
+
+    Determinism note: for this pattern class (character classes with
+    a required terminal literal) the match set is unambiguous — a
+    match is a maximal v/c run ending at a p — so backtracking (JVM)
+    and leftmost-longest (RE2/DuckDB) engines agree exactly; keep
+    patterns in this class when adding variants.
+
+    Scale shape: one shuffle on user_id; the sequence string builds
+    in-row from the sorted struct array (per-human-bounded, with the
+    chunked-carry template as the giant-key remedy — a regex over
+    day segments needs only a has-open-prefix carry) and the regexp
+    runs inside codegen. Output: ``(user_id, n_events, n_funnels)``
+    for users with ≥1 match.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.unix_micros("ts").alias("us"),
+                     "event_id",
+                     F.substring("event_type", 1, 1).alias("tc"))
+    g = (base.groupBy("user_id")
+         .agg(F.sort_array(F.collect_list(
+             F.struct("us", "event_id", "tc"))).alias("arr")))
+    seq = F.array_join(F.transform("arr", lambda x: x["tc"]), "")
+    out = g.select("user_id",
+                   F.size("arr").cast("long").alias("n_events"),
+                   F.regexp_count(seq, F.lit(FUNNEL_PATTERN))
+                    .cast("long").alias("n_funnels"))
+    return out.filter(F.col("n_funnels") > 0)
+
+
+EVENT_PATTERN_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         substr(event_type, 1, 1) AS tc
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         string_agg(tc, '' ORDER BY us, event_id) AS seq,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM b GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(seq, '{FUNNEL_PATTERN}')) AS BIGINT)
+         AS n_funnels
+FROM g
+WHERE len(regexp_extract_all(seq, '{FUNNEL_PATTERN}')) > 0
+"""
+
+
 REGISTRATIONS = [
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
     ("funnel_timebound_events", funnel_timebound_events,
@@ -1246,4 +1402,6 @@ REGISTRATIONS = [
     ("cumulative_distinct_users", cumulative_distinct_users,
      CUMDIST_ORACLE),
     ("funnel_time_to_convert", funnel_time_to_convert, FUNNEL_TTC_ORACLE),
+    ("item_cf_neighbors", item_cf_neighbors, ITEM_CF_ORACLE),
+    ("event_pattern_funnel", event_pattern_funnel, EVENT_PATTERN_ORACLE),
 ]

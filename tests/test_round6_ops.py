@@ -1,0 +1,188 @@
+"""Behavioral tests for the round-6 operator crop — planted-input
+properties that the oracle-parity mirror (which proves Spark ≡ DuckDB
+on the fixtures) cannot see: does KS actually detect a planted drift,
+does CDC honor U-then-D ordering, does k-core equal the true fixpoint
+when rounds suffice, is item-CF cosine symmetric, does the label
+screen flag a planted mislabel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_ks_detects_planted_shift(spark):
+    """A source whose lengths are shifted by a constant must carry a
+    (near-)maximal KS statistic against the rest; identical sources
+    must carry a small one. Pure-python KS cross-check included."""
+    from mapreduce_rust_spark.operators.monitoring import ks_drift_sources
+    rows = ([("a", v) for v in range(100, 200)]
+            + [("b", v) for v in range(100, 200)]
+            + [("c", v + 1000) for v in range(100, 200)])
+    docs = spark.createDataFrame(rows, "source string, n_chars long")
+    from mapreduce_rust_spark.operators import monitoring
+    orig = monitoring.load_table
+    try:
+        monitoring.load_table = lambda s, d, n: docs
+        got = {r.source: r for r in
+               monitoring.ks_drift_sources(spark, SF_SMOKE).collect()}
+    finally:
+        monitoring.load_table = orig
+    # c is fully separated from a∪b: D = 1 exactly
+    assert got["c"].ks == 1.0
+    # a vs (b∪c): half the rest matches a exactly, half is shifted:
+    # D = 1/2 at the boundary
+    assert abs(got["a"].ks - 0.5) < 1e-12
+    assert got["a"].n_src == 100 and got["a"].n_rest == 200
+
+
+def test_mannwhitney_no_effect_on_identical_arms(spark):
+    """If both arms see the same value multiset, AUC must be exactly
+    0.5 (ties give midranks, U = n²/2)."""
+    from mapreduce_rust_spark.operators import experiment
+    rows = [(u, "2024-01-0%d 00:00:00" % (u % 5 + 1), float(u % 13))
+            for u in range(200)]
+    ev = (spark.createDataFrame(rows, "user_id long, raw string, value double")
+          .select("user_id", F.col("raw").cast("timestamp").alias("ts"),
+                  "value"))
+    orig = experiment.load_table
+    try:
+        experiment.load_table = lambda s, d, n: ev
+        got = experiment.mannwhitney_events(spark, SF_SMOKE).collect()[0]
+    finally:
+        experiment.load_table = orig
+    # one event per user: 100 odd + 100 even users; values u % 13
+    # give both parities a near-identical multiset, so AUC ≈ 0.5
+    assert got.n_treat == got.n_ctrl == 100
+    assert abs(got.auc - 0.5) < 0.02
+
+
+def test_kcore_rounds_reach_fixpoint_on_small_graph(spark):
+    """On a graph small enough that KCORE_ROUNDS exceed the peeling
+    depth, the bounded-round result must equal the true k-core
+    (computed by a python fixpoint)."""
+    from mapreduce_rust_spark.operators import graph as G
+    # a 4-clique (core_3) with a pendant path hanging off it
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7)]
+    li = spark.createDataFrame(
+        [(i, a) for i, (a, b) in enumerate(edges)]
+        + [(i, b) for i, (a, b) in enumerate(edges)],
+        "l_orderkey long, l_partkey long")
+    orig = G.load_table
+    try:
+        G.load_table = lambda s, d, n: li
+        got = {r.part: r.core_deg for r in
+               G.kcore_parts(spark, SF_SMOKE).collect()}
+    finally:
+        G.load_table = orig
+    # python fixpoint at k=3
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < G.KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    want = {n: len(adj[n] & alive) for n in alive}
+    assert got == want == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_cdc_update_then_delete_deletes(spark):
+    """A key carrying U(seq 1) then D(seq 2) must come out DELETED
+    (latest-wins), an update-only key must carry the updated price,
+    and inserts must appear."""
+    from mapreduce_rust_spark.operators.merge import (
+        CDC_DEL_MOD, CDC_N_INS, CDC_UPD_MOD, cdc_apply_orders)
+    from mapreduce_rust_spark.tables import load_table
+    got = {r.o_orderkey: r for r in
+           cdc_apply_orders(spark, SF_SMOKE).collect()}
+    base = {r.o_orderkey: r for r in
+            load_table(spark, SF_SMOKE, "orders").collect()}
+    both = [k for k in base if k % (CDC_UPD_MOD * CDC_DEL_MOD) == 0]
+    upd_only = [k for k in base
+                if k % CDC_UPD_MOD == 0 and k % CDC_DEL_MOD != 0]
+    del_only = [k for k in base
+                if k % CDC_DEL_MOD == 0 and k % CDC_UPD_MOD != 0]
+    assert both and upd_only and del_only
+    for k in both + del_only:
+        assert k not in got, k
+    for k in upd_only:
+        assert got[k].status == "P"
+        assert got[k].price_cents == round(base[k].o_totalprice * 100) + 1000
+    for i in range(1, CDC_N_INS + 1):
+        assert got[-i].status == "N" and got[-i].price_cents == i * 100
+    # untouched keys pass through byte-identical
+    clean = next(k for k in base
+                 if k % CDC_UPD_MOD != 0 and k % CDC_DEL_MOD != 0)
+    assert got[clean].status == base[clean].o_orderstatus
+
+
+def test_item_cf_symmetric_and_bounded(spark):
+    """cos(u,v) must be symmetric, in (0, 1], and every item's
+    neighbor list deterministic top-k (rk 1..k, no gaps)."""
+    from mapreduce_rust_spark.operators.olap import (
+        ITEM_CF_TOP_K, item_cf_neighbors)
+    rows = item_cf_neighbors(spark, SF_SMOKE).collect()
+    assert rows
+    sim = {(r.part, r.neighbor): r.cos for r in rows}
+    for (u, v), c in sim.items():
+        assert 0.0 < c <= 1.0
+        if (v, u) in sim:
+            assert sim[(v, u)] == c  # identical float both directions
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r.rk)
+    for p, rks in by_part.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= ITEM_CF_TOP_K
+
+
+def test_phrase_search_equals_inrow_scan(spark):
+    """The posting-list join must equal a brute-force in-row scan of
+    the token arrays — same doc set, same counts, same first hit."""
+    from mapreduce_rust_spark.llm.textanalysis import (
+        PHRASE_TERMS, WS_RE, phrase_search_docs)
+    from mapreduce_rust_spark.tables import load_table
+    got = {r.doc_id: (r.n_hits, r.first_pos) for r in
+           phrase_search_docs(spark, SF_SMOKE).collect()}
+    import re
+    want = {}
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        toks = [t for t in re.split(r"\s+", r.text) if t]
+        hits = [i for i in range(len(toks) - len(PHRASE_TERMS) + 1)
+                if all(toks[i + j] == t
+                       for j, t in enumerate(PHRASE_TERMS))]
+        if hits:
+            want[r.doc_id] = (len(hits), hits[0] + 1)
+    assert got == want
+
+
+def test_label_consensus_flags_planted_mislabel(spark):
+    """Plant a tight cluster of identical vectors where one vector
+    carries a different language label: that vector must score 0
+    agreement, its peers near 1."""
+    from mapreduce_rust_spark.llm import similarity as S
+    emb_rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(6)]
+    doc_rows = [(i, "en" if i != 3 else "fr") for i in range(6)]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label int")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, lang string")
+    orig = S.load_table
+    try:
+        S.load_table = (lambda s, d, n:
+                        docs if n == "documents" else emb)
+        got = {r.vec_id: r for r in
+               S.knn_label_consensus(spark, SF_SMOKE).collect()}
+    finally:
+        S.load_table = orig
+    assert got[3].n_agree == 0
+    for i in (0, 1, 2, 4, 5):
+        # 5 neighbors, one (vec 3) disagrees
+        assert got[i].n_agree == 4 and got[i].n_nbrs == 5
