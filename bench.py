@@ -232,6 +232,9 @@ HEADLINE = [
     "cdc_apply_orders",
     "event_pattern_funnel",
     "knn_label_consensus",
+    "stream_event_pattern",
+    "bounce_rate_daily",
+    "corr_matrix_lineitem",
 ]
 
 

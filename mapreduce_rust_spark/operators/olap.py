@@ -1377,6 +1377,197 @@ WHERE len(regexp_extract_all(seq, '{FUNNEL_PATTERN}')) > 0
 """
 
 
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session-quality report — sessions, bounce rate (share of
+    single-event sessions) and mean dwell time per day — the standard
+    web-analytics readout built ON TOP of the engine's gap
+    sessionization (30-min ``relational.SESSION_GAP_S``): sessions
+    get identities via the running new-session counter, collapse to
+    (n_events, first, last), and roll up to the day of the session's
+    FIRST event. Dwell is exact integer microseconds; rates/means are
+    single int÷int IEEE divisions.
+
+    Scale: one shuffle on user_id for the session windows (per-user
+    event history in one sort — the giant-key remedy is the proven
+    (user, day) decomposition of ``sessionize_events_scalable``,
+    kept out of THIS plan so the oracle stays the naive window), one
+    (user, session) aggregate, one day rollup.
+
+    Output: ``(day, n_sessions, n_bounces, bounce_rate,
+    avg_dwell_s)`` — day as epoch day.
+    """
+    from mapreduce_rust_spark.operators.relational import SESSION_GAP_S
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    ns = F.when(gap.isNull()
+                | (gap > SESSION_GAP_S * 1_000_000), 1).otherwise(0)
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (ev.withColumn("ns", ns)
+              .withColumn("sid", F.sum("ns").over(wr))
+              .groupBy("user_id", "sid")
+              .agg(F.count("*").alias("n_events"),
+                   F.min("us").alias("f"), F.max("us").alias("l")))
+    daily = (sess.withColumn("day", F.expr("f DIV 86400000000"))
+             .groupBy("day")
+             .agg(F.count("*").cast("long").alias("n_sessions"),
+                  F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                   .cast("long").alias("n_bounces"),
+                  F.sum(F.col("l") - F.col("f")).alias("dwell_us")))
+    return daily.select(
+        "day", "n_sessions", "n_bounces",
+        (F.col("n_bounces").cast("double")
+         / F.col("n_sessions").cast("double")).alias("bounce_rate"),
+        (F.col("dwell_us").cast("double")
+         / (F.col("n_sessions") * 1_000_000).cast("double"))
+        .alias("avg_dwell_s"))
+
+
+def _bounce_oracle() -> str:
+    from mapreduce_rust_spark.operators.relational import SESSION_GAP_S
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+w1 AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) > {gap_us}
+              THEN 1 ELSE 0 END AS ns
+  FROM b
+),
+w2 AS (
+  SELECT user_id, us,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM w1
+),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         MIN(us) AS f, MAX(us) AS l
+  FROM w2 GROUP BY user_id, sid
+),
+daily AS (
+  SELECT CAST(f // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+         CAST(SUM(l - f) AS BIGINT) AS dwell_us
+  FROM sess GROUP BY 1
+)
+SELECT day, n_sessions, n_bounces,
+       CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+         AS bounce_rate,
+       CAST(dwell_us AS DOUBLE) / CAST(n_sessions * 1000000 AS DOUBLE)
+         AS avg_dwell_s
+FROM daily
+"""
+
+
+BOUNCE_RATE_ORACLE = _bounce_oracle()
+
+
+CORR_COLS = ("qty", "price", "disc", "tax")
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures (quantity, extendedprice, discount, tax on their exact
+    cents/percent integer grids) — the relational profiling twin of
+    ``embedding_covariance``: ALL pairwise statistics from ONE
+    partial+final aggregate over the scan (n plus 4 sums, 4 squares,
+    6 cross-products in DECIMAL(38,0) — the stats_agg/CUPED power-sum
+    discipline), then each r = (n·Sxy − Sx·Sy) / (√dx·√dy) as a fixed
+    IEEE DAG (√ is correctly rounded everywhere — oracle-safe).
+
+    Scale: the aggregate is map-side combinable and its result is ONE
+    row regardless of corpus size; the d² expansion to output rows is
+    driver-free (an in-plan literal-pair explode). At 100 TB this is
+    one scan, one 15-number shuffle.
+
+    Output: ``(col_x, col_y, n, corr)`` for the 6 pairs x < y.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    v = {
+        "qty": F.col("l_quantity").cast("long"),
+        "price": F.bround(F.col("l_extendedprice") * 100).cast("long"),
+        "disc": F.bround(F.col("l_discount") * 100).cast("long"),
+        "tax": F.bround(F.col("l_tax") * 100).cast("long"),
+    }
+    base = li.select(*[c.alias(k) for k, c in v.items()])
+    aggs = [F.count("*").alias("n")]
+    for k in CORR_COLS:
+        aggs.append(F.sum(F.col(k).cast(dec)).alias(f"s_{k}"))
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i:]:
+            aggs.append(F.sum((F.col(a) * F.col(b)).cast(dec))
+                        .alias(f"p_{a}_{b}"))
+    g = base.agg(*aggs)
+
+    def corr(a: str, b: str) -> F.Column:
+        n = F.col("n").cast(dec)
+        num = (n * F.col(f"p_{a}_{b}")
+               - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        dx = (n * F.col(f"p_{a}_{a}")
+              - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        dy = (n * F.col(f"p_{b}_{b}")
+              - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        return num / (F.sqrt(dx) * F.sqrt(dy))
+
+    pairs = [(a, b) for i, a in enumerate(CORR_COLS)
+             for b in CORR_COLS[i + 1:]]
+    rows = F.array(*[
+        F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                 F.col("n").cast("long").alias("n"),
+                 corr(a, b).alias("corr"))
+        for a, b in pairs])
+    return (g.select(F.explode(rows).alias("r"))
+             .select("r.col_x", "r.col_y", "r.n", "r.corr"))
+
+
+def _corr_matrix_oracle() -> str:
+    expr = {
+        "qty": "CAST(l_quantity AS BIGINT)",
+        "price": "CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)",
+        "disc": "CAST(round_even(l_discount * 100, 0) AS BIGINT)",
+        "tax": "CAST(round_even(l_tax * 100, 0) AS BIGINT)",
+    }
+    sums = ["COUNT(*) AS n"]
+    for k in CORR_COLS:
+        sums.append(f"SUM(CAST({k} AS DECIMAL(38,0))) AS s_{k}")
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i:]:
+            sums.append(f"SUM(CAST({a} * {b} AS DECIMAL(38,0)))"
+                        f" AS p_{a}_{b}")
+    sel = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            num = (f"CAST(CAST(n AS DECIMAL(38,0)) * p_{a}_{b}"
+                   f" - s_{a} * s_{b} AS DOUBLE)")
+            dx = (f"CAST(CAST(n AS DECIMAL(38,0)) * p_{a}_{a}"
+                  f" - s_{a} * s_{a} AS DOUBLE)")
+            dy = (f"CAST(CAST(n AS DECIMAL(38,0)) * p_{b}_{b}"
+                  f" - s_{b} * s_{b} AS DOUBLE)")
+            sel.append(f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                       f"CAST(n AS BIGINT) AS n, "
+                       f"{num} / (sqrt({dx}) * sqrt({dy})) AS corr "
+                       f"FROM g")
+    cols = ", ".join(f"{v} AS {k}" for k, v in expr.items())
+    nl = "\n"
+    return (f"WITH b AS (SELECT {cols} FROM lineitem),{nl}"
+            f"g AS (SELECT {', '.join(sums)} FROM b){nl}"
+            + f"{nl}UNION ALL{nl}".join(sel))
+
+
+CORR_MATRIX_ORACLE = _corr_matrix_oracle()
+
+
 REGISTRATIONS = [
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
     ("funnel_timebound_events", funnel_timebound_events,
@@ -1404,4 +1595,6 @@ REGISTRATIONS = [
     ("funnel_time_to_convert", funnel_time_to_convert, FUNNEL_TTC_ORACLE),
     ("item_cf_neighbors", item_cf_neighbors, ITEM_CF_ORACLE),
     ("event_pattern_funnel", event_pattern_funnel, EVENT_PATTERN_ORACLE),
+    ("bounce_rate_daily", bounce_rate_daily, BOUNCE_RATE_ORACLE),
+    ("corr_matrix_lineitem", corr_matrix_lineitem, CORR_MATRIX_ORACLE),
 ]

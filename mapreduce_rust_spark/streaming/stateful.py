@@ -467,8 +467,73 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.sum("n").alias("n_conversions")))
 
 
+PATTERN_OUT_SCHEMA = "user_id long, n_events long, n_funnels long"
+PATTERN_STATE_SCHEMA = "n long, nf long, open boolean"
+
+
+def _update_pattern(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user automaton state for the ``v[vc]*p`` funnel pattern:
+    one boolean ("an unclosed v[vc]* prefix is open") plus two
+    counters, carried across micro-batches. For this pattern class
+    (character class with a required terminal literal — see the batch
+    op's determinism note) the regex's non-overlapping match set
+    equals this 1-bit automaton exactly: a match is a maximal v/c run
+    containing a v, closed by the first following p; any other
+    character closes the prefix unmatched. A prefix left open at a
+    batch boundary completes on the next batch's p — exactly the
+    cross-batch continuation the batch op's whole-history regexp
+    implies."""
+    (user_id,) = key
+    n, nf, opn = state.get if state.exists else (0, 0, False)
+    rows = []
+    for pdf in pdfs:
+        rows += list(zip((int(x) for x in pdf["us"]),
+                         (int(x) for x in pdf["event_id"]),
+                         pdf["tc"]))
+    rows.sort()
+    for _us, _eid, tc in rows:
+        if tc == "v":
+            opn = True
+        elif tc == "p":
+            if opn:
+                nf += 1
+            opn = False
+        elif tc != "c":
+            opn = False
+        n += 1
+    state.update((n, nf, opn))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "n_funnels": [nf]})
+
+
+def stream_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``olap.event_pattern_funnel`` — the kappa
+    family's regex/sequence-matching member: the batch op regexps the
+    whole per-user history; the twin runs the equivalent automaton as
+    per-key state (1 bit + 2 counters — the smallest state in the
+    family). Emissions are per-batch cumulative; final row per user =
+    struct-max on n_events; same DuckDB oracle as the batch op."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", F.unix_micros("ts").alias("us"), "event_id",
+                  F.substring("event_type", 1, 1).alias("tc")))
+    updated = (ev.groupBy("user_id")
+                 .applyInPandasWithState(
+                     _update_pattern, PATTERN_OUT_SCHEMA,
+                     PATTERN_STATE_SCHEMA, "update",
+                     GroupStateTimeout.NoTimeout))
+    out = _run_to_table(updated, "stream_event_pattern", "update")
+    last = F.max(F.struct("n_events", "n_funnels")).alias("m")
+    return (out.groupBy("user_id").agg(last)
+               .select("user_id", F.col("m.n_events").alias("n_events"),
+                       F.col("m.n_funnels").alias("n_funnels"))
+               .filter(F.col("n_funnels") > 0))
+
+
 from mapreduce_rust_spark.operators.monitoring import ZSCORE_ORACLE  # noqa: E402
-from mapreduce_rust_spark.operators.olap import ATTRIBUTION_ORACLE, MARKOV_ORACLE  # noqa: E402
+from mapreduce_rust_spark.operators.olap import ATTRIBUTION_ORACLE, EVENT_PATTERN_ORACLE, MARKOV_ORACLE  # noqa: E402
 from mapreduce_rust_spark.operators.temporal import EWMA_ORACLE, HOLT_ORACLE  # noqa: E402
 
 REGISTRATIONS = [
@@ -481,4 +546,5 @@ REGISTRATIONS = [
     ("stream_holt_user_value", stream_holt_user_value, HOLT_ORACLE),
     ("stream_markov_transitions", stream_markov_transitions, MARKOV_ORACLE),
     ("stream_attribution", stream_attribution, ATTRIBUTION_ORACLE),
+    ("stream_event_pattern", stream_event_pattern, EVENT_PATTERN_ORACLE),
 ]

@@ -186,3 +186,53 @@ def test_label_consensus_flags_planted_mislabel(spark):
     for i in (0, 1, 2, 4, 5):
         # 5 neighbors, one (vec 3) disagrees
         assert got[i].n_agree == 4 and got[i].n_nbrs == 5
+
+
+def test_bounce_rate_semantics(spark):
+    """Two sessions for one user (one single-event = bounce, one
+    two-event with known dwell) must produce exact counts and dwell."""
+    from mapreduce_rust_spark.operators import olap as O
+    rows = [
+        (1, 10, "2024-01-01 08:00:00"),          # bounce (alone)
+        (1, 11, "2024-01-01 12:00:00"),          # session 2, ev 1
+        (1, 12, "2024-01-01 12:10:00"),          # session 2, ev 2
+        (2, 20, "2024-01-02 09:00:00"),          # bounce on day 2
+    ]
+    ev = (spark.createDataFrame(rows, "user_id long, event_id long, raw string")
+          .select("user_id", "event_id",
+                  F.col("raw").cast("timestamp").alias("ts")))
+    orig = O.load_table
+    try:
+        O.load_table = lambda s, d, n: ev
+        got = {r.day: r for r in
+               O.bounce_rate_daily(spark, SF_SMOKE).collect()}
+    finally:
+        O.load_table = orig
+    d1, d2 = sorted(got)
+    assert got[d1].n_sessions == 2 and got[d1].n_bounces == 1
+    assert got[d1].bounce_rate == 0.5
+    assert got[d1].avg_dwell_s == 600.0 / 2    # 10 min dwell / 2 sessions
+    assert got[d2].n_sessions == 1 and got[d2].n_bounces == 1
+
+
+def test_corr_matrix_perfect_correlation(spark):
+    """A column that is an exact linear function of another must give
+    corr = ±1 exactly (integer sufficient statistics make the
+    numerator and denominator identical up to sign)."""
+    from mapreduce_rust_spark.operators import olap as O
+    rows = [(float(i), float(2 * i), float(100 - i) / 100, 0.01 * (i % 3))
+            for i in range(1, 50)]
+    li = spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double")
+    orig = O.load_table
+    try:
+        O.load_table = lambda s, d, n: li
+        got = {(r.col_x, r.col_y): r.corr for r in
+               O.corr_matrix_lineitem(spark, SF_SMOKE).collect()}
+    finally:
+        O.load_table = orig
+    # price = 200·qty (cents grid), disc = 100−qty: ±1 up to the one
+    # sqrt·sqrt product's final-ulp rounding
+    assert abs(got[("qty", "price")] - 1.0) < 1e-14
+    assert abs(got[("qty", "disc")] + 1.0) < 1e-14
