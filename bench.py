@@ -235,6 +235,7 @@ HEADLINE = [
     "stream_event_pattern",
     "bounce_rate_daily",
     "corr_matrix_lineitem",
+    "ppr_seeded_parts",
 ]
 
 

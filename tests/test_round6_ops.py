@@ -236,3 +236,84 @@ def test_corr_matrix_perfect_correlation(spark):
     # sqrt·sqrt product's final-ulp rounding
     assert abs(got[("qty", "price")] - 1.0) < 1e-14
     assert abs(got[("qty", "disc")] + 1.0) < 1e-14
+
+
+from hypothesis import given, settings, strategies as st
+
+_vals = st.lists(st.tuples(st.booleans(),
+                           st.integers(min_value=0, max_value=12)),
+                 min_size=2, max_size=60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=_vals)
+def test_mannwhitney_property_vs_python(spark, data):
+    """For ANY (arm, value) multiset with ties, the doubled-midrank U
+    must equal a direct python midrank computation."""
+    from mapreduce_rust_spark.operators import experiment
+    # need both arms present
+    data = data + [(True, 0), (False, 0)]
+    rows = [(2 * i + (1 if treat else 0),  # odd user_id = treat
+             "2024-01-01 00:00:00", float(v))
+            for i, (treat, v) in enumerate(data)]
+    ev = (spark.createDataFrame(
+              rows, "user_id long, raw string, value double")
+          .select("user_id", F.col("raw").cast("timestamp").alias("ts"),
+                  "value"))
+    orig = experiment.load_table
+    try:
+        experiment.load_table = lambda s, d, n: ev
+        got = experiment.mannwhitney_events(spark, SF_SMOKE).collect()[0]
+    finally:
+        experiment.load_table = orig
+
+    vals = sorted((v, t) for t, v in data)
+    # python midranks over the sorted multiset
+    u2 = 0
+    i = 0
+    svals = [v for v, _ in vals]
+    while i < len(svals):
+        j = i
+        while j < len(svals) and svals[j] == svals[i]:
+            j += 1
+        r2 = (i + 1) + (j)          # 2·midrank = (i+1) + j
+        u2 += sum(r2 for k in range(i, j) if vals[k][1])
+        i = j
+    nt = sum(1 for t, _ in data if t)
+    u2 -= nt * (nt + 1)
+    assert got.u2 == u2
+    assert got.n_treat == nt and got.n_ctrl == len(data) - nt
+
+
+_two_src = st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                              st.integers(min_value=0, max_value=20)),
+                    min_size=2, max_size=60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=_two_src)
+def test_ks_property_vs_python(spark, data):
+    """For ANY two-source value multiset, ks_num must equal the
+    direct python sup over jump points of |cum_s·n_r − cum_r·n_s|."""
+    from mapreduce_rust_spark.operators import monitoring
+    data = data + [("a", 0), ("b", 0)]  # both sources present
+    docs = spark.createDataFrame(
+        [(s, v) for s, v in data], "source string, n_chars long")
+    orig = monitoring.load_table
+    try:
+        monitoring.load_table = lambda s, d, n: docs
+        got = {r.source: r for r in
+               monitoring.ks_drift_sources(spark, SF_SMOKE).collect()}
+    finally:
+        monitoring.load_table = orig
+    xs = sorted({v for _, v in data})
+    for src in ("a", "b"):
+        mine = [v for s, v in data if s == src]
+        rest = [v for s, v in data if s != src]
+        best = 0
+        for x in xs:
+            cs = sum(1 for v in mine if v <= x)
+            cr = sum(1 for v in rest if v <= x)
+            best = max(best, abs(cs * len(rest) - cr * len(mine)))
+        assert got[src].ks_num == best, (src, data)
+        assert got[src].n_src == len(mine)

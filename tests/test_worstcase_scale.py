@@ -14,6 +14,8 @@ import time
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 
 def _boilerplate_docs(spark, n_docs: int):
     """Every doc = the same 12-word boilerplate header + a unique
@@ -476,3 +478,39 @@ def test_chunked_carry_matches_direct_on_giant_user(spark):
         <= 1e-9 * max(1.0, abs(holt[0].forecast1))
     assert holt_s < 90, f"chunked giant-user holt took {holt_s:.1f}s"
     ev.unpersist()
+
+
+def test_blocked_knn_giant_label_block(spark):
+    """The blocked-kNN family's honest hazard (allknn / label
+    consensus): candidate volume is Σ|block|², so ONE degenerate
+    block holding the whole corpus is the n² worst case. Plant 2,000
+    distinct 16-d vectors in a single label block (4M pair dots) and
+    require bounded time — the measured point SCALE.md's IVF-blocking
+    remedy extrapolates from (at 100 TB the block key is the IVF cell
+    id, bounded by construction; a planted giant cell means the
+    quantizer, not this operator, is broken)."""
+    from mapreduce_rust_spark.llm import similarity as S
+    n, d = 2000, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda j: ((F.col("id") * 31 + j * 17) % 97)
+                    .cast("float")).alias("embedding"),
+        F.lit(0).alias("label"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string"))
+         .alias("lang"))
+    orig = S.load_table
+    try:
+        S.load_table = (lambda s, dd, nm:
+                        docs if nm == "documents" else emb)
+        t0 = time.perf_counter()
+        rows = S.knn_label_consensus(spark, SF_SMOKE).collect()
+        took = time.perf_counter() - t0
+    finally:
+        S.load_table = orig
+    assert len(rows) == n
+    assert all(r.n_nbrs == S.LABEL_NOISE_K for r in rows)
+    assert took < 120, f"giant-block consensus took {took:.1f}s"
+    print(f"giant-block (n={n}, d={d}) consensus: {took:.1f}s")
