@@ -236,6 +236,7 @@ HEADLINE = [
     "bounce_rate_daily",
     "corr_matrix_lineitem",
     "ppr_seeded_parts",
+    "stream_mannwhitney",
 ]
 
 

@@ -216,12 +216,23 @@ def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(n_treat, n_ctrl, u2, u, auc)``.
     """
-    cells = _cells(spark, sf_dir)
-    cnt = (cells.groupBy("vc")
-           .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
-                .cast("long").alias("ct"),
-                F.sum(F.when(~F.col("treat"), 1).otherwise(0))
-                .cast("long").alias("cc")))
+    return mw_closed_form(mw_value_counts(_cells(spark, sf_dir)))
+
+
+def mw_value_counts(cells: DataFrame) -> DataFrame:
+    """Per-distinct-value arm counts — the MERGEABLE sufficient
+    statistic (plain sums, so the streaming twin maintains it as one
+    complete-mode aggregate)."""
+    return (cells.groupBy("vc")
+            .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
+                 .cast("long").alias("ct"),
+                 F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+                 .cast("long").alias("cc")))
+
+
+def mw_closed_form(cnt: DataFrame) -> DataFrame:
+    """Finish U/AUC from the (vc, ct, cc) counts table — shared by
+    the batch op and ``streaming.windows.stream_mannwhitney``."""
     from pyspark.sql import Window as W
     t = (cnt.withColumn("c", F.col("ct") + F.col("cc"))
             .withColumn("cum", F.sum("c").over(W.orderBy("vc")))

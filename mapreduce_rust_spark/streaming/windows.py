@@ -384,9 +384,35 @@ def stream_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_closed_form(out)
 
 
+def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.mannwhitney_events`` — the
+    experimentation wing joins the kappa family: the per-distinct-
+    value arm counts are plain mergeable sums (ONE complete-mode
+    aggregate over the cents grid), and the shared closed form ranks
+    and divides on top batch-side. Same DuckDB oracle as the batch
+    op; bit-identical (pure integer counts, one final division)."""
+    from mapreduce_rust_spark.operators.experiment import mw_closed_form
+    ev = (read_events_stream(spark, sf_dir)
+          .select((F.col("user_id") % 2 == 1).alias("treat"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    cnt = (ev.groupBy("vc")
+           .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
+                .cast("long").alias("ct"),
+                F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+                .cast("long").alias("cc")))
+    out = _run_to_table(cnt, "stream_mannwhitney", "complete")
+    return mw_closed_form(out)
+
+
 def _dow_oracle() -> str:
     from mapreduce_rust_spark.operators.monitoring import DOW_ORACLE
     return DOW_ORACLE
+
+
+def _mw_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import (
+        MANNWHITNEY_ORACLE)
+    return MANNWHITNEY_ORACLE
 
 
 def _chisq_oracle() -> str:
@@ -410,4 +436,5 @@ REGISTRATIONS = [
     # twin shares the batch op's oracle (kappa parity)
     ("stream_active_users_7d", stream_active_users_7d,
      _active_7d_oracle()),
+    ("stream_mannwhitney", stream_mannwhitney, _mw_oracle()),
 ]

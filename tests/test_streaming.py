@@ -364,3 +364,28 @@ def test_stream_zscore_equals_batch(spark):
     want = {r.event_id: (r.event_type, r.day, r.n_prev, r.is_anomaly)
             for r in zscore_anomaly_events(spark, SF_CORRECT).collect()}
     assert got == want and got
+
+
+def test_stream_event_pattern_equals_batch(spark):
+    """The 1-bit automaton twin must be row-identical to the batch
+    regexp op (kappa parity for the sequence-matching class)."""
+    from mapreduce_rust_spark.operators.olap import event_pattern_funnel
+    from mapreduce_rust_spark.streaming.stateful import stream_event_pattern
+    from tests.conftest import SF_SMOKE
+    batch = {(r.user_id, r.n_events, r.n_funnels)
+             for r in event_pattern_funnel(spark, SF_SMOKE).collect()}
+    twin = {(r.user_id, r.n_events, r.n_funnels)
+            for r in stream_event_pattern(spark, SF_SMOKE).collect()}
+    assert twin == batch and batch
+
+
+def test_stream_mannwhitney_equals_batch(spark):
+    """The complete-mode counts twin must be bit-identical to the
+    batch rank-sum op (pure integer counts + one shared division)."""
+    from mapreduce_rust_spark.operators.experiment import mannwhitney_events
+    from mapreduce_rust_spark.streaming.windows import stream_mannwhitney
+    from tests.conftest import SF_SMOKE
+    b = mannwhitney_events(spark, SF_SMOKE).collect()[0]
+    t = stream_mannwhitney(spark, SF_SMOKE).collect()[0]
+    assert (b.n_treat, b.n_ctrl, b.u2, b.u, b.auc) \
+        == (t.n_treat, t.n_ctrl, t.u2, t.u, t.auc)
