@@ -509,11 +509,15 @@ def pagerank_exact_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery end to end."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li)
+    # materialize the adjacency ONCE: every round consumes it, and
+    # without this the basket build re-executes per round (3-4x the
+    # scan+explode cost — measured; per-ROUND checkpoints of the rank
+    # table were the wrong fix, see the loop comment below)
     adj = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionAll(edges.select(F.col("v").alias("a"),
-                                  F.col("u").alias("b"))))
-    deg = (adj.groupBy("a").agg(F.count("*").alias("deg"))
+                                  F.col("u").alias("b")))
            .localCheckpoint(eager=True))
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
     n = deg.count()
     base = (15 * PR_EXACT_GRID) // (100 * n)
     r = deg.select(F.col("a").alias("node"),
@@ -695,11 +699,13 @@ def ppr_seeded_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li)
+    # adjacency materialized once, reused by all rounds (see
+    # pagerank_exact_parts)
     adj = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionAll(edges.select(F.col("v").alias("a"),
-                                  F.col("u").alias("b"))))
-    deg = (adj.groupBy("a").agg(F.count("*").alias("deg"))
+                                  F.col("u").alias("b")))
            .localCheckpoint(eager=True))
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
     n_seeds = len(PPR_SEEDS)
     seed0 = PR_EXACT_GRID // n_seeds
     base = (15 * PR_EXACT_GRID) // (100 * n_seeds)
@@ -708,7 +714,11 @@ def ppr_seeded_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(is_seed)
          .select("node", F.lit(seed0).alias("rq")))
     for _ in range(PR_EXACT_ITERS):
-        c = (adj.join(r.withColumnRenamed("node", "a"), "a")
+        # the rank table is bounded by the seeds' frontier (not the
+        # graph), so BROADCAST it under the adjacency stream — the
+        # global pagerank_exact deliberately does NOT (its r is
+        # n-nodes-sized); measured 5.3 s -> see SCALE.md
+        c = (adj.join(F.broadcast(r.withColumnRenamed("node", "a")), "a")
              .join(deg, "a")
              .select(F.col("b").alias("node"),
                      F.expr("rq DIV deg").alias("s"))
