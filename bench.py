@@ -237,6 +237,7 @@ HEADLINE = [
     "corr_matrix_lineitem",
     "ppr_seeded_parts",
     "stream_mannwhitney",
+    "stl_lite_events",
 ]
 
 

@@ -1156,6 +1156,96 @@ FROM d GROUP BY source
 """
 
 
+def stl_lite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of the daily
+    event-value series — STL's moving-average skeleton (trend =
+    centered 7-day mean, seasonal = per-ISO-weekday mean of the
+    detrended series, residual = the rest), completing the
+    time-series wing (profile: dow_seasonality; forecast: Holt /
+    seasonal-naive; this: the decomposition view analysts eyeball
+    first).
+
+    Exactness: daily totals are exact cent longs; trend = (Σ7 longs)
+    / 7.0 is ONE division; the seasonal mean of detrended values
+    would be an order-sensitive float sum, so it is cleared to
+    integer sufficient statistics first — Σ(v·7 − s7) per weekday is
+    a pure BIGINT, and seasonal = that / (7·n) in one division;
+    residual = (v − trend) − seasonal with fixed parenthesization.
+    Trend needs all 7 neighbors (honest NULL edges, the interp_gapfill
+    convention), and edge days are excluded throughout so batch and
+    oracle see the same population.
+
+    Scale: events collapse to the day grain immediately (≤ a few
+    thousand rows at ANY corpus size); every window/aggregate after
+    that is dims-sized. Output: ``(day, dow, value_c, trend,
+    seasonal, residual)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select(F.expr("unix_micros(ts) DIV 86400000000")
+                       .alias("day"),
+                       F.round(F.col("value") * 100).cast("long")
+                        .alias("vc"))
+             .groupBy("day").agg(F.sum("vc").alias("v")))
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    t = (daily
+         .withColumn("s7", F.sum("v").over(w7))
+         .withColumn("n7", F.count("v").over(w7))
+         # centered window is positional: require the 7 CALENDAR
+         # days too (gap-free span), not just 7 rows
+         .withColumn("span", F.max("day").over(w7) - F.min("day").over(w7))
+         .where((F.col("n7") == 7) & (F.col("span") == 6))
+         .withColumn("dow", F.expr("(day + 3) % 7 + 1").cast("long")))
+    dowagg = (t.groupBy("dow")
+              .agg(F.sum(F.col("v") * 7 - F.col("s7")).alias("num"),
+                   F.count("*").alias("n")))
+    out = (t.join(F.broadcast(dowagg), "dow")
+           .select("day", "dow", F.col("v").alias("value_c"),
+                   (F.col("s7").cast("double") / F.lit(7.0))
+                   .alias("trend"),
+                   (F.col("num").cast("double")
+                    / (F.col("n") * 7).cast("double")).alias("seasonal")))
+    return out.select(
+        "day", "dow", "value_c", "trend", "seasonal",
+        ((F.col("value_c").cast("double") - F.col("trend"))
+         - F.col("seasonal")).alias("residual"))
+
+
+STL_LITE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT day, v,
+         CAST(SUM(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING) AS BIGINT) AS s7,
+         COUNT(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                        AND 3 FOLLOWING) AS n7,
+         MAX(day) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                        AND 3 FOLLOWING)
+           - MIN(day) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS span
+  FROM daily
+),
+kept AS (
+  SELECT day, v, s7, CAST((day + 3) % 7 + 1 AS BIGINT) AS dow
+  FROM t WHERE n7 = 7 AND span = 6
+),
+dowagg AS (
+  SELECT dow, CAST(SUM(v * 7 - s7) AS BIGINT) AS num,
+         COUNT(*) AS n
+  FROM kept GROUP BY dow
+)
+SELECT k.day, k.dow, k.v AS value_c,
+       CAST(k.s7 AS DOUBLE) / 7.0 AS trend,
+       CAST(d.num AS DOUBLE) / CAST(d.n * 7 AS DOUBLE) AS seasonal,
+       (CAST(k.v AS DOUBLE) - CAST(k.s7 AS DOUBLE) / 7.0)
+         - CAST(d.num AS DOUBLE) / CAST(d.n * 7 AS DOUBLE) AS residual
+FROM kept k JOIN dowagg d ON d.dow = k.dow
+"""
+
+
 REGISTRATIONS = [
     ("zscore_anomaly_events", zscore_anomaly_events, ZSCORE_ORACLE),
     ("tv_drift_sources", tv_drift_sources, TV_DRIFT_ORACLE),
@@ -1173,4 +1263,5 @@ REGISTRATIONS = [
     ("theil_sen_trend_events", theil_sen_trend_events, THEIL_SEN_ORACLE),
     ("chisq_cells_events", chisq_cells_events, CHISQ_ORACLE),
     ("ks_drift_sources", ks_drift_sources, KS_DRIFT_ORACLE),
+    ("stl_lite_events", stl_lite_events, STL_LITE_ORACLE),
 ]

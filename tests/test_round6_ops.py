@@ -317,3 +317,43 @@ def test_ks_property_vs_python(spark, data):
             best = max(best, abs(cs * len(rest) - cr * len(mine)))
         assert got[src].ks_num == best, (src, data)
         assert got[src].n_src == len(mine)
+
+
+def test_stl_lite_identities(spark):
+    """Per-weekday residual means must vanish (the seasonal mean is
+    defined exactly as the per-dow detrended mean), and a planted
+    pure-weekly signal over a gap-free grid must decompose with ~zero
+    residual everywhere."""
+    from mapreduce_rust_spark.operators import monitoring as M
+
+    rows = M.stl_lite_events(spark, SF_SMOKE).collect()
+    assert rows
+    by_dow = {}
+    for r in rows:
+        by_dow.setdefault(r.dow, []).append(r.residual)
+        # additive identity holds by construction
+        assert abs((r.value_c - r.trend - r.seasonal) - r.residual) < 1e-6
+    for dow, res in by_dow.items():
+        assert abs(sum(res) / len(res)) < 1e-6, dow
+
+    # planted: value depends ONLY on weekday -> residual == 0 and
+    # trend == the flat weekly mean on every interior day
+    season = [700, 100, 300, 900, 500, 200, 400]
+    ev = spark.createDataFrame(
+        [(d, float(season[(d + 3) % 7]))
+         for d in range(19723, 19723 + 28)], "day long, v double") \
+        .select(F.timestamp_seconds(F.col("day") * 86400).alias("ts"),
+                F.col("v").alias("value"))
+    orig = M.load_table
+    try:
+        M.load_table = lambda s, dd, n: ev
+        got = M.stl_lite_events(spark, SF_SMOKE).collect()
+    finally:
+        M.load_table = orig
+    assert len(got) == 28 - 6
+    weekly_mean = sum(x * 100 for x in season) / 7.0
+    for r in got:
+        assert abs(r.trend - weekly_mean) < 1e-9
+        assert abs(r.residual) < 1e-9
+        assert abs(r.seasonal - (season[(r.day + 3) % 7] * 100
+                                 - weekly_mean)) < 1e-9
