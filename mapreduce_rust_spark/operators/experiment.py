@@ -206,7 +206,10 @@ def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     p values strictly below, 2·midrank = 2p + c + 1, and
     2·U = Σ c_t·(2p + c + 1) − n_t·(n_t + 1) is a pure BIGINT both
     engines compute identically; ``u`` and ``auc`` are one exact
-    halving and one int÷int double division.
+    halving and one int÷int double division. int64 ceiling: r2t grows
+    ~2N² and 2·n_t·n_c ~N²/2, so past ~2·10⁹ events move the sums to
+    DECIMAL(38,0) (the χ²/CUPED pattern) — same documented bound as
+    ``ks_drift_sources``.
 
     Scale shape: one partial+final aggregate collapses the corpus to
     per-distinct-value arm counts (cents grid ⇒ bounded dims table),

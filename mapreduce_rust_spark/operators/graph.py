@@ -74,6 +74,35 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
                 .distinct())
 
 
+def _bidir_adjacency(edges: DataFrame) -> DataFrame:
+    """Both directions of a distinct (u < v) edge list, materialized
+    ONCE (every fixed-point round consumes it; without materialization
+    the basket build re-executes per round — measured 5.05 s → 3.63 s
+    on ppr_seeded_parts at sf0.1, SCALE.md round 6). Shared by
+    pagerank_exact / kcore / ppr."""
+    return (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .unionAll(edges.select(F.col("v").alias("a"),
+                                   F.col("u").alias("b")))
+            .localCheckpoint(eager=True))
+
+
+# The capped-basket edge CTE every graph oracle embeds — interpolates
+# COPURCHASE_MAX_BASKET so the SQL mirror can never drift from the
+# Spark-side cap (guarded by the cap-mirror assertion in
+# tests/test_worstcase_scale.py).
+CAPPED_EDGES_SQL = f"""op AS (
+  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
+  SELECT o, p FROM (
+    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
+           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  ) WHERE rn <= {COPURCHASE_MAX_BASKET}),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)"""
+
+
 BROADCAST_EDGE_LIMIT = 5_000_000  # ~80 MB packed; same gate idea as
                                   # llm/pipeline's union-find threshold
 
@@ -508,15 +537,7 @@ def pagerank_exact_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists so the driver artifact hash-verifies the propagation
     machinery end to end."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
-    # materialize the adjacency ONCE: every round consumes it, and
-    # without this the basket build re-executes per round (3-4x the
-    # scan+explode cost — measured; per-ROUND checkpoints of the rank
-    # table were the wrong fix, see the loop comment below)
-    adj = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-           .unionAll(edges.select(F.col("v").alias("a"),
-                                  F.col("u").alias("b")))
-           .localCheckpoint(eager=True))
+    adj = _bidir_adjacency(copurchase_edges(li))
     deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
     n = deg.count()
     base = (15 * PR_EXACT_GRID) // (100 * n)
@@ -563,17 +584,7 @@ r{k} AS (
 )""")
         prev = f"r{k}"
     return f"""
-WITH op AS (
-  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
-  SELECT o, p FROM (
-    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
-           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
-    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-  ) WHERE rn <= 256),
-edges AS (
-  SELECT DISTINCT a.p AS u, b.p AS v
-  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-),
+WITH {CAPPED_EDGES_SQL},
 adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
 deg AS (SELECT a, COUNT(*) AS deg FROM adj GROUP BY a),
 nn AS (SELECT COUNT(*) AS n FROM deg),
@@ -612,11 +623,7 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(part, core_deg)`` for nodes alive after the rounds.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
-    alive = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-             .unionAll(edges.select(F.col("v").alias("a"),
-                                    F.col("u").alias("b")))
-             .localCheckpoint(eager=True))
+    alive = _bidir_adjacency(copurchase_edges(li))
     # early fixpoint stop: a round that drops no edge makes every
     # later round a no-op, so skipping them is SEMANTICALLY identical
     # to running all KCORE_ROUNDS (the oracle runs the full unrolled
@@ -652,17 +659,7 @@ e{r} AS (
 )""")
         prev = f"e{r}"
     return f"""
-WITH op AS (
-  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
-  SELECT o, p FROM (
-    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
-           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
-    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-  ) WHERE rn <= 256),
-edges AS (
-  SELECT DISTINCT a.p AS u, b.p AS v
-  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-),
+WITH {CAPPED_EDGES_SQL},
 e0 AS (SELECT u AS a, v AS b FROM edges
        UNION ALL SELECT v, u FROM edges),{','.join(rounds)}
 SELECT a AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
@@ -698,13 +695,7 @@ def ppr_seeded_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier only. Inherits ``COPURCHASE_MAX_BASKET``.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
-    # adjacency materialized once, reused by all rounds (see
-    # pagerank_exact_parts)
-    adj = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-           .unionAll(edges.select(F.col("v").alias("a"),
-                                  F.col("u").alias("b")))
-           .localCheckpoint(eager=True))
+    adj = _bidir_adjacency(copurchase_edges(li))
     deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
     n_seeds = len(PPR_SEEDS)
     seed0 = PR_EXACT_GRID // n_seeds
@@ -714,10 +705,13 @@ def ppr_seeded_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(is_seed)
          .select("node", F.lit(seed0).alias("rq")))
     for _ in range(PR_EXACT_ITERS):
-        # the rank table is bounded by the seeds' frontier (not the
-        # graph), so BROADCAST it under the adjacency stream — the
-        # global pagerank_exact deliberately does NOT (its r is
-        # n-nodes-sized); measured 5.3 s -> see SCALE.md
+        # broadcast hint on r: measured 4.8 s -> 3.6 s at sf0.1 (the
+        # separate adjacency-materialization fix is accounted in
+        # SCALE.md). Honest caveat: r is FRONTIER-sized, and on a
+        # small-world graph the 3-hop frontier can approach all n
+        # nodes — a deployment with broad seed sets should drop the
+        # hint and let AQE decide, which is exactly what the global
+        # pagerank_exact_parts (always n-sized r) does.
         c = (adj.join(F.broadcast(r.withColumnRenamed("node", "a")), "a")
              .join(deg, "a")
              .select(F.col("b").alias("node"),
@@ -761,17 +755,7 @@ r{k} AS (
 )""")
         prev = f"r{k}"
     return f"""
-WITH op AS (
-  -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
-  SELECT o, p FROM (
-    SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
-           (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
-    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-  ) WHERE rn <= 256),
-edges AS (
-  SELECT DISTINCT a.p AS u, b.p AS v
-  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-),
+WITH {CAPPED_EDGES_SQL},
 adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
 deg AS (SELECT a, COUNT(*) AS deg FROM adj GROUP BY a),
 r0 AS (SELECT a AS node,

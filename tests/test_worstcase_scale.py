@@ -430,10 +430,15 @@ def test_copurchase_edge_cap_bounds_mega_basket(spark):
     assert took < 60, f"capped mega-basket edge build took {took:.1f}s"
 
     # the SQL mirror: every edge-building oracle embeds the same cap
+    # (the three fixed-point oracles via the shared CAPPED_EDGES_SQL)
     for sql in (graph.TRIANGLE_ORACLE, graph.REACHABLE_SQL,
                 graph.DEGREE_HIST_ORACLE, graph.CLUSTERING_ORACLE,
-                graph.LABELPROP_ORACLE):
+                graph.LABELPROP_ORACLE, graph.PAGERANK_EXACT_ORACLE,
+                graph.KCORE_ORACLE, graph.PPR_SEEDED_ORACLE):
         assert f"rn <= {cap}" in sql
+    from mapreduce_rust_spark.operators.olap import (
+        ASSOC_MAX_BASKET, ITEM_CF_ORACLE)
+    assert f"rn <= {ASSOC_MAX_BASKET}" in ITEM_CF_ORACLE
 
 
 def test_chunked_carry_matches_direct_on_giant_user(spark):
