@@ -238,6 +238,8 @@ HEADLINE = [
     "ppr_seeded_parts",
     "stream_mannwhitney",
     "stl_lite_events",
+    "fano_burstiness_events",
+    "heaps_curve_docs",
 ]
 
 

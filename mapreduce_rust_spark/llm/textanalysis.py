@@ -683,6 +683,84 @@ FROM hit GROUP BY doc_id
 PHRASE_SEARCH_ORACLE = _phrase_oracle()
 
 
+HEAPS_BUCKET = 1024   # doc_id bucket width for the scalable prefix
+
+
+def heaps_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative token count vs
+    cumulative DISTINCT vocabulary as the corpus is ingested in
+    doc_id order — the saturation diagnostic that tells a curation
+    pipeline whether more of the same source still buys new
+    vocabulary (V ∝ Tᵝ, β ≈ 0.5–0.7 for natural text; a flattening
+    curve means dedup/diversify before scaling up).
+
+    Scalable form: cumulative distinct is the FIRST-SEEN
+    decomposition (a type counts from the doc where its min doc_id
+    occurs — the ``cumulative_distinct_users`` trick on tokens), and
+    BOTH running sums use the two-phase bucket prefix (per-bucket
+    totals + carry-in offsets from a window over ≤ |docs|/1024
+    bucket rows, in-bucket prefix in (bucket) partitions — the
+    scalable_rank discipline, no global doc-grain window). The naive
+    single-window oracle doubles as the decomposition proof.
+
+    Output: ``(doc_id, n_toks, new_types, cum_tokens, cum_vocab)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
+    per_doc = docs.select("doc_id", F.size(toks).cast("long")
+                          .alias("n_toks"))
+    first = (docs.select("doc_id", F.explode(toks).alias("tok"))
+             .groupBy("tok").agg(F.min("doc_id").alias("fdoc"))
+             .groupBy(F.col("fdoc").alias("doc_id"))
+             .agg(F.count("*").alias("new_types")))
+    base = (per_doc.join(first, "doc_id", "left")
+            .withColumn("new_types",
+                        F.coalesce(F.col("new_types"), F.lit(0))
+                        .cast("long"))
+            .withColumn("_b", F.expr(f"doc_id DIV {HEAPS_BUCKET}")))
+    bt = (base.groupBy("_b")
+          .agg(F.sum("n_toks").alias("_t"), F.sum("new_types").alias("_v")))
+    wb = W.partitionBy().orderBy("_b")
+    offs = bt.select("_b",
+                     (F.sum("_t").over(wb) - F.col("_t")).alias("_ot"),
+                     (F.sum("_v").over(wb) - F.col("_v")).alias("_ov"))
+    wl = (W.partitionBy("_b").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (base.join(F.broadcast(offs), "_b")
+            .select("doc_id", "n_toks", "new_types",
+                    (F.sum("n_toks").over(wl) + F.col("_ot"))
+                    .cast("long").alias("cum_tokens"),
+                    (F.sum("new_types").over(wl) + F.col("_ov"))
+                    .cast("long").alias("cum_vocab")))
+
+
+HEAPS_CURVE_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_toks
+  FROM documents
+),
+first AS (
+  SELECT fdoc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM (
+    SELECT tok, MIN(doc_id) AS fdoc
+    FROM (SELECT doc_id, UNNEST(list_filter(
+              regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+              AS tok
+          FROM documents)
+    GROUP BY tok
+  ) GROUP BY fdoc
+)
+SELECT p.doc_id, p.n_toks, COALESCE(f.new_types, 0) AS new_types,
+       CAST(SUM(p.n_toks) OVER (ORDER BY p.doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(f.new_types, 0)) OVER (ORDER BY p.doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM per_doc p LEFT JOIN first f ON f.doc_id = p.doc_id
+"""
+
+
 KEYWORDS_TOP_K = 10
 KEYWORDS_MIN_COUNT = 5   # min in-domain occurrences (hapax guard)
 
@@ -1219,6 +1297,7 @@ REGISTRATIONS = [
     ("bigram_lm_docs", bigram_lm_docs, BIGRAM_LM_ORACLE),
     ("boolean_search_docs", boolean_search_docs, BOOLEAN_SEARCH_ORACLE),
     ("phrase_search_docs", phrase_search_docs, PHRASE_SEARCH_ORACLE),
+    ("heaps_curve_docs", heaps_curve_docs, HEAPS_CURVE_ORACLE),
     ("bm25_search_docs", bm25_search_docs, BM25_ORACLE),
     ("kwic_snippets_docs", kwic_snippets_docs, KWIC_ORACLE),
     ("collocations_pmi_docs", collocations_pmi_docs, COLLOC_PMI_ORACLE),

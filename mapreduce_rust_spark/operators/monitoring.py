@@ -1246,6 +1246,71 @@ FROM kept k JOIN dowagg d ON d.dow = k.dow
 """
 
 
+def fano_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness of the daily arrival process: the Fano
+    factor (index of dispersion) F = Var(daily count)/Mean(daily
+    count) over the type's FULL calendar span — F ≈ 1 is Poisson-like
+    traffic, F ≫ 1 is bursty (incident storms, batch replays), F ≪ 1
+    is metronomic (schedulers). The single-number companion of the
+    interevent-gap percentiles.
+
+    Empty days count as zeros WITHOUT materializing a grid: zeros add
+    nothing to Σc or Σc², so only n_days = max−min+1 needs the span.
+    Exactness: population variance over mean clears to
+    (n·Σc² − (Σc)²) / (n·Σc) — integer numerator and denominator
+    (DECIMAL(38,0) for Σc², which passes int64 once a type logs ~3e9
+    events/day), ONE division. Scale: one day-grain partial+final
+    aggregate, then per-type dims arithmetic.
+
+    Output: ``(event_type, n_days, mean_per_day, fano)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr("unix_micros(ts) DIV 86400000000")
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").alias("c")))
+    dec = "decimal(38,0)"
+    g = (daily.groupBy("event_type")
+         .agg((F.max("day") - F.min("day") + 1).alias("n_days"),
+              F.sum("c").alias("sc"),
+              F.sum((F.col("c") * F.col("c")).cast(dec)).alias("sc2")))
+    n = F.col("n_days").cast(dec)
+    num = (n * F.col("sc2")
+           - (F.col("sc").cast(dec) * F.col("sc").cast(dec)))
+    den = n * F.col("sc").cast(dec)
+    return g.select(
+        "event_type", F.col("n_days").cast("long").alias("n_days"),
+        (F.col("sc").cast("double") / F.col("n_days").cast("double"))
+        .alias("mean_per_day"),
+        (num.cast("double") / den.cast("double")).alias("fano"))
+
+
+FANO_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+g AS (
+  SELECT event_type,
+         CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         SUM(CAST(c * c AS DECIMAL(38,0))) AS sc2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_per_day,
+       CAST(CAST(n_days AS DECIMAL(38,0)) * sc2
+            - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))
+            AS DOUBLE)
+         / CAST(CAST(n_days AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))
+                AS DOUBLE) AS fano
+FROM g
+"""
+
+
 REGISTRATIONS = [
     ("zscore_anomaly_events", zscore_anomaly_events, ZSCORE_ORACLE),
     ("tv_drift_sources", tv_drift_sources, TV_DRIFT_ORACLE),
@@ -1264,4 +1329,5 @@ REGISTRATIONS = [
     ("chisq_cells_events", chisq_cells_events, CHISQ_ORACLE),
     ("ks_drift_sources", ks_drift_sources, KS_DRIFT_ORACLE),
     ("stl_lite_events", stl_lite_events, STL_LITE_ORACLE),
+    ("fano_burstiness_events", fano_burstiness_events, FANO_ORACLE),
 ]

@@ -357,3 +357,56 @@ def test_stl_lite_identities(spark):
         assert abs(r.residual) < 1e-9
         assert abs(r.seasonal - (season[(r.day + 3) % 7] * 100
                                  - weekly_mean)) < 1e-9
+
+
+def test_fano_closed_form_on_planted_traffic(spark):
+    """A metronomic type (1 event/day) must score F = 0; a two-burst
+    type (10 events on the first and last day of a 10-day span) must
+    hit the exact closed form (n*sum(c^2) - sum(c)^2)/(n*sum(c)) = 8,
+    with the 8 empty days counted as implicit zeros."""
+    from mapreduce_rust_spark.operators import monitoring as M
+
+    rows = ([("steady", d) for d in range(10)]
+            + [("burst", 0)] * 10 + [("burst", 9)] * 10)
+    ev = spark.createDataFrame(rows, "event_type string, day long") \
+        .select("event_type",
+                F.timestamp_seconds(F.col("day") * 86400).alias("ts"))
+    orig = M.load_table
+    try:
+        M.load_table = lambda s, dd, n: ev
+        got = {r.event_type: r
+               for r in M.fano_burstiness_events(spark, SF_SMOKE).collect()}
+    finally:
+        M.load_table = orig
+    assert got["steady"].n_days == 10
+    assert got["steady"].fano == 0.0
+    assert got["steady"].mean_per_day == 1.0
+    assert got["burst"].n_days == 10
+    assert got["burst"].mean_per_day == 2.0
+    assert got["burst"].fano == 8.0
+
+
+def test_heaps_curve_totals_and_monotonicity(spark):
+    """The curve's last point must equal the corpus totals (sum of
+    token counts, global distinct vocabulary), both cumulative
+    series must be nondecreasing in doc_id order, and vocabulary can
+    never outgrow tokens."""
+    from mapreduce_rust_spark.llm import textanalysis as T
+
+    rows = sorted(T.heaps_curve_docs(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.doc_id)
+    assert rows
+    docs = T.load_table(spark, SF_SMOKE, "documents")
+    toks = F.filter(F.split("text", T.WS_RE), lambda t: t != F.lit(""))
+    n_tokens = docs.select(F.sum(F.size(toks))).collect()[0][0]
+    n_vocab = (docs.select(F.explode(toks).alias("t"))
+               .agg(F.countDistinct("t")).collect()[0][0])
+    assert rows[-1].cum_tokens == n_tokens
+    assert rows[-1].cum_vocab == n_vocab
+    assert sum(r.new_types for r in rows) == n_vocab
+    prev_t = prev_v = 0
+    for r in rows:
+        assert r.cum_tokens == prev_t + r.n_toks
+        assert r.cum_vocab == prev_v + r.new_types
+        assert r.cum_vocab <= r.cum_tokens
+        prev_t, prev_v = r.cum_tokens, r.cum_vocab
