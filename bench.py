@@ -240,6 +240,11 @@ HEADLINE = [
     "stl_lite_events",
     "fano_burstiness_events",
     "heaps_curve_docs",
+    "stream_fano_burstiness",
+    "record_high_orders",
+    "assortativity_copurchase",
+    "linkpred_common_neighbors",
+    "token_budget_epochs",
 ]
 
 

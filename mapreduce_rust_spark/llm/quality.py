@@ -989,6 +989,84 @@ FROM c
 """
 
 
+# Token-budget planning: the total training-token budget and the
+# target mixture (ppm of budget per source). Named weights for the
+# high-value sources; every other source splits the remainder evenly.
+# The ppm table MUST sum to exactly 1_000_000 — asserted in tests.
+TOKEN_BUDGET = 10_000_000
+BUDGET_PPM = {"src0": 200_000, "src1": 150_000,
+              "src2": 100_000, "src3": 50_000}
+BUDGET_DEFAULT_PPM = 31_250   # (1e6 - 500k) / 16 remaining sources
+
+
+def token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-budget planning: given a total training-token budget and
+    a target mixture (``BUDGET_PPM`` per source), how many EPOCHS of
+    each source does its allocation imply? epochs > 1 means the
+    source must repeat to fill its share (the Muennighoff-style
+    repeated-data regime); epochs ≪ 1 means the source is barely
+    sampled and its weight could fund dedup/quality work instead.
+    The planning readout every mixture decision (domain_mix,
+    temperature_mix) feeds from.
+
+    Exactness: per-source token counts are one integer aggregate;
+    alloc = budget·ppm DIV 10⁶ is integer arithmetic;
+    epochs = alloc ÷ n_tokens is ONE int÷int double division
+    (correctly rounded identically on both engines). Scale: one
+    map-side-combined count aggregate over the corpus, then
+    dims-sized arithmetic — the λ table is never joined back.
+
+    Output: ``(source, n_tokens, ppm, alloc_tokens, epochs,
+    repeats)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (docs.select("source", F.size(_toks(F.col("text")))
+                           .cast("long").alias("nt"))
+               .groupBy("source")
+               .agg(F.sum("nt").alias("n_tokens")))
+    ppm = F.lit(BUDGET_DEFAULT_PPM)
+    for src, p in BUDGET_PPM.items():
+        ppm = F.when(F.col("source") == src, F.lit(p)).otherwise(ppm)
+    return (per_src
+            .withColumn("ppm", ppm.cast("long"))
+            .withColumn("alloc_tokens",
+                        F.expr(f"{TOKEN_BUDGET} * ppm DIV 1000000")
+                        .cast("long"))
+            .withColumn("epochs",
+                        F.col("alloc_tokens").cast("double")
+                        / F.col("n_tokens").cast("double"))
+            .withColumn("repeats", (F.col("alloc_tokens")
+                                    > F.col("n_tokens")).alias("repeats"))
+            .select("source", "n_tokens", "ppm", "alloc_tokens",
+                    "epochs", "repeats"))
+
+
+_BUDGET_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {p}" for s, p in BUDGET_PPM.items())
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(CASE {_BUDGET_CASE} ELSE {BUDGET_DEFAULT_PPM} END
+              AS BIGINT) AS ppm
+  FROM per_src
+)
+SELECT source, n_tokens, ppm,
+       CAST({TOKEN_BUDGET} * ppm // 1000000 AS BIGINT) AS alloc_tokens,
+       CAST(CAST({TOKEN_BUDGET} * ppm // 1000000 AS BIGINT) AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE) AS epochs,
+       CAST({TOKEN_BUDGET} * ppm // 1000000 AS BIGINT) > n_tokens
+         AS repeats
+FROM w
+"""
+
+
 REGISTRATIONS = [
     ("readability_docs", readability_docs, READABILITY_ORACLE),
     ("unigram_logprob_docs", unigram_logprob_docs, None),
@@ -1011,4 +1089,5 @@ REGISTRATIONS = [
     ("stratified_sample_docs", stratified_sample_docs,
      STRATIFIED_SAMPLE_ORACLE),
     ("pack_sequences_docs", pack_sequences_docs, PACK_SEQUENCES_ORACLE),
+    ("token_budget_epochs", token_budget_epochs, TOKEN_BUDGET_ORACLE),
 ]

@@ -744,6 +744,85 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+RECORD_BUCKET_DAYS = 64   # carry-in window is over span/64 bucket rows
+
+
+def record_high_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global record-breaking orders: every order whose totalprice
+    STRICTLY exceeds all prior orders' in (order date, order key)
+    sequence — running all-time-high detection (price records, SLA
+    records, high-water-mark accounting). The prefix-MAX companion of
+    the prefix-sum/rank two-phase decompositions (scalable_rank,
+    cusum): per-bucket maxima, a carry-in window over BUCKET rows only
+    (span/``RECORD_BUCKET_DAYS`` rows — never data), and an in-bucket
+    prefix max in (bucket) partitions. The naive single-window oracle
+    makes the hash match the decomposition proof.
+
+    Two properties make this CHEAPER than the rank decomposition at
+    100 TB: (1) candidate pruning — a row ≤ its bucket's carry-in can
+    neither be a record nor raise any later row's prev_best above the
+    carry, so it is filtered BEFORE the in-bucket window (on
+    exchangeable data the expected survivor count per bucket is
+    O(log bucket_size), so the window input is a sliver of the scan);
+    (2) max is idempotent and associative, so the bucket grain can be
+    refined hierarchically ((day, key-range) sub-buckets) without
+    changing the algebra if one date range outgrows a partition.
+
+    Exactness: cents longs (bround ≡ round_even), strict > on
+    integers, first row's empty prefix is an honest NULL prev_best.
+    Output: ``(o_orderkey, odate, cents, prev_best)`` — record rows
+    only.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    o = (orders.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("odate"),
+            day.cast("long").alias("_day"),
+            F.bround(F.col("o_totalprice") * 100).cast("long")
+             .alias("cents"))
+         .withColumn("_b", F.expr(f"_day DIV {RECORD_BUCKET_DAYS}")))
+    bm = o.groupBy("_b").agg(F.max("cents").alias("_bm"))
+    wb = (W.partitionBy().orderBy("_b")
+          .rowsBetween(W.unboundedPreceding, -1))
+    carry = bm.select("_b", F.max("_bm").over(wb).alias("_carry"))
+    cand = (o.join(F.broadcast(carry), "_b")
+             .where(F.col("_carry").isNull()
+                    | (F.col("cents") > F.col("_carry"))))
+    wl = (W.partitionBy("_b").orderBy("_day", "o_orderkey")
+          .rowsBetween(W.unboundedPreceding, -1))
+    # greatest() skips NULLs: bucket-first survivor keeps the carry,
+    # first bucket's survivors keep the in-bucket max, the global
+    # first row gets NULL — exactly the naive window's empty-prefix
+    # semantics (dropped rows are ≤ carry, so they never change it)
+    prev = F.greatest(F.max("cents").over(wl), F.col("_carry"))
+    return (cand.withColumn("prev_best", prev)
+            .where(F.col("prev_best").isNull()
+                   | (F.col("cents") > F.col("prev_best")))
+            .select("o_orderkey", "odate", "cents", "prev_best"))
+
+
+RECORD_HIGH_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS d,
+         CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+w AS (
+  SELECT o_orderkey, odate, cents,
+         MAX(cents) OVER (ORDER BY d, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_best
+  FROM o
+)
+SELECT o_orderkey, odate, cents, prev_best
+FROM w WHERE prev_best IS NULL OR cents > prev_best
+"""
+
+
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
     per-(returnflag, month) sketches built in one pass, then
@@ -787,5 +866,6 @@ REGISTRATIONS = [
     ("fuzzy_match_parts", fuzzy_match_parts, FUZZY_MATCH_ORACLE),
     ("stats_agg_lineitem", stats_agg_lineitem, STATS_AGG_ORACLE),
     ("argmax_orders_by_priority", argmax_orders_by_priority, ARGMAX_ORACLE),
+    ("record_high_orders", record_high_orders, RECORD_HIGH_ORACLE),
     ("sketch_hll_mergeable", sketch_hll_mergeable, None),
 ]

@@ -21,7 +21,7 @@ closure join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.tables import load_table
@@ -768,6 +768,176 @@ SELECT node, rq FROM {prev}
 PPR_SEEDED_ORACLE = _ppr_oracle()
 
 
+def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph: the
+    Pearson correlation of endpoint degrees over all 2m DIRECTED edge
+    ends — r > 0 means hubs buy with hubs (assortative retail
+    baskets), r < 0 means hub-and-spoke (staple parts anchoring
+    long-tail ones). With M = 2m, S1 = Σ d(a), Sp = Σ d(a)·d(b),
+    Sq = Σ d(a)² (all over directed ends), r = (M·Sp − S1²) /
+    (M·Sq − S1²).
+
+    Exactness: the four sufficient statistics are exact DECIMAL(38,0)
+    sums of integer degree products; each is < 2⁵³ at any scale this
+    query runs whole (beyond that, the stats — not r — are the
+    durable artifact), so the decimal→double casts are exact and the
+    final combination is the same three-op IEEE DAG on both engines.
+    A degree-regular graph (den = 0) yields NULL pinned explicitly —
+    Spark's double x/0 is ±Inf while DuckDB's is NULL, so the guard
+    removes a real cross-engine divergence, not a cosmetic one.
+
+    Scale: two degree-table joins + one global aggregate — linear in
+    edges, no pair generation anywhere. Inherits
+    ``COPURCHASE_MAX_BASKET``.
+
+    Output: one row ``(n_nodes, n_edges, assortativity)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = _bidir_adjacency(copurchase_edges(li))
+    deg = adj.groupBy("a").agg(F.count("*").alias("d"))
+    dec = "decimal(38,0)"
+    ends = (adj.join(deg, "a")
+            .join(deg.select(F.col("a").alias("b"),
+                             F.col("d").alias("db")), "b")
+            .select(F.col("d").cast(dec).alias("ja"),
+                    F.col("db").cast(dec).alias("jb")))
+    g = ends.agg(F.count("*").alias("m2"),
+                 F.sum("ja").cast("double").alias("s1"),
+                 F.sum(F.col("ja") * F.col("jb")).cast("double").alias("sp"),
+                 F.sum(F.col("ja") * F.col("ja")).cast("double").alias("sq"))
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    m = F.col("m2").cast("double")
+    num = m * F.col("sp") - F.col("s1") * F.col("s1")
+    den = m * F.col("sq") - F.col("s1") * F.col("s1")
+    return (g.crossJoin(F.broadcast(nn))
+            .select("n_nodes",
+                    F.expr("m2 DIV 2").cast("long").alias("n_edges"),
+                    F.when(den != 0, num / den).alias("assortativity")))
+
+
+ASSORTATIVITY_ORACLE = f"""
+WITH {CAPPED_EDGES_SQL},
+adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT a, COUNT(*) AS d FROM adj GROUP BY a),
+ends AS (
+  SELECT CAST(da.d AS DECIMAL(38,0)) AS ja,
+         CAST(db.d AS DECIMAL(38,0)) AS jb
+  FROM adj JOIN deg da ON da.a = adj.a JOIN deg db ON db.a = adj.b
+),
+g AS (
+  SELECT COUNT(*) AS m2,
+         CAST(SUM(ja) AS DOUBLE) AS s1,
+         CAST(SUM(ja * jb) AS DOUBLE) AS sp,
+         CAST(SUM(ja * ja) AS DOUBLE) AS sq
+  FROM ends
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes,
+       CAST(CAST(g.m2 AS BIGINT) // 2 AS BIGINT) AS n_edges,
+       CASE WHEN CAST(g.m2 AS DOUBLE) * g.sq - g.s1 * g.s1 <> 0
+            THEN (CAST(g.m2 AS DOUBLE) * g.sp - g.s1 * g.s1)
+                 / (CAST(g.m2 AS DOUBLE) * g.sq - g.s1 * g.s1)
+       END AS assortativity
+FROM g, nn
+"""
+
+
+LINKPRED_TOP_K = 10
+
+
+def linkpred_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded link prediction by common-neighbor count + exact Jaccard
+    over the co-purchase graph: for each seed part in ``PPR_SEEDS``,
+    the top-``LINKPRED_TOP_K`` parts NOT already co-purchased with it,
+    ranked by how many co-purchase neighbors they share — the classic
+    "customers who bought these also bought" candidate generator, and
+    the local-evidence complement of ``ppr_seeded_parts``' multi-hop
+    mass (common neighbors = paths of length exactly 2).
+
+    cn(s,w) = |N(s) ∩ N(w)| is an exact integer wedge count;
+    jaccard = cn / (d(s) + d(w) − cn) is ONE int÷int double division
+    (|N(s) ∪ N(w)| by inclusion–exclusion). Ranking is
+    (cn DESC, jaccard DESC via cn/deg ties, w ASC) — fully
+    deterministic; the jaccard tie level is implied by cn and d(w),
+    so (cn DESC, w ASC) already totally orders candidates with equal
+    scores stably.
+
+    Scale: NO in-row pair generation and NO Σdeg² wedge blowup — the
+    seeded form's wedge volume is Σ_{{v∈N(s)}} deg(v), one join from
+    the seeds' adjacency rows to the shared adjacency (the
+    reachable_parts_2hop frontier shape), then a count aggregate over
+    (seed, candidate) and a per-seed top-k window over candidate
+    counts. Every broadcast here is frontier- or top-k-sized (the
+    n-sized adjacency/degree tables are always the STREAMED side —
+    ranking needs only cn, so degrees join AFTER top-k onto
+    ≤ seeds·k rows). Inherits ``COPURCHASE_MAX_BASKET``.
+
+    Output: ``(seed, cand, cn, jaccard, rnk)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = _bidir_adjacency(copurchase_edges(li))
+    deg = adj.groupBy("a").agg(F.count("*").alias("d"))
+    ns = (adj.where(F.col("a").isin(*PPR_SEEDS))
+          .select(F.col("a").alias("seed"), F.col("b").alias("v"))
+          .localCheckpoint(eager=True))   # consumed by 2 plan branches
+    wedges = (F.broadcast(ns)
+              .join(adj.select(F.col("a").alias("v"),
+                               F.col("b").alias("cand")), "v")
+              .where(F.col("cand") != F.col("seed")))
+    cn = (wedges.groupBy("seed", "cand")
+          .agg(F.count("*").cast("long").alias("cn")))
+    # drop already-adjacent pairs: N(s) as (seed, cand) anti-join
+    open_pairs = cn.join(
+        F.broadcast(ns.select("seed", F.col("v").alias("cand"))),
+        ["seed", "cand"], "left_anti")
+    w = W.partitionBy("seed").orderBy(F.col("cn").desc(), "cand")
+    top = (open_pairs
+           .withColumn("rnk", F.row_number().over(w).cast("long"))
+           .where(F.col("rnk") <= LINKPRED_TOP_K))
+    ds = deg.select(F.col("a").alias("seed"), F.col("d").alias("d_s"))
+    dc = deg.select(F.col("a").alias("cand"), F.col("d").alias("d_c"))
+    scored = dc.join(F.broadcast(ds.join(F.broadcast(top), "seed")),
+                     "cand")
+    return scored.select(
+        "seed", "cand", "cn",
+        (F.col("cn").cast("double")
+         / (F.col("d_s") + F.col("d_c") - F.col("cn")).cast("double"))
+        .alias("jaccard"),
+        "rnk")
+
+
+LINKPRED_ORACLE = f"""
+WITH {CAPPED_EDGES_SQL},
+adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT a, COUNT(*) AS d FROM adj GROUP BY a),
+ns AS (SELECT a AS seed, b AS v FROM adj
+       WHERE a IN ({", ".join(str(s) for s in PPR_SEEDS)})),
+cn AS (
+  SELECT ns.seed, adj.b AS cand, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM ns JOIN adj ON adj.a = ns.v
+  WHERE adj.b <> ns.seed
+  GROUP BY ns.seed, adj.b
+),
+open_pairs AS (
+  SELECT c.* FROM cn c
+  WHERE NOT EXISTS (SELECT 1 FROM ns
+                    WHERE ns.seed = c.seed AND ns.v = c.cand)
+),
+scored AS (
+  SELECT o.seed, o.cand, o.cn,
+         CAST(o.cn AS DOUBLE)
+           / CAST(ds.d + dc.d - o.cn AS DOUBLE) AS jaccard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o.seed
+                                 ORDER BY o.cn DESC, o.cand) AS BIGINT)
+           AS rnk
+  FROM open_pairs o
+  JOIN deg ds ON ds.a = o.seed JOIN deg dc ON dc.a = o.cand
+)
+SELECT seed, cand, cn, jaccard, rnk FROM scored
+WHERE rnk <= {LINKPRED_TOP_K}
+"""
+
+
 REGISTRATIONS = [
     ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE),
     ("reachable_parts_2hop", reachable_parts_2hop, REACHABLE_SQL),
@@ -777,4 +947,8 @@ REGISTRATIONS = [
     ("pagerank_exact_parts", pagerank_exact_parts, PAGERANK_EXACT_ORACLE),
     ("kcore_parts", kcore_parts, KCORE_ORACLE),
     ("ppr_seeded_parts", ppr_seeded_parts, PPR_SEEDED_ORACLE),
+    ("assortativity_copurchase", assortativity_copurchase,
+     ASSORTATIVITY_ORACLE),
+    ("linkpred_common_neighbors", linkpred_common_neighbors,
+     LINKPRED_ORACLE),
 ]

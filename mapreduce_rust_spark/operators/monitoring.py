@@ -1246,6 +1246,37 @@ FROM kept k JOIN dowagg d ON d.dow = k.dow
 """
 
 
+def fano_daily_counts(ev: DataFrame) -> DataFrame:
+    """Per-(event_type, UTC day) arrival counts — the mergeable
+    sufficient statistics of the Fano factor, shared by the batch op
+    and its complete-mode streaming twin (``stream_fano_burstiness``),
+    the dow_profile_stats pattern."""
+    return (ev.select("event_type",
+                      F.expr("unix_micros(ts) DIV 86400000000")
+                      .alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count("*").alias("c")))
+
+
+def fano_closed_form(daily: DataFrame) -> DataFrame:
+    """Fano factor from the (event_type, day, c) daily-count table —
+    see ``fano_burstiness_events`` for exactness notes."""
+    dec = "decimal(38,0)"
+    g = (daily.groupBy("event_type")
+         .agg((F.max("day") - F.min("day") + 1).alias("n_days"),
+              F.sum("c").alias("sc"),
+              F.sum((F.col("c") * F.col("c")).cast(dec)).alias("sc2")))
+    n = F.col("n_days").cast(dec)
+    num = (n * F.col("sc2")
+           - (F.col("sc").cast(dec) * F.col("sc").cast(dec)))
+    den = n * F.col("sc").cast(dec)
+    return g.select(
+        "event_type", F.col("n_days").cast("long").alias("n_days"),
+        (F.col("sc").cast("double") / F.col("n_days").cast("double"))
+        .alias("mean_per_day"),
+        (num.cast("double") / den.cast("double")).alias("fano"))
+
+
 def fano_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type burstiness of the daily arrival process: the Fano
     factor (index of dispersion) F = Var(daily count)/Mean(daily
@@ -1265,25 +1296,7 @@ def fano_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(event_type, n_days, mean_per_day, fano)``.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = (ev.select("event_type",
-                       F.expr("unix_micros(ts) DIV 86400000000")
-                       .alias("day"))
-             .groupBy("event_type", "day")
-             .agg(F.count("*").alias("c")))
-    dec = "decimal(38,0)"
-    g = (daily.groupBy("event_type")
-         .agg((F.max("day") - F.min("day") + 1).alias("n_days"),
-              F.sum("c").alias("sc"),
-              F.sum((F.col("c") * F.col("c")).cast(dec)).alias("sc2")))
-    n = F.col("n_days").cast(dec)
-    num = (n * F.col("sc2")
-           - (F.col("sc").cast(dec) * F.col("sc").cast(dec)))
-    den = n * F.col("sc").cast(dec)
-    return g.select(
-        "event_type", F.col("n_days").cast("long").alias("n_days"),
-        (F.col("sc").cast("double") / F.col("n_days").cast("double"))
-        .alias("mean_per_day"),
-        (num.cast("double") / den.cast("double")).alias("fano"))
+    return fano_closed_form(fano_daily_counts(ev))
 
 
 FANO_ORACLE = """

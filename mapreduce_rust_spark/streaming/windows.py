@@ -404,6 +404,23 @@ def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mw_closed_form(out)
 
 
+def stream_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.fano_burstiness_events`` —
+    seventh leg of the kappa-parity family: the per-(type, UTC day)
+    arrival counts are ONE complete-mode mergeable count aggregate
+    (day grain, so state is dims-sized: types × span days, never
+    events), and the shared closed form clears variance/mean to the
+    all-integer (n·Σc² − (Σc)²)/(n·Σc) on top batch-side. Same DuckDB
+    oracle as the batch op; bit-identical (pure integer counts, one
+    final division per output column)."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        fano_closed_form, fano_daily_counts)
+    ev = read_events_stream(spark, sf_dir)
+    daily = fano_daily_counts(ev)
+    out = _run_to_table(daily, "stream_fano_burstiness", "complete")
+    return fano_closed_form(out)
+
+
 def _dow_oracle() -> str:
     from mapreduce_rust_spark.operators.monitoring import DOW_ORACLE
     return DOW_ORACLE
@@ -418,6 +435,11 @@ def _mw_oracle() -> str:
 def _chisq_oracle() -> str:
     from mapreduce_rust_spark.operators.monitoring import CHISQ_ORACLE
     return CHISQ_ORACLE
+
+
+def _fano_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import FANO_ORACLE
+    return FANO_ORACLE
 
 
 REGISTRATIONS = [
@@ -437,4 +459,5 @@ REGISTRATIONS = [
     ("stream_active_users_7d", stream_active_users_7d,
      _active_7d_oracle()),
     ("stream_mannwhitney", stream_mannwhitney, _mw_oracle()),
+    ("stream_fano_burstiness", stream_fano_burstiness, _fano_oracle()),
 ]

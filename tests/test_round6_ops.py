@@ -410,3 +410,114 @@ def test_heaps_curve_totals_and_monotonicity(spark):
         assert r.cum_vocab == prev_v + r.new_types
         assert r.cum_vocab <= r.cum_tokens
         prev_t, prev_v = r.cum_tokens, r.cum_vocab
+
+
+def test_stream_fano_twin_equals_batch(spark):
+    """The complete-mode daily-counts twin must be bit-identical to
+    the batch Fano op (pure integer counts + one shared division)."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        fano_burstiness_events)
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_fano_burstiness)
+    b = {(r.event_type, r.n_days, r.mean_per_day, r.fano)
+         for r in fano_burstiness_events(spark, SF_SMOKE).collect()}
+    t = {(r.event_type, r.n_days, r.mean_per_day, r.fano)
+         for r in stream_fano_burstiness(spark, SF_SMOKE).collect()}
+    assert b == t and b
+
+
+def test_record_high_planted_sequence(spark):
+    """Planted price path 5, 3, 8, 8, 2, 9 (one order/day) must flag
+    exactly days {0, 2, 5} — first row, strict new highs only (the
+    repeated 8 is NOT a record) — with the true previous best on each.
+    Days span two 64-day buckets (day 150 in bucket 2) so the carry
+    path is exercised, and day 150's price 9 beats a carry that came
+    from a PRUNED row's bucket."""
+    from mapreduce_rust_spark.operators import analytic as A
+
+    prices = [(0, 5.0), (1, 3.0), (2, 8.0), (3, 8.0), (4, 2.0),
+              (150, 9.0)]
+    orders = spark.createDataFrame(
+        [(i, float(p), f"1995-01-01") for i, (d, p) in enumerate(prices)],
+        "o_orderkey long, o_totalprice double, _ string") \
+        .select("o_orderkey", "o_totalprice",
+                F.timestamp_seconds(
+                    F.lit(0) + F.element_at(
+                        F.array(*[F.lit(d * 86400) for d, _ in prices]),
+                        F.col("o_orderkey").cast("int") + 1))
+                .cast("timestamp_ntz").alias("o_orderdate"))
+    orig = A._t
+    try:
+        A._t = lambda s, dd, n: orders
+        got = sorted(A.record_high_orders(spark, SF_SMOKE).collect(),
+                     key=lambda r: r.o_orderkey)
+    finally:
+        A._t = orig
+    assert [(r.o_orderkey, r.cents, r.prev_best) for r in got] == [
+        (0, 500, None), (2, 800, 500), (5, 900, 800)]
+
+
+def test_assortativity_closed_form_on_planted_graphs(spark):
+    """A star graph is maximally disassortative (r = −1 exactly: every
+    edge joins the hub, degree n, to a leaf, degree 1); a triangle is
+    degree-regular, so the denominator vanishes and r must be an
+    honest NULL (the cross-engine ±Inf-vs-NULL guard)."""
+    from mapreduce_rust_spark.operators import graph as G
+
+    def run(baskets):
+        rows = [(o, p) for o, parts in baskets for p in parts]
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        orig = G.load_table
+        try:
+            G.load_table = lambda s, dd, n: li
+            return G.assortativity_copurchase(spark, SF_SMOKE).collect()[0]
+        finally:
+            G.load_table = orig
+
+    # star: hub part 0 co-purchased with each leaf in its own order
+    star = run([(i, [0, 10 + i]) for i in range(5)])
+    assert star.n_edges == 5 and star.n_nodes == 6
+    assert star.assortativity == -1.0
+    # triangle: one basket of 3 parts — 2-regular, r undefined
+    tri = run([(0, [1, 2, 3])])
+    assert tri.n_edges == 3
+    assert tri.assortativity is None
+
+
+def test_linkpred_planted_path_and_anti_join(spark):
+    """On the path 0—5—9: seed 0 must predict 9 (one shared neighbor,
+    jaccard 1/(1+2-1)... with degrees d(0)=1, d(9)=1, cn=1 → jaccard
+    1.0) and must NOT predict 5 (already adjacent); wedges back to the
+    seed itself are excluded."""
+    from mapreduce_rust_spark.operators import graph as G
+
+    li = spark.createDataFrame(
+        [(100, 0), (100, 5), (200, 5), (200, 9)],
+        "l_orderkey long, l_partkey long")
+    orig = G.load_table
+    try:
+        G.load_table = lambda s, dd, n: li
+        got = G.linkpred_common_neighbors(spark, SF_SMOKE).collect()
+    finally:
+        G.load_table = orig
+    assert [(r.seed, r.cand, r.cn, r.jaccard, r.rnk) for r in got] == [
+        (0, 9, 1, 1.0, 1)]
+
+
+def test_token_budget_ppm_table_and_arithmetic(spark):
+    """The ppm table must sum to exactly 1e6 over the fixture's 20
+    sources, allocations must sum to ≤ the budget (DIV truncation
+    only), and epochs must equal alloc/n_tokens exactly."""
+    from mapreduce_rust_spark.llm.quality import (
+        BUDGET_DEFAULT_PPM, BUDGET_PPM, TOKEN_BUDGET, token_budget_epochs)
+
+    rows = token_budget_epochs(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert sum(r.ppm for r in rows) == 1_000_000
+    assert (sum(BUDGET_PPM.values())
+            + (20 - len(BUDGET_PPM)) * BUDGET_DEFAULT_PPM == 1_000_000)
+    assert sum(r.alloc_tokens for r in rows) <= TOKEN_BUDGET
+    for r in rows:
+        assert r.alloc_tokens == TOKEN_BUDGET * r.ppm // 1_000_000
+        assert r.epochs == r.alloc_tokens / r.n_tokens
+        assert r.repeats == (r.alloc_tokens > r.n_tokens)
