@@ -297,18 +297,20 @@ def pagerank(edges_df: DataFrame, iters: int = PR_ITERS,
 def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-importance over the part co-purchase graph: parts are
     linked when they appear in the same order (C(items,2) pairs per
-    order — bounded by order size, never corpus²). Rows-only driver
-    check (iterative float); numpy-verified in tests. Output ranks
-    quantized to 1e-12 so the row set is stable across shuffle
+    order — via the shared capped in-row builder
+    ``graph.copurchase_edges_cached``, so this op inherits both the
+    ``COPURCHASE_MAX_BASKET`` width bound and the session-scoped edge
+    materialization the rest of the graph family uses). Rows-only
+    driver check (iterative float); numpy-verified in tests. Output
+    ranks quantized to 1e-12 so the row set is stable across shuffle
     orderings."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
-                                                      "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-              .select(F.col("a.l_partkey").alias("src"),
-                      F.col("b.l_partkey").alias("dst"))
-              .distinct())
+    from mapreduce_rust_spark.operators.graph import (
+        copurchase_edges_cached)
+    # pass the UNPROJECTED scan so the memo key (plan hash) matches the
+    # rest of the graph family; pruning drops the other columns anyway
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges_cached(li).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"))
     pr = pagerank(edges)
     return pr.select("node", F.bround(F.col("rank") * 1e12, 0)
                      .cast("long").alias("rank_q"))
