@@ -245,6 +245,9 @@ HEADLINE = [
     "assortativity_copurchase",
     "linkpred_common_neighbors",
     "token_budget_epochs",
+    "strat_effect_events",
+    "dedup_multiplicity_hist",
+    "source_trigram_cosine",
 ]
 
 

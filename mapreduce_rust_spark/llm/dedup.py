@@ -960,8 +960,50 @@ FROM fp n WHERE n.source NOT IN ({_PRIOR_SQL})
 """
 
 
+def dedup_multiplicity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: for each exact-duplicate
+    multiplicity k, how many content clusters have exactly k copies,
+    how many documents they hold, and how many are excess — the
+    one-page dedup report that sizes the win BEFORE running a
+    near-dup pass (a corpus whose mass sits at k = 1 doesn't need
+    one) and exposes crawler pathologies (a fat k = 1000 bucket is a
+    replay bug, not natural duplication).
+
+    Scale: the exact-dedup digest aggregate (one shuffle on
+    sha256(text), bytes never shuffle) followed by a count-of-counts
+    aggregate over CLUSTER rows — the classic two-level
+    count-distinct shape; output is ≤ max-multiplicity rows.
+
+    Output: ``(n_copies, n_clusters, n_docs, n_excess)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = (docs.groupBy(F.sha2(F.col("text"), 256).alias("sha"))
+                .agg(F.count("*").alias("n_copies")))
+    return (clusters.groupBy("n_copies")
+            .agg(F.count("*").cast("long").alias("n_clusters"))
+            .select("n_copies", "n_clusters",
+                    (F.col("n_copies") * F.col("n_clusters"))
+                    .cast("long").alias("n_docs"),
+                    ((F.col("n_copies") - 1) * F.col("n_clusters"))
+                    .cast("long").alias("n_excess")))
+
+
+DEDUP_MULTIPLICITY_ORACLE = """
+WITH clusters AS (
+  SELECT sha256(text) AS sha, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY sha256(text)
+)
+SELECT n_copies, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((n_copies - 1) * COUNT(*) AS BIGINT) AS n_excess
+FROM clusters GROUP BY n_copies
+"""
+
+
 REGISTRATIONS = [
     ("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_ORACLE),
+    ("dedup_multiplicity_hist", dedup_multiplicity_hist,
+     DEDUP_MULTIPLICITY_ORACLE),
     ("bloom_crawl_dedup", bloom_crawl_dedup, BLOOM_CRAWL_DEDUP_ORACLE),
     ("segment_dedup_docs", segment_dedup_docs, SEGMENT_DEDUP_ORACLE),
     ("minhash_lsh_pairs", minhash_lsh_pairs, MINHASH_LSH_ORACLE),

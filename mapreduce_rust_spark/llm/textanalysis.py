@@ -761,6 +761,94 @@ FROM per_doc p LEFT JOIN first f ON f.doc_id = p.doc_id
 """
 
 
+def source_trigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometric source similarity: cosine between per-source CHAR
+    trigram count vectors (lowercased, spaces kept — the classic
+    character-level style fingerprint). Complements
+    ``source_vocab_overlap``'s token Jaccard: trigram cosine sees
+    morphology/orthography, so it groups sources by language/register
+    even when vocabularies barely intersect — the signal used to
+    cluster crawl sources before assigning mixture weights.
+
+    Exactness: dot products and squared norms are exact DECIMAL(38,0)
+    sums of integer count products; cosine =
+    dot / (sqrt(na)·sqrt(nb)) is three correctly-rounded IEEE ops on
+    exactly-converted (< 2⁵³) doubles — the same DAG in the oracle.
+    Gram construction binds the lowered text to an HOF lambda
+    variable (the measured 12× let-binding discipline).
+
+    Scale: the corpus scan is linear; the pair join is an inverted
+    index over grams whose volume is bounded by
+    |charset|³ · S² (gram vocabulary is CLOSED — it cannot grow with
+    corpus size), with S = #sources a dims count. Pairs sharing zero
+    trigrams are omitted (inner join semantics, mirrored).
+
+    Output: ``(src_a, src_b, dot, cosine)`` for src_a < src_b.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr("""
+      CASE WHEN length(text) >= 3 THEN
+        flatten(transform(array(lower(text)), t ->
+          transform(sequence(1, length(t) - 2),
+                    i -> substring(t, i, 3))))
+      ELSE CAST(array() AS array<string>) END""")
+    dec = "decimal(38,0)"
+    cnt = (docs.select("source", F.explode(grams).alias("g"))
+           .groupBy("source", "g").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=True))   # consumed by 2 branches
+    norms = (cnt.groupBy("source")
+             .agg(F.sum((F.col("c") * F.col("c")).cast(dec))
+                  .cast("double").alias("n2")))
+    a = cnt.select(F.col("source").alias("src_a"), "g",
+                   F.col("c").alias("ca"))
+    b = cnt.select(F.col("source").alias("src_b"), "g",
+                   F.col("c").alias("cb"))
+    dots = (a.join(b, "g")
+            .where(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.sum((F.col("ca") * F.col("cb")).cast(dec))
+                 .alias("dot")))
+    na = norms.select(F.col("source").alias("src_a"),
+                      F.col("n2").alias("na"))
+    nb = norms.select(F.col("source").alias("src_b"),
+                      F.col("n2").alias("nb"))
+    return (dots.join(F.broadcast(na), "src_a")
+            .join(F.broadcast(nb), "src_b")
+            .select("src_a", "src_b",
+                    F.col("dot").cast("long").alias("dot"),
+                    (F.col("dot").cast("double")
+                     / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
+                    .alias("cosine")))
+
+
+TRIGRAM_COSINE_ORACLE = """
+WITH g AS (
+  SELECT source,
+         UNNEST(list_transform(range(1, len(lower(text)) - 1),
+                               i -> substring(lower(text), i, 3))) AS g
+  FROM documents WHERE len(text) >= 3
+),
+cnt AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM g GROUP BY source, g),
+norms AS (
+  SELECT source,
+         CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS n2
+  FROM cnt GROUP BY source
+),
+dots AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         SUM(CAST(a.c * b.c AS DECIMAL(38,0))) AS dot
+  FROM cnt a JOIN cnt b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT d.src_a, d.src_b, CAST(d.dot AS BIGINT) AS dot,
+       CAST(d.dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM dots d
+JOIN norms na ON na.source = d.src_a
+JOIN norms nb ON nb.source = d.src_b
+"""
+
+
 KEYWORDS_TOP_K = 10
 KEYWORDS_MIN_COUNT = 5   # min in-domain occurrences (hapax guard)
 
@@ -1298,6 +1386,8 @@ REGISTRATIONS = [
     ("boolean_search_docs", boolean_search_docs, BOOLEAN_SEARCH_ORACLE),
     ("phrase_search_docs", phrase_search_docs, PHRASE_SEARCH_ORACLE),
     ("heaps_curve_docs", heaps_curve_docs, HEAPS_CURVE_ORACLE),
+    ("source_trigram_cosine", source_trigram_cosine,
+     TRIGRAM_COSINE_ORACLE),
     ("bm25_search_docs", bm25_search_docs, BM25_ORACLE),
     ("kwic_snippets_docs", kwic_snippets_docs, KWIC_ORACLE),
     ("collocations_pmi_docs", collocations_pmi_docs, COLLOC_PMI_ORACLE),

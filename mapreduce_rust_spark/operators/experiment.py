@@ -286,8 +286,95 @@ FROM agg
 """
 
 
+def strat_effect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified treatment effects: per-stratum (ISO weekday)
+    arm counts, arm means, effect, and stratum weight — the
+    stratified readout that removes day-of-week composition bias from
+    a raw arm comparison (the classic post-stratification estimator;
+    the overall ATE is Σ weight·effect, left to the reader because a
+    cross-stratum FLOAT sum is exactly the order-sensitive reduction
+    this engine refuses to hash-check — every number emitted here is
+    one int÷int division or one subtraction of two such).
+
+    Scale: one partial+final aggregate to 7×2 cells, then dims
+    arithmetic with a 1-row broadcast total. An empty arm in a
+    stratum yields honest NULL mean/effect (guarded identically in
+    the oracle).
+
+    Output: ``(dow, n_treat, n_ctrl, mean_treat, mean_ctrl, effect,
+    weight)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.select((F.weekday("ts") + 1).cast("long").alias("dow"),
+                       (F.col("user_id") % 2 == 1).alias("treat"),
+                       F.round(F.col("value") * 100).cast("long")
+                       .alias("vc"))
+             .groupBy("dow")
+             .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
+                  .cast("long").alias("n_treat"),
+                  F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+                  .cast("long").alias("n_ctrl"),
+                  F.sum(F.when(F.col("treat"), F.col("vc"))
+                        .otherwise(0)).alias("st"),
+                  F.sum(F.when(~F.col("treat"), F.col("vc"))
+                        .otherwise(0)).alias("sc")))
+    tot = cells.agg(F.sum(F.col("n_treat") + F.col("n_ctrl"))
+                    .cast("long").alias("n_all"))
+    mt = F.when(F.col("n_treat") > 0,
+                F.col("st").cast("double")
+                / F.col("n_treat").cast("double") / 100.0)
+    mc = F.when(F.col("n_ctrl") > 0,
+                F.col("sc").cast("double")
+                / F.col("n_ctrl").cast("double") / 100.0)
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("dow", "n_treat", "n_ctrl",
+                    mt.alias("mean_treat"), mc.alias("mean_ctrl"),
+                    (mt - mc).alias("effect"),
+                    ((F.col("n_treat") + F.col("n_ctrl")).cast("double")
+                     / F.col("n_all").cast("double")).alias("weight")))
+
+
+STRAT_EFFECT_ORACLE = """
+WITH c AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+),
+cells AS (
+  SELECT dow,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_ctrl,
+         CAST(SUM(CASE WHEN treat THEN vc ELSE 0 END) AS BIGINT) AS st,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE vc END) AS BIGINT) AS sc
+  FROM c GROUP BY dow
+),
+tot AS (SELECT CAST(SUM(n_treat + n_ctrl) AS BIGINT) AS n_all
+        FROM cells)
+SELECT dow, n_treat, n_ctrl,
+       CASE WHEN n_treat > 0
+            THEN CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE) / 100.0
+       END AS mean_treat,
+       CASE WHEN n_ctrl > 0
+            THEN CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) / 100.0
+       END AS mean_ctrl,
+       (CASE WHEN n_treat > 0
+             THEN CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE) / 100.0
+        END)
+       - (CASE WHEN n_ctrl > 0
+               THEN CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) / 100.0
+          END) AS effect,
+       CAST(n_treat + n_ctrl AS DOUBLE) / CAST(tot.n_all AS DOUBLE)
+         AS weight
+FROM cells, tot
+"""
+
+
 REGISTRATIONS = [
     ("did_estimate_events", did_estimate_events, DID_ORACLE),
     ("cuped_adjusted_events", cuped_adjusted_events, CUPED_ORACLE),
     ("mannwhitney_events", mannwhitney_events, MANNWHITNEY_ORACLE),
+    ("strat_effect_events", strat_effect_events, STRAT_EFFECT_ORACLE),
 ]

@@ -521,3 +521,79 @@ def test_token_budget_ppm_table_and_arithmetic(spark):
         assert r.alloc_tokens == TOKEN_BUDGET * r.ppm // 1_000_000
         assert r.epochs == r.alloc_tokens / r.n_tokens
         assert r.repeats == (r.alloc_tokens > r.n_tokens)
+
+
+def test_strat_effect_planted_cells(spark):
+    """Two planted strata with disjoint arm values must reproduce the
+    exact cell means, effects, and weights; a stratum with an empty
+    control arm must yield NULL mean_ctrl/effect."""
+    from mapreduce_rust_spark.operators import experiment as E
+
+    # Mon (day 1): treat users {1,3} value 2.00, ctrl {2,4} value 1.00
+    # Tue (day 2): treat user {5} value 3.00, no ctrl rows
+    rows = ([(1, 5 * 86400, 2.0), (3, 5 * 86400, 2.0),     # 1970-01-06 Tue?
+             (2, 5 * 86400, 1.0), (4, 5 * 86400, 1.0),
+             (5, 6 * 86400, 3.0)])
+    ev = spark.createDataFrame(rows, "user_id long, sec long, value double") \
+        .select("user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+    orig = E.load_table
+    try:
+        E.load_table = lambda s, d, n: ev
+        got = {r.dow: r for r in
+               E.strat_effect_events(spark, SF_SMOKE).collect()}
+    finally:
+        E.load_table = orig
+    assert len(got) == 2
+    full = [r for r in got.values() if r.n_ctrl == 2][0]
+    solo = [r for r in got.values() if r.n_ctrl == 0][0]
+    assert (full.n_treat, full.mean_treat, full.mean_ctrl,
+            full.effect, full.weight) == (2, 2.0, 1.0, 1.0, 0.8)
+    assert (solo.n_treat, solo.mean_treat, solo.mean_ctrl,
+            solo.effect, solo.weight) == (1, 3.0, None, None, 0.2)
+
+
+def test_dedup_multiplicity_planted_clusters(spark):
+    """3 copies of A + 2 of B + 1 of C must report exactly the
+    k ∈ {1, 2, 3} rows with the right cluster/doc/excess counts."""
+    from mapreduce_rust_spark.llm import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(
+        ["A", "A", "A", "B", "B", "C"])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = D.load_table
+    try:
+        D.load_table = lambda s, d, n: docs
+        got = {r.n_copies: r for r in
+               D.dedup_multiplicity_hist(spark, SF_SMOKE).collect()}
+    finally:
+        D.load_table = orig
+    assert {(k, v.n_clusters, v.n_docs, v.n_excess)
+            for k, v in got.items()} == {
+        (3, 1, 3, 2), (2, 1, 2, 1), (1, 1, 1, 0)}
+
+
+def test_trigram_cosine_planted_sources(spark):
+    """'aaaa' vs 'aaab': dot = 2·1, norms 4 and 2 → the exact IEEE
+    value 2/(sqrt(4)·sqrt(2)); identical sources → cosine 1.0;
+    a disjoint-alphabet source pair must emit NO row (inner-join
+    semantics)."""
+    import math
+    from mapreduce_rust_spark.llm import textanalysis as T
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa", "s1"), (1, "aaab", "s2"),
+         (2, "aaaa", "s3"), (3, "zzzz", "s4")],
+        "doc_id long, text string, source string")
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, n: docs
+        got = {(r.src_a, r.src_b): r for r in
+               T.source_trigram_cosine(spark, SF_SMOKE).collect()}
+    finally:
+        T.load_table = orig
+    # s1 grams: 'aaaa' → aaa,aaa → c=2, n2=4; s2: aaa,aab → n2=2
+    r12 = got[("s1", "s2")]
+    assert r12.dot == 2   # 2 (aaa in s1) × 1 (aaa in s2)
+    assert r12.cosine == 2.0 / (math.sqrt(4.0) * math.sqrt(2.0))
+    assert got[("s1", "s3")].cosine == 1.0
+    assert not any("s4" in k for k in got)
