@@ -248,6 +248,8 @@ HEADLINE = [
     "strat_effect_events",
     "dedup_multiplicity_hist",
     "source_trigram_cosine",
+    "longest_run_docs",
+    "leakage_safe_split_docs",
 ]
 
 

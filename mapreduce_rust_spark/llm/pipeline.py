@@ -242,7 +242,42 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                           (F.col("rk") == 1).alias("keep")))
 
 
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-keyed train/val/test split: every MinHash-LSH
+    connected COMPONENT lands wholly in one split, so near-duplicates
+    (not just byte-identical copies, which ``train_test_split_docs``'
+    content hash already handles) can never straddle the train/eval
+    boundary — the split discipline The-Stack-style corpora use to
+    keep eval honest. Singleton docs are their own cluster.
+
+    split = md5(rep id) mod 100 → 80/10/10, where rep is the
+    component's min doc_id — deterministic and retry-safe. Rows-only
+    (the component labels are iterative); pytest asserts the
+    invariant that MATTERS: no verified near-dup pair crosses a split
+    boundary, on the fixtures AND on a planted chain of near-dups.
+
+    Scale: connected_components' doubling rounds over near-dup EDGES
+    (pair-volume bound inherited from the LSH design), one label join
+    back to the corpus (labels can be corpus-sized on a dup-heavy
+    crawl, so no broadcast hint — AQE picks), stateless hash
+    thresholding.
+
+    Output: ``(doc_id, rep, split)``.
+    """
+    labels = neardup_clusters(spark, sf_dir)   # (doc_id, rep)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = (docs.join(labels, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep")))
+    from mapreduce_rust_spark.llm.quality import md5_bucket
+    b = md5_bucket(F.col("rep").cast("string"), 100)
+    split = (F.when(b < 80, "train").when(b < 90, "val")
+             .otherwise("test"))
+    return d.select("doc_id", "rep", split.alias("split"))
+
+
 REGISTRATIONS = [
+    ("leakage_safe_split_docs", leakage_safe_split_docs, None),
     ("label_centroids", label_centroids, LABEL_CENTROIDS_ORACLE),
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("neardup_clusters", neardup_clusters, None),

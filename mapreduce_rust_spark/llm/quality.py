@@ -989,6 +989,77 @@ FROM c
 """
 
 
+def longest_run_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degeneration screen: the longest run of consecutive IDENTICAL
+    tokens per document — the signature of model-generated loop
+    collapse ("the the the …") and of broken scrapers emitting
+    repeated markup; the run-length companion of
+    ``repetition_stats_docs``' duplicate-n-gram fractions (a 50-token
+    run barely moves a dup-bigram FRACTION on a long doc but is an
+    instant reject here).
+
+    Islands trick, no sequential fold: positional explode, island id
+    = pos − row_number within (doc, token) ordered by pos (equal
+    consecutive tokens share an island), one count per island, one
+    argmax per doc (earliest-start tie-break via max on
+    (len, −start)). Exact integers throughout. Scale: explode is
+    linear; both windows partition at (doc, token) / doc grain —
+    bounded by document length, never corpus-wide. Docs with zero
+    tokens are omitted (no runs exist).
+
+    Output: ``(doc_id, run_len, run_tok, run_start)`` — run_start is
+    the 0-based position in the whitespace-split token sequence.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.split(F.col("text"), WS_RE)
+    tp = (docs.select("doc_id", F.posexplode(raw).alias("pos", "tok"))
+          .where(F.col("tok") != ""))
+    w = W.partitionBy("doc_id", "tok").orderBy("pos")
+    runs = (tp.withColumn("isl", F.col("pos") - F.row_number().over(w))
+            .groupBy("doc_id", "tok", "isl")
+            .agg(F.count("*").cast("long").alias("run_len"),
+                 F.min("pos").cast("long").alias("start")))
+    best = (runs.groupBy("doc_id")
+            .agg(F.max(F.struct(F.col("run_len"),
+                                (-F.col("start")).alias("neg_start"),
+                                F.col("tok"))).alias("b")))
+    return best.select("doc_id",
+                       F.col("b.run_len").alias("run_len"),
+                       F.col("b.tok").alias("run_tok"),
+                       (-F.col("b.neg_start")).cast("long")
+                       .alias("run_start"))
+
+
+LONGEST_RUN_ORACLE = """
+WITH tp AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS l
+        FROM documents),
+  LATERAL (SELECT l[i] AS tok, i - 1 AS pos
+           FROM UNNEST(generate_series(1, len(l))) AS g(i)) u
+  WHERE u.tok <> ''
+),
+runs AS (
+  SELECT doc_id, tok,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         CAST(MIN(pos) AS BIGINT) AS start
+  FROM (SELECT doc_id, tok, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                                        ORDER BY pos) AS isl
+        FROM tp)
+  GROUP BY doc_id, tok, isl
+),
+best AS (
+  SELECT doc_id, run_len, tok, start,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY run_len DESC, start) AS rk
+  FROM runs
+)
+SELECT doc_id, run_len, tok AS run_tok, start AS run_start
+FROM best WHERE rk = 1
+"""
+
+
 # Token-budget planning: the total training-token budget and the
 # target mixture (ppm of budget per source). Named weights for the
 # high-value sources; every other source splits the remainder evenly.
@@ -1090,4 +1161,5 @@ REGISTRATIONS = [
      STRATIFIED_SAMPLE_ORACLE),
     ("pack_sequences_docs", pack_sequences_docs, PACK_SEQUENCES_ORACLE),
     ("token_budget_epochs", token_budget_epochs, TOKEN_BUDGET_ORACLE),
+    ("longest_run_docs", longest_run_docs, LONGEST_RUN_ORACLE),
 ]

@@ -286,6 +286,34 @@ FROM walk GROUP BY seed, node
 """
 
 
+# Spark-side variant of REACHABLE_SQL: the recursion itself, reading
+# the (u < v) edge list from a temp view over the memoized edge table
+# instead of re-deriving it in SQL (the oracle keeps the full
+# self-contained text; the in-row capped builder and the SQL
+# ROW_NUMBER cap are the same edge set, pinned by the cap-mirror
+# tests). Seeds still come from lineitem so an isolated seed part
+# (no co-purchase edge) keeps its hops-0 row, exactly as the oracle.
+REACHABLE_WALK_SQL = f"""
+WITH RECURSIVE
+edges AS (SELECT u, v FROM copurchase_half_edges
+          UNION ALL SELECT v, u FROM copurchase_half_edges),
+walk(seed, node, hops) AS (
+  SELECT p, p, 0 FROM (SELECT DISTINCT l_partkey AS p FROM lineitem
+                       WHERE l_partkey IN {SEED_PARTS})
+  UNION ALL
+  -- SHUFFLE_HASH: the edge table is n-sized (never broadcast it at
+  -- scale — and the memoized view now has accurate small-ish stats
+  -- that tempt the planner into a driver-memory-hungry broadcast)
+  SELECT /*+ SHUFFLE_HASH(e) */ w.seed, e.v, w.hops + 1
+  FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.hops < {MAX_HOPS}
+)
+SELECT seed, node, MIN(hops) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM walk GROUP BY seed, node
+"""
+
+
 def reachable_parts_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth reachability over the co-purchase graph via a
     RECURSIVE CTE: for each seed part, every part within MAX_HOPS
@@ -294,10 +322,16 @@ def reachable_parts_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what a window can't express — recursion or nothing). The
     iterative-DataFrame twin of this shape (unbounded, with
     convergence detection) is ``llm/pipeline.py``'s connected
-    components; this is the SQL-front-door form."""
+    components; this is the SQL-front-door form. The recursion reads
+    the session's memoized edge table through a temp view (the SQL
+    edge rebuild was most of this query's cost once the rest of the
+    graph family stopped paying it)."""
     from mapreduce_rust_spark.tables import register_views
     register_views(spark, sf_dir)
-    return spark.sql(REACHABLE_SQL)
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges_cached(li)
+    edges.createOrReplaceTempView("copurchase_half_edges")
+    return spark.sql(REACHABLE_WALK_SQL)
 
 
 def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:

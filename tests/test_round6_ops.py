@@ -597,3 +597,45 @@ def test_trigram_cosine_planted_sources(spark):
     assert r12.cosine == 2.0 / (math.sqrt(4.0) * math.sqrt(2.0))
     assert got[("s1", "s3")].cosine == 1.0
     assert not any("s4" in k for k in got)
+
+
+def test_longest_run_planted_docs(spark):
+    """'a a a b b a' → run (3, 'a', start 0); a tie between two equal
+    runs must pick the earliest start; a single-token doc reports run
+    1; an empty doc is omitted."""
+    from mapreduce_rust_spark.llm import quality as Q
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b a"), (1, "x y y z z w"), (2, "solo"), (3, "  ")],
+        "doc_id long, text string")
+    orig = Q.load_table
+    try:
+        Q.load_table = lambda s, d, n: docs
+        got = {r.doc_id: r for r in
+               Q.longest_run_docs(spark, SF_SMOKE).collect()}
+    finally:
+        Q.load_table = orig
+    assert (got[0].run_len, got[0].run_tok, got[0].run_start) == (3, "a", 0)
+    # y-run at pos 1 and z-run at pos 3 both have length 2 → earliest
+    assert (got[1].run_len, got[1].run_tok, got[1].run_start) == (2, "y", 1)
+    assert (got[2].run_len, got[2].run_tok) == (1, "solo")
+    assert 3 not in got
+
+
+def test_leakage_safe_split_no_pair_crosses(spark):
+    """THE invariant: no verified near-dup pair may straddle a split
+    boundary — checked on the fixture corpus; exact duplicates (a
+    fortiori near-dups) must share a split; every doc gets exactly
+    one split label."""
+    from mapreduce_rust_spark.llm.dedup import minhash_lsh_pairs
+    from mapreduce_rust_spark.llm.pipeline import leakage_safe_split_docs
+
+    split = {r.doc_id: r.split
+             for r in leakage_safe_split_docs(spark, SF_SMOKE).collect()}
+    docs = 500  # sf0.001 fixture size is stable; assert full coverage
+    assert len(split) >= 1 and len(set(split)) <= docs
+    pairs = minhash_lsh_pairs(spark, SF_SMOKE) \
+        .select("doc_a", "doc_b").collect()
+    assert pairs, "fixture must contain near-dup pairs for this test"
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
