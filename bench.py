@@ -250,6 +250,7 @@ HEADLINE = [
     "source_trigram_cosine",
     "longest_run_docs",
     "leakage_safe_split_docs",
+    "editdist1_name_pairs",
 ]
 
 

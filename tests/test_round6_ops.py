@@ -639,3 +639,43 @@ def test_leakage_safe_split_no_pair_crosses(spark):
     assert pairs, "fixture must contain near-dup pairs for this test"
     for p in pairs:
         assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
+
+
+def test_editdist1_fastss_complete_vs_bruteforce(spark):
+    """The deletion-neighborhood join must return EXACTLY the
+    brute-force set of dist-≤1 pairs: substitution, deletion, and
+    insertion neighbors all found; dist-2 pairs and other-nation rows
+    excluded."""
+    from mapreduce_rust_spark.llm import textanalysis as T
+
+    names = {1: "abc", 2: "abd", 3: "ab", 4: "abcd", 5: "zzz",
+             6: "abc"}   # 6 duplicates 1 → dist-0 pair
+    cust = spark.createDataFrame(
+        [(k, v, 0) for k, v in names.items()] + [(7, "abe", 3)],
+        "c_custkey long, c_name string, c_nationkey long")
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, n: cust
+        got = {(r.cust_a, r.cust_b): r.dist for r in
+               T.editdist1_name_pairs(spark, SF_SMOKE).collect()}
+    finally:
+        T.load_table = orig
+
+    def lev(a, b):
+        import itertools
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1,
+                              d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    want = {(a, b): lev(names[a], names[b])
+            for a in names for b in names
+            if a < b and lev(names[a], names[b]) <= 1}
+    assert got == want
+    assert got[(1, 6)] == 0          # exact-dup pair found
+    assert (3, 4) not in got         # dist 2 correctly rejected
+    assert not any(7 in k for k in got)   # other nation filtered
