@@ -251,6 +251,7 @@ HEADLINE = [
     "longest_run_docs",
     "leakage_safe_split_docs",
     "editdist1_name_pairs",
+    "stream_strat_effect",
 ]
 
 

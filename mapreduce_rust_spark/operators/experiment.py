@@ -305,19 +305,30 @@ def strat_effect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight)``.
     """
     ev = load_table(spark, sf_dir, "events")
-    cells = (ev.select((F.weekday("ts") + 1).cast("long").alias("dow"),
-                       (F.col("user_id") % 2 == 1).alias("treat"),
-                       F.round(F.col("value") * 100).cast("long")
-                       .alias("vc"))
-             .groupBy("dow")
-             .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
-                  .cast("long").alias("n_treat"),
-                  F.sum(F.when(~F.col("treat"), 1).otherwise(0))
-                  .cast("long").alias("n_ctrl"),
-                  F.sum(F.when(F.col("treat"), F.col("vc"))
-                        .otherwise(0)).alias("st"),
-                  F.sum(F.when(~F.col("treat"), F.col("vc"))
-                        .otherwise(0)).alias("sc")))
+    return strat_effect_closed_form(strat_effect_cells(ev))
+
+
+def strat_effect_cells(ev: DataFrame) -> DataFrame:
+    """The 7×2 mergeable cell sums of the post-stratified readout —
+    shared by the batch op and its complete-mode streaming twin."""
+    return (ev.select((F.weekday("ts") + 1).cast("long").alias("dow"),
+                      (F.col("user_id") % 2 == 1).alias("treat"),
+                      F.round(F.col("value") * 100).cast("long")
+                      .alias("vc"))
+            .groupBy("dow")
+            .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
+                 .cast("long").alias("n_treat"),
+                 F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+                 .cast("long").alias("n_ctrl"),
+                 F.sum(F.when(F.col("treat"), F.col("vc"))
+                       .otherwise(0)).alias("st"),
+                 F.sum(F.when(~F.col("treat"), F.col("vc"))
+                       .otherwise(0)).alias("sc")))
+
+
+def strat_effect_closed_form(cells: DataFrame) -> DataFrame:
+    """Effects/weights from the (dow, n_treat, n_ctrl, st, sc) cell
+    table — see ``strat_effect_events`` for exactness notes."""
     tot = cells.agg(F.sum(F.col("n_treat") + F.col("n_ctrl"))
                     .cast("long").alias("n_all"))
     mt = F.when(F.col("n_treat") > 0,

@@ -442,6 +442,26 @@ def _fano_oracle() -> str:
     return FANO_ORACLE
 
 
+def stream_strat_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.strat_effect_events`` — eighth
+    leg of the kappa-parity family: the 7×2 per-stratum cell sums are
+    ONE complete-mode mergeable aggregate; the shared closed form
+    (int÷int means, effect, weight) runs on top batch-side.
+    Bit-identical to the batch op; same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        strat_effect_cells, strat_effect_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    cells = strat_effect_cells(ev)
+    out = _run_to_table(cells, "stream_strat_effect", "complete")
+    return strat_effect_closed_form(out)
+
+
+def _strat_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import (
+        STRAT_EFFECT_ORACLE)
+    return STRAT_EFFECT_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -460,4 +480,5 @@ REGISTRATIONS = [
      _active_7d_oracle()),
     ("stream_mannwhitney", stream_mannwhitney, _mw_oracle()),
     ("stream_fano_burstiness", stream_fano_burstiness, _fano_oracle()),
+    ("stream_strat_effect", stream_strat_effect, _strat_oracle()),
 ]

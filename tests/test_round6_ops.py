@@ -679,3 +679,18 @@ def test_editdist1_fastss_complete_vs_bruteforce(spark):
     assert got[(1, 6)] == 0          # exact-dup pair found
     assert (3, 4) not in got         # dist 2 correctly rejected
     assert not any(7 in k for k in got)   # other nation filtered
+
+
+def test_stream_strat_effect_twin_equals_batch(spark):
+    """The complete-mode cells twin must be bit-identical to the
+    batch post-stratified readout (integer cells + shared closed
+    form)."""
+    from mapreduce_rust_spark.operators.experiment import (
+        strat_effect_events)
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_strat_effect)
+    key = lambda r: (r.dow, r.n_treat, r.n_ctrl, r.mean_treat,
+                     r.mean_ctrl, r.effect, r.weight)
+    b = {key(r) for r in strat_effect_events(spark, SF_SMOKE).collect()}
+    t = {key(r) for r in stream_strat_effect(spark, SF_SMOKE).collect()}
+    assert b == t and b
