@@ -252,6 +252,8 @@ HEADLINE = [
     "leakage_safe_split_docs",
     "editdist1_name_pairs",
     "stream_strat_effect",
+    "two_proportion_test_events",
+    "open_lines_backlog_daily",
 ]
 
 

@@ -383,9 +383,98 @@ FROM cells, tot
 """
 
 
+def two_proportion_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user-level conversion (did the user
+    ever 'purchase') between experiment arms — the readout for BINARY
+    outcomes, completing the wing's continuous (Mann–Whitney, DiD,
+    CUPED) and stratified (strat_effect) views. Pooled-variance form:
+    z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)).
+
+    Exactness: the inputs are four exact integers (arm sizes,
+    converters — one distinct-user aggregate); every float is then a
+    correctly-rounded single op in one FIXED expression tree written
+    identically in the oracle, so z hash-matches bit-for-bit. A
+    degenerate pool (p̂ ∈ {0, 1} → se = 0) yields an honest NULL
+    pinned in both engines. Scale: one user-grain aggregate (distinct
+    users + converters fold to per-user rows first), then 1-row
+    arithmetic.
+
+    Output: one row ``(n_treat, n_ctrl, conv_treat, conv_ctrl,
+    p_treat, p_ctrl, z)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+                  .alias("conv"))
+             .select((F.col("user_id") % 2 == 1).alias("treat"), "conv"))
+    g = users.agg(
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("long")
+         .alias("n_treat"),
+        F.sum(F.when(~F.col("treat"), 1).otherwise(0)).cast("long")
+         .alias("n_ctrl"),
+        F.sum(F.when(F.col("treat"), F.col("conv")).otherwise(0))
+         .cast("long").alias("conv_treat"),
+        F.sum(F.when(~F.col("treat"), F.col("conv")).otherwise(0))
+         .cast("long").alias("conv_ctrl"))
+    n1 = F.col("n_treat").cast("double")
+    n2 = F.col("n_ctrl").cast("double")
+    p1 = F.col("conv_treat").cast("double") / n1
+    p2 = F.col("conv_ctrl").cast("double") / n2
+    phat = ((F.col("conv_treat") + F.col("conv_ctrl")).cast("double")
+            / (F.col("n_treat") + F.col("n_ctrl")).cast("double"))
+    se = F.sqrt(phat * (F.lit(1.0) - phat) * (F.lit(1.0) / n1
+                                              + F.lit(1.0) / n2))
+    return g.select("n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+                    p1.alias("p_treat"), p2.alias("p_ctrl"),
+                    F.when(se > 0, (p1 - p2) / se).alias("z"))
+
+
+TWO_PROP_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv,
+         (user_id % 2 = 1) AS treat
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_ctrl,
+         CAST(SUM(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_treat,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE conv END) AS BIGINT)
+           AS conv_ctrl
+  FROM users
+)
+SELECT n_treat, n_ctrl, conv_treat, conv_ctrl,
+       CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS p_treat,
+       CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE) AS p_ctrl,
+       CASE WHEN sqrt((CAST(conv_treat + conv_ctrl AS DOUBLE)
+                       / CAST(n_treat + n_ctrl AS DOUBLE))
+                      * (1.0 - CAST(conv_treat + conv_ctrl AS DOUBLE)
+                               / CAST(n_treat + n_ctrl AS DOUBLE))
+                      * (1.0 / CAST(n_treat AS DOUBLE)
+                         + 1.0 / CAST(n_ctrl AS DOUBLE))) > 0
+            THEN (CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                  - CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+                 / sqrt((CAST(conv_treat + conv_ctrl AS DOUBLE)
+                         / CAST(n_treat + n_ctrl AS DOUBLE))
+                        * (1.0 - CAST(conv_treat + conv_ctrl AS DOUBLE)
+                                 / CAST(n_treat + n_ctrl AS DOUBLE))
+                        * (1.0 / CAST(n_treat AS DOUBLE)
+                           + 1.0 / CAST(n_ctrl AS DOUBLE)))
+       END AS z
+FROM g
+"""
+
+
 REGISTRATIONS = [
     ("did_estimate_events", did_estimate_events, DID_ORACLE),
     ("cuped_adjusted_events", cuped_adjusted_events, CUPED_ORACLE),
     ("mannwhitney_events", mannwhitney_events, MANNWHITNEY_ORACLE),
     ("strat_effect_events", strat_effect_events, STRAT_EFFECT_ORACLE),
+    ("two_proportion_test_events", two_proportion_test_events,
+     TWO_PROP_ORACLE),
 ]

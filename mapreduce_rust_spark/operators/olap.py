@@ -1568,7 +1568,72 @@ def _corr_matrix_oracle() -> str:
 CORR_MATRIX_ORACLE = _corr_matrix_oracle()
 
 
+def open_lines_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-fulfilment backlog: how many lineitems are OPEN
+    (ordered but not yet shipped, inclusive of the ship day) on each
+    day the count changes — the interval-STACKING shape (concurrent
+    sessions, room occupancy, WIP inventory) that naive SQL writes as
+    interval × calendar explode.
+
+    Sweep-line decomposition: each [order day, ship day] interval
+    contributes exactly TWO boundary deltas (+1 at start, −1 at
+    end+1) regardless of its length — a 1000-day interval is 2 rows,
+    never 1000 — then one day-grain aggregate and ONE running sum
+    over the DELTA table, which is bounded by distinct boundary days
+    (dims-sized: the fixture span is ~2400 days at any corpus scale),
+    so the global window never sees data-sized input. Output is the
+    sparse step function: days where the backlog changes, with the
+    level holding between rows.
+
+    Exactness: pure integer counts; day = days since epoch of the
+    NTZ date. Output: ``(day, net_change, open_lines)``.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long").alias("s"))
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long").alias("e"))
+    iv = lines.join(orders, "o_orderkey")
+    deltas = (iv.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+              .unionAll(iv.select((F.col("e") + 1).alias("day"),
+                                  F.lit(-1).alias("d")))
+              .groupBy("day")
+              .agg(F.sum("d").cast("long").alias("net_change"))
+              .where(F.col("net_change") != 0))
+    w = (W.partitionBy().orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return deltas.select(
+        "day", "net_change",
+        F.sum("net_change").over(w).cast("long").alias("open_lines"))
+
+
+OPEN_LINES_BACKLOG_ORACLE = """
+WITH iv AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+           AS s,
+         date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+           AS e
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+deltas AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS net_change
+  FROM (SELECT s AS day, 1 AS d FROM iv
+        UNION ALL SELECT e + 1, -1 FROM iv)
+  GROUP BY day HAVING SUM(d) <> 0
+)
+SELECT CAST(day AS BIGINT) AS day, net_change,
+       CAST(SUM(net_change) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_lines
+FROM deltas
+"""
+
+
 REGISTRATIONS = [
+    ("open_lines_backlog_daily", open_lines_backlog_daily,
+     OPEN_LINES_BACKLOG_ORACLE),
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
     ("funnel_timebound_events", funnel_timebound_events,
      FUNNEL_TIMEBOUND_ORACLE),

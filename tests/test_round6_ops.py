@@ -694,3 +694,65 @@ def test_stream_strat_effect_twin_equals_batch(spark):
     b = {key(r) for r in strat_effect_events(spark, SF_SMOKE).collect()}
     t = {key(r) for r in stream_strat_effect(spark, SF_SMOKE).collect()}
     assert b == t and b
+
+
+def test_two_proportion_planted_arms(spark):
+    """4v4 users with 3-vs-1 converters must yield the hand-computed
+    z = 0.5 / sqrt(0.5·0.5·(1/4 + 1/4)) (same IEEE DAG); identical
+    full-conversion arms must yield NULL z (se = 0)."""
+    import math
+    from mapreduce_rust_spark.operators import experiment as E
+
+    def run(rows):
+        ev = spark.createDataFrame(
+            rows, "user_id long, sec long, event_type string") \
+            .select("user_id", F.timestamp_seconds("sec").alias("ts"),
+                    "event_type", F.lit(1.0).alias("value"))
+        orig = E.load_table
+        try:
+            E.load_table = lambda s, d, n: ev
+            return E.two_proportion_test_events(spark, SF_SMOKE) \
+                .collect()[0]
+        finally:
+            E.load_table = orig
+
+    # treat = odd ids {1,3,5,7}: 3 convert; ctrl {2,4,6,8}: 1 converts
+    rows = ([(u, 0, "purchase") for u in (1, 3, 5, 2)]
+            + [(u, 0, "view") for u in (7, 4, 6, 8)])
+    got = run(rows)
+    assert (got.n_treat, got.n_ctrl, got.conv_treat, got.conv_ctrl) \
+        == (4, 4, 3, 1)
+    assert got.p_treat == 0.75 and got.p_ctrl == 0.25
+    assert got.z == (0.75 - 0.25) / math.sqrt(
+        0.5 * (1.0 - 0.5) * (1.0 / 4.0 + 1.0 / 4.0))
+    # degenerate: everyone converts -> pooled variance 0 -> NULL z
+    allconv = [(u, 0, "purchase") for u in (1, 2, 3, 4)]
+    assert run(allconv).z is None
+
+
+def test_backlog_sweep_line_planted_intervals(spark):
+    """Intervals [(day0..2), (day1..1)] must produce the exact step
+    function 1, 2, 1, 0 at delta days 0..3; deltas must net to zero
+    and the level must match a brute-force per-day count."""
+    from mapreduce_rust_spark.operators import olap as O
+
+    orders = spark.createDataFrame(
+        [(1, 0), (2, 1)], "o_orderkey long, sd long") \
+        .select("o_orderkey",
+                F.timestamp_seconds(F.col("sd") * 86400)
+                .cast("timestamp_ntz").alias("o_orderdate"))
+    lines = spark.createDataFrame(
+        [(1, 2), (2, 1)], "l_orderkey long, ed long") \
+        .select("l_orderkey",
+                F.timestamp_seconds(F.col("ed") * 86400)
+                .cast("timestamp_ntz").alias("l_shipdate"))
+    orig = O.load_table
+    try:
+        O.load_table = lambda s, d, n: orders if n == "orders" else lines
+        got = sorted(O.open_lines_backlog_daily(spark, SF_SMOKE)
+                     .collect(), key=lambda r: r.day)
+    finally:
+        O.load_table = orig
+    assert [(r.day, r.net_change, r.open_lines) for r in got] == [
+        (0, 1, 1), (1, 1, 2), (2, -1, 1), (3, -1, 0)]
+    assert sum(r.net_change for r in got) == 0
