@@ -254,6 +254,7 @@ HEADLINE = [
     "stream_strat_effect",
     "two_proportion_test_events",
     "open_lines_backlog_daily",
+    "xyz_variability_parts",
 ]
 
 

@@ -1568,6 +1568,81 @@ def _corr_matrix_oracle() -> str:
 CORR_MATRIX_ORACLE = _corr_matrix_oracle()
 
 
+def xyz_variability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the companion axis to
+    ``abc_pareto_parts`` in the classic ABC-XYZ inventory matrix:
+    parts with steady weekly demand (X, CV ≤ 0.5) can run lean
+    replenishment; erratic ones (Z, CV > 1) need safety stock or
+    make-to-order. Weekly demand series per part over the GLOBAL
+    calendar span, empty weeks as implicit zeros (the Fano
+    discipline — zeros add nothing to the sums, only n counts them).
+
+    Exactness: with n = span weeks, S1 = Σ demand, S2 = Σ demand²,
+    population CV² = (n·S2 − S1²)/S1² — the CLASS BOUNDARIES are
+    decided by pure integer cross-multiplication (X ⟺ 4·(n·S2−S1²)
+    ≤ S1², Y ⟺ n·S2−S1² ≤ S1²), so no float comparison can ever
+    flip a class across engines; the reported cv is one
+    div-then-sqrt on the exact integers. Scale: one (part, week)
+    aggregate, one per-part rollup, a 1-row span broadcast.
+
+    Output: ``(part, n_weeks, total_qty, cv, xyz)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = (li.select(F.col("l_partkey").alias("part"),
+                    F.expr("CAST(datediff(to_date(l_shipdate), "
+                           "DATE'1970-01-01') AS LONG) DIV 7")
+                    .alias("week"),
+                    F.round("l_quantity").cast("long").alias("q"))
+          .groupBy("part", "week").agg(F.sum("q").alias("d")))
+    dec = "decimal(38,0)"
+    span = wk.agg((F.max("week") - F.min("week") + 1).cast(dec)
+                  .alias("n_weeks"))
+    g = (wk.groupBy("part")
+         .agg(F.sum("d").cast(dec).alias("s1"),
+              F.sum((F.col("d") * F.col("d")).cast(dec)).alias("s2")))
+    num = F.col("n_weeks") * F.col("s2") - F.col("s1") * F.col("s1")
+    den = F.col("s1") * F.col("s1")
+    xyz = (F.when(4 * num <= den, "X")
+           .when(num <= den, "Y").otherwise("Z"))
+    return (g.crossJoin(F.broadcast(span))
+            .select("part",
+                    F.col("n_weeks").cast("long").alias("n_weeks"),
+                    F.col("s1").cast("long").alias("total_qty"),
+                    F.sqrt(num.cast("double") / den.cast("double"))
+                    .alias("cv"),
+                    xyz.alias("xyz")))
+
+
+XYZ_ORACLE = """
+WITH wk AS (
+  SELECT l_partkey AS part,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(l_shipdate AS DATE)) AS BIGINT) // 7
+           AS week,
+         CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY part, week
+),
+span AS (SELECT CAST(MAX(week) - MIN(week) + 1 AS DECIMAL(38,0))
+                  AS n_weeks FROM wk),
+g AS (
+  SELECT part, CAST(SUM(d) AS DECIMAL(38,0)) AS s1,
+         SUM(CAST(d * d AS DECIMAL(38,0))) AS s2
+  FROM wk GROUP BY part
+)
+SELECT part,
+       CAST(span.n_weeks AS BIGINT) AS n_weeks,
+       CAST(g.s1 AS BIGINT) AS total_qty,
+       sqrt(CAST(span.n_weeks * g.s2 - g.s1 * g.s1 AS DOUBLE)
+            / CAST(g.s1 * g.s1 AS DOUBLE)) AS cv,
+       CASE WHEN 4 * (span.n_weeks * g.s2 - g.s1 * g.s1)
+                 <= g.s1 * g.s1 THEN 'X'
+            WHEN span.n_weeks * g.s2 - g.s1 * g.s1 <= g.s1 * g.s1
+                 THEN 'Y'
+            ELSE 'Z' END AS xyz
+FROM g, span
+"""
+
+
 def open_lines_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily order-fulfilment backlog: how many lineitems are OPEN
     (ordered but not yet shipped, inclusive of the ship day) on each
@@ -1634,6 +1709,7 @@ FROM deltas
 REGISTRATIONS = [
     ("open_lines_backlog_daily", open_lines_backlog_daily,
      OPEN_LINES_BACKLOG_ORACLE),
+    ("xyz_variability_parts", xyz_variability_parts, XYZ_ORACLE),
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
     ("funnel_timebound_events", funnel_timebound_events,
      FUNNEL_TIMEBOUND_ORACLE),

@@ -756,3 +756,36 @@ def test_backlog_sweep_line_planted_intervals(spark):
     assert [(r.day, r.net_change, r.open_lines) for r in got] == [
         (0, 1, 1), (1, 1, 2), (2, -1, 1), (3, -1, 0)]
     assert sum(r.net_change for r in got) == 0
+
+
+def test_xyz_classes_planted_demand(spark):
+    """Constant weekly demand must class X with cv = 0; a 2,2,2,0
+    series over a 4-week span has CV² = 1/3 → Y; a single-burst
+    series has CV² = 3 → Z — all boundaries decided by the integer
+    cross-multiplication, cv by the exact closed form."""
+    import math
+    from mapreduce_rust_spark.operators import olap as O
+
+    rows = ([("A", w, 1) for w in range(4)]            # constant
+            + [("B", 0, 8)]                            # one burst
+            + [("C", 0, 2), ("C", 1, 2), ("C", 2, 2)])  # 2,2,2,0
+    li = spark.createDataFrame(
+        [(p, w, q) for p, w, q in rows],
+        "pname string, w long, q long") \
+        .select(F.abs(F.hash("pname")).alias("l_partkey"), "pname",
+                F.timestamp_seconds(F.col("w") * 7 * 86400)
+                .cast("timestamp_ntz").alias("l_shipdate"),
+                F.col("q").cast("double").alias("l_quantity"))
+    keys = {r.pname: r.l_partkey for r in
+            li.select("pname", "l_partkey").distinct().collect()}
+    orig = O.load_table
+    try:
+        O.load_table = lambda s, d, n: li
+        got = {r.part: r for r in
+               O.xyz_variability_parts(spark, SF_SMOKE).collect()}
+    finally:
+        O.load_table = orig
+    a, b, c = got[keys["A"]], got[keys["B"]], got[keys["C"]]
+    assert (a.xyz, a.cv, a.n_weeks, a.total_qty) == ("X", 0.0, 4, 4)
+    assert b.xyz == "Z" and b.cv == math.sqrt(3.0)
+    assert c.xyz == "Y" and c.cv == math.sqrt(12.0 / 36.0)
