@@ -255,6 +255,8 @@ HEADLINE = [
     "two_proportion_test_events",
     "open_lines_backlog_daily",
     "xyz_variability_parts",
+    "stream_two_proportion",
+    "recsys_eval_hitrate",
 ]
 
 

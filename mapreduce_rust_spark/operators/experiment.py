@@ -403,10 +403,24 @@ def two_proportion_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_treat, p_ctrl, z)``.
     """
     ev = load_table(spark, sf_dir, "events")
-    users = (ev.groupBy("user_id")
-             .agg(F.max((F.col("event_type") == "purchase").cast("int"))
-                  .alias("conv"))
-             .select((F.col("user_id") % 2 == 1).alias("treat"), "conv"))
+    return two_prop_closed_form(two_prop_user_conv(ev))
+
+
+def two_prop_user_conv(ev: DataFrame) -> DataFrame:
+    """Per-user conversion flags — the mergeable (max is idempotent)
+    state shared by the batch op and its complete-mode streaming
+    twin. State is user-dims-sized (one bit per user), the
+    stream_dedup_users shape."""
+    return (ev.groupBy("user_id")
+            .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+                 .alias("conv")))
+
+
+def two_prop_closed_form(user_conv: DataFrame) -> DataFrame:
+    """z-test arithmetic from the (user_id, conv) table — see
+    ``two_proportion_test_events`` for the exactness argument."""
+    users = user_conv.select((F.col("user_id") % 2 == 1).alias("treat"),
+                             "conv")
     g = users.agg(
         F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("long")
          .alias("n_treat"),

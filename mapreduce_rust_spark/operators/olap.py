@@ -1568,6 +1568,163 @@ def _corr_matrix_oracle() -> str:
 CORR_MATRIX_ORACLE = _corr_matrix_oracle()
 
 
+RECO_K = 10
+RECO_EVAL_MOD = 10   # deterministic 10% customer evaluation sample
+
+
+# Session-scoped memo of the item-CF neighbor MODEL table — the
+# edge-memo justification (operators/graph.py): the CF table is a
+# derived shared dataset (parts × top-5 rows, ~100 KB) that both the
+# registered item_cf_neighbors query and every evaluation consuming
+# the model would materialize once in a real session. Keyed by
+# (applicationId, lineitem plan hash); checkpoint blocks die with the
+# session.
+_ITEM_CF_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
+def item_cf_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    key = (spark.sparkContext.applicationId, li.semanticHash())
+    df = _ITEM_CF_MEMO.get(key)
+    if df is None:
+        df = item_cf_neighbors(spark, sf_dir).localCheckpoint(eager=True)
+        _ITEM_CF_MEMO[key] = df
+    return df
+
+
+def recsys_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation — hit-rate@k of the item-CF
+    neighbor table against each customer's HELD-OUT LAST order
+    (leave-last-basket-out): recommend the top-k unseen parts scored
+    by max cosine to any history part, score a hit if the held-out
+    basket contains any of them. Evaluation-as-operator, the
+    ``dedup_eval_lsh`` pattern: the Spark op COMPOSES the registered
+    ``item_cf_neighbors`` query and the oracle NESTS its oracle as a
+    CTE, so the checked artifact proves the composed pipeline, not
+    just the parts.
+
+    Exactness: cosines are the CF op's proven two-op doubles; the
+    per-candidate score is an order-independent MAX of them; ranking
+    ties break on candidate id; hit-rate is one int÷int division.
+    Denominator = every customer with ≥ 2 orders (customers whose
+    history has no CF neighbors simply can't hit — they stay in the
+    denominator, as honest evaluation requires).
+
+    Scale: the CF model is trained on the FULL basket corpus, but
+    the evaluation runs on a deterministic 10% customer sample
+    (``o_custkey % RECO_EVAL_MOD = 0`` — retry-safe, mirrored in the
+    oracle), the standard offline-eval economy: metric variance
+    shrinks with √sample, so evaluating every customer buys nothing.
+    The argmax-last-order split is one customer-grain aggregate;
+    candidate volume is history parts × top-5 neighbors (never
+    corpus²); the per-customer top-k window is bounded by that
+    candidate set. Inherits ``ASSOC_MAX_BASKET``.
+
+    Output: one row ``(k, n_eval, n_hit, hit_rate)``.
+    """
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_custkey") % RECO_EVAL_MOD == 0)
+              .select("o_orderkey", "o_custkey",
+                      F.datediff(F.to_date("o_orderdate"),
+                                 F.lit("1970-01-01"))
+                      .cast("long").alias("d")))
+    last = (orders.groupBy("o_custkey")
+            .agg(F.max(F.struct("d", "o_orderkey")).alias("m"),
+                 F.count("*").alias("n_orders"))
+            .where(F.col("n_orders") >= 2)
+            .select("o_custkey", F.col("m.o_orderkey").alias("last_ok"))
+            .localCheckpoint(eager=True))   # consumed by 3 branches
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o_orderkey"),
+                  F.col("l_partkey").alias("part")).distinct())
+    lines = (li.join(orders, "o_orderkey").join(last, "o_custkey")
+             .localCheckpoint(eager=True))  # hist + hold both read it
+    hist = (lines.where(F.col("o_orderkey") != F.col("last_ok"))
+            .select("o_custkey", "part").distinct()
+            .localCheckpoint(eager=True))   # consumed by 2 branches
+    hold = (lines.where(F.col("o_orderkey") == F.col("last_ok"))
+            .select("o_custkey", "part").distinct())
+    cf = item_cf_cached(spark, sf_dir).select(
+        "part", F.col("neighbor").alias("cand"), "cos")
+    recs = (hist.join(cf, "part")
+            .groupBy("o_custkey", "cand")
+            .agg(F.max("cos").alias("score"))
+            .join(hist.select("o_custkey",
+                              F.col("part").alias("cand")),
+                  ["o_custkey", "cand"], "left_anti"))
+    w = W.partitionBy("o_custkey").orderBy(F.col("score").desc(), "cand")
+    topk = (recs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= RECO_K))
+    hits = (topk.join(hold.withColumnRenamed("part", "cand"),
+                      ["o_custkey", "cand"], "left_semi")
+            .select("o_custkey").distinct())
+    n_eval = last.agg(F.count("*").cast("long").alias("n_eval"))
+    n_hit = hits.agg(F.count("*").cast("long").alias("n_hit"))
+    return (n_eval.crossJoin(F.broadcast(n_hit))
+            .select(F.lit(RECO_K).cast("long").alias("k"),
+                    "n_eval", "n_hit",
+                    (F.col("n_hit").cast("double")
+                     / F.col("n_eval").cast("double"))
+                    .alias("hit_rate")))
+
+
+def _recsys_eval_oracle() -> str:
+    return f"""
+WITH cf AS ({ITEM_CF_ORACLE}),
+o AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS d
+  FROM orders WHERE o_custkey % {RECO_EVAL_MOD} = 0
+),
+last AS (
+  SELECT o_custkey,
+         (MAX({{'d': d, 'k': o_orderkey}})).k AS last_ok
+  FROM o GROUP BY o_custkey HAVING COUNT(*) >= 2
+),
+li AS (SELECT DISTINCT l_orderkey AS o_orderkey, l_partkey AS part
+       FROM lineitem),
+lines AS (
+  SELECT l.o_orderkey, l.part, o.o_custkey, la.last_ok
+  FROM li l JOIN o ON o.o_orderkey = l.o_orderkey
+  JOIN last la ON la.o_custkey = o.o_custkey
+),
+hist AS (SELECT DISTINCT o_custkey, part FROM lines
+         WHERE o_orderkey <> last_ok),
+hold AS (SELECT DISTINCT o_custkey, part FROM lines
+         WHERE o_orderkey = last_ok),
+recs AS (
+  SELECT h.o_custkey, cf.neighbor AS cand, MAX(cf.cos) AS score
+  FROM hist h JOIN cf ON cf.part = h.part
+  GROUP BY h.o_custkey, cf.neighbor
+),
+open_recs AS (
+  SELECT r.* FROM recs r
+  WHERE NOT EXISTS (SELECT 1 FROM hist h
+                    WHERE h.o_custkey = r.o_custkey
+                      AND h.part = r.cand)
+),
+topk AS (
+  SELECT o_custkey, cand FROM (
+    SELECT o_custkey, cand,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY score DESC, cand) AS rk
+    FROM open_recs
+  ) WHERE rk <= {RECO_K}
+),
+hits AS (
+  SELECT DISTINCT t.o_custkey
+  FROM topk t JOIN hold h
+    ON h.o_custkey = t.o_custkey AND h.part = t.cand
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval FROM last),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM hits)
+SELECT CAST({RECO_K} AS BIGINT) AS k, n.n_eval, nh.n_hit,
+       CAST(nh.n_hit AS DOUBLE) / CAST(n.n_eval AS DOUBLE) AS hit_rate
+FROM n, nh
+"""
+
+
 def xyz_variability_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ demand-variability classification — the companion axis to
     ``abc_pareto_parts`` in the classic ABC-XYZ inventory matrix:
@@ -1710,6 +1867,7 @@ REGISTRATIONS = [
     ("open_lines_backlog_daily", open_lines_backlog_daily,
      OPEN_LINES_BACKLOG_ORACLE),
     ("xyz_variability_parts", xyz_variability_parts, XYZ_ORACLE),
+    ("recsys_eval_hitrate", recsys_eval_hitrate, _recsys_eval_oracle()),
     ("funnel_conversion_events", funnel_conversion_events, FUNNEL_ORACLE),
     ("funnel_timebound_events", funnel_timebound_events,
      FUNNEL_TIMEBOUND_ORACLE),

@@ -462,6 +462,27 @@ def _strat_oracle() -> str:
     return STRAT_EFFECT_ORACLE
 
 
+def stream_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.two_proportion_test_events`` —
+    ninth kappa pair: the per-user conversion flag is ONE
+    complete-mode idempotent-max aggregate (state = one bit per user,
+    the stream_dedup_users shape, honestly user-dims-sized), and the
+    shared closed form computes the four arm integers and the fixed
+    IEEE z-tree on top batch-side. Bit-identical to the batch op;
+    same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        two_prop_closed_form, two_prop_user_conv)
+    ev = read_events_stream(spark, sf_dir)
+    conv = two_prop_user_conv(ev)
+    out = _run_to_table(conv, "stream_two_proportion", "complete")
+    return two_prop_closed_form(out)
+
+
+def _two_prop_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import TWO_PROP_ORACLE
+    return TWO_PROP_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -481,4 +502,5 @@ REGISTRATIONS = [
     ("stream_mannwhitney", stream_mannwhitney, _mw_oracle()),
     ("stream_fano_burstiness", stream_fano_burstiness, _fano_oracle()),
     ("stream_strat_effect", stream_strat_effect, _strat_oracle()),
+    ("stream_two_proportion", stream_two_proportion, _two_prop_oracle()),
 ]

@@ -789,3 +789,89 @@ def test_xyz_classes_planted_demand(spark):
     assert (a.xyz, a.cv, a.n_weeks, a.total_qty) == ("X", 0.0, 4, 4)
     assert b.xyz == "Z" and b.cv == math.sqrt(3.0)
     assert c.xyz == "Y" and c.cv == math.sqrt(12.0 / 36.0)
+
+
+def test_stream_two_proportion_twin_equals_batch(spark):
+    """The complete-mode per-user-conversion twin must be
+    bit-identical to the batch z-test (idempotent-max state + shared
+    closed form)."""
+    from mapreduce_rust_spark.operators.experiment import (
+        two_proportion_test_events)
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_two_proportion)
+    b = two_proportion_test_events(spark, SF_SMOKE).collect()[0]
+    t = stream_two_proportion(spark, SF_SMOKE).collect()[0]
+    assert (b.n_treat, b.n_ctrl, b.conv_treat, b.conv_ctrl,
+            b.p_treat, b.p_ctrl, b.z) == \
+        (t.n_treat, t.n_ctrl, t.conv_treat, t.conv_ctrl,
+         t.p_treat, t.p_ctrl, t.z)
+
+
+_seqs = st.lists(st.tuples(st.integers(min_value=0, max_value=200),
+                           st.integers(min_value=0, max_value=50)),
+                 min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seq=_seqs)
+def test_record_high_property_vs_python(spark, seq):
+    """For ANY (day, price) multiset — duplicate days, bucket
+    boundaries, monotone and adversarial orders — the pruned
+    two-phase prefix-MAX must flag exactly the strict records of the
+    (day, key) sequence with the exact previous best."""
+    from mapreduce_rust_spark.operators import analytic as A
+
+    rows = [(i, d, float(p)) for i, (d, p) in enumerate(seq)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, d long, o_totalprice double") \
+        .select("o_orderkey", "o_totalprice",
+                F.timestamp_seconds(F.col("d") * 86400)
+                .cast("timestamp_ntz").alias("o_orderdate"))
+    orig = A._t
+    try:
+        A._t = lambda s, dd, n: orders
+        got = {r.o_orderkey: (r.cents, r.prev_best) for r in
+               A.record_high_orders(spark, SF_SMOKE).collect()}
+    finally:
+        A._t = orig
+
+    best = None
+    want = {}
+    for i, d, p in sorted(rows, key=lambda r: (r[1], r[0])):
+        c = round(p * 100)
+        if best is None or c > best:
+            want[i] = (c, best)
+        best = c if best is None else max(best, c)
+    assert got == want
+
+
+def test_recsys_eval_planted_hit_and_miss(spark):
+    """Train CF on baskets where parts 1 and 2 co-occur twice
+    (passing ITEM_CF_MIN_CO); eval customer 10 holds out a basket
+    containing the known neighbor (hit), customer 20 holds out an
+    unrelated part (miss) → n_eval 2, n_hit 1, rate 0.5. Filler
+    customers (single order, non-multiple-of-10 keys) train the
+    model but stay out of the denominator."""
+    from mapreduce_rust_spark.operators import olap as O
+
+    # (orderkey, custkey, day) — custkeys 10/20 are in the 10% sample
+    orders = [(1, 10, 0), (2, 10, 1),      # eval cust 10: hist O1, hold O2
+              (3, 20, 0), (4, 20, 1),      # eval cust 20: hist O3, hold O4
+              (5, 3, 0), (6, 7, 0)]        # filler: train co-occurrence
+    lines = [(1, 1), (2, 2),               # hist {1} -> hold {2}
+             (3, 1), (4, 9),               # hist {1} -> hold {9}
+             (5, 1), (5, 2), (6, 1), (6, 2)]  # {1,2} co-occurs twice
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, d long") \
+        .select("o_orderkey", "o_custkey",
+                F.timestamp_seconds(F.col("d") * 86400)
+                .cast("timestamp_ntz").alias("o_orderdate"))
+    ldf = spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long")
+    orig = O.load_table
+    try:
+        O.load_table = lambda s, d, n: odf if n == "orders" else ldf
+        got = O.recsys_eval_hitrate(spark, SF_SMOKE).collect()[0]
+    finally:
+        O.load_table = orig
+    assert (got.n_eval, got.n_hit, got.hit_rate) == (2, 1, 0.5)
