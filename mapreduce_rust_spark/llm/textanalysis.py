@@ -903,9 +903,14 @@ def editdist1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (a.join(b, "v")
             .where(F.col("cust_a") < F.col("cust_b"))
             .select("cust_a", "name_a", "cust_b", "name_b").distinct())
+    # threshold-bounded verify: levenshtein(a, b, 1) is O(len) per
+    # pair (banded DP), not O(len²) — on a planted 10k-char name the
+    # unbounded verify costs ~50 s for ONE candidate; the band makes
+    # it milliseconds. Returns -1 above the threshold.
     return (cand.withColumn("dist",
-                            F.levenshtein("name_a", "name_b").cast("long"))
-            .where(F.col("dist") <= 1)
+                            F.levenshtein("name_a", "name_b", 1)
+                            .cast("long"))
+            .where((F.col("dist") >= 0) & (F.col("dist") <= 1))
             .select("cust_a", "cust_b", "dist"))
 
 

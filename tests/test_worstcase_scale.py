@@ -520,3 +520,54 @@ def test_blocked_knn_giant_label_block(spark):
     assert all(r.n_nbrs == S.LABEL_NOISE_K for r in rows)
     assert took < 120, f"giant-block consensus took {took:.1f}s"
     print(f"giant-block (n={n}, d={d}) consensus: {took:.1f}s")
+
+
+def test_editdist1_cap_bounds_mega_name(spark):
+    """FastSS worst cases, planted: (a) a pathological 10k-char
+    "name" must index EDITDIST_MAX_POS+1 variants, not 50k — and the
+    documented loss is pinned: an edit at a position beyond the cap
+    is NOT found, one within the cap IS; (b) a 500-name hot-variant
+    register (all names sharing one deletion variant, every pair a
+    true dist-1 match) completes in bounded time with the exact
+    C(500,2) output — candidate volume tracks TRUE pairs, the LSH
+    property."""
+    import time
+    from mapreduce_rust_spark.llm import textanalysis as T
+
+    base = "x" * 10_000
+    early = base[:10] + "Y" + base[11:]      # substitution at pos 10
+    late = base[:8_000] + "Y" + base[8_001:]  # beyond the cap
+    # (10k chars keeps the ONE verify-levenshtein ~10^8 DP cells; the
+    # cap claim is about INDEX size, which 10k ≫ 32 already proves)
+    mega = spark.createDataFrame(
+        [(1, base, 0), (2, early, 0), (3, late, 0)],
+        "c_custkey long, c_name string, c_nationkey long")
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, n: mega
+        t0 = time.perf_counter()
+        got = {(r.cust_a, r.cust_b) for r in
+               T.editdist1_name_pairs(spark, SF_SMOKE).collect()}
+        took = time.perf_counter() - t0
+    finally:
+        T.load_table = orig
+    assert (1, 2) in got          # in-cap edit found
+    assert (1, 3) not in got      # beyond-cap edit: documented loss
+    assert took < 60, f"mega-name took {took:.1f}s"
+
+    n = 500
+    hot = spark.createDataFrame(
+        [(i, f"N{chr(65 + i % 26)}", 0) for i in range(n)],
+        "c_custkey long, c_name string, c_nationkey long")
+    # all names are 2 chars starting 'N': deleting char 2 gives the
+    # shared variant "N" -> every pair is a candidate AND (same
+    # length, differing only in char 2) a true dist-<=1 pair
+    try:
+        T.load_table = lambda s, d, n_: hot
+        t0 = time.perf_counter()
+        cnt = T.editdist1_name_pairs(spark, SF_SMOKE).count()
+        took = time.perf_counter() - t0
+    finally:
+        T.load_table = orig
+    assert cnt == n * (n - 1) // 2
+    assert took < 60, f"hot-variant register took {took:.1f}s"
