@@ -41,50 +41,47 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-6 window (the round-5 window went 50/50 green — see COVERAGE.md):
-# 50 of the 62 oracled queries registered during round 5 that have NEVER
-# carried a driver row. Every order-sensitive streaming twin is scheduled
-# WITH its batch op (dow/chisq/ewma/markov/attribution/active-users/holt
-# pairs) so the artifact shows batch and stream passing the SAME DuckDB
-# oracle. The 12 deferrals (standalone, categories already driver-proven)
-# are queued for round 7 alongside the next-oldest stale re-proofs —
-# see COVERAGE.md "Queued for the round-7 window".
+# Round-7 window (the round-6 window went 50/50 green — see COVERAGE.md):
+# ALL 49 oracled queries that have never carried a driver row — the 12
+# round-5 deferrals plus the 37-query oracled round-6 crop — plus one
+# staleness re-proof slot (TPC-H q3, whose newest driver row is r2).
+# Every streaming kappa twin is scheduled WITH its batch op
+# (mannwhitney / event_pattern / fano / strat / two_proportion pairs)
+# so the artifact shows batch and stream passing the SAME DuckDB
+# oracle. After a green r7 artifact, every oracled query in the
+# registry carries a driver row; round 8 rotates to the r2/r3 stale
+# re-proof queue written in COVERAGE.md.
 DRIVER_WINDOW = [
-    # --- seasonality / chi-square twins ---
-    "dow_seasonality_events", "stream_dow_profile",
-    "chisq_cells_events", "stream_chisq_cells",
-    # --- Markov transition twins + time-series surface ---
-    "markov_transitions_events", "stream_markov_transitions",
-    "interp_gapfill_events", "rolling_median_orders",
-    "seasonal_outlier_events", "lagged_corr_events",
-    "forecast_backtest_events", "conformal_interval_events",
-    "theil_sen_trend_events",
-    # --- order-sensitive recurrence twins (EWMA / Holt) ---
-    "ewma_user_value", "stream_ewma_user_value",
-    "holt_user_value", "stream_holt_user_value",
-    # --- attribution / activity twins ---
-    "attribution_last_touch", "stream_attribution",
-    "active_users_7d", "stream_active_users_7d", "active_streaks_users",
-    # --- data-quality / integrity ---
-    "benford_orders", "table_checksum_orders", "k_anonymity_orders",
-    # --- IR / text wing ---
-    "bm25_search_docs", "collocations_pmi_docs", "simpson_diversity_sources",
-    "source_vocab_overlap", "kwic_snippets_docs",
-    # --- dedup wing ---
-    "winnow_pairs_docs", "containment_pairs_docs", "semantic_dedup_embeddings",
-    "dedup_eval_lsh",
-    # --- quality / mixture ---
-    "quantile_normalize_docs", "temperature_mix_docs",
-    # --- OLAP / retail analytics ---
-    "assoc_rules_parts", "abc_pareto_parts", "rfm_segments",
-    "skyline_parts", "cumulative_distinct_users", "weighted_median_price",
-    "life_table_reorders",
-    # --- experimentation ---
-    "did_estimate_events", "cuped_adjusted_events",
-    # --- graph ---
-    "labelprop_components", "clustering_coeff_parts",
-    # --- embeddings ---
-    "embedding_covariance", "hard_negatives", "cluster_keywords_embeddings",
+    # --- round-5 deferrals (12) ---
+    "equidepth_hist_totalprice", "session_path_counts", "ttr_docs",
+    "bigram_lm_docs", "copurchase_degree_hist", "auc_quality_docs",
+    "calibration_bins_docs", "retrieval_eval_bm25", "key_skew_stats",
+    "l_diversity_orders", "readability_docs", "funnel_time_to_convert",
+    # --- round-6 crop: graph wing ---
+    "pagerank_exact_parts", "ppr_seeded_parts", "kcore_parts",
+    "assortativity_copurchase", "linkpred_common_neighbors",
+    # --- round-6 crop: experimentation + streaming kappa twins ---
+    "mannwhitney_events", "stream_mannwhitney",
+    "event_pattern_funnel", "stream_event_pattern",
+    "fano_burstiness_events", "stream_fano_burstiness",
+    "strat_effect_events", "stream_strat_effect",
+    "two_proportion_test_events", "stream_two_proportion",
+    "ks_drift_sources",
+    # --- round-6 crop: temporal / time-series ---
+    "ewma_user_value_chunked", "holt_user_value_chunked",
+    "stl_lite_events", "record_high_orders",
+    # --- round-6 crop: recsys / OLAP / ops analytics ---
+    "item_cf_neighbors", "recsys_eval_hitrate", "lift_table_docs",
+    "xyz_variability_parts", "open_lines_backlog_daily",
+    "bounce_rate_daily", "corr_matrix_lineitem", "cdc_apply_orders",
+    # --- round-6 crop: text / IR ---
+    "phrase_search_docs", "source_trigram_cosine", "heaps_curve_docs",
+    "editdist1_name_pairs", "longest_run_docs",
+    # --- round-6 crop: LLM curation + multimodal ---
+    "dedup_multiplicity_hist", "token_budget_epochs",
+    "knn_label_consensus", "multimodal_png_roundtrip",
+    # --- staleness re-proof (oldest driver evidence: r2) ---
+    "q3_shipping_priority",
 ]
 
 
