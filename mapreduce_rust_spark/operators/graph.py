@@ -88,8 +88,24 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
 _EDGE_MEMO: dict[tuple[str, int], DataFrame] = {}
 
 
+def evict_stale_memo(memo: dict[tuple[str, int], DataFrame],
+                     app_id: str) -> None:
+    """Drop (and unpersist) memo entries from other applications.
+    Without eviction each distinct input plan pins a localCheckpoint'd
+    DataFrame's storage blocks for the life of the driver process —
+    a leak in long sessions that cross a Spark-app restart."""
+    for k in [k for k in memo if k[0] != app_id]:
+        df = memo.pop(k)
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — blocks already gone with the old app
+            pass
+
+
 def copurchase_edges_cached(li: DataFrame) -> DataFrame:
-    key = (li.sparkSession.sparkContext.applicationId, li.semanticHash())
+    app_id = li.sparkSession.sparkContext.applicationId
+    evict_stale_memo(_EDGE_MEMO, app_id)
+    key = (app_id, li.semanticHash())
     df = _EDGE_MEMO.get(key)
     if df is None:
         df = copurchase_edges(li).localCheckpoint(eager=True)
@@ -295,8 +311,8 @@ FROM walk GROUP BY seed, node
 # (no co-purchase edge) keeps its hops-0 row, exactly as the oracle.
 REACHABLE_WALK_SQL = f"""
 WITH RECURSIVE
-edges AS (SELECT u, v FROM copurchase_half_edges
-          UNION ALL SELECT v, u FROM copurchase_half_edges),
+edges AS (SELECT u, v FROM {{view}}
+          UNION ALL SELECT v, u FROM {{view}}),
 walk(seed, node, hops) AS (
   SELECT p, p, 0 FROM (SELECT DISTINCT l_partkey AS p FROM lineitem
                        WHERE l_partkey IN {SEED_PARTS})
@@ -330,8 +346,12 @@ def reachable_parts_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges_cached(li)
-    edges.createOrReplaceTempView("copurchase_half_edges")
-    return spark.sql(REACHABLE_WALK_SQL)
+    # View name carries the memo key (plan hash): interleaved calls
+    # over DIFFERENT sf_dirs in one session each get their own view —
+    # a shared global name would silently read the other call's edges.
+    view = f"copurchase_half_edges_{li.semanticHash() & 0x7FFFFFFF:x}"
+    edges.createOrReplaceTempView(view)
+    return spark.sql(REACHABLE_WALK_SQL.format(view=view))
 
 
 def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,8 +860,10 @@ def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     durable artifact), so the decimal→double casts are exact and the
     final combination is the same three-op IEEE DAG on both engines.
     A degree-regular graph (den = 0) yields NULL pinned explicitly —
-    Spark's double x/0 is ±Inf while DuckDB's is NULL, so the guard
-    removes a real cross-engine divergence, not a cosmetic one.
+    both engines default double x/0 to NULL in non-ANSI mode (see the
+    NULL-semantics note in ``llm/evaluation.py``), so the guard only
+    makes that shared behavior explicit rather than fixing a
+    divergence.
 
     Scale: two degree-table joins + one global aggregate — linear in
     edges, no pair generation anywhere. Inherits

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mapreduce_rust_spark.operators import graph
 from mapreduce_rust_spark.tables import load_table
 
 
@@ -95,7 +96,11 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     d23 = (pu.where(F.col("t3").isNotNull())
            .select(F.lit("click_purchase").alias("step_pair"), "user_id",
                    F.expr("(t3 - t2) DIV 1000000").alias("secs")))
-    d = d12.unionAll(d23).localCheckpoint(eager=True)
+    # no second checkpoint: both consumers (nk, ranked) re-derive the
+    # union with two narrow projections over the ALREADY-materialized
+    # pu blocks — cheaper than eagerly materializing the union itself
+    # (the double checkpoint was the round-6 1.9× regression)
+    d = d12.unionAll(d23)
     nk = (d.groupBy("step_pair").agg(F.count("*").alias("n_converted"))
           .withColumn("k", F.expr("(n_converted + 1) DIV 2")))
     ranked = scalable_rank(d, F.expr("secs DIV 3600"),
@@ -1584,7 +1589,9 @@ _ITEM_CF_MEMO: dict[tuple[str, int], DataFrame] = {}
 
 def item_cf_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    key = (spark.sparkContext.applicationId, li.semanticHash())
+    app_id = spark.sparkContext.applicationId
+    graph.evict_stale_memo(_ITEM_CF_MEMO, app_id)
+    key = (app_id, li.semanticHash())
     df = _ITEM_CF_MEMO.get(key)
     if df is None:
         df = item_cf_neighbors(spark, sf_dir).localCheckpoint(eager=True)

@@ -630,10 +630,13 @@ def test_leakage_safe_split_no_pair_crosses(spark):
     from mapreduce_rust_spark.llm.dedup import minhash_lsh_pairs
     from mapreduce_rust_spark.llm.pipeline import leakage_safe_split_docs
 
+    from mapreduce_rust_spark.tables import load_table
+
     split = {r.doc_id: r.split
              for r in leakage_safe_split_docs(spark, SF_SMOKE).collect()}
-    docs = 500  # sf0.001 fixture size is stable; assert full coverage
-    assert len(split) >= 1 and len(set(split)) <= docs
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(split) == n_docs, (len(split), n_docs)  # full coverage
+    assert set(split.values()) <= {"train", "val", "test"}
     pairs = minhash_lsh_pairs(spark, SF_SMOKE) \
         .select("doc_a", "doc_b").collect()
     assert pairs, "fixture must contain near-dup pairs for this test"
