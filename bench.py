@@ -296,6 +296,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Round-over-round triage needs only the BENCH artifacts: compare
+    # this run to the PREVIOUS committed full record (BENCH_LOCAL.json
+    # from last round's run) over the query set common to both.
+    prev_path = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
+    common_prev = None
+    try:
+        with open(prev_path) as fh:
+            prev_q = json.load(fh).get("queries", {})
+        common = sorted(set(prev_q) & set(timings))
+        if common:
+            common_prev = {
+                "n": len(common),
+                "prev_s": round(sum(prev_q[n] for n in common), 3),
+                "now_s": round(sum(timings[n] for n in common), 3),
+            }
+    except (OSError, ValueError):
+        pass
     # The driver may tail-truncate captured stdout to the LAST ~2000
     # chars (BENCH_r03/r04.json kept only the tail of one giant line,
     # leaving "parsed": null). Defend three ways: (1) the full payload
@@ -315,6 +332,8 @@ def main() -> None:
     # supports regression triage (still well under a 2000-char tail)
     compact["slowest10"] = dict(sorted(timings.items(),
                                        key=lambda kv: -kv[1])[:10])
+    if common_prev is not None:
+        compact["common_prev"] = common_prev
     print(json.dumps(compact))
     spark.stop()
 

@@ -213,10 +213,11 @@ def connected_components(edges_df: DataFrame,
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup pairs: each doc
-    gets the min doc_id of its cluster as representative. No SQL
-    oracle (iterative); pytest checks against a union-find, including
-    a planted 12-doc chain whose diameter exceeds the old fixed
-    iteration count."""
+    gets the min doc_id of its cluster as representative. Oracled
+    since round 7 via a recursive-CTE transitive closure
+    (``NEARDUP_CLUSTERS_ORACLE``); pytest additionally checks against
+    a union-find, including a planted 12-doc chain whose diameter
+    exceeds the old fixed iteration count."""
     labels = connected_components(
         minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"))
     return labels.select(F.col("node").alias("doc_id"), "rep")
@@ -229,8 +230,9 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical/cleanest copy, drop mirrors). Composition of
     ``connected_components`` with a quality signal + one window
     argmax per cluster; clusters are tiny so the window partitions
-    are bounded by cluster size. Rows-only check (iterative
-    upstream); pytest verifies the argmax against the clusters."""
+    are bounded by cluster size. Oracled since round 7 (closure CTE +
+    window argmax); pytest verifies the argmax against the
+    clusters."""
     from pyspark.sql import Window as W
     labels = neardup_clusters(spark, sf_dir)  # (doc_id, rep)
     docs = load_table(spark, sf_dir, "documents").select(
@@ -251,10 +253,11 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep eval honest. Singleton docs are their own cluster.
 
     split = md5(rep id) mod 100 → 80/10/10, where rep is the
-    component's min doc_id — deterministic and retry-safe. Rows-only
-    (the component labels are iterative); pytest asserts the
-    invariant that MATTERS: no verified near-dup pair crosses a split
-    boundary, on the fixtures AND on a planted chain of near-dups.
+    component's min doc_id — deterministic and retry-safe. Oracled
+    since round 7 (closure CTE + the md5-bucket mirror); pytest
+    additionally asserts the invariant that MATTERS: no verified
+    near-dup pair crosses a split boundary, on the fixtures AND on a
+    planted chain of near-dups.
 
     Scale: connected_components' doubling rounds over near-dup EDGES
     (pair-volume bound inherited from the LSH design), one label join
@@ -276,12 +279,66 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "rep", split.alias("split"))
 
 
+# Transitive-closure CTE chain over the verified near-dup pairs —
+# DuckDB's WITH RECURSIVE is the non-procedural twin of
+# ``connected_components``' doubling loop: reach(a, b) enumerates
+# every same-component pair, so rep(a) = LEAST(a, MIN(b)). Closure
+# size is Σ|component|² — fine at oracle scale (sf0.01), which is
+# exactly why the ENGINE uses the O(log diameter) loop instead. The
+# minhash-pairs oracle nests verbatim (the composed-oracle pattern,
+# see dedup_eval_lsh), so pairs here are BY CONSTRUCTION the same
+# pairs the Spark path clusters.
+_CLOSURE_CTES = f"""
+pairs AS ({MINHASH_LSH_ORACLE}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
+         FROM reach GROUP BY a)"""
+
+
+NEARDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_CLOSURE_CTES}
+SELECT doc_id, rep FROM comp
+"""
+
+
+NEARDUP_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_CLOSURE_CTES},
+scored AS (SELECT c.doc_id, c.rep, len(d.text) AS n_chars
+           FROM comp c JOIN documents d USING (doc_id)),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY rep
+                 ORDER BY n_chars DESC, doc_id) AS r FROM scored)
+SELECT doc_id, rep, CAST(n_chars AS BIGINT) AS n_chars,
+       r = 1 AS keep
+FROM rk
+"""
+
+
+LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_CLOSURE_CTES},
+lab AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+bk AS (SELECT doc_id, rep,
+              CAST('0x' || substr(md5(rep::VARCHAR), 1, 12) AS BIGINT)
+                % 100 AS b
+       FROM lab)
+SELECT doc_id, rep,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM bk
+"""
+
+
 REGISTRATIONS = [
-    ("leakage_safe_split_docs", leakage_safe_split_docs, None),
+    ("leakage_safe_split_docs", leakage_safe_split_docs,
+     LEAKAGE_SPLIT_ORACLE),
     ("label_centroids", label_centroids, LABEL_CENTROIDS_ORACLE),
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
-    ("neardup_clusters", neardup_clusters, None),
-    ("neardup_keep_best", neardup_keep_best, None),
+    ("neardup_clusters", neardup_clusters, NEARDUP_CLUSTERS_ORACLE),
+    ("neardup_keep_best", neardup_keep_best, NEARDUP_KEEP_BEST_ORACLE),
 ]
 
 
@@ -335,10 +392,17 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — via the shared capped in-row builder
     ``graph.copurchase_edges_cached``, so this op inherits both the
     ``COPURCHASE_MAX_BASKET`` width bound and the session-scoped edge
-    materialization the rest of the graph family uses). Rows-only
-    driver check (iterative float); numpy-verified in tests. Output
-    ranks quantized to 1e-12 so the row set is stable across shuffle
-    orderings."""
+    materialization the rest of the graph family uses).
+
+    Rows-only BY DESIGN, as a documented DERIVED query: the oracled
+    ``graph.pagerank_exact_parts`` (integer micromass, chained-CTE
+    oracle) is the hash-proven form of this computation; this float
+    power iteration is kept as the production-convenient variant and
+    is pinned to the exact form by the agreement-bound test
+    ``tests/test_graph_bpe.py::test_pagerank_exact_tracks_float_pagerank``
+    plus numpy power-iteration parity in ``tests/test_pipeline.py``.
+    Output ranks quantized to 1e-12 so the row set is stable across
+    shuffle orderings."""
     from mapreduce_rust_spark.operators.graph import (
         copurchase_edges_cached)
     # pass the UNPROJECTED scan so the memo key (plan hash) matches the
