@@ -257,6 +257,10 @@ HEADLINE = [
     "xyz_variability_parts",
     "stream_two_proportion",
     "recsys_eval_hitrate",
+    # round 7: real baseline-JPEG codec round-trip, oracled near-dup
+    # cluster family (recursive-CTE closure oracles)
+    "jpeg_gray_roundtrip",
+    "neardup_keep_best",
 ]
 
 

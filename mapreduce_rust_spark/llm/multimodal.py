@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,8 @@ from mapreduce_rust_spark.tables import load_table
 # module-level (NOT inside kernel bodies): _ensure_self_shipping pickles
 # the package by value, so kernels reference these as shipped globals
 from mapreduce_rust_spark.llm.imagecodec import decode_png, encode_png
+from mapreduce_rust_spark.llm.jpegcodec import (
+    QUANT_FLAT, decode_jpeg_gray, encode_jpeg_gray)
 
 FEATURE_SCHEMA = (
     "doc_id long, payload_bytes long, payload_sha string, "
@@ -60,15 +63,21 @@ def _fake_features(payload: pd.Series) -> pd.DataFrame:
 def decode_image_stub(payload: bytes) -> object:
     """Real decode entry point. PNG payloads decode for real via the
     pure-stdlib codec (``llm/imagecodec.py`` — 8-bit grey/RGB/RGBA,
-    round-trip tested); formats that genuinely need native codecs
-    this container lacks (JPEG/video/audio) still raise. Returns
-    (width, height, channels, raw_pixel_bytes) for PNG."""
+    round-trip tested); baseline grayscale JPEG decodes for real via
+    ``llm/jpegcodec.py`` (round-trip + error-bound tested); formats
+    that genuinely need native codecs this container lacks
+    (color/progressive JPEG, video, audio) still raise. Returns
+    (width, height, channels, raw_pixel_bytes)."""
     from mapreduce_rust_spark.llm.imagecodec import decode_png, is_png
+    from mapreduce_rust_spark.llm.jpegcodec import is_jpeg
     if is_png(payload):
         return decode_png(payload)
+    if is_jpeg(payload):
+        w, h, px = decode_jpeg_gray(payload)
+        return (w, h, 1, px)
     raise NotImplementedError(
-        "non-PNG media decode requires PIL/ffmpeg; use _fake_features "
-        "for the deterministic synthetic-corpus path")
+        "non-PNG/JPEG media decode requires PIL/ffmpeg; use "
+        "_fake_features for the deterministic synthetic-corpus path")
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -421,3 +430,90 @@ WHERE octet_length(encode(text)) = LENGTH(text)
 REGISTRATIONS.append(
     ("multimodal_png_roundtrip", multimodal_png_roundtrip,
      PNG_ROUNDTRIP_ORACLE))
+
+
+JPEG_BLOCKS_SIDE = 8   # 8×8 blocks → 64×64 px image from 64 payload bytes
+
+JPEG_RT_SCHEMA = ("doc_id long, width long, height long, n_blocks long, "
+                  "pixel_sha string")
+
+
+def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel exercising the REAL baseline-JPEG codec
+    (``llm/jpegcodec.py``) end to end: the doc's first 64 payload
+    bytes become the 64 block values of an 8×8-block-constant 64×64
+    grayscale image, which is ENCODED as a real baseline sequential
+    JPEG (flat quantization table — the codec's exactness class, see
+    the jpegcodec module docstring) and DECODED back; the row carries
+    a sha256 of the DECODED pixels. The oracle hashes the same
+    constant-block pixel expansion straight off the text, so a hash
+    match in the driver artifact proves the full DCT → quantize →
+    zigzag → Huffman bitstream → decode → IDCT pipeline is the
+    identity on this class for every document. JPEG bytes are
+    transient per row; one Arrow batch in memory at a time."""
+    import hashlib
+    side = JPEG_BLOCKS_SIDE * 8
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "n_blocks": [],
+               "pixel_sha": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = JPEG_BLOCKS_SIDE * JPEG_BLOCKS_SIDE
+            if len(payload) < n:
+                continue
+            vals = np.frombuffer(bytes(payload[:n]), dtype=np.uint8)
+            img = np.repeat(np.repeat(
+                vals.reshape(JPEG_BLOCKS_SIDE, JPEG_BLOCKS_SIDE), 8, 0),
+                8, 1)
+            jpg = encode_jpeg_gray(img.tobytes(), side, side, QUANT_FLAT)
+            w2, h2, decoded = decode_jpeg_gray(jpg)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w2)
+            out["height"].append(h2)
+            out["n_blocks"].append(n)
+            out["pixel_sha"].append(hashlib.sha256(decoded).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def jpeg_gray_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-kernel baseline-JPEG encode→decode round-trip over every
+    document's payload (see ``_jpeg_roundtrip_batches``). ASCII-only
+    docs are kept (character slicing == byte slicing on BOTH engines)
+    so the oracle's VARCHAR repeat/substring/sha256 mirrors the
+    byte-level kernel exactly. Scale: pure per-row kernel work inside
+    Arrow batches — no shuffle, embarrassingly parallel."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length(F.col("text")))
+    return with_payload(docs).mapInPandas(
+        _jpeg_roundtrip_batches, JPEG_RT_SCHEMA)
+
+
+# The oracle expands the same 8×8-block-constant image from the text:
+# pixel row of block-row r = each of its 8 chars repeated 8×; the
+# block row is that pixel row repeated 8× vertically; rows concatenate
+# in order. sha256 over the expansion == sha256 over decoded pixels.
+JPEG_ROUNDTRIP_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 64) AS s FROM documents
+  WHERE octet_length(encode(text)) = LENGTH(text) AND LENGTH(text) >= 64
+),
+prows AS (
+  SELECT doc_id, r,
+         repeat(list_aggregate(
+           list_transform(range(0, 8),
+                          c -> repeat(substring(s, r * 8 + c + 1, 1), 8)),
+           'string_agg', ''), 8) AS blockrow
+  FROM src, UNNEST(range(0, 8)) t(r)
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS width,
+       CAST(64 AS BIGINT) AS height,
+       CAST(64 AS BIGINT) AS n_blocks,
+       sha256(string_agg(blockrow, '' ORDER BY r)) AS pixel_sha
+FROM prows GROUP BY doc_id
+"""
+
+
+REGISTRATIONS.append(
+    ("jpeg_gray_roundtrip", jpeg_gray_roundtrip, JPEG_ROUNDTRIP_ORACLE))
