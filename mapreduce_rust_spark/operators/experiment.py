@@ -492,3 +492,213 @@ REGISTRATIONS = [
     ("two_proportion_test_events", two_proportion_test_events,
      TWO_PROP_ORACLE),
 ]
+
+
+def winsorized_closed_form(cnt: DataFrame) -> DataFrame:
+    """Finish the winsorized treatment-effect readout from the
+    (vc, ct, cc) per-distinct-value arm counts — SHARED with
+    ``streaming.windows.stream_winsorized_delta`` (the counts are the
+    same mergeable sufficient statistic as Mann–Whitney's).
+
+    Winsorization bounds are exact pooled order statistics via the
+    engine's selection convention (funnel median / percentile_exact):
+    lo = min value whose pooled cumulative count reaches ⌈n/20⌉
+    (P5), hi = likewise at ⌈19n/20⌉ (P95). Every distinct value
+    clips to [lo, hi]; arm means over clipped cents are exact integer
+    sums with ONE int÷int double division each, and the effect is
+    their difference — the same three-op IEEE DAG both engines run.
+
+    int64 ceiling: Σ count·|clipped cents| < 2⁵³ holds through ~10¹⁰
+    events at fixture value scales; past that move the two sums to
+    DECIMAL(38,0) (stats_agg discipline)."""
+    from pyspark.sql import Window as W
+    t = (cnt.withColumn("c", F.col("ct") + F.col("cc"))
+            .withColumn("cum", F.sum("c").over(W.orderBy("vc"))))
+    n1 = t.agg(F.sum("c").cast("long").alias("n"))
+    bounds = (t.crossJoin(F.broadcast(n1))
+              .agg(F.min(F.when(F.col("cum") * 20 >= F.col("n"),
+                                F.col("vc"))).alias("lo"),
+                   F.min(F.when(F.col("cum") * 20 >= 19 * F.col("n"),
+                                F.col("vc"))).alias("hi")))
+    clipped = (cnt.crossJoin(F.broadcast(bounds))
+               .withColumn("w", F.least(F.greatest(F.col("vc"),
+                                                   F.col("lo")),
+                                        F.col("hi"))))
+    agg = clipped.agg(
+        F.sum("ct").cast("long").alias("n_treat"),
+        F.sum("cc").cast("long").alias("n_ctrl"),
+        F.sum(F.col("ct") * F.col("w")).cast("long").alias("st"),
+        F.sum(F.col("cc") * F.col("w")).cast("long").alias("sc"),
+        F.min("lo").cast("long").alias("lo_c"),
+        F.min("hi").cast("long").alias("hi_c"))
+    mt = F.col("st").cast("double") / F.col("n_treat").cast("double")
+    mc = F.col("sc").cast("double") / F.col("n_ctrl").cast("double")
+    return agg.select("n_treat", "n_ctrl", "lo_c", "hi_c",
+                      mt.alias("mean_treat_w"), mc.alias("mean_ctrl_w"),
+                      (mt - mc).alias("delta_w"))
+
+
+def winsorized_mean_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (P5/P95-clipped) mean treatment effect — the robust
+    companion to the raw-mean DiD and the rank-based Mann–Whitney: a
+    single whale value can swamp a raw mean delta; clipping at exact
+    pooled percentiles bounds any one unit's leverage while keeping
+    the estimate in value units (which ranks discard).
+
+    Scale shape: identical to Mann–Whitney — the corpus collapses
+    once to per-distinct-value arm counts (cents grid ⇒ bounded dims
+    table); the cumulative window, bounds, clipping and final means
+    all run on that dims table. One corpus shuffle total.
+
+    Output: ``(n_treat, n_ctrl, lo_c, hi_c, mean_treat_w,
+    mean_ctrl_w, delta_w)``.
+    """
+    return winsorized_closed_form(mw_value_counts(_cells(spark, sf_dir)))
+
+
+WINSORIZED_ORACLE = """
+WITH c AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+cnt AS (
+  SELECT vc,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM c GROUP BY vc
+),
+t AS (SELECT vc, ct, cc, ct + cc AS cgrp,
+             SUM(ct + cc) OVER (ORDER BY vc) AS cum
+      FROM cnt),
+n1 AS (SELECT CAST(SUM(cgrp) AS BIGINT) AS n FROM t),
+bounds AS (
+  SELECT MIN(CASE WHEN cum * 20 >= n THEN vc END) AS lo,
+         MIN(CASE WHEN cum * 20 >= 19 * n THEN vc END) AS hi
+  FROM t, n1
+),
+clipped AS (
+  SELECT ct, cc, LEAST(GREATEST(vc, lo), hi) AS w, lo, hi
+  FROM cnt, bounds
+),
+agg AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS n_treat,
+         CAST(SUM(cc) AS BIGINT) AS n_ctrl,
+         CAST(SUM(ct * w) AS BIGINT) AS st,
+         CAST(SUM(cc * w) AS BIGINT) AS sc,
+         CAST(MIN(lo) AS BIGINT) AS lo_c,
+         CAST(MIN(hi) AS BIGINT) AS hi_c
+  FROM clipped
+)
+SELECT n_treat, n_ctrl, lo_c, hi_c,
+       CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE) AS mean_treat_w,
+       CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) AS mean_ctrl_w,
+       CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE)
+         - CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) AS delta_w
+FROM agg
+"""
+
+
+PROPENSITY_TILES = 10
+
+
+def propensity_strata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-stratified outcome contrast — the observational
+    cousin of ``strat_effect_events``: units (users) are stratified
+    into activity-volume DECILES (event count as the propensity
+    proxy), and the treated/control outcome means are contrasted
+    WITHIN each stratum, so a volume-confounded comparison ("treated
+    users are simply more active") is read off per-stratum instead of
+    pooled. Per-stratum rows only — no cross-stratum float sum, so
+    every output value is two exact integer sums and one IEEE
+    subtraction of int÷int divisions.
+
+    Scale: the corpus collapses to USER grain first (one map-side
+    combined aggregate); the decile rank over users is the two-phase
+    ``ranking.scalable_rank`` decomposition (sub-sharded on the event
+    count itself — order-preserving — so no global user-sized window
+    exists in the plan) + the closed-form ``ntile_expr``; the oracle
+    uses the naive NTILE window, so hash equality is again the
+    decomposition proof.
+
+    Output: ``(stratum, n_treat, n_ctrl, mean_treat, mean_ctrl,
+    effect)`` — strata with a missing arm report NULL means/effect.
+    """
+    from mapreduce_rust_spark.operators.ranking import (
+        ntile_expr, scalable_rank)
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.count("*").alias("n_ev"),
+                  F.sum(F.round(F.col("value") * 100).cast("long"))
+                   .alias("out_c"))
+             .withColumn("treat", F.col("user_id") % 2 == 1)
+             .localCheckpoint(eager=True))  # consumed twice by the rank
+    totals = users.agg(F.count("*").alias("n"))
+    ranked = (scalable_rank(users, F.col("n_ev"), ["n_ev", "user_id"])
+              .crossJoin(F.broadcast(totals)))
+    tiled = ranked.withColumn("stratum",
+                              ntile_expr(PROPENSITY_TILES).cast("long"))
+    g = (tiled.groupBy("stratum")
+         .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
+              .cast("long").alias("n_treat"),
+              F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+              .cast("long").alias("n_ctrl"),
+              F.sum(F.when(F.col("treat"), F.col("out_c"))
+                    .otherwise(0)).cast("long").alias("st"),
+              F.sum(F.when(~F.col("treat"), F.col("out_c"))
+                    .otherwise(0)).cast("long").alias("sc")))
+    mt = F.when(F.col("n_treat") > 0,
+                F.col("st").cast("double")
+                / F.col("n_treat").cast("double"))
+    mc = F.when(F.col("n_ctrl") > 0,
+                F.col("sc").cast("double")
+                / F.col("n_ctrl").cast("double"))
+    return g.select("stratum", "n_treat", "n_ctrl",
+                    mt.alias("mean_treat"), mc.alias("mean_ctrl"),
+                    (mt - mc).alias("effect"))
+
+
+PROPENSITY_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS out_c,
+         (user_id % 2 = 1) AS treat
+  FROM events GROUP BY user_id
+),
+tiled AS (
+  SELECT *, CAST(NTILE({PROPENSITY_TILES})
+                 OVER (ORDER BY n_ev, user_id) AS BIGINT) AS stratum
+  FROM u
+),
+g AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_ctrl,
+         CAST(SUM(CASE WHEN treat THEN out_c ELSE 0 END) AS BIGINT)
+           AS st,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE out_c END) AS BIGINT)
+           AS sc
+  FROM tiled GROUP BY stratum
+)
+SELECT stratum, n_treat, n_ctrl,
+       CASE WHEN n_treat > 0
+            THEN CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE) END
+         AS mean_treat,
+       CASE WHEN n_ctrl > 0
+            THEN CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) END
+         AS mean_ctrl,
+       CASE WHEN n_treat > 0 AND n_ctrl > 0
+            THEN CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                 - CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) END
+         AS effect
+FROM g
+"""
+
+
+REGISTRATIONS.append(("winsorized_mean_delta", winsorized_mean_delta,
+                      WINSORIZED_ORACLE))
+REGISTRATIONS.append(("propensity_strata_events", propensity_strata_events,
+                      PROPENSITY_ORACLE))

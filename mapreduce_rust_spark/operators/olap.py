@@ -1904,3 +1904,75 @@ REGISTRATIONS = [
     ("bounce_rate_daily", bounce_rate_daily, BOUNCE_RATE_ORACLE),
     ("corr_matrix_lineitem", corr_matrix_lineitem, CORR_MATRIX_ORACLE),
 ]
+
+
+def retention_cells(orders_like: DataFrame) -> DataFrame:
+    """Mergeable sufficient statistic for the retention triangle: one
+    row per (customer, active month) with an order count — a plain
+    count aggregate, so a streaming twin can maintain it in complete
+    mode (state = customers × active months, the honestly
+    user-dims-sized shape of stream_two_proportion). Batch and stream
+    share this builder and ``retention_closed_form``."""
+    return (orders_like
+            .select(F.col("o_custkey").alias("c"),
+                    F.to_date(F.date_trunc("month", "o_orderdate"))
+                     .alias("m"))
+            .groupBy("c", "m").agg(F.count("*").alias("n_orders")))
+
+
+def retention_closed_form(cells: DataFrame) -> DataFrame:
+    """Cohort × age retention counts from the (customer, month) cells:
+    cohort = the customer's first active month, age = whole months
+    since cohort, n_customers = distinct customers active at that age
+    (exact: cells are unique per (customer, month), so a plain count
+    suffices). months_between on month-truncated dates is an exact
+    integer on both engines."""
+    coh = cells.groupBy("c").agg(F.min("m").alias("cohort"))
+    return (cells.join(coh, "c")
+            .groupBy(F.date_format("cohort", "yyyy-MM")
+                     .alias("cohort_month"),
+                     F.months_between("m", "cohort").cast("long")
+                     .alias("age_months"))
+            .agg(F.count("*").cast("long").alias("n_customers")))
+
+
+def retention_triangle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention triangle on ORDERS (the subscription /
+    repeat-purchase readout): customers cohorted by first-order month,
+    counted in every later month they ordered, keyed (cohort month,
+    months since cohort). Complements ``cohort_retention_events``
+    (events table, day grain, window-based) with the month-grain
+    order-history form and a streaming kappa twin
+    (``stream_retention_triangle``) sharing this oracle.
+
+    Scale: orders collapse to (customer, month) rows FIRST (map-side
+    combined — bounded by customers × active months, a small multiple
+    of the customer dimension); the cohort min is a second small agg;
+    the final rollup is triangle-sized (months²/2). No windows, no
+    per-customer sort, three partial-combinable aggregates total.
+
+    Output: ``(cohort_month, age_months, n_customers)``.
+    """
+    return retention_closed_form(
+        retention_cells(load_table(spark, sf_dir, "orders")))
+
+
+RETENTION_TRIANGLE_ORACLE = """
+WITH cm AS (
+  SELECT o_custkey AS c,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+coh AS (SELECT c, MIN(m) AS cohort FROM cm GROUP BY c)
+SELECT strftime(coh.cohort, '%Y-%m') AS cohort_month,
+       CAST(datediff('month', coh.cohort, cm.m) AS BIGINT) AS age_months,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM cm JOIN coh USING (c)
+GROUP BY 1, 2
+"""
+
+
+REGISTRATIONS.append(("retention_triangle_orders",
+                      retention_triangle_orders,
+                      RETENTION_TRIANGLE_ORACLE))

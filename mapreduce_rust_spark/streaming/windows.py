@@ -53,6 +53,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the orders fixture — the CDC-feed shape
+    for order-history analytics (retention, LTV). Orders'
+    ``o_orderdate`` has stayed plain ``timestamp[us]`` across fixture
+    eras, but the schema is still probed from the footer (the
+    read_events_stream discipline) so an encoding change breaks
+    loudly in one place."""
+    path = table_path(sf_dir, "orders")
+    src_schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(src_schema).parquet(path + "*")
+
+
 def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     """Drain the stream into a memory sink and return the result.
 
@@ -483,6 +495,55 @@ def _two_prop_oracle() -> str:
     return TWO_PROP_ORACLE
 
 
+def stream_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``olap.retention_triangle_orders`` — tenth
+    kappa pair, and the first over the ORDERS feed: the (customer,
+    active month) order counts are ONE complete-mode count aggregate
+    (state = customers × active months — honestly user-dims-sized,
+    the stream_two_proportion argument), and the shared closed form
+    derives cohorts and ages batch-side. Bit-identical to the batch
+    op (pure integer counts and month arithmetic); same DuckDB
+    oracle."""
+    from mapreduce_rust_spark.operators.olap import (
+        retention_cells, retention_closed_form)
+    orders = read_orders_stream(spark, sf_dir)
+    cells = retention_cells(orders)
+    out = _run_to_table(cells, "stream_retention_triangle", "complete")
+    # the closed form joins the cells against their own cohort
+    # aggregate; checkpoint breaks the MemorySink self-reference the
+    # resolver can't disambiguate (the stream_dow_profile lesson)
+    return retention_closed_form(out.localCheckpoint(eager=True))
+
+
+def _retention_oracle() -> str:
+    from mapreduce_rust_spark.operators.olap import (
+        RETENTION_TRIANGLE_ORACLE)
+    return RETENTION_TRIANGLE_ORACLE
+
+
+def stream_winsorized_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.winsorized_mean_delta`` —
+    eleventh kappa pair: the per-distinct-value arm counts are the
+    SAME mergeable sufficient statistic Mann–Whitney streams (one
+    complete-mode aggregate over the cents grid), and the shared
+    closed form computes the exact pooled P5/P95 bounds, clipping and
+    means batch-side. Bit-identical to the batch op; same DuckDB
+    oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        mw_value_counts, winsorized_closed_form)
+    ev = (read_events_stream(spark, sf_dir)
+          .select((F.col("user_id") % 2 == 1).alias("treat"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    cnt = mw_value_counts(ev)
+    out = _run_to_table(cnt, "stream_winsorized_delta", "complete")
+    return winsorized_closed_form(out)
+
+
+def _winsorized_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import WINSORIZED_ORACLE
+    return WINSORIZED_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -503,4 +564,8 @@ REGISTRATIONS = [
     ("stream_fano_burstiness", stream_fano_burstiness, _fano_oracle()),
     ("stream_strat_effect", stream_strat_effect, _strat_oracle()),
     ("stream_two_proportion", stream_two_proportion, _two_prop_oracle()),
+    ("stream_retention_triangle", stream_retention_triangle,
+     _retention_oracle()),
+    ("stream_winsorized_delta", stream_winsorized_delta,
+     _winsorized_oracle()),
 ]
