@@ -434,3 +434,124 @@ REGISTRATIONS = [
     ("retrieval_eval_bm25", retrieval_eval_bm25, _retrieval_eval_oracle()),
     ("lift_table_docs", lift_table_docs, LIFT_TABLE_ORACLE),
 ]
+
+
+def isotonic_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the quality classifier —
+    the PAV fit over the fixed-width score bins: the best
+    non-decreasing positive-rate curve in weighted least squares,
+    the standard post-hoc calibrator when the raw reliability
+    diagram (``calibration_bins_docs``) is non-monotone.
+
+    NOT the sequential pool-adjacent-violators loop: the engine uses
+    the minimax characterization (Robertson–Wright–Dykstra),
+    fit(i) = max_{j≤i} min_{k≥i} wmean(j..k), which is pure
+    dims-sized relational algebra — bin prefix sums, a bins² pair
+    table of weighted means (exact int÷int doubles), one running
+    min per start bin (descending k), and the observation that the
+    rows with k = i are exactly the (j ≤ i) candidates, so the outer
+    max is a plain GROUP BY k. Identical IEEE values both engines:
+    each wmean is one correctly-rounded division; min/max are exact
+    comparisons.
+
+    Scale: the corpus collapses to ≤21 bin rows in one
+    map-side-combined pass (the calibration_bins shape); everything
+    after runs on bins² ≤ 441 rows. The monotone fit is
+    release-stable because the bins are fixed-width.
+
+    Output: ``(bin, score_lo, n, n_pos, raw_rate, fit_rate)``.
+    """
+    from pyspark.sql import Window as W
+    d = _scored_labeled(spark, sf_dir)
+    b = F.floor(F.col("score") / CALIBRATION_BIN_W).cast("long")
+    bins = (d.groupBy(b.alias("bin"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                  .cast("long").alias("n_pos"))
+            .localCheckpoint(eager=True))   # dims; consumed twice
+    wp = W.orderBy("bin")
+    pre = bins.select(
+        "bin",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("n_pos").over(wp).alias("cp"))
+    # prefix BEFORE j: shift by one bin (lag over dims rows)
+    lagn = F.lag("cn", 1, 0).over(wp)
+    lagp = F.lag("cp", 1, 0).over(wp)
+    starts = pre.select(F.col("bin").alias("j"),
+                        lagn.alias("cn_before"), lagp.alias("cp_before"))
+    ends = pre.select(F.col("bin").alias("k"),
+                      F.col("cn").alias("cn_k"), F.col("cp").alias("cp_k"))
+    pairs = (starts.crossJoin(ends)
+             .where(F.col("k") >= F.col("j"))
+             .select("j", "k",
+                     ((F.col("cp_k") - F.col("cp_before")).cast("double")
+                      / (F.col("cn_k") - F.col("cn_before"))
+                      .cast("double")).alias("wmean")))
+    wk = (W.partitionBy("j").orderBy(F.col("k").desc())
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    rm = pairs.withColumn("rmin", F.min("wmean").over(wk))
+    fit = (rm.groupBy(F.col("k").alias("bin"))
+           .agg(F.max("rmin").alias("fit_rate")))
+    return (bins.join(fit, "bin")
+            .select("bin",
+                    (F.col("bin") * CALIBRATION_BIN_W).alias("score_lo"),
+                    "n", "n_pos",
+                    (F.col("n_pos").cast("double")
+                     / F.col("n").cast("double")).alias("raw_rate"),
+                    "fit_rate"))
+
+
+ISOTONIC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         list_transform(
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+           t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2001 - 1000
+         ) AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE CAST(COALESCE(list_sum(ws), 0) AS DOUBLE) / len(ws)
+         END AS score
+  FROM d
+),
+bins AS (
+  SELECT CAST(FLOOR(score / {CALIBRATION_BIN_W}) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM s GROUP BY 1
+),
+pre AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin) AS cn,
+         SUM(n_pos) OVER (ORDER BY bin) AS cp
+  FROM bins
+),
+starts AS (
+  SELECT bin AS j,
+         COALESCE(LAG(cn) OVER (ORDER BY bin), 0) AS cn_before,
+         COALESCE(LAG(cp) OVER (ORDER BY bin), 0) AS cp_before
+  FROM pre
+),
+pairs AS (
+  SELECT j, e.bin AS k,
+         CAST(e.cp - cp_before AS DOUBLE)
+           / CAST(e.cn - cn_before AS DOUBLE) AS wmean
+  FROM starts, pre e WHERE e.bin >= j
+),
+rm AS (
+  SELECT j, k,
+         MIN(wmean) OVER (PARTITION BY j ORDER BY k DESC
+                          ROWS UNBOUNDED PRECEDING) AS rmin
+  FROM pairs
+),
+fit AS (SELECT k AS bin, MAX(rmin) AS fit_rate FROM rm GROUP BY k)
+SELECT bins.bin, bins.bin * {CALIBRATION_BIN_W} AS score_lo, n, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate, fit_rate
+FROM bins JOIN fit USING (bin)
+"""
+
+
+REGISTRATIONS.append(("isotonic_calibration_docs",
+                      isotonic_calibration_docs, ISOTONIC_ORACLE))

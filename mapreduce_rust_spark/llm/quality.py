@@ -1163,3 +1163,75 @@ REGISTRATIONS = [
     ("token_budget_epochs", token_budget_epochs, TOKEN_BUDGET_ORACLE),
     ("longest_run_docs", longest_run_docs, LONGEST_RUN_ORACLE),
 ]
+
+
+DUPFREE_EPOCHS = 4   # plan horizon: epoch 1 = raw pass, 2..4 dedup'd
+
+
+def dupfree_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware epoch token planning — the composition of the
+    dedup multiplicity report with the token budgeter: epoch 1 trains
+    on the corpus AS CRAWLED (every copy), epochs 2+ on one canonical
+    copy per exact-duplicate cluster (the "dedup after the first
+    pass" regime), so the per-epoch served-token count DROPS by the
+    duplicate excess. Reports, per source and epoch, the tokens
+    served and the cumulative total — what a budget of repeated
+    epochs actually buys once duplicates stop repeating.
+
+    Exactness: all integers — per-cluster token counts weight the
+    canonical copy by 1 (epochs ≥ 2) or by its multiplicity
+    (epoch 1); the cumulative column is epoch-indexed closed-form
+    arithmetic (raw + (e−1)·dedup), not a float scan.
+
+    Scale: one sha256 digest aggregate (bytes shuffle once as
+    digests), one per-(source, cluster) token sum, one source rollup,
+    then a dims-sized epoch explode. The corpus is scanned once.
+
+    Output: ``(source, epoch, tokens_served, cum_tokens)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cl = (docs.select("source",
+                      F.sha2(F.col("text"), 256).alias("sha"),
+                      F.size(_toks(F.col("text"))).cast("long").alias("nt"))
+          .groupBy("source", "sha")
+          .agg(F.count("*").alias("k"), F.min("nt").alias("nt")))
+    per_src = cl.groupBy("source").agg(
+        F.sum(F.col("k") * F.col("nt")).cast("long").alias("raw_tokens"),
+        F.sum("nt").cast("long").alias("dedup_tokens"))
+    e = (per_src.select(
+            "source", "raw_tokens", "dedup_tokens",
+            F.explode(F.sequence(F.lit(1), F.lit(DUPFREE_EPOCHS)))
+             .alias("epoch"))
+         .withColumn("epoch", F.col("epoch").cast("long")))
+    served = F.when(F.col("epoch") == 1, F.col("raw_tokens")) \
+              .otherwise(F.col("dedup_tokens"))
+    cum = (F.col("raw_tokens")
+           + (F.col("epoch") - 1) * F.col("dedup_tokens"))
+    return e.select("source", "epoch",
+                    served.cast("long").alias("tokens_served"),
+                    cum.cast("long").alias("cum_tokens"))
+
+
+DUPFREE_EPOCH_ORACLE = rf"""
+WITH cl AS (
+  SELECT source, sha256(text) AS sha, COUNT(*) AS k,
+         MIN(len(list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> ''))) AS nt
+  FROM documents GROUP BY 1, 2
+),
+per_src AS (
+  SELECT source,
+         CAST(SUM(k * nt) AS BIGINT) AS raw_tokens,
+         CAST(SUM(nt) AS BIGINT) AS dedup_tokens
+  FROM cl GROUP BY source
+)
+SELECT source, CAST(e AS BIGINT) AS epoch,
+       CAST(CASE WHEN e = 1 THEN raw_tokens ELSE dedup_tokens END
+            AS BIGINT) AS tokens_served,
+       CAST(raw_tokens + (e - 1) * dedup_tokens AS BIGINT) AS cum_tokens
+FROM per_src, UNNEST(range(1, {DUPFREE_EPOCHS} + 1)) AS t(e)
+"""
+
+
+REGISTRATIONS.append(("dupfree_epoch_plan", dupfree_epoch_plan,
+                      DUPFREE_EPOCH_ORACLE))

@@ -292,3 +292,78 @@ REGISTRATIONS = [
     ("embedding_normalize_quantize", embedding_normalize_quantize,
      EMB_QUANTIZE_ORACLE),
 ]
+
+
+def shuffle_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit of the deterministic corpus shuffle — the
+    readout run AFTER ``shuffle_shard_docs`` before shipping shards
+    to trainers: per shard, the document count, token mass, distinct
+    source count, and the dominant source's share (a shard dominated
+    by one source means the shuffle key is correlated with source —
+    a broken permutation). Source share is one int÷int division;
+    everything else is exact integer aggregation.
+
+    Scale: one shuffle on (shard, source) — map-side combined to
+    shards × sources rows — then a shards-sized argmax window over
+    those dims rows. The corpus is scanned once; no window ever
+    partitions by less than the shard key.
+
+    Output: ``(shard, n_docs, n_tokens, n_sources, top_source,
+    top_share)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
+             % N_SHARDS)
+    toks = F.filter(F.split(F.col("text"), r"\s+"),
+                    lambda t: t != F.lit(""))
+    per = (docs.select(shard.alias("shard"), "source",
+                       F.size(toks).cast("long").alias("nt"))
+           .groupBy("shard", "source")
+           .agg(F.count("*").alias("nd"), F.sum("nt").alias("ntok")))
+    w = W.partitionBy("shard").orderBy(F.col("nd").desc(), "source")
+    top = (per.withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") == 1)
+           .select("shard", F.col("source").alias("top_source"),
+                   F.col("nd").alias("top_nd")))
+    agg = (per.groupBy("shard")
+           .agg(F.sum("nd").cast("long").alias("n_docs"),
+                F.sum("ntok").cast("long").alias("n_tokens"),
+                F.count("*").cast("long").alias("n_sources")))
+    return (agg.join(F.broadcast(top), "shard")
+            .select("shard", "n_docs", "n_tokens", "n_sources",
+                    "top_source",
+                    (F.col("top_nd").cast("double")
+                     / F.col("n_docs").cast("double")).alias("top_share")))
+
+
+SHUFFLE_QUALITY_ORACLE = rf"""
+WITH per AS (
+  SELECT CAST('0x' || substr(md5(text || CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) % {{n_shards}} AS shard,
+         source,
+         COUNT(*) AS nd,
+         SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                             t -> t <> ''))) AS ntok
+  FROM documents GROUP BY 1, 2
+),
+top AS (
+  SELECT shard, source AS top_source, nd AS top_nd,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY nd DESC, source) AS rk
+  FROM per
+),
+agg AS (
+  SELECT shard, CAST(SUM(nd) AS BIGINT) AS n_docs,
+         CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per GROUP BY shard
+)
+SELECT agg.shard, n_docs, n_tokens, n_sources, top.top_source,
+       CAST(top.top_nd AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
+FROM agg JOIN top ON agg.shard = top.shard AND top.rk = 1
+""".replace("{n_shards}", str(N_SHARDS))
+
+
+REGISTRATIONS.append(("shuffle_quality_stats", shuffle_quality_stats,
+                      SHUFFLE_QUALITY_ORACLE))

@@ -663,3 +663,130 @@ REGISTRATIONS = [
      KNN_LABEL_CONSENSUS_ORACLE),
     ("embedding_pca_topk", embedding_pca_topk, None),  # eigh not SQL-expressible — numpy-parity-tested
 ]
+
+
+MMR_K = 5        # diversified picks
+MMR_POOL = 16    # relevance-ranked candidate pool fed to the greedy
+MMR_LAMBDA = 0.5
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: from the
+    relevance-ranked candidate pool (cosine to the query = the
+    min-vec_id embedding), greedily pick ``MMR_K`` items maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    standard result-diversification stage after ANN retrieval (plain
+    top-k returns near-duplicates of one mode; MMR spends part of the
+    budget on coverage).
+
+    Two-phase, matching how retrieval actually scales: phase 1 is the
+    DISTRIBUTED part — one corpus scan scoring relevance (a single
+    dot fold per row over double-cast arrays) and a
+    TakeOrdered top-``MMR_POOL`` (never a global sort); phase 2 is
+    the greedy loop over the POOL-sized frame (16 rows — dims), k
+    chained tiny plans, each one anti-join + pair-max + ordered
+    LIMIT 1. The loop is k = 5 fixed steps, so the DuckDB oracle is
+    the chained-CTE expansion of the same greedy recursion (the
+    pagerank_exact pattern).
+
+    Float exactness: every cosine is the engine-wide sequential fold
+    (Spark F.aggregate ≡ DuckDB list_reduce — bit-identical IEEE
+    sequence, round-5 lesson) in the cosine() helper's exact DAG
+    dot/sqrt(n2a·n2b); the MMR score is the same three-op expression
+    both engines; MAX over penalties and the (score DESC, vec_id)
+    argmax are exact comparisons. Ties beyond ulp noise are a
+    near-tie doctrine case (knn_bruteforce note).
+
+    Output: ``(step, vec_id, rel, mmr_score)``.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("e").alias("v"))
+    qmin = emb.agg(F.min("vec_id").alias("qid"))
+    q = (emb.join(F.broadcast(qmin), emb.vec_id == F.col("qid"))
+         .select(F.col("v").alias("qv")))
+    scored = (emb.crossJoin(F.broadcast(q))
+              .join(F.broadcast(qmin), emb.vec_id == F.col("qid"),
+                    "left_anti")
+              .select("vec_id", "v",
+                      cosine(F.col("v"), F.col("qv")).alias("rel")))
+    pool = (scored.orderBy(F.col("rel").desc(), "vec_id")
+            .limit(MMR_POOL)
+            .localCheckpoint(eager=True))   # dims; loop reads it k times
+    lam = F.lit(MMR_LAMBDA)
+    sel = (pool.orderBy(F.col("rel").desc(), "vec_id").limit(1)
+           .select("vec_id", "v", "rel",
+                   (lam * F.col("rel")).alias("mmr_score"),
+                   F.lit(1).cast("long").alias("step"))
+           .localCheckpoint(eager=True))
+    for step in range(2, MMR_K + 1):
+        rem = pool.join(sel.select("vec_id"), "vec_id", "left_anti")
+        pen = (rem.crossJoin(F.broadcast(
+                   sel.select(F.col("v").alias("sv"))))
+               .groupBy("vec_id")
+               .agg(F.max(cosine(F.col("v"), F.col("sv"))).alias("pen")))
+        nxt = (rem.join(pen, "vec_id")
+               .select("vec_id", "v", "rel",
+                       (lam * F.col("rel")
+                        - (1 - MMR_LAMBDA) * F.col("pen"))
+                       .alias("mmr_score"))
+               .orderBy(F.col("mmr_score").desc(), "vec_id").limit(1)
+               .withColumn("step", F.lit(step).cast("long")))
+        sel = sel.unionByName(nxt).localCheckpoint(eager=True)
+    return sel.select("step", "vec_id", "rel", "mmr_score")
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE expansion of the fixed-k greedy recursion (the
+    pagerank_exact oracle pattern): selN picks the argmax of the MMR
+    score against sel1..selN-1, each cosine the same sequential-fold
+    IEEE sequence as the Spark path."""
+    dot = ("list_reduce(list_transform(range(1, len({a}) + 1), "
+           "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+    n2 = ("list_reduce(list_transform(range(1, len({a}) + 1), "
+          "i -> {a}[i] * {a}[i]), (x, y) -> x + y)")
+
+    def cos(a: str, b: str) -> str:
+        return (f"({dot.format(a=a, b=b)} / sqrt({n2.format(a=a)}"
+                f" * {n2.format(a=b)}))")
+
+    lam = MMR_LAMBDA
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qm AS (SELECT MIN(vec_id) AS qid FROM e),
+q AS (SELECT v AS qv FROM e, qm WHERE vec_id = qid),
+pool AS (
+  SELECT vec_id, v, {cos('v', 'qv')} AS rel
+  FROM e, q, qm WHERE vec_id <> qid
+  ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+),
+sel1 AS (SELECT vec_id, v, rel, {lam} * rel AS mmr_score,
+                CAST(1 AS BIGINT) AS step
+         FROM pool ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    prev_union = "SELECT * FROM sel1"
+    for s in range(2, MMR_K + 1):
+        prev = f"selu{s - 1}"
+        parts.append(f"""
+selu{s - 1} AS ({prev_union}),
+sel{s} AS (
+  SELECT p.vec_id, p.v, p.rel,
+         {lam} * p.rel - {1 - lam} * MAX({cos('p.v', 's.v')})
+           AS mmr_score,
+         CAST({s} AS BIGINT) AS step
+  FROM pool p, {prev} s
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY p.vec_id, p.v, p.rel
+  ORDER BY mmr_score DESC, p.vec_id LIMIT 1
+)""")
+        prev_union += f" UNION ALL SELECT * FROM sel{s}"
+    body = ",".join(parts)
+    finals = " UNION ALL ".join(
+        f"SELECT step, vec_id, rel, mmr_score FROM sel{s}"
+        for s in range(1, MMR_K + 1))
+    return body + "\n" + finals
+
+
+MMR_ORACLE = _mmr_oracle()
+
+
+REGISTRATIONS.append(("mmr_diverse_topk", mmr_diverse_topk, MMR_ORACLE))

@@ -1539,3 +1539,83 @@ REGISTRATIONS = [
     ("lang_id_docs", lang_id_docs, LANG_ID_ORACLE),
     ("fingerprint_docs", fingerprint_docs, FINGERPRINT_ORACLE),
 ]
+
+
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval n-gram novelty: the share of held-out word BIGRAMS
+    never seen in the training split — the memorization/coverage
+    probe run before trusting an eval set (an eval bigram set the
+    train corpus already contains is measuring recall, not
+    generalization). Split is the engine's content-keyed md5 split
+    (``train_test_split_docs``): bucket < 80 trains, the 20% rest is
+    held out, so exact duplicates can never leak a bigram across the
+    boundary by construction.
+
+    Scale: bigrams are built in-row (positional transform over the
+    filtered token array — one pass per doc, no self-join); the train
+    side collapses to its DISTINCT bigram set (vocabulary-bounded,
+    partial-combined) before the single anti-join shape — a LEFT
+    join + null test keyed on the bigram, the inverted-index
+    discipline. No window touches corpus-sized data.
+
+    Output: ``(source, n_eval_bigrams, n_novel, novelty_rate)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(text, '\\s+'), t -> t != '')")
+    bigrams = F.expr("""
+      CASE WHEN size(toks) >= 2 THEN
+        transform(sequence(0, size(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i+1])
+      ELSE CAST(array() AS array<string>) END""")
+    b = (docs
+         .withColumn("toks", toks)
+         .withColumn(
+             "is_train",
+             F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+              .cast("long") % 100 < 80)
+         .select("source", "is_train", F.explode(bigrams).alias("g")))
+    train_set = (b.where("is_train").select("g").distinct()
+                 .withColumn("seen", F.lit(1)))
+    ev = (b.where(~F.col("is_train"))
+          .join(train_set, "g", "left"))
+    return (ev.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_eval_bigrams"),
+                 F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_novel"))
+            .withColumn("novelty_rate",
+                        F.col("n_novel").cast("double")
+                        / F.col("n_eval_bigrams").cast("double")))
+
+
+NGRAM_NOVELTY_ORACLE = r"""
+WITH d AS (
+  SELECT source,
+         CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 100 < 80
+           AS is_train,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT source, is_train, g
+  FROM d, UNNEST(list_transform(
+            range(1, GREATEST(len(toks), 1)),
+            i -> toks[i] || ' ' || toks[i+1])) AS t(g)
+),
+train_set AS (SELECT DISTINCT g FROM b WHERE is_train),
+ev AS (
+  SELECT b.source, b.g, train_set.g IS NOT NULL AS seen
+  FROM b LEFT JOIN train_set USING (g)
+  WHERE NOT b.is_train
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_bigrams,
+       CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+FROM ev GROUP BY source
+"""
+
+
+REGISTRATIONS.append(("ngram_novelty_docs", ngram_novelty_docs,
+                      NGRAM_NOVELTY_ORACLE))
