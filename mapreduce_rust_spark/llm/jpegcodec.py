@@ -165,14 +165,20 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int,
     img = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
     img = img.reshape(height, width) - 128.0
     blocks = _blocks(img)
-    # batched 2D DCT: S = M B Mᵀ
-    coef = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M)
+    # batched 2D DCT: S = M B Mᵀ (two broadcast matmuls — einsum's
+    # generic path costs ~4x on small (n,8,8) operands)
+    coef = _M @ blocks @ _M.T
     q = np.rint(coef / quant.astype(np.float64)).astype(np.int64)
     zz = q.reshape(-1, 64)[:, ZIGZAG]          # (n_blocks, 64) zigzag
 
     w = _BitWriter()
     prev_dc = 0
-    for blk in zz:
+    # vectorized last-nonzero index per block (the EOB position scan
+    # is the hot part of the per-block loop on EOB-heavy images)
+    ac_nz = zz[:, 1:] != 0
+    lasts = np.where(ac_nz.any(axis=1),
+                     63 - np.argmax(ac_nz[:, ::-1], axis=1), 0)
+    for blk, last in zip(zz, lasts):
         dc = int(blk[0])
         size, bits = _magnitude(dc - prev_dc)
         prev_dc = dc
@@ -181,9 +187,7 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int,
         if size:
             w.write(bits, size)
         run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
+        for k in range(1, int(last) + 1):
             v = int(blk[k])
             if v == 0:
                 run += 1
@@ -228,9 +232,31 @@ def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], in
     return {(length, code): val for val, (code, length) in enc.items()}
 
 
+# 16-bit peek tables, cached per Huffman table: entry at index p (the
+# next 16 bits of the stream) packs (value << 5) | code_length, so one
+# integer peek replaces up to 16 read(1)+dict-probe rounds. Keyed by
+# the table definition — for standard streams (Annex K) each worker
+# builds the two tables once.
+_PEEK_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _peek_table(bits: list[int], vals: list[int]) -> np.ndarray:
+    key = (tuple(bits), tuple(vals))
+    tab = _PEEK_CACHE.get(key)
+    if tab is None:
+        tab = np.zeros(1 << 16, dtype=np.int32)   # 0 = invalid code
+        for val, (code, length) in _build_huffman(bits, vals).items():
+            lo = code << (16 - length)
+            tab[lo:lo + (1 << (16 - length))] = (val << 5) | length
+        _PEEK_CACHE[key] = tab
+    return tab
+
+
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    unstuffing; stops at any non-stuffing marker."""
+    unstuffing; stops at any non-stuffing marker (the scan's final
+    byte is 1-padded per spec, so reads past the last code — which
+    only happen inside that byte — see pad bits)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -239,14 +265,21 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: scan ended mid-code")
         b = self.data[self.pos]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1]
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) \
+                else 0xD9
             if nxt == 0x00:
                 self.pos += 2
             else:
-                raise ValueError(f"unexpected marker FF{nxt:02X} mid-scan "
-                                 "(restart intervals unsupported)")
+                # a real marker: virtual 1-padding (decode stops after
+                # the declared block count, so these bits are never
+                # attributed to data)
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
@@ -260,14 +293,18 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
-    def huffman(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            v = table.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("corrupt JPEG: no Huffman code within 16 bits")
+    def huffman(self, peek: np.ndarray) -> int:
+        """One 16-bit peek + table hit instead of bit-by-bit walking —
+        the decode hot path."""
+        while self.n < 16:
+            self._fill()
+        entry = int(peek[(self.acc >> (self.n - 16)) & 0xFFFF])
+        if entry == 0:
+            raise ValueError("corrupt JPEG: no Huffman code within 16 bits")
+        length = entry & 31
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return entry >> 5
 
 
 def _extend(bits: int, size: int) -> int:
@@ -286,8 +323,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
-    dc_tables: dict[int, dict] = {}
-    ac_tables: dict[int, dict] = {}
+    dc_tables: dict[int, np.ndarray] = {}
+    ac_tables: dict[int, np.ndarray] = {}
     width = height = -1
     qid = dc_id = ac_id = 0
     scan_at = -1
@@ -331,7 +368,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                 bits = list(body[off + 1:off + 17])
                 nv = sum(bits)
                 vals = list(body[off + 17:off + 17 + nv])
-                tab = _build_decoder(bits, vals)
+                tab = _peek_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = tab
                 off += 17 + nv
         elif marker == 0xDD:
@@ -375,8 +412,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     coef = np.zeros((n_blocks, 64), dtype=np.float64)
     coef[:, ZIGZAG] = zz
     coef = coef.reshape(-1, 8, 8) * q
-    # batched inverse DCT: B = Mᵀ S M
-    blocks = np.einsum("ux,nuv,vy->nxy", _M, coef, _M)
+    # batched inverse DCT: B = Mᵀ S M (broadcast matmuls, see encode)
+    blocks = _M.T @ coef @ _M
     img = (blocks.reshape(height // 8, width // 8, 8, 8)
            .transpose(0, 2, 1, 3).reshape(height, width))
     out = np.clip(np.rint(img + 128.0), 0, 255).astype(np.uint8)

@@ -434,39 +434,38 @@ REGISTRATIONS.append(
 
 JPEG_BLOCKS_SIDE = 8   # 8×8 blocks → 64×64 px image from 64 payload bytes
 
-JPEG_RT_SCHEMA = ("doc_id long, width long, height long, n_blocks long, "
+JPEG_RT_SCHEMA = ("s64 string, width long, height long, n_blocks long, "
                   "pixel_sha string")
 
 
 def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel exercising the REAL baseline-JPEG codec
-    (``llm/jpegcodec.py``) end to end: the doc's first 64 payload
-    bytes become the 64 block values of an 8×8-block-constant 64×64
-    grayscale image, which is ENCODED as a real baseline sequential
-    JPEG (flat quantization table — the codec's exactness class, see
-    the jpegcodec module docstring) and DECODED back; the row carries
-    a sha256 of the DECODED pixels. The oracle hashes the same
-    constant-block pixel expansion straight off the text, so a hash
-    match in the driver artifact proves the full DCT → quantize →
-    zigzag → Huffman bitstream → decode → IDCT pipeline is the
-    identity on this class for every document. JPEG bytes are
-    transient per row; one Arrow batch in memory at a time."""
+    (``llm/jpegcodec.py``) end to end, once per DISTINCT 64-byte
+    prefix: the 64 payload bytes become the 64 block values of an
+    8×8-block-constant 64×64 grayscale image, which is ENCODED as a
+    real baseline sequential JPEG (flat quantization table — the
+    codec's exactness class, see the jpegcodec module docstring) and
+    DECODED back; the row carries a sha256 of the DECODED pixels. The
+    oracle hashes the same constant-block pixel expansion straight
+    off the text, so a hash match in the driver artifact proves the
+    full DCT → quantize → zigzag → Huffman bitstream → decode → IDCT
+    pipeline is the identity on this class for every document. JPEG
+    bytes are transient per row; one Arrow batch in memory at a
+    time."""
     import hashlib
     side = JPEG_BLOCKS_SIDE * 8
+    n = JPEG_BLOCKS_SIDE * JPEG_BLOCKS_SIDE
     for pdf in batches:
-        out = {"doc_id": [], "width": [], "height": [], "n_blocks": [],
+        out = {"s64": [], "width": [], "height": [], "n_blocks": [],
                "pixel_sha": []}
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n = JPEG_BLOCKS_SIDE * JPEG_BLOCKS_SIDE
-            if len(payload) < n:
-                continue
+        for key, payload in zip(pdf["s64"], pdf["payload"]):
             vals = np.frombuffer(bytes(payload[:n]), dtype=np.uint8)
             img = np.repeat(np.repeat(
                 vals.reshape(JPEG_BLOCKS_SIDE, JPEG_BLOCKS_SIDE), 8, 0),
                 8, 1)
             jpg = encode_jpeg_gray(img.tobytes(), side, side, QUANT_FLAT)
             w2, h2, decoded = decode_jpeg_gray(jpg)
-            out["doc_id"].append(doc_id)
+            out["s64"].append(key)
             out["width"].append(w2)
             out["height"].append(h2)
             out["n_blocks"].append(n)
@@ -479,14 +478,28 @@ def jpeg_gray_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's payload (see ``_jpeg_roundtrip_batches``). ASCII-only
     docs are kept (character slicing == byte slicing on BOTH engines)
     so the oracle's VARCHAR repeat/substring/sha256 mirrors the
-    byte-level kernel exactly. Scale: pure per-row kernel work inside
-    Arrow batches — no shuffle, embarrassingly parallel."""
+    byte-level kernel exactly.
+
+    Scale: the codec consumes only the 64-byte prefix, so the kernel
+    runs once per DISTINCT prefix (the duplicate-collapse discipline
+    — one distinct + one join instead of re-coding every copy;
+    measured ×20-replica slope 0.93× → join-bound) and results join
+    back to doc ids on the prefix. Kernel work is Arrow-batched,
+    shuffle carries 64-byte keys, never pixels."""
     from mapreduce_rust_spark.core.runner import _ensure_self_shipping
     _ensure_self_shipping()
     docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") == F.octet_length(F.col("text")))
-    return with_payload(docs).mapInPandas(
-        _jpeg_roundtrip_batches, JPEG_RT_SCHEMA)
+        (F.length("text") == F.octet_length(F.col("text")))
+        & (F.length("text") >= JPEG_BLOCKS_SIDE * JPEG_BLOCKS_SIDE))
+    keyed = docs.select(
+        "doc_id",
+        F.substring("text", 1, JPEG_BLOCKS_SIDE * JPEG_BLOCKS_SIDE)
+         .alias("s64"))
+    uniq = (keyed.select("s64").distinct()
+            .select("s64", F.encode("s64", "UTF-8").alias("payload")))
+    res = uniq.mapInPandas(_jpeg_roundtrip_batches, JPEG_RT_SCHEMA)
+    return keyed.join(res, "s64").select(
+        "doc_id", "width", "height", "n_blocks", "pixel_sha")
 
 
 # The oracle expands the same 8×8-block-constant image from the text:
@@ -517,3 +530,94 @@ FROM prows GROUP BY doc_id
 
 REGISTRATIONS.append(
     ("jpeg_gray_roundtrip", jpeg_gray_roundtrip, JPEG_ROUNDTRIP_ORACLE))
+
+
+GLYPH_CHARS = 16   # glyphs per doc strip
+GLYPH_ROWS = 6     # 48-bit glyph = 6 rows x 8 cols
+GLYPH_COLS = 8
+
+GLYPH_SCHEMA = ("s16 string, n_glyphs long, ink_pixels long, "
+                "ink_ratio double")
+
+
+def _glyph_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the synthetic-OCR pipeline shape, run
+    once per DISTINCT 16-char prefix: render the characters as
+    deterministic 6×8 bitmap glyphs (glyph = the 48-bit integer from
+    the first 12 md5 hex chars of the character, MSB-first
+    row-major), compose the strip image, round-trip it through the
+    REAL PNG codec (``imagecodec.py``), and report ink statistics
+    measured on the DECODED pixels — so the driver row certifies
+    raster → encode → decode → measure end to end. The oracle
+    recomputes expected ink via the same md5-derived integers with
+    SQL ``bit_count``; equality holds only if the codec round-trip
+    preserved every pixel."""
+    import hashlib
+    for pdf in batches:
+        out = {"s16": [], "n_glyphs": [], "ink_pixels": [],
+               "ink_ratio": []}
+        for key, payload in zip(pdf["s16"], pdf["payload"]):
+            chars = payload[:GLYPH_CHARS].decode("utf-8")
+            img = np.zeros((GLYPH_ROWS, GLYPH_COLS * GLYPH_CHARS),
+                           dtype=np.uint8)
+            for g, ch in enumerate(chars):
+                bits = int(hashlib.md5(ch.encode()).hexdigest()[:12], 16)
+                for r in range(GLYPH_ROWS):
+                    for c in range(GLYPH_COLS):
+                        if bits >> (47 - (r * GLYPH_COLS + c)) & 1:
+                            img[r, g * GLYPH_COLS + c] = 255
+            png = encode_png(img.tobytes(), img.shape[1], img.shape[0], 1)
+            _, _, _, decoded = decode_png(png)
+            ink = int(np.count_nonzero(
+                np.frombuffer(decoded, dtype=np.uint8)))
+            out["s16"].append(key)
+            out["n_glyphs"].append(GLYPH_CHARS)
+            out["ink_pixels"].append(ink)
+            out["ink_ratio"].append(
+                ink / float(GLYPH_ROWS * GLYPH_COLS * GLYPH_CHARS))
+        yield pd.DataFrame(out)
+
+
+def rasterize_glyph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text→image rasterization with codec round-trip and pixel
+    measurement (see ``_glyph_batches``) — the plumbing of a
+    synthetic-OCR / text-rendering data pipeline: deterministic font,
+    real PNG bytes, features measured on decoded pixels. ASCII-only
+    docs (char == byte, md5-of-char identical as VARCHAR and bytes on
+    both engines). Scale: the raster consumes only the 16-char
+    prefix, so the kernel runs once per DISTINCT prefix (duplicate
+    collapse, as in jpeg_gray_roundtrip) and joins back on it."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") == F.octet_length(F.col("text")))
+        & (F.length("text") >= GLYPH_CHARS))
+    keyed = docs.select(
+        "doc_id", F.substring("text", 1, GLYPH_CHARS).alias("s16"))
+    uniq = (keyed.select("s16").distinct()
+            .select("s16", F.encode("s16", "UTF-8").alias("payload")))
+    res = uniq.mapInPandas(_glyph_batches, GLYPH_SCHEMA)
+    return keyed.join(res, "s16").select(
+        "doc_id", "n_glyphs", "ink_pixels", "ink_ratio")
+
+
+RASTER_GLYPH_ORACLE = f"""
+SELECT doc_id,
+       CAST({GLYPH_CHARS} AS BIGINT) AS n_glyphs,
+       CAST(ink AS BIGINT) AS ink_pixels,
+       CAST(ink AS DOUBLE)
+         / {GLYPH_ROWS * GLYPH_COLS * GLYPH_CHARS}.0 AS ink_ratio
+FROM (
+  SELECT doc_id,
+         (SELECT SUM(bit_count(CAST('0x' ||
+                  substr(md5(substring(text, i, 1)), 1, 12) AS BIGINT)))
+          FROM range(1, {GLYPH_CHARS} + 1) AS t(i)) AS ink
+  FROM documents
+  WHERE octet_length(encode(text)) = LENGTH(text)
+    AND LENGTH(text) >= {GLYPH_CHARS}
+)
+"""
+
+
+REGISTRATIONS.append(("rasterize_glyph_metrics", rasterize_glyph_metrics,
+                      RASTER_GLYPH_ORACLE))

@@ -152,3 +152,236 @@ def test_jpeg_roundtrip_query_planted(spark):
     r = got[0]
     assert (r.width, r.height, r.n_blocks) == (64, 64, 64)
     assert r.pixel_sha == expect
+
+
+def test_retention_triangle_planted(spark):
+    """Two customers, known month histories: cohorts, ages and counts
+    must match by hand; a single-month customer contributes only the
+    age-0 cell."""
+    from mapreduce_rust_spark.operators import olap
+
+    rows = [(1, "2024-01-05"), (1, "2024-03-20"), (1, "2024-03-21"),
+            (2, "2024-02-10"), (2, "2024-04-01"), (3, "2024-02-28")]
+    orders = spark.createDataFrame(
+        [(c, f"{d} 00:00:00") for c, d in rows],
+        "o_custkey long, o_orderdate string").selectExpr(
+        "o_custkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+    got = {(r.cohort_month, r.age_months): r.n_customers for r in
+           olap.retention_closed_form(
+               olap.retention_cells(orders)).collect()}
+    assert got == {("2024-01", 0): 1, ("2024-01", 2): 1,
+                   ("2024-02", 0): 2, ("2024-02", 2): 1}
+
+
+def test_winsorized_delta_clips_whale(spark):
+    """A single whale value in the treatment arm must be clipped to
+    the P95 bound: the winsorized delta stays near the true effect
+    while the raw delta is dragged by the whale."""
+    from mapreduce_rust_spark.operators import experiment as E
+
+    # 100 control values 100..199, 100 treatment 110..209, one whale
+    rows = ([(False, v) for v in range(100, 200)]
+            + [(True, v) for v in range(110, 210)]
+            + [(True, 1_000_000)])
+    cnt = E.mw_value_counts(
+        spark.createDataFrame(rows, "treat boolean, vc long"))
+    r = E.winsorized_closed_form(cnt).collect()[0]
+    assert r.hi_c < 1_000_000          # whale clipped
+    raw_delta = (sum(range(110, 210)) + 1_000_000) / 101 \
+        - sum(range(100, 200)) / 100
+    assert abs(r.delta_w) < 40 < raw_delta
+    assert r.n_treat == 101 and r.n_ctrl == 100
+
+
+def test_propensity_strata_within_stratum_balance(spark):
+    """Planted confound: treated users have 3x the activity. Pooled
+    means differ hugely; within any single stratum the treated and
+    control users have near-identical activity so the per-stratum
+    effect must be near zero (outcome = activity here)."""
+    from mapreduce_rust_spark.operators import experiment as E
+
+    rows = []
+    for u in range(1, 201):
+        n = 30 if u % 2 == 1 else 10       # treated = odd = 3x events
+        rows += [(u, float(n)) for _ in range(n)]
+    ev = spark.createDataFrame(rows, "user_id long, value double")
+    orig = E.load_table
+    try:
+        E.load_table = lambda s, d, t: ev
+        out = {r.stratum: r for r in
+               E.propensity_strata_events(spark, "ignored").collect()}
+    finally:
+        E.load_table = orig
+    # activity is perfectly bimodal -> low strata all-control, high
+    # strata all-treated; NO stratum mixes arms, so every effect is
+    # NULL (the honest answer: off-support, nothing comparable)
+    assert all(r.effect is None for r in out.values())
+    assert sum(r.n_treat for r in out.values()) == 100
+    assert sum(r.n_ctrl for r in out.values()) == 100
+
+
+def test_ngram_novelty_python_reference(spark):
+    """Novelty counts equal a pure-python recomputation with the same
+    md5 split on a planted corpus."""
+    import hashlib
+    from mapreduce_rust_spark.llm import textanalysis as T
+
+    texts = [f"alpha beta gamma delta {i} epsilon" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, n: docs
+        got = T.ngram_novelty_docs(spark, "ignored").collect()
+    finally:
+        T.load_table = orig
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % 100
+
+    def bigrams(t: str) -> list[str]:
+        w = t.split()
+        return [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    train = {g for t in texts if bucket(t) < 80 for g in bigrams(t)}
+    ev = [g for t in texts if bucket(t) >= 80 for g in bigrams(t)]
+    assert ev, "fixture must hold out at least one doc"
+    novel = sum(1 for g in ev if g not in train)
+    assert len(got) == 1
+    assert (got[0].n_eval_bigrams, got[0].n_novel) == (len(ev), novel)
+
+
+def test_isotonic_equals_sequential_pav(spark, duck):
+    """The minimax relational form must equal the textbook sequential
+    pool-adjacent-violators fit on the fixture bins, and be monotone."""
+    import numpy as np
+    from mapreduce_rust_spark.llm.evaluation import (
+        isotonic_calibration_docs)
+    from tests.conftest import SF_CORRECT
+
+    g = (isotonic_calibration_docs(spark, SF_CORRECT)
+         .orderBy("bin").toPandas())
+    fit = g["fit_rate"].values
+    assert np.all(np.diff(fit) >= -1e-15)
+    n = g["n"].values.astype(float)
+    y = g["n_pos"].values / n
+    lvl: list[list[float]] = []
+    for i in range(len(y)):
+        lvl.append([y[i], n[i]])
+        while len(lvl) > 1 and lvl[-2][0] >= lvl[-1][0]:
+            a, b = lvl.pop(), lvl.pop()
+            lvl.append([(a[0] * a[1] + b[0] * b[1]) / (a[1] + b[1]),
+                        a[1] + b[1]])
+    ref: list[float] = []
+    idx = 0
+    for v, w in lvl:
+        s = 0.0
+        while s < w - 1e-9:
+            s += n[idx]
+            idx += 1
+            ref.append(v)
+    assert np.abs(np.array(ref) - fit).max() < 1e-12
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted pool: v1 ≈ query, v2 = near-copy of v1, v3 orthogonal-ish.
+    Plain top-2 would take (v1, v2); MMR must take v1 then v3."""
+    from mapreduce_rust_spark.llm import similarity as S
+
+    rows = [(0, [1.0, 0.0, 0.0], 0),      # query (min vec_id)
+            (1, [0.99, 0.14, 0.0], 0),    # most relevant
+            (2, [0.98, 0.17, 0.0], 0),    # near-duplicate of 1
+            (3, [0.6, 0.0, 0.8], 0)]      # diverse
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int")
+    orig = S.load_table
+    try:
+        S.load_table = lambda s, d, n: emb
+        got = sorted((r.step, r.vec_id) for r in
+                     S.mmr_diverse_topk(spark, "ignored").collect())
+    finally:
+        S.load_table = orig
+    assert got[0] == (1, 1)
+    assert got[1] == (2, 3), got   # diversity beats the near-copy
+    assert got[2] == (3, 2)
+
+
+def test_rasterize_glyph_ink_matches_md5_bits(spark):
+    """The decoded-pixel ink count equals the md5-derived bit count
+    computed in pure python — certifying raster -> PNG -> decode ->
+    measure end to end on a planted doc."""
+    import hashlib
+    from mapreduce_rust_spark.llm import multimodal as M
+
+    text = "abcdefghij012345"   # exactly 16 ASCII chars
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    orig = M.load_table
+    try:
+        M.load_table = lambda s, d, n: docs
+        r = M.rasterize_glyph_metrics(spark, "ignored").collect()[0]
+    finally:
+        M.load_table = orig
+    expect = sum(
+        bin(int(hashlib.md5(ch.encode()).hexdigest()[:12], 16)).count("1")
+        for ch in text)
+    assert (r.doc_id, r.n_glyphs, r.ink_pixels) == (7, 16, expect)
+    assert abs(r.ink_ratio - expect / 768.0) < 1e-15
+
+
+def test_dupfree_epoch_plan_planted(spark):
+    """3 copies of a 4-token doc + 1 unique 2-token doc: epoch 1
+    serves 14 tokens, epochs 2+ serve 6, cumulative checks out."""
+    from mapreduce_rust_spark.llm import quality as Q
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d", "s") for i in range(3)]
+        + [(3, "x y", "s")],
+        "doc_id long, text string, source string")
+    orig = Q.load_table
+    try:
+        Q.load_table = lambda s, d, n: docs
+        got = {r.epoch: r for r in
+               Q.dupfree_epoch_plan(spark, "ignored").collect()}
+    finally:
+        Q.load_table = orig
+    assert got[1].tokens_served == 14 and got[1].cum_tokens == 14
+    assert got[2].tokens_served == 6 and got[2].cum_tokens == 20
+    assert got[4].cum_tokens == 14 + 3 * 6
+
+
+def test_shuffle_quality_stats_python_reference(spark):
+    """Shard stats equal a pure-python recomputation of the md5 shard
+    assignment on a planted corpus."""
+    import hashlib
+    from collections import Counter, defaultdict
+    from mapreduce_rust_spark.llm import sharding as Sh
+
+    docs = [(i, f"doc number {i} text", f"src{i % 3}")
+            for i in range(200)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string")
+    orig = Sh.load_table
+    try:
+        Sh.load_table = lambda s, d, n: df
+        got = {r.shard: r for r in
+               Sh.shuffle_quality_stats(spark, "ignored").collect()}
+    finally:
+        Sh.load_table = orig
+    per = defaultdict(Counter)
+    ntok = Counter()
+    for i, t, src in docs:
+        sh = int(hashlib.md5((t + str(i)).encode()).hexdigest()[:12],
+                 16) % Sh.N_SHARDS
+        per[sh][src] += 1
+        ntok[sh] += len(t.split())
+    assert set(got) == set(per)
+    for sh, c in per.items():
+        r = got[sh]
+        assert r.n_docs == sum(c.values())
+        assert r.n_tokens == ntok[sh]
+        assert r.n_sources == len(c)
+        top = min(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:1])
+        assert (r.top_source, abs(r.top_share * r.n_docs - top[1]) < 1e-9) \
+            == (top[0], True)
