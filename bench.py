@@ -261,6 +261,20 @@ HEADLINE = [
     # cluster family (recursive-CTE closure oracles)
     "jpeg_gray_roundtrip",
     "neardup_keep_best",
+    # round 7 crop: retention triangle (+ stream twin), robust effect
+    # estimation, propensity strata, corpus-quality audits, isotonic
+    # calibration, MMR diversified retrieval, glyph rasterization
+    "retention_triangle_orders",
+    "stream_retention_triangle",
+    "winsorized_mean_delta",
+    "stream_winsorized_delta",
+    "propensity_strata_events",
+    "ngram_novelty_docs",
+    "dupfree_epoch_plan",
+    "shuffle_quality_stats",
+    "isotonic_calibration_docs",
+    "mmr_diverse_topk",
+    "rasterize_glyph_metrics",
 ]
 
 
