@@ -275,6 +275,12 @@ HEADLINE = [
     "isotonic_calibration_docs",
     "mmr_diverse_topk",
     "rasterize_glyph_metrics",
+    # round 7 second wave: twelfth kappa twin, U-shaped attribution,
+    # ANN-tuning distance audit, business-day SLA closed form
+    "stream_isotonic_calibration",
+    "attribution_position_based",
+    "cosine_hist_embeddings",
+    "sla_business_days_lineitem",
 ]
 
 

@@ -34,15 +34,20 @@ from mapreduce_rust_spark.llm.quality import (
 from mapreduce_rust_spark.tables import load_table
 
 
-def _scored_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, score (exact int÷int double), pos (reference label)."""
-    docs = load_table(spark, sf_dir, "documents")
+def scored_from_docs(docs: DataFrame) -> DataFrame:
+    """doc_id, score (exact int÷int double), pos (reference label) —
+    pure per-row expressions, so it applies to a docs STREAM too
+    (stream_isotonic_calibration)."""
     n_toks, w_sum = quality_score_exprs()
     d = docs.select("doc_id", (F.col("lang") == "en").alias("pos"),
                     n_toks.alias("n_toks"), w_sum.alias("w_sum"))
     return d.select("doc_id", "pos",
                     quality_score_from(F.col("n_toks"),
                                        F.col("w_sum")).alias("score"))
+
+
+def _scored_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scored_from_docs(load_table(spark, sf_dir, "documents"))
 
 
 def auc_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,14 +466,28 @@ def isotonic_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(bin, score_lo, n, n_pos, raw_rate, fit_rate)``.
     """
-    from pyspark.sql import Window as W
-    d = _scored_labeled(spark, sf_dir)
+    return isotonic_closed_form(
+        calibration_bin_counts(_scored_labeled(spark, sf_dir))
+        .localCheckpoint(eager=True))   # dims; consumed twice
+
+
+def calibration_bin_counts(scored: DataFrame) -> DataFrame:
+    """Per-bin (count, positives) from a (score, pos) relation — the
+    MERGEABLE sufficient statistic of the calibration family (plain
+    sums over ≤21 fixed-width bins), shared by the batch isotonic fit
+    and ``streaming.windows.stream_isotonic_calibration``."""
     b = F.floor(F.col("score") / CALIBRATION_BIN_W).cast("long")
-    bins = (d.groupBy(b.alias("bin"))
+    return (scored.groupBy(b.alias("bin"))
             .agg(F.count("*").alias("n"),
                  F.sum(F.when(F.col("pos"), 1).otherwise(0))
-                  .cast("long").alias("n_pos"))
-            .localCheckpoint(eager=True))   # dims; consumed twice
+                  .cast("long").alias("n_pos")))
+
+
+def isotonic_closed_form(bins: DataFrame) -> DataFrame:
+    """Finish the minimax isotonic fit from the bin counts (see
+    isotonic_calibration_docs). ``bins`` must be materialized by the
+    caller (it is consumed twice)."""
+    from pyspark.sql import Window as W
     wp = W.orderBy("bin")
     pre = bins.select(
         "bin",

@@ -790,3 +790,83 @@ MMR_ORACLE = _mmr_oracle()
 
 
 REGISTRATIONS.append(("mmr_diverse_topk", mmr_diverse_topk, MMR_ORACLE))
+
+
+COS_HIST_TARGET = 500   # sample size the audit aims at (fixed cost)
+COS_HIST_SCALE = 20     # bucket = floor(cos * 20) ∈ [-20, 20]
+
+
+def cosine_hist_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution audit — the readout run BEFORE
+    tuning ANN (LSH band count, IVF probe depth, SemDeDup τ): the
+    histogram of cosines over a deterministic vector sample tells you
+    where the near-dup mass sits and whether a threshold separates
+    modes. Sample = vec_id % mod == 0 with mod = max(1,
+    n DIV ``COS_HIST_TARGET``) — the mod SCALES WITH THE CORPUS so
+    the pair volume stays ~TARGET²/2 at any size (an audit needs
+    fixed precision, not growth; measured: the naive fixed-mod form
+    went quadratic, 1.5 → 98 s at ×10 vectors). The corpus count
+    enters the predicate as a broadcast 1-row aggregate, never a
+    driver-side .count(). All C(s,2) sample pairs, bucketed at 0.05
+    resolution.
+
+    Exactness: vectors unit-normalize once (per-element division by
+    the IEEE sqrt of the fold norm — identical sequence both
+    engines), each pair is ONE dot fold (allknn convention), and
+    floor(dot·20) buckets the identical double identically.
+
+    Scale: one corpus scan for the filter; the sample side is
+    TARGET-sized by construction, so the pair join is a broadcast
+    nested-loop, never a shuffle of the corpus.
+
+    Output: ``(bucket, cos_lo, n_pairs)``.
+    """
+    emb = _emb(spark, sf_dir)
+    nrow = emb.agg(F.count("*").alias("__n"))
+    mod = F.greatest(F.lit(1),
+                     F.expr(f"__n DIV {COS_HIST_TARGET}"))
+    s = (emb.crossJoin(F.broadcast(nrow))
+         .where(F.col("vec_id") % mod == 0)
+         .select("vec_id", unit(F.col("e")).alias("u"))
+         .localCheckpoint(eager=True))   # both pair sides
+    a = s.select(F.col("vec_id").alias("ia"), F.col("u").alias("ua"))
+    b = s.select(F.col("vec_id").alias("ib"), F.col("u").alias("ub"))
+    pairs = (a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+             .select(F.floor(dot(F.col("ua"), F.col("ub"))
+                             * COS_HIST_SCALE).cast("long")
+                     .alias("bucket")))
+    return (pairs.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .select("bucket",
+                    (F.col("bucket").cast("double") / COS_HIST_SCALE)
+                    .alias("cos_lo"), "n_pairs"))
+
+
+COS_HIST_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  WHERE vec_id % GREATEST(1, (SELECT COUNT(*) FROM embeddings)
+                             // {COS_HIST_TARGET}) = 0
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+              i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+  FROM s
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS un FROM n),
+p AS (
+  SELECT CAST(FLOOR(list_reduce(list_transform(
+           range(1, len(a.un) + 1), i -> a.un[i] * b.un[i]),
+           (x, y) -> x + y) * {COS_HIST_SCALE}) AS BIGINT) AS bucket
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+)
+SELECT bucket, CAST(bucket AS DOUBLE) / {COS_HIST_SCALE} AS cos_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY bucket
+"""
+
+
+REGISTRATIONS.append(("cosine_hist_embeddings", cosine_hist_embeddings,
+                      COS_HIST_ORACLE))

@@ -1976,3 +1976,197 @@ GROUP BY 1, 2
 REGISTRATIONS.append(("retention_triangle_orders",
                       retention_triangle_orders,
                       RETENTION_TRIANGLE_ORACLE))
+
+
+ATTR_POS_CAP = 16       # touches credited per conversion (width cap)
+ATTR_EDGE_BP = 4000     # U-shape: 40% first, 40% last, 20% split mid
+
+
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) conversion attribution — the
+    multi-touch companion of ``attribution_last_touch``: every
+    purchase credits the touches in its session window 40% to the
+    FIRST touch, 40% to the LAST, 20% split evenly over the middle
+    (integer basis points; the middle split's remainder goes to the
+    touch nearest the conversion so credit always sums to 10000 per
+    converted purchase). One touch gets everything; two split 50/50.
+
+    The credited window is the LAST ``ATTR_POS_CAP`` touches before
+    the purchase in the same 30-min session — the in-row pair-width
+    cap discipline (an unbounded touch×purchase session join is the
+    c² hazard), mirrored in the oracle. Positions come from ONE
+    ROW_NUMBER over the joined (purchase, touch) rows ordered
+    touch-desc; all credit arithmetic is integer.
+
+    Scale: sessionize window (user-partitioned, the proven shape) +
+    an equi-join on (user, sess) capped at ATTR_POS_CAP rows per
+    purchase + a |touch types|-bounded aggregate.
+
+    Output: ``(touch_type, credit_bp, n_touches)`` — total basis
+    points and credited touch rows per type.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0))
+    s = (marked.withColumn(
+            "sess", F.sum("new_sess").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+         .localCheckpoint(eager=True))   # purchases + touches branches
+    p = (s.where(F.col("event_type") == "purchase")
+         .select("user_id", "sess", F.col("us").alias("p_us"),
+                 F.col("event_id").alias("p_id")))
+    t = (s.where(F.col("event_type") != "purchase")
+         .select("user_id", "sess", F.col("us").alias("t_us"),
+                 F.col("event_id").alias("t_id"), "event_type"))
+    j = (p.join(t, ["user_id", "sess"])
+         .where((F.col("t_us") < F.col("p_us"))
+                | ((F.col("t_us") == F.col("p_us"))
+                   & (F.col("t_id") < F.col("p_id")))))
+    wr = (W.partitionBy("user_id", "sess", "p_us", "p_id")
+          .orderBy(F.col("t_us").desc(), F.col("t_id").desc()))
+    ranked = (j.withColumn("rk", F.row_number().over(wr))
+              .where(F.col("rk") <= ATTR_POS_CAP))
+    wn = W.partitionBy("user_id", "sess", "p_us", "p_id")
+    sized = ranked.withColumn("n", F.count("*").over(wn))
+    mid_pool = 10000 - 2 * ATTR_EDGE_BP
+    # integer DIV (exact, both engines floor for positives); the n<=2
+    # branches fire first so DIV's divisor is never zero on a taken
+    # branch (and DIV by 0 is NULL-safe, not an ANSI error, anyway)
+    mid_each = F.expr(f"{mid_pool} DIV (n - 2)")
+    mid_rem = F.lit(mid_pool) - mid_each * (F.col("n") - 2)
+    credit = (F.when(F.col("n") == 1, 10000)
+               .when(F.col("n") == 2, 5000)
+               .when(F.col("rk") == 1, ATTR_EDGE_BP)       # last touch
+               .when(F.col("rk") == F.col("n"), ATTR_EDGE_BP)  # first
+               .when(F.col("rk") == 2, mid_each + mid_rem)  # nearest mid
+               .otherwise(mid_each))
+    return (sized.withColumn("credit", credit)
+            .groupBy(F.col("event_type").alias("touch_type"))
+            .agg(F.sum("credit").cast("long").alias("credit_bp"),
+                 F.count("*").cast("long").alias("n_touches")))
+
+
+ATTR_POS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER w IS NULL
+                  OR us - LAG(us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+),
+j AS (
+  SELECT p.user_id, p.sess, p.us AS p_us, p.event_id AS p_id,
+         t.us AS t_us, t.event_id AS t_id, t.event_type
+  FROM s p JOIN s t
+    ON p.user_id = t.user_id AND p.sess = t.sess
+   AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id))
+  WHERE p.event_type = 'purchase' AND t.event_type <> 'purchase'
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess, p_us, p_id
+                               ORDER BY t_us DESC, t_id DESC) AS rk
+  FROM j
+),
+capped AS (SELECT * FROM ranked WHERE rk <= {ATTR_POS_CAP}),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id, sess, p_us, p_id) AS n
+  FROM capped
+),
+credited AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 10000
+              WHEN n = 2 THEN 5000
+              WHEN rk = 1 THEN {ATTR_EDGE_BP}
+              WHEN rk = n THEN {ATTR_EDGE_BP}
+              WHEN rk = 2 THEN CAST(({10000 - 2 * ATTR_EDGE_BP}) // (n - 2)
+                   + ({10000 - 2 * ATTR_EDGE_BP})
+                   - (({10000 - 2 * ATTR_EDGE_BP}) // (n - 2)) * (n - 2)
+                   AS BIGINT)
+              ELSE CAST(({10000 - 2 * ATTR_EDGE_BP}) // (n - 2) AS BIGINT)
+         END AS credit
+  FROM sized
+)
+SELECT event_type AS touch_type,
+       CAST(SUM(credit) AS BIGINT) AS credit_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM credited GROUP BY 1
+"""
+
+
+REGISTRATIONS.append(("attribution_position_based",
+                      attribution_position_based, ATTR_POS_ORACLE))
+
+
+BDAY_ANCHOR = "1992-01-06"   # a Monday; every fixture date is after it
+SLA_BDAYS = 60               # breach threshold (business days to ship)
+
+
+def sla_business_days_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency in BUSINESS DAYS (Mon–Fri) with an SLA
+    breach flag — the ops-SLA readout that calendar-day datediff gets
+    wrong by up to 2/7. No calendar table and no per-day explode:
+    business days are a CLOSED FORM off a fixed Monday anchor,
+    f(d) = 5·(n DIV 7) + LEAST(n % 7, 5) with n = days(anchor → d),
+    which counts weekdays in [anchor, d); the latency is
+    f(ship) − f(order) = weekdays in [order, ship). Pure integer
+    arithmetic — both engines agree exactly.
+
+    Scale: one map-side-combined aggregate over the
+    lineitem⋈orders join (the q4 shape — orderkey equi-join);
+    output is ≤ max-latency rows.
+
+    Output: ``(bdays, n_lines, breach)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("odate"))
+    j = li.join(o, "l_orderkey")
+
+    def f(col):
+        n = F.datediff(col, F.lit(BDAY_ANCHOR).cast("date"))
+        return (n - n % 7) / 7 * 5 + F.least(n % 7, F.lit(5))
+
+    bdays = (f(F.col("ship")) - f(F.col("odate"))).cast("long")
+    return (j.select(bdays.alias("bdays"))
+            .groupBy("bdays")
+            .agg(F.count("*").cast("long").alias("n_lines"))
+            .withColumn("breach", F.col("bdays") > SLA_BDAYS))
+
+
+SLA_BDAYS_ORACLE = f"""
+WITH j AS (
+  SELECT (5 * (datediff('day', DATE '{BDAY_ANCHOR}',
+                        CAST(l_shipdate AS DATE)) // 7)
+          + LEAST(datediff('day', DATE '{BDAY_ANCHOR}',
+                           CAST(l_shipdate AS DATE)) % 7, 5))
+         -
+         (5 * (datediff('day', DATE '{BDAY_ANCHOR}',
+                        CAST(o_orderdate AS DATE)) // 7)
+          + LEAST(datediff('day', DATE '{BDAY_ANCHOR}',
+                           CAST(o_orderdate AS DATE)) % 7, 5))
+           AS bdays
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT CAST(bdays AS BIGINT) AS bdays,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       bdays > {SLA_BDAYS} AS breach
+FROM j GROUP BY bdays
+"""
+
+
+REGISTRATIONS.append(("sla_business_days_lineitem",
+                      sla_business_days_lineitem, SLA_BDAYS_ORACLE))

@@ -544,6 +544,39 @@ def _winsorized_oracle() -> str:
     return WINSORIZED_ORACLE
 
 
+def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the documents fixture — the
+    corpus-ingest feed shape (a crawler landing directory in
+    production). Plain string/bigint schema, still footer-probed."""
+    path = table_path(sf_dir, "documents")
+    src_schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(src_schema).parquet(path + "*")
+
+
+def stream_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``llm.evaluation.isotonic_calibration_docs``
+    — twelfth kappa pair, and the first over the DOCUMENTS feed: the
+    per-bin (count, positives) cells are ONE complete-mode aggregate
+    over ≤21 fixed-width score bins (dims state — the smallest state
+    store in the engine), and the shared minimax closed form fits the
+    monotone curve batch-side. Bit-identical to the batch op (integer
+    bin counts, identical division/min/max DAG); same DuckDB
+    oracle."""
+    from mapreduce_rust_spark.llm.evaluation import (
+        calibration_bin_counts, isotonic_closed_form, scored_from_docs)
+    docs = read_docs_stream(spark, sf_dir)
+    bins = calibration_bin_counts(scored_from_docs(docs))
+    out = _run_to_table(bins, "stream_isotonic_calibration", "complete")
+    # closed form self-joins the bins; checkpoint breaks the
+    # MemorySink self-reference (stream_retention_triangle lesson)
+    return isotonic_closed_form(out.localCheckpoint(eager=True))
+
+
+def _isotonic_oracle() -> str:
+    from mapreduce_rust_spark.llm.evaluation import ISOTONIC_ORACLE
+    return ISOTONIC_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -568,4 +601,6 @@ REGISTRATIONS = [
      _retention_oracle()),
     ("stream_winsorized_delta", stream_winsorized_delta,
      _winsorized_oracle()),
+    ("stream_isotonic_calibration", stream_isotonic_calibration,
+     _isotonic_oracle()),
 ]

@@ -123,12 +123,16 @@ def test_multimodal_batch_shape(spark):
 
 
 def test_decode_stub_gated(spark):
-    """Non-PNG payloads still raise (no native codecs in-container);
-    PNG payloads now decode for real via the pure-stdlib codec."""
+    """Payloads needing codecs the container lacks still raise
+    NotImplementedError; PNG and baseline grayscale JPEG decode for
+    real via the pure-stdlib codecs (a malformed JPEG raises
+    ValueError from the real parser, not the gate)."""
     from mapreduce_rust_spark.llm.imagecodec import encode_png
     from mapreduce_rust_spark.llm.multimodal import decode_image_stub
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\xff\xd8\xff\xe0 jpeg-ish")
+        decode_image_stub(b"RIFF....WAVEfmt ")    # audio: still gated
+    with pytest.raises(ValueError):
+        decode_image_stub(b"\xff\xd8\xff\xe0 jpeg-ish")  # real parser
     pixels = bytes(range(0, 240, 10))  # 24 bytes = 4x2 RGB
     w, h, ch, raw = decode_image_stub(encode_png(pixels, 4, 2, 3))
     assert (w, h, ch, raw) == (4, 2, 3, pixels)

@@ -385,3 +385,92 @@ def test_shuffle_quality_stats_python_reference(spark):
         top = min(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:1])
         assert (r.top_source, abs(r.top_share * r.n_docs - top[1]) < 1e-9) \
             == (top[0], True)
+
+
+def test_attribution_position_based_planted(spark):
+    """One session: touches A,B,C,D then purchase → U-shape 40/40,
+    middle 20% split over B,C (1000 each, remainder 0); a 1-touch
+    session gives its touch 10000; a 2-touch session splits 50/50."""
+    from mapreduce_rust_spark.operators import olap
+
+    def ev(uid, i, typ):
+        return (uid, i, typ, f"2024-01-01 10:{i:02d}:00")
+
+    rows = ([ev(1, i, t) for i, t in
+             enumerate(["A", "B", "C", "D", "purchase"])]
+            + [ev(2, 1, "E"), ev(2, 2, "purchase")]
+            + [ev(3, 1, "A"), ev(3, 2, "B"), ev(3, 3, "purchase")])
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, t string"
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "CAST(t AS TIMESTAMP) AS ts")
+    orig = olap.load_table
+    try:
+        olap.load_table = lambda s, d, n: df
+        got = {r.touch_type: (r.credit_bp, r.n_touches) for r in
+               olap.attribution_position_based(spark, "x").collect()}
+    finally:
+        olap.load_table = orig
+    # user1: A first=4000, D last=4000, B,C middle 1000 each;
+    # user2: E alone = 10000; user3: A,B split 5000/5000
+    assert got == {"A": (4000 + 5000, 2), "B": (1000 + 5000, 2),
+                   "C": (1000, 1), "D": (4000, 1), "E": (10000, 1)}
+
+
+def test_sla_business_days_planted(spark):
+    """Friday→Monday spans a weekend: 1 business day. Monday→Friday
+    same week: 4. Same day: 0. Weekend order dates count from the
+    following Monday (f() is constant across Sat/Sun)."""
+    from mapreduce_rust_spark.operators import olap
+
+    cases = [  # (orderdate, shipdate, expected business days)
+        (1, "2024-01-05", "2024-01-08", 1),   # Fri -> Mon
+        (2, "2024-01-01", "2024-01-05", 4),   # Mon -> Fri
+        (3, "2024-01-03", "2024-01-03", 0),   # same day
+        (4, "2024-01-06", "2024-01-08", 0),   # Sat -> Mon
+        (5, "2024-01-01", "2024-01-15", 10),  # two full weeks
+    ]
+    orders = spark.createDataFrame(
+        [(k, f"{o} 00:00:00") for k, o, _, _ in cases],
+        "o_orderkey long, o_orderdate string").selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+    li = spark.createDataFrame(
+        [(k, f"{s} 00:00:00") for k, _, s, _ in cases],
+        "l_orderkey long, l_shipdate string").selectExpr(
+        "l_orderkey", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate")
+    orig = olap.load_table
+    try:
+        olap.load_table = (lambda s, d, n:
+                           li if n == "lineitem" else orders)
+        got = sorted((r.bdays, r.n_lines) for r in
+                     olap.sla_business_days_lineitem(spark, "x")
+                     .collect())
+    finally:
+        olap.load_table = orig
+    from collections import Counter
+    want = Counter(e for *_, e in cases)
+    assert got == sorted((b, n) for b, n in want.items())
+
+
+def test_cosine_hist_planted(spark):
+    """Planted vectors with hand-computable cosines land in the right
+    buckets (with ≤ TARGET vectors the adaptive mod is 1, so every
+    pair participates): identical pair → 20, orthogonal → 0,
+    opposite → -20, 45° → 14 and its negative → -15 (floor)."""
+    from mapreduce_rust_spark.llm import similarity as S
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (4, [1.0, 0.0], 0),
+         (8, [0.0, 1.0], 0), (12, [-1.0, 0.0], 0),
+         (1, [9.0, 9.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    orig = S.load_table
+    try:
+        S.load_table = lambda s, d, n: emb
+        got = {r.bucket: r.n_pairs for r in
+               S.cosine_hist_embeddings(spark, "x").collect()}
+    finally:
+        S.load_table = orig
+    # (0,4)=1.0→20; (0,8),(4,8),(8,12)=0→0; (0,12),(4,12)=-1→-20;
+    # (0,1),(1,4),(1,8)=cos45°→14; (1,12)=-cos45°→-15
+    assert got == {20: 1, 0: 3, -20: 2, 14: 3, -15: 1}
