@@ -571,3 +571,67 @@ def test_editdist1_cap_bounds_mega_name(spark):
         T.load_table = orig
     assert cnt == n * (n - 1) // 2
     assert took < 60, f"hot-variant register took {took:.1f}s"
+
+
+def test_attr_pos_cap_bounds_giant_session(spark):
+    """attribution_position_based's pair hazard: a bot session with
+    50k touches before each of 100 purchases would emit 5M credited
+    rows uncapped. ATTR_POS_CAP must bound it to cap rows per
+    purchase (the LAST cap touches), the credits must still sum to
+    10000 per purchase, and the SQL mirror must carry the same cap."""
+    from mapreduce_rust_spark.operators import olap
+
+    cap = olap.ATTR_POS_CAP
+    n_touch, n_purch = 50_000, 100
+    # one user, one session: micro-second spacing keeps every event
+    # inside the 30-min gap; purchases land after all touches
+    touches = spark.range(n_touch).selectExpr(
+        "CAST(1 AS LONG) AS user_id", "id AS event_id",
+        "'click' AS event_type",
+        "timestamp_micros(CAST(1700000000000000 + id AS LONG)) AS ts")
+    purchases = spark.range(n_purch).selectExpr(
+        "CAST(1 AS LONG) AS user_id", f"id + {n_touch} AS event_id",
+        "'purchase' AS event_type",
+        f"timestamp_micros(CAST(1700000000000000 + {n_touch} + id"
+        " AS LONG)) AS ts")
+    ev = touches.unionAll(purchases)
+    orig = olap.load_table
+    t0 = time.perf_counter()
+    try:
+        olap.load_table = lambda s, d, n: ev
+        rows = olap.attribution_position_based(spark, "x").collect()
+    finally:
+        olap.load_table = orig
+    took = time.perf_counter() - t0
+    assert took < 90, f"capped giant-session attribution {took:.1f}s"
+    got = {r.touch_type: r for r in rows}
+    # every purchase credits exactly cap touches, 10000 bp each
+    assert got["click"].n_touches == n_purch * cap
+    assert got["click"].credit_bp == n_purch * 10_000
+    assert f"rk <= {cap}" in olap.ATTR_POS_ORACLE
+
+
+def test_cosine_hist_adaptive_mod_bounds_pairs(spark):
+    """The distance-audit's hazard is all-pairs growth: the adaptive
+    sample mod must pin the pair count near TARGET²/2 regardless of
+    corpus size (20k planted vectors -> mod 40 -> 500 sampled)."""
+    from mapreduce_rust_spark.llm import similarity as S
+
+    n = 20_000
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id % 97 AS FLOAT), CAST(id % 89 AS FLOAT),"
+        " CAST(1.0 AS FLOAT)) AS embedding",
+        "CAST(0 AS INT) AS label")
+    orig = S.load_table
+    t0 = time.perf_counter()
+    try:
+        S.load_table = lambda s, d, n_: emb
+        total = (S.cosine_hist_embeddings(spark, "x")
+                 .agg(F.sum("n_pairs")).collect()[0][0])
+    finally:
+        S.load_table = orig
+    took = time.perf_counter() - t0
+    s = S.COS_HIST_TARGET   # mod = n DIV target = 40 -> exactly s kept
+    assert total == s * (s - 1) // 2
+    assert took < 60, f"adaptive-mod cosine hist took {took:.1f}s"
