@@ -281,6 +281,8 @@ HEADLINE = [
     "attribution_position_based",
     "cosine_hist_embeddings",
     "sla_business_days_lineitem",
+    "stream_sla_business_days",
+    "stream_shuffle_quality",
 ]
 
 

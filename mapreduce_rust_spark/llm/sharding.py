@@ -312,15 +312,28 @@ def shuffle_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_share)``.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return shard_quality_closed_form(shard_quality_cells(docs))
+
+
+def shard_quality_cells(docs: DataFrame) -> DataFrame:
+    """Per-(shard, source) doc/token counts — the MERGEABLE
+    sufficient statistic (plain sums over shards × sources rows),
+    shared with ``streaming.windows.stream_shuffle_quality``."""
     key = F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string")))
     shard = (F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
              % N_SHARDS)
     toks = F.filter(F.split(F.col("text"), r"\s+"),
                     lambda t: t != F.lit(""))
-    per = (docs.select(shard.alias("shard"), "source",
-                       F.size(toks).cast("long").alias("nt"))
-           .groupBy("shard", "source")
-           .agg(F.count("*").alias("nd"), F.sum("nt").alias("ntok")))
+    return (docs.select(shard.alias("shard"), "source",
+                        F.size(toks).cast("long").alias("nt"))
+            .groupBy("shard", "source")
+            .agg(F.count("*").alias("nd"), F.sum("nt").alias("ntok")))
+
+
+def shard_quality_closed_form(per: DataFrame) -> DataFrame:
+    """Finish the audit from the (shard, source, nd, ntok) cells.
+    ``per`` must be materialized by the caller if its lineage is a
+    MemorySink (it is consumed by two plan branches)."""
     w = W.partitionBy("shard").orderBy(F.col("nd").desc(), "source")
     top = (per.withColumn("rk", F.row_number().over(w))
            .where(F.col("rk") == 1)

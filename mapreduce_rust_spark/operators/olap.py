@@ -2129,22 +2129,36 @@ def sla_business_days_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(bdays, n_lines, breach)``.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.to_date("l_shipdate").alias("ship"))
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey"),
-        F.to_date("o_orderdate").alias("odate"))
-    j = li.join(o, "l_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return sla_closed_form(sla_bday_cells(li, o))
 
-    def f(col):
-        n = F.datediff(col, F.lit(BDAY_ANCHOR).cast("date"))
-        return (n - n % 7) / 7 * 5 + F.least(n % 7, F.lit(5))
 
-    bdays = (f(F.col("ship")) - f(F.col("odate"))).cast("long")
+def _bdays_since_anchor(col) -> F.Column:
+    """Weekdays in [BDAY_ANCHOR, col) — the Monday-anchor closed
+    form; see sla_business_days_lineitem."""
+    n = F.datediff(col, F.lit(BDAY_ANCHOR).cast("date"))
+    return (n - n % 7) / 7 * 5 + F.least(n % 7, F.lit(5))
+
+
+def sla_bday_cells(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """(bdays, n_lines) — the MERGEABLE sufficient statistic (one
+    count aggregate after the orderkey join), shared by the batch op
+    and ``streaming.windows.stream_sla_business_days`` (which joins
+    the lineitem STREAM to the static orders dim)."""
+    j = (li.select("l_orderkey", F.to_date("l_shipdate").alias("ship"))
+         .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                             F.to_date("o_orderdate").alias("odate")),
+               "l_orderkey"))
+    bdays = (_bdays_since_anchor(F.col("ship"))
+             - _bdays_since_anchor(F.col("odate"))).cast("long")
     return (j.select(bdays.alias("bdays"))
             .groupBy("bdays")
-            .agg(F.count("*").cast("long").alias("n_lines"))
-            .withColumn("breach", F.col("bdays") > SLA_BDAYS))
+            .agg(F.count("*").cast("long").alias("n_lines")))
+
+
+def sla_closed_form(cells: DataFrame) -> DataFrame:
+    return cells.withColumn("breach", F.col("bdays") > SLA_BDAYS)
 
 
 SLA_BDAYS_ORACLE = f"""

@@ -577,6 +577,60 @@ def _isotonic_oracle() -> str:
     return ISOTONIC_ORACLE
 
 
+def read_lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the lineitem fixture — the fact-feed
+    shape for stream-static fact⋈dim work. Footer-probed schema,
+    like every stream source here."""
+    path = table_path(sf_dir, "lineitem")
+    src_schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(src_schema).parquet(path + "*")
+
+
+def stream_sla_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``olap.sla_business_days_lineitem`` —
+    thirteenth kappa pair, and the first STREAM-STATIC-JOIN member:
+    the lineitem FEED joins the static orders dimension per
+    micro-batch (the serving-layer enrich shape of
+    stream_static_enrich), and the (bdays, n_lines) cells are ONE
+    complete-mode count aggregate (state ≤ max-latency rows); the
+    shared closed form adds the breach flag. Bit-identical to the
+    batch op (pure integer date arithmetic); same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.olap import (
+        sla_bday_cells, sla_closed_form)
+    from mapreduce_rust_spark.tables import load_table
+    li = read_lineitem_stream(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cells = sla_bday_cells(li, orders)
+    out = _run_to_table(cells, "stream_sla_business_days", "complete")
+    return sla_closed_form(out)
+
+
+def _sla_oracle() -> str:
+    from mapreduce_rust_spark.operators.olap import SLA_BDAYS_ORACLE
+    return SLA_BDAYS_ORACLE
+
+
+def stream_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``llm.sharding.shuffle_quality_stats`` —
+    fourteenth kappa pair: the per-(shard, source) doc/token cells
+    are ONE complete-mode aggregate (state = shards × sources —
+    dims), and the shared closed form computes the argmax/rollup
+    batch-side. The shard audit as a LIVE ingest monitor. Same DuckDB
+    oracle; bit-identical (integer counts, one final division)."""
+    from mapreduce_rust_spark.llm.sharding import (
+        shard_quality_cells, shard_quality_closed_form)
+    docs = read_docs_stream(spark, sf_dir)
+    cells = shard_quality_cells(docs)
+    out = _run_to_table(cells, "stream_shuffle_quality", "complete")
+    # closed form reads the cells from two branches (argmax + rollup)
+    return shard_quality_closed_form(out.localCheckpoint(eager=True))
+
+
+def _shufq_oracle() -> str:
+    from mapreduce_rust_spark.llm.sharding import SHUFFLE_QUALITY_ORACLE
+    return SHUFFLE_QUALITY_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -603,4 +657,7 @@ REGISTRATIONS = [
      _winsorized_oracle()),
     ("stream_isotonic_calibration", stream_isotonic_calibration,
      _isotonic_oracle()),
+    ("stream_sla_business_days", stream_sla_business_days,
+     _sla_oracle()),
+    ("stream_shuffle_quality", stream_shuffle_quality, _shufq_oracle()),
 ]
