@@ -670,6 +670,22 @@ MMR_POOL = 16    # relevance-ranked candidate pool fed to the greedy
 MMR_LAMBDA = 0.5
 
 
+def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 1 of MMR — the DISTRIBUTED part: score relevance in one
+    corpus scan, take the top-MMR_POOL via TakeOrderedAndProject
+    (plan-pinned in tests/test_plans.py; never a global Sort)."""
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("e").alias("v"))
+    qmin = emb.agg(F.min("vec_id").alias("qid"))
+    q = (emb.join(F.broadcast(qmin), emb.vec_id == F.col("qid"))
+         .select(F.col("v").alias("qv")))
+    scored = (emb.crossJoin(F.broadcast(q))
+              .join(F.broadcast(qmin), emb.vec_id == F.col("qid"),
+                    "left_anti")
+              .select("vec_id", "v",
+                      cosine(F.col("v"), F.col("qv")).alias("rel")))
+    return scored.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL)
+
+
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-k: from the
     relevance-ranked candidate pool (cosine to the query = the
@@ -699,17 +715,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(step, vec_id, rel, mmr_score)``.
     """
-    emb = _emb(spark, sf_dir).select("vec_id", F.col("e").alias("v"))
-    qmin = emb.agg(F.min("vec_id").alias("qid"))
-    q = (emb.join(F.broadcast(qmin), emb.vec_id == F.col("qid"))
-         .select(F.col("v").alias("qv")))
-    scored = (emb.crossJoin(F.broadcast(q))
-              .join(F.broadcast(qmin), emb.vec_id == F.col("qid"),
-                    "left_anti")
-              .select("vec_id", "v",
-                      cosine(F.col("v"), F.col("qv")).alias("rel")))
-    pool = (scored.orderBy(F.col("rel").desc(), "vec_id")
-            .limit(MMR_POOL)
+    pool = (_mmr_pool(spark, sf_dir)
             .localCheckpoint(eager=True))   # dims; loop reads it k times
     lam = F.lit(MMR_LAMBDA)
     sel = (pool.orderBy(F.col("rel").desc(), "vec_id").limit(1)

@@ -498,3 +498,63 @@ def test_round6_late_crop_plan_shapes(spark):
     p = _plan(linkpred_common_neighbors(spark, SF_CORRECT))
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p    # frontier/top-k broadcasts live
+
+
+def test_round7_crop_plan_shapes(spark):
+    """Round-7 plan pins: retention is pure partial-combinable
+    aggregation (no window anywhere); propensity's only data-sized
+    window partitions by the rank sub-shard (the scalable_rank
+    discipline — no partition-less window over users); the MMR pool
+    is a TakeOrderedAndProject, never a global Sort; ngram novelty
+    carries a map-side partial count and no CartesianProduct; the
+    codec queries aggregate to DISTINCT prefixes before their kernel
+    (an Aggregate below the Python evaluator); the cosine audit's
+    pair join is the deliberate broadcast nested-loop with the
+    TARGET-bounded sample on the build side."""
+    from mapreduce_rust_spark.llm.multimodal import jpeg_gray_roundtrip
+    from mapreduce_rust_spark.llm.similarity import (
+        cosine_hist_embeddings, mmr_diverse_topk)
+    from mapreduce_rust_spark.llm.textanalysis import ngram_novelty_docs
+    from mapreduce_rust_spark.operators.experiment import (
+        propensity_strata_events)
+    from mapreduce_rust_spark.operators.olap import (
+        retention_triangle_orders, sla_business_days_lineitem)
+
+    p = _plan(retention_triangle_orders(spark, SF_CORRECT))
+    assert "Window" not in p
+    assert "partial_count" in p or "partial_min" in p
+
+    p = _plan(propensity_strata_events(spark, SF_CORRECT))
+    # scalable_rank: the row_number window partitions by the _sb
+    # sub-shard; no "Window [" node without a "partitionBy" spec that
+    # includes it (textual pin: every Window mentions _sb)
+    for seg in p.split("Window ")[1:]:
+        head = seg.splitlines()[0]
+        assert "_sb" in head, head
+    assert "CartesianProduct" not in p
+
+    from mapreduce_rust_spark.llm.similarity import _mmr_pool
+    p = _plan(_mmr_pool(spark, SF_CORRECT))   # pre-checkpoint phase 1
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p                   # never a global sort
+    # the full op ends in pool-sized checkpointed frames
+    assert mmr_diverse_topk(spark, SF_CORRECT).count() > 0
+
+    p = _plan(ngram_novelty_docs(spark, SF_CORRECT))
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(jpeg_gray_roundtrip(spark, SF_CORRECT))
+    # duplicate collapse: a HashAggregate (the DISTINCT) must sit
+    # BELOW the Python kernel (tree prints top-down: the evaluator's
+    # index is smaller than its aggregate input's)
+    assert "MapInPandas" in p and "HashAggregate" in p
+    assert p.index("MapInPandas") < p.rindex("HashAggregate")
+
+    p = _plan(sla_business_days_lineitem(spark, SF_CORRECT))
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(cosine_hist_embeddings(spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
