@@ -283,6 +283,11 @@ HEADLINE = [
     "sla_business_days_lineitem",
     "stream_sla_business_days",
     "stream_shuffle_quality",
+    # round 7 third wave: composed ABC-XYZ matrix, AP-audit screen,
+    # seasonal-naive forecast baseline
+    "abc_xyz_matrix_parts",
+    "dup_payment_screen_orders",
+    "mase_baseline_events",
 ]
 
 

@@ -2184,3 +2184,196 @@ FROM j GROUP BY bdays
 
 REGISTRATIONS.append(("sla_business_days_lineitem",
                       sla_business_days_lineitem, SLA_BDAYS_ORACLE))
+
+
+def abc_xyz_matrix_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory matrix — the composition the two class
+    axes exist for: revenue importance (A/B/C) × demand variability
+    (X/Y/Z) per part, rolled up to the 9-cell planning matrix
+    (AX = lean replenishment, CZ = review for discontinuation).
+    Evaluation-as-operator like ``recsys_eval_hitrate``: the op JOINS
+    the two registered queries and its oracle NESTS their oracle
+    texts verbatim as CTEs, so the matrix can never drift from the
+    class definitions it summarizes. Counts and quantities are
+    integers (revenue deliberately excluded: a cross-part float sum
+    is order-sensitive).
+
+    Scale: both inputs are part-grain (corpus/1000-scale); the join
+    and rollup are dims-sized.
+
+    Output: ``(abc_class, xyz, n_parts, total_qty)``.
+    """
+    abc = abc_pareto_parts(spark, sf_dir).select(
+        F.col("l_partkey").alias("part"), "abc_class")
+    xyz = xyz_variability_parts(spark, sf_dir).select(
+        "part", "xyz", "total_qty")
+    return (abc.join(xyz, "part")
+            .groupBy("abc_class", "xyz")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("total_qty").cast("long").alias("total_qty")))
+
+
+def _abc_xyz_oracle() -> str:
+    return f"""
+WITH abc AS ({ABC_PARETO_ORACLE}),
+xyz AS ({XYZ_ORACLE})
+SELECT abc.abc_class, xyz.xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(xyz.total_qty) AS BIGINT) AS total_qty
+FROM abc JOIN xyz ON abc.l_partkey = xyz.part
+GROUP BY 1, 2
+"""
+
+
+DUP_PAY_WINDOW_DAYS = 28   # duplicate-payment screen lookback
+DUP_PAY_BAND_CENTS = 100_000   # same $1000 amount band = "similar amount"
+DUP_PAY_CAP = 8                # pairs kept per (cust, band) block
+
+
+def dup_payment_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen — the classic AP-audit test: pairs of
+    orders by the SAME customer for a SIMILAR amount (same
+    ``DUP_PAY_BAND_CENTS`` band — exact-equality screens miss keyed-in
+    cents typos, the audit literature's standard reason to band)
+    within ``DUP_PAY_WINDOW_DAYS`` days: double-submitted invoices,
+    double-shipped orders. Blocked on the exact (customer, band) key,
+    with per-block pair width capped at ``DUP_PAY_CAP`` earliest
+    partners per order (cap mirrored in the oracle; a degenerate
+    band like 0 would otherwise go quadratic).
+
+    Scale: one shuffle on (cust, band); in-block pair join bounded by
+    cap; output ≤ cap·|suspect orders|.
+
+    Output: ``(o_custkey, band, key_a, key_b, gap_days)``.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(f"CAST(round(o_totalprice * 100) AS BIGINT) "
+               f"DIV {DUP_PAY_BAND_CENTS}").alias("band"),
+        F.col("o_orderkey").alias("key"),
+        F.to_date("o_orderdate").alias("d"))
+    a = o.select("o_custkey", "band", F.col("key").alias("key_a"),
+                 F.col("d").alias("da"))
+    b = o.select("o_custkey", "band", F.col("key").alias("key_b"),
+                 F.col("d").alias("db"))
+    j = (a.join(b, ["o_custkey", "band"])
+         .where((F.col("key_a") < F.col("key_b"))
+                & (F.abs(F.datediff(F.col("db"), F.col("da")))
+                   <= DUP_PAY_WINDOW_DAYS)))
+    w = W.partitionBy("o_custkey", "band", "key_a") \
+         .orderBy("key_b")
+    return (j.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= DUP_PAY_CAP)
+            .select("o_custkey", "band", "key_a", "key_b",
+                    F.abs(F.datediff(F.col("db"), F.col("da")))
+                    .cast("long").alias("gap_days")))
+
+
+DUP_PAY_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           // {DUP_PAY_BAND_CENTS} AS band,
+         o_orderkey AS key, CAST(o_orderdate AS DATE) AS d
+  FROM orders
+),
+j AS (
+  SELECT a.o_custkey, a.band, a.key AS key_a, b.key AS key_b,
+         ABS(datediff('day', a.d, b.d)) AS gap_days
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.band = b.band
+   AND a.key < b.key
+  WHERE ABS(datediff('day', a.d, b.d)) <= {DUP_PAY_WINDOW_DAYS}
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, band, key_a
+                               ORDER BY key_b) AS rk
+  FROM j
+)
+SELECT o_custkey, band, key_a, key_b, CAST(gap_days AS BIGINT) AS gap_days
+FROM r WHERE rk <= {DUP_PAY_CAP}
+"""
+
+
+def mase_baseline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline error — the MASE denominator:
+    per event type, the mean absolute error of the lag-7 naive
+    forecast x̂_t = x_{{t−7}} over the zero-filled daily cents series.
+    Any model whose MAE beats this number has skill; one that doesn't
+    is worse than "same as last week" (the honest yardstick
+    forecast_backtest_events' in-sample trend needs). Exactness: the
+    daily grid is integers (implicit-zero fill via the sequence
+    explode), |x_t − x_{{t−7}}| sums exactly, ONE int÷int division.
+
+    Scale: events collapse to day grain map-side first; the lag join
+    and rollup run on the dims-sized grid.
+
+    Output: ``(event_type, n_terms, sae_cents, mase_denom)``.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS LONG)")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"))
+    daily = ev.groupBy("event_type", "d").agg(F.sum("vc").alias("x"))
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = (daily.select("event_type").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence(F.col("lo"), F.col("hi")))
+                    .alias("d")))
+    full = (grid.join(daily, ["event_type", "d"], "left")
+            .select("event_type", "d",
+                    F.coalesce("x", F.lit(0)).alias("x")))
+    lag = full.select("event_type", (F.col("d") + 7).alias("d"),
+                      F.col("x").alias("x7"))
+    t = full.join(lag, ["event_type", "d"])   # inner: first 7 days drop
+    return (t.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_terms"),
+                 F.sum(F.abs(F.col("x") - F.col("x7"))).cast("long")
+                 .alias("sae_cents"))
+            .withColumn("mase_denom",
+                        F.col("sae_cents").cast("double")
+                        / F.col("n_terms").cast("double")))
+
+
+MASE_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+daily AS (SELECT event_type, d, CAST(SUM(vc) AS BIGINT) AS x
+          FROM ev GROUP BY 1, 2),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM daily) t,
+       span, UNNEST(range(span.lo, span.hi + 1)) AS g(d)
+),
+full_ AS (
+  SELECT grid.event_type, grid.d, COALESCE(daily.x, 0) AS x
+  FROM grid LEFT JOIN daily USING (event_type, d)
+),
+t AS (
+  SELECT a.event_type, a.x, b.x AS x7
+  FROM full_ a JOIN full_ b
+    ON a.event_type = b.event_type AND a.d = b.d + 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(ABS(x - x7)) AS BIGINT) AS sae_cents,
+       CAST(SUM(ABS(x - x7)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mase_denom
+FROM t GROUP BY event_type
+"""
+
+
+REGISTRATIONS.append(("abc_xyz_matrix_parts", abc_xyz_matrix_parts,
+                      _abc_xyz_oracle()))
+REGISTRATIONS.append(("dup_payment_screen_orders",
+                      dup_payment_screen_orders, DUP_PAY_ORACLE))
+REGISTRATIONS.append(("mase_baseline_events", mase_baseline_events,
+                      MASE_ORACLE))

@@ -474,3 +474,92 @@ def test_cosine_hist_planted(spark):
     # (0,4)=1.0→20; (0,8),(4,8),(8,12)=0→0; (0,12),(4,12)=-1→-20;
     # (0,1),(1,4),(1,8)=cos45°→14; (1,12)=-cos45°→-15
     assert got == {20: 1, 0: 3, -20: 2, 14: 3, -15: 1}
+
+
+def test_abc_xyz_matrix_consistency(spark, duck):
+    """The matrix must be the exact contingency of the two class
+    queries: per-cell counts re-derived from the individual outputs,
+    and totals conserved."""
+    from mapreduce_rust_spark.operators import olap
+    from tests.conftest import SF_CORRECT
+
+    abc = {r.l_partkey: r.abc_class for r in
+           olap.abc_pareto_parts(spark, SF_CORRECT).collect()}
+    xyz = {r.part: (r.xyz, r.total_qty) for r in
+           olap.xyz_variability_parts(spark, SF_CORRECT).collect()}
+    got = {(r.abc_class, r.xyz): (r.n_parts, r.total_qty) for r in
+           olap.abc_xyz_matrix_parts(spark, SF_CORRECT).collect()}
+    from collections import defaultdict
+    want_n = defaultdict(int)
+    want_q = defaultdict(int)
+    for part, a in abc.items():
+        x, q = xyz[part]
+        want_n[(a, x)] += 1
+        want_q[(a, x)] += q
+    assert got == {k: (want_n[k], want_q[k]) for k in want_n}
+    assert sum(n for n, _ in got.values()) == len(abc)
+
+
+def test_dup_payment_screen_planted(spark):
+    """Planted double submissions: same customer, amounts in one
+    $1000 band, 3 days apart → flagged; same amounts 60 days apart or
+    different customers → not; a degenerate block (9 same-band orders
+    on one day) is capped at DUP_PAY_CAP partners per order."""
+    from mapreduce_rust_spark.operators import olap
+
+    rows = [
+        (1, 1, 1500.00, "2024-01-01"), (2, 1, 1500.10, "2024-01-04"),
+        (3, 1, 1500.20, "2024-03-04"),   # same band, 60d: outside window
+        (4, 2, 1500.00, "2024-01-04"),   # other customer
+        (5, 3, 2500.00, "2024-01-01"), (6, 3, 3500.00, "2024-01-02"),
+    ] + [(100 + i, 9, 9100.0 + i, "2024-02-01") for i in range(10)]
+    orders = spark.createDataFrame(
+        [(k, c, p, f"{d} 00:00:00") for k, c, p, d in rows],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate string").selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+    orig = olap.load_table
+    try:
+        olap.load_table = lambda s, d, n: orders
+        got = [(r.key_a, r.key_b, r.gap_days) for r in
+               olap.dup_payment_screen_orders(spark, "x").collect()]
+    finally:
+        olap.load_table = orig
+    flagged = {(a, b) for a, b, _ in got}
+    assert (1, 2) in flagged and dict(
+        ((a, b), g) for a, b, g in got)[(1, 2)] == 3
+    assert (1, 3) not in flagged and (2, 3) not in flagged
+    assert (1, 4) not in flagged and (5, 6) not in flagged
+    # degenerate block: order 100 keeps at most CAP partners
+    partners_100 = [b for a, b, _ in got if a == 100]
+    assert len(partners_100) == olap.DUP_PAY_CAP
+    assert f"rk <= {olap.DUP_PAY_CAP}" in olap.DUP_PAY_ORACLE
+
+
+def test_mase_baseline_planted(spark):
+    """A pure weekly-periodic series has lag-7 MAE exactly 0; adding
+    one spike day contributes |spike| twice (as x_t once, as x_{t+7}
+    once) over the same term count."""
+    from mapreduce_rust_spark.operators import olap
+
+    rows = []
+    for d in range(28):   # 4 exact weekly cycles, value = weekday
+        rows.append(("a", f"2024-01-{d+1:02d} 12:00:00",
+                     float(d % 7 + 1)))
+    rows.append(("b", "2024-01-10 12:00:00", 5.0))  # one spike for b
+    ev = spark.createDataFrame(
+        rows, "event_type string, t string, value double"
+    ).selectExpr("event_type", "CAST(t AS TIMESTAMP) AS ts", "value")
+    orig = olap.load_table
+    try:
+        olap.load_table = lambda s, d, n: ev
+        got = {r.event_type: r for r in
+               olap.mase_baseline_events(spark, "x").collect()}
+    finally:
+        olap.load_table = orig
+    assert got["a"].sae_cents == 0 and got["a"].mase_denom == 0.0
+    # b: zero-filled grid over the 28-day span; x has one 500-cent
+    # day, so |x - x7| = 500 at t=spike and t=spike+7
+    assert got["b"].sae_cents == 1000
+    assert got["b"].n_terms == got["a"].n_terms == 21
