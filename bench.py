@@ -288,6 +288,7 @@ HEADLINE = [
     "abc_xyz_matrix_parts",
     "dup_payment_screen_orders",
     "mase_baseline_events",
+    "pps_fixed_k_sample_docs",
 ]
 
 

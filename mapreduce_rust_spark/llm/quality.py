@@ -1235,3 +1235,51 @@ FROM per_src, UNNEST(range(1, {DUPFREE_EPOCHS} + 1)) AS t(e)
 
 REGISTRATIONS.append(("dupfree_epoch_plan", dupfree_epoch_plan,
                       DUPFREE_EPOCH_ORACLE))
+
+
+PPS_FIXED_K = 100   # fixed-size weighted sample
+
+
+def pps_fixed_k_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SIZE probability-proportional-to-size sampling via
+    sequential Poisson / Ohlsson priorities — the without-replacement
+    companion of ``pps_sample_docs`` (whose Bernoulli design has
+    binomial size noise; a dataset card wants exactly k exemplars):
+    priority = u / w with u a content-keyed md5 draw on the
+    ``PPS_GRID`` grid and w = n_chars; the k SMALLEST priorities win,
+    so long docs win disproportionately, in expectation ∝ w.
+
+    Exactness: priority is ONE int÷int double division (correctly
+    rounded identically on both engines) and the selection is a
+    total order on (priority, doc_id) — deterministic, content-keyed,
+    retry-safe, no floats compared across engines that were not
+    computed by the identical DAG.
+
+    Scale: one scan + TakeOrderedAndProject (never a global sort) —
+    the same plan shape as topk_orders_global.
+
+    Output: ``(doc_id, n_chars, priority)`` — the k winners.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = md5_bucket("text", PPS_GRID) + 1   # 1..GRID: never 0 priority
+    pr = (docs.where(F.col("n_chars") > 0)
+          .select("doc_id", "n_chars",
+                  (u.cast("double") / F.col("n_chars").cast("double"))
+                  .alias("priority")))
+    return pr.orderBy("priority", "doc_id").limit(PPS_FIXED_K)
+
+
+PPS_FIXED_K_ORACLE = f"""
+SELECT doc_id, n_chars,
+       CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+            % {PPS_GRID} + 1 AS DOUBLE)
+         / CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority, doc_id
+LIMIT {PPS_FIXED_K}
+"""
+
+
+REGISTRATIONS.append(("pps_fixed_k_sample_docs", pps_fixed_k_sample_docs,
+                      PPS_FIXED_K_ORACLE))
