@@ -289,6 +289,7 @@ HEADLINE = [
     "dup_payment_screen_orders",
     "mase_baseline_events",
     "pps_fixed_k_sample_docs",
+    "kmeans_exact_embeddings",
 ]
 
 

@@ -486,3 +486,157 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str,
 
 
 REGISTRATIONS.append(("kmeans_embeddings", kmeans_embeddings, None))
+
+
+KM_EXACT_K = 4
+KM_EXACT_ITERS = 3
+KM_EXACT_GRID = 1_000_000   # quantization grid (HALF_EVEN, both engines)
+
+
+def kmeans_exact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT fixed-point k-means on an integer grid — the
+    ``pagerank_exact_parts`` discipline applied to the last big
+    rows-only family: quantize each embedding once onto the
+    ``KM_EXACT_GRID`` integer grid (HALF_EVEN — Spark ``bround`` ≡
+    DuckDB ``round_even``), then every Lloyd's round is pure integer
+    relational algebra: squared distances are exact BIGINT sums over
+    the long-format (vec, dim, q) table, the argmin is a total order
+    on (d², cid), and the centroid update is exact TRUNCATING
+    integer division (Spark ``DIV`` ≡ DuckDB ``//`` after the
+    HUGEINT→BIGINT cast — both truncate toward zero; DuckDB // does
+    NOT floor, probed on negative operands). Integer sums are
+    commutative, so unlike the float form the whole iteration is
+    hash-checkable; the oracle is the chained-CTE expansion of the
+    same ``KM_EXACT_ITERS`` rounds.
+
+    The float ``kmeans_embeddings`` stays as the
+    production-convenient variant (numpy-parity-tested); this is the
+    provable twin, as pagerank_exact is to pagerank.
+
+    Scale: per round, one (dim)-keyed join of the long table against
+    k×dim broadcast centroids + two aggregates; the corpus long
+    table is materialized once and re-read per round (the
+    adjacency-materialization lesson). Init = the k lowest vec_ids.
+
+    Output: ``(cid, n_vecs, inertia_q, centroid_checksum)`` —
+    inertia in grid² units, checksum = Σ c·(dim+1) over dims.
+    """
+    from pyspark.sql import Window as W
+    emb = load_table(spark, sf_dir, "embeddings")
+    vql = (emb.select(
+            "vec_id",
+            F.posexplode(F.transform(
+                F.col("embedding"),
+                lambda x: F.bround(x.cast("double") * KM_EXACT_GRID)
+                           .cast("long"))).alias("dim", "q"))
+           .localCheckpoint(eager=True))    # re-read every round
+    seeds = (emb.select("vec_id").orderBy("vec_id").limit(KM_EXACT_K)
+             .select("vec_id",
+                     (F.row_number().over(
+                         W.orderBy("vec_id")) - 1).cast("long")
+                     .alias("cid")))
+    cents = (vql.join(F.broadcast(seeds), "vec_id")
+             .select("cid", "dim", F.col("q").alias("c"))
+             .localCheckpoint(eager=True))
+    assign = None
+    for _ in range(KM_EXACT_ITERS):
+        d2 = (vql.join(F.broadcast(cents), "dim")
+              .groupBy("vec_id", "cid")
+              .agg(F.sum((F.col("q") - F.col("c"))
+                         * (F.col("q") - F.col("c"))).alias("d2")))
+        wv = W.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (d2.withColumn("rk", F.row_number().over(wv))
+                  .where(F.col("rk") == 1)
+                  .select("vec_id", "cid", "d2")
+                  .localCheckpoint(eager=True))
+        upd = (vql.join(assign.select("vec_id", "cid"), "vec_id")
+               .groupBy("cid", "dim")
+               .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+               .select("cid", "dim",
+                       F.expr("s DIV n").alias("cnew")))
+        # empty-cluster guard: keep the previous centroid
+        cents = (cents.join(upd, ["cid", "dim"], "left")
+                 .select("cid", "dim",
+                         F.coalesce("cnew", "c").alias("c"))
+                 .localCheckpoint(eager=True))
+    chk = (cents.groupBy("cid")
+           .agg(F.sum(F.col("c") * (F.col("dim") + 1))
+                .cast("long").alias("centroid_checksum")))
+    out = (assign.groupBy("cid")
+           .agg(F.count("*").cast("long").alias("n_vecs"),
+                F.sum("d2").cast("long").alias("inertia_q")))
+    return out.join(chk, "cid").select(
+        "cid", "n_vecs", "inertia_q", "centroid_checksum")
+
+
+def _kmeans_exact_oracle() -> str:
+    """Chained-CTE expansion of the KM_EXACT_ITERS integer Lloyd's
+    rounds (the pagerank_exact / MMR oracle pattern)."""
+    g = KM_EXACT_GRID
+    parts = [f"""
+WITH vql AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(round_even(CAST(embedding[u.i] AS DOUBLE) * {g}, 0)
+              AS BIGINT) AS q
+  FROM embeddings,
+       UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+seeds AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT vec_id FROM embeddings
+        ORDER BY vec_id LIMIT {KM_EXACT_K})
+),
+cents0 AS (
+  SELECT s.cid, v.dim, v.q AS c
+  FROM vql v JOIN seeds s USING (vec_id)
+)"""]
+    prev = "cents0"
+    for i in range(1, KM_EXACT_ITERS + 1):
+        parts.append(f""",
+d2_{i} AS (
+  SELECT v.vec_id, c.cid,
+         CAST(SUM((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+  FROM vql v JOIN {prev} c USING (dim)
+  GROUP BY v.vec_id, c.cid
+),
+assign{i} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rk
+    FROM d2_{i}) WHERE rk = 1
+),
+upd{i} AS (
+  -- CAST before //: SUM(BIGINT) is HUGEINT and HUGEINT // silently
+  -- promotes to DOUBLE (the round-5 lesson), which rounds instead
+  -- of truncating
+  SELECT a.cid, v.dim,
+         CAST(CAST(SUM(v.q) AS BIGINT) // COUNT(*) AS BIGINT) AS cnew
+  FROM vql v JOIN assign{i} a USING (vec_id)
+  GROUP BY a.cid, v.dim
+),
+cents{i} AS (
+  SELECT p.cid, p.dim, COALESCE(u.cnew, p.c) AS c
+  FROM {prev} p LEFT JOIN upd{i} u
+    ON p.cid = u.cid AND p.dim = u.dim
+)""")
+        prev = f"cents{i}"
+    last = KM_EXACT_ITERS
+    parts.append(f"""
+SELECT a.cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(a.d2) AS BIGINT) AS inertia_q,
+       CAST(MIN(k.chk) AS BIGINT) AS centroid_checksum
+FROM assign{last} a
+JOIN (SELECT cid, SUM(c * (dim + 1)) AS chk
+      FROM cents{last} GROUP BY cid) k USING (cid)
+GROUP BY a.cid
+""")
+    return "".join(parts)
+
+
+KMEANS_EXACT_ORACLE = _kmeans_exact_oracle()
+
+
+REGISTRATIONS.append(("kmeans_exact_embeddings", kmeans_exact_embeddings,
+                      KMEANS_EXACT_ORACLE))

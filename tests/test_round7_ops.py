@@ -563,3 +563,39 @@ def test_mase_baseline_planted(spark):
     # day, so |x - x7| = 500 at t=spike and t=spike+7
     assert got["b"].sae_cents == 1000
     assert got["b"].n_terms == got["a"].n_terms == 21
+
+
+def test_kmeans_exact_matches_numpy_integer_lloyds(spark):
+    """The relational integer Lloyd's must equal a pure-numpy run of
+    the same algorithm (quantize, k smallest vec_ids as init, argmin
+    with (d2, cid) tiebreak, truncating-division centroid update) on
+    the sf0.001 fixture — pinning the SEMANTICS, not just
+    cross-engine agreement."""
+    import numpy as np
+    from mapreduce_rust_spark.llm import pipeline as P
+    from mapreduce_rust_spark.tables import load_table
+
+    rows = (load_table(spark, SF_SMOKE, "embeddings")
+            .orderBy("vec_id").collect())
+    ids = np.array([r.vec_id for r in rows])
+    # numpy rint is HALF_EVEN, matching bround/round_even
+    Q = np.rint(np.array([[np.float64(x) for x in r.embedding]
+                          for r in rows]) * P.KM_EXACT_GRID).astype(np.int64)
+    cents = Q[np.argsort(ids)[:P.KM_EXACT_K]].copy()
+    for _ in range(P.KM_EXACT_ITERS):
+        d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = d2.argmin(axis=1)          # ties -> lowest cid (argmin)
+        best = d2[np.arange(len(Q)), cid]
+        for c in range(P.KM_EXACT_K):
+            m = cid == c
+            if m.any():
+                s = Q[m].sum(axis=0)
+                n = int(m.sum())
+                # truncating division toward zero (Spark DIV/DuckDB //)
+                cents[c] = np.sign(s) * (np.abs(s) // n)
+    want = {c: (int((cid == c).sum()), int(best[cid == c].sum()),
+                int((cents[c] * (np.arange(cents.shape[1]) + 1)).sum()))
+            for c in range(P.KM_EXACT_K)}
+    got = {r.cid: (r.n_vecs, r.inertia_q, r.centroid_checksum) for r in
+           P.kmeans_exact_embeddings(spark, SF_SMOKE).collect()}
+    assert got == want
