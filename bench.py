@@ -290,6 +290,7 @@ HEADLINE = [
     "mase_baseline_events",
     "pps_fixed_k_sample_docs",
     "kmeans_exact_embeddings",
+    "harmonic_centrality_seeds",
 ]
 
 

@@ -1031,3 +1031,73 @@ REGISTRATIONS = [
     ("linkpred_common_neighbors", linkpred_common_neighbors,
      LINKPRED_ORACLE),
 ]
+
+
+def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality of the seed parts over the
+    co-purchase graph: Σ 1/d(seed, v) for v within 2 hops — the
+    local-influence score that, unlike closeness, is defined on
+    disconnected graphs and, truncated, needs no global BFS (at
+    100 TB nobody runs all-graph shortest paths; the ≤2-hop frontier is
+    the production question: "how much of the catalog is one basket
+    away?"). Complements ``reachable_parts_2hop``'s per-node listing
+    with the one-number summary.
+
+    Exactness: 1/1 and 1/2 terms only, so h = n1 + n2/2 clears to the
+    integer h2 = 2·n1 + n2 and ONE halving — no float sum ever.
+
+    Scale: n1 is a degree lookup; the 2-hop set is the seeds'
+    frontier expansion (Σ_{v∈N(s)} deg(v) wedge volume, the linkpred
+    shape) with the n-sized adjacency always the streamed side.
+    Inherits ``COPURCHASE_MAX_BASKET`` via the shared edge build.
+
+    Output: ``(seed, n1, n2, h2, harmonic)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = _bidir_adjacency(copurchase_edges_cached(li))
+    ns = (adj.where(F.col("a").isin(*PPR_SEEDS))
+          .select(F.col("a").alias("seed"), F.col("b").alias("v"))
+          .localCheckpoint(eager=True))   # read by 3 plan branches
+    n1 = ns.groupBy("seed").agg(F.count("*").alias("n1"))
+    two = (F.broadcast(ns)
+           .join(adj.select(F.col("a").alias("v"),
+                            F.col("b").alias("w")), "v")
+           .where(F.col("w") != F.col("seed"))
+           .select("seed", "w").distinct()
+           .join(ns.select("seed", F.col("v").alias("w")),
+                 ["seed", "w"], "left_anti")
+           .groupBy("seed").agg(F.count("*").alias("n2")))
+    return (n1.join(two, "seed", "left")
+            .select("seed", F.col("n1").cast("long").alias("n1"),
+                    F.coalesce("n2", F.lit(0)).cast("long").alias("n2"))
+            .withColumn("h2", (2 * F.col("n1") + F.col("n2"))
+                        .cast("long"))
+            .withColumn("harmonic",
+                        F.col("h2").cast("double") / F.lit(2.0)))
+
+
+HARMONIC_ORACLE = f"""
+WITH {CAPPED_EDGES_SQL},
+adj AS (SELECT u AS a, v AS b FROM edges
+        UNION ALL SELECT v, u FROM edges),
+ns AS (SELECT a AS seed, b AS v FROM adj WHERE a IN {PPR_SEEDS}),
+n1 AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n1 FROM ns GROUP BY seed),
+two AS (
+  SELECT seed, CAST(COUNT(*) AS BIGINT) AS n2 FROM (
+    SELECT DISTINCT ns.seed, adj.b AS w
+    FROM ns JOIN adj ON adj.a = ns.v
+    WHERE adj.b <> ns.seed
+  ) t
+  WHERE NOT EXISTS (SELECT 1 FROM ns x
+                    WHERE x.seed = t.seed AND x.v = t.w)
+  GROUP BY seed
+)
+SELECT n1.seed, n1.n1, COALESCE(two.n2, 0) AS n2,
+       CAST(2 * n1.n1 + COALESCE(two.n2, 0) AS BIGINT) AS h2,
+       CAST(2 * n1.n1 + COALESCE(two.n2, 0) AS DOUBLE) / 2.0 AS harmonic
+FROM n1 LEFT JOIN two ON n1.seed = two.seed
+"""
+
+
+REGISTRATIONS.append(("harmonic_centrality_seeds",
+                      harmonic_centrality_seeds, HARMONIC_ORACLE))

@@ -599,3 +599,29 @@ def test_kmeans_exact_matches_numpy_integer_lloyds(spark):
     got = {r.cid: (r.n_vecs, r.inertia_q, r.centroid_checksum) for r in
            P.kmeans_exact_embeddings(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_harmonic_centrality_planted(spark):
+    """Planted star+path graph: seed 0 in a 4-star whose leaves chain
+    to two extra nodes → n1 = 4 direct, n2 = 2 at distance 2,
+    harmonic = 4 + 2/2 = 5.0 exactly."""
+    from mapreduce_rust_spark.operators import graph as G
+
+    # orders define the co-purchase edges: {0,a} baskets make the
+    # star; {a, x} baskets add the 2-hop tail
+    baskets = [(1, [0, 10]), (2, [0, 11]), (3, [0, 12]), (4, [0, 13]),
+               (5, [10, 20]), (6, [11, 21])]
+    rows = [(o, p) for o, ps in baskets for p in ps]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    orig = G.load_table
+    try:
+        G.load_table = lambda s, d, n: li
+        got = {r.seed: r for r in
+               G.harmonic_centrality_seeds(spark, "x").collect()}
+    finally:
+        G.load_table = orig
+    r = got[0]
+    assert (r.n1, r.n2, r.h2, r.harmonic) == (4, 2, 10, 5.0)
+    # seeds 1 and 2 have no edges in this graph: absent (left join
+    # starts from n1, i.e. seeds WITH at least one neighbor)
+    assert set(got) == {0}

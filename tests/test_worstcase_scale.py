@@ -435,7 +435,8 @@ def test_copurchase_edge_cap_bounds_mega_basket(spark):
                 graph.DEGREE_HIST_ORACLE, graph.CLUSTERING_ORACLE,
                 graph.LABELPROP_ORACLE, graph.PAGERANK_EXACT_ORACLE,
                 graph.KCORE_ORACLE, graph.PPR_SEEDED_ORACLE,
-                graph.ASSORTATIVITY_ORACLE, graph.LINKPRED_ORACLE):
+                graph.ASSORTATIVITY_ORACLE, graph.LINKPRED_ORACLE,
+                graph.HARMONIC_ORACLE):
         assert f"rn <= {cap}" in sql
     from mapreduce_rust_spark.operators.olap import (
         ASSOC_MAX_BASKET, ITEM_CF_ORACLE)
