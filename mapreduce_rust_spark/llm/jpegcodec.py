@@ -13,7 +13,7 @@ item 5). Color/progressive/restart-interval streams raise ValueError
 Exactness class (what makes an end-to-end DuckDB oracle possible for
 a LOSSY format): for images whose pixels are CONSTANT within every
 8×8 block, the DCT has a single DC coefficient 8·(v−128) (exactly
-representable: |8c| ≤ 1016, float64 error ≪ 0.5 through the cosine
+representable: |8c| ≤ 1024, float64 error ≪ 0.5 through the cosine
 matrix products), so with a flat all-ones quantization table the
 whole pipeline — DCT → quantize → zigzag → DC-differential → Huffman
 bitstream (with 0xFF byte stuffing) → Huffman decode → dequantize →
@@ -331,7 +331,12 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2 allows optional 0xFF fill bytes before any marker
+        while data[pos + 1] == 0xFF and pos + 4 <= len(data):
+            pos += 1
         marker = data[pos + 1]
+        if marker == 0xFF:
+            raise ValueError("truncated JPEG: trailing fill bytes")
         if marker == 0xD9:
             break
         (seglen,) = struct.unpack_from(">H", data, pos + 2)

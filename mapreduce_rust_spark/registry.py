@@ -41,47 +41,61 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-7 window (the round-6 window went 50/50 green — see COVERAGE.md):
-# ALL 49 oracled queries that have never carried a driver row — the 12
-# round-5 deferrals plus the 37-query oracled round-6 crop — plus one
-# staleness re-proof slot (TPC-H q3, whose newest driver row is r2).
-# Every streaming kappa twin is scheduled WITH its batch op
-# (mannwhitney / event_pattern / fano / strat / two_proportion pairs)
-# so the artifact shows batch and stream passing the SAME DuckDB
-# oracle. After a green r7 artifact, every oracled query in the
-# registry carries a driver row; round 8 rotates to the r2/r3 stale
-# re-proof queue written in COVERAGE.md.
+# Round-8 window (the round-7 window went 50/50 green — see COVERAGE.md):
+# the 27-query round-7 crop (24 new oracled queries + the 3 rows-only→
+# oracled closure conversions) that has only judge-mirror evidence so
+# far, plus 18 r2/r3 staleness re-proofs (TPC-H q5/q6/q10, the six
+# temporal joins, the sessionize trio, the subquery family, json_funcs,
+# salted join), plus 5 next-oldest r3 re-proofs. Every streaming kappa
+# twin is scheduled WITH its batch op (retention / winsorized /
+# isotonic / SLA / shuffle-quality pairs) so the artifact shows batch
+# and stream passing the SAME DuckDB oracle. Ledger invariant (see
+# COVERAGE.md for the proof-per-round table): after a green round-N
+# artifact, every query oracled BEFORE round N carries a hash-verified
+# driver row; queries oracled DURING round N are judge-mirror green and
+# queued for the round-N+1 window. Round 9 rotates to the r4 staleness
+# queue written in COVERAGE.md.
 DRIVER_WINDOW = [
-    # --- round-5 deferrals (12) ---
-    "equidepth_hist_totalprice", "session_path_counts", "ttr_docs",
-    "bigram_lm_docs", "copurchase_degree_hist", "auc_quality_docs",
-    "calibration_bins_docs", "retrieval_eval_bm25", "key_skew_stats",
-    "l_diversity_orders", "readability_docs", "funnel_time_to_convert",
-    # --- round-6 crop: graph wing ---
-    "pagerank_exact_parts", "ppr_seeded_parts", "kcore_parts",
-    "assortativity_copurchase", "linkpred_common_neighbors",
-    # --- round-6 crop: experimentation + streaming kappa twins ---
-    "mannwhitney_events", "stream_mannwhitney",
-    "event_pattern_funnel", "stream_event_pattern",
-    "fano_burstiness_events", "stream_fano_burstiness",
-    "strat_effect_events", "stream_strat_effect",
-    "two_proportion_test_events", "stream_two_proportion",
-    "ks_drift_sources",
-    # --- round-6 crop: temporal / time-series ---
-    "ewma_user_value_chunked", "holt_user_value_chunked",
-    "stl_lite_events", "record_high_orders",
-    # --- round-6 crop: recsys / OLAP / ops analytics ---
-    "item_cf_neighbors", "recsys_eval_hitrate", "lift_table_docs",
-    "xyz_variability_parts", "open_lines_backlog_daily",
-    "bounce_rate_daily", "corr_matrix_lineitem", "cdc_apply_orders",
-    # --- round-6 crop: text / IR ---
-    "phrase_search_docs", "source_trigram_cosine", "heaps_curve_docs",
-    "editdist1_name_pairs", "longest_run_docs",
-    # --- round-6 crop: LLM curation + multimodal ---
-    "dedup_multiplicity_hist", "token_budget_epochs",
-    "knn_label_consensus", "multimodal_png_roundtrip",
-    # --- staleness re-proof (oldest driver evidence: r2) ---
-    "q3_shipping_priority",
+    # --- round-7 crop: codecs + multimodal ---
+    "jpeg_gray_roundtrip", "rasterize_glyph_metrics",
+    # --- round-7 crop: LLM curation / text ---
+    "ngram_novelty_docs", "dupfree_epoch_plan",
+    "pps_fixed_k_sample_docs", "shuffle_quality_stats",
+    "stream_shuffle_quality",
+    # --- round-7 crop: similarity / clustering ---
+    "mmr_diverse_topk", "cosine_hist_embeddings",
+    "kmeans_exact_embeddings",
+    # --- round-7 crop: near-dup closure conversions (never rowed) ---
+    "neardup_clusters", "neardup_keep_best", "leakage_safe_split_docs",
+    # --- round-7 crop: experimentation + kappa twins ---
+    "winsorized_mean_delta", "stream_winsorized_delta",
+    "isotonic_calibration_docs", "stream_isotonic_calibration",
+    "propensity_strata_events",
+    # --- round-7 crop: OLAP / ops analytics + kappa twins ---
+    "retention_triangle_orders", "stream_retention_triangle",
+    "sla_business_days_lineitem", "stream_sla_business_days",
+    "attribution_position_based", "abc_xyz_matrix_parts",
+    "dup_payment_screen_orders", "mase_baseline_events",
+    # --- round-7 crop: graph ---
+    "harmonic_centrality_seeds",
+    # --- staleness re-proofs: TPC-H (newest row r2) ---
+    "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
+    # --- staleness re-proofs: temporal joins (newest row r3) ---
+    "asof_last_error", "asof_next_purchase",
+    "interval_join_click_purchase", "twa_user_value",
+    "decay_weighted_user_value", "range_join_ship_near_order",
+    # --- staleness re-proofs: sessionize trio (r3) ---
+    "sessionize_events", "sessionize_events_scalable",
+    "mr_sessionize_secondary_sort",
+    # --- staleness re-proofs: subquery family (r3) ---
+    "scalar_subquery_orders", "in_subquery_lineitem",
+    "exists_big_order_customers", "not_exists_idle_suppliers",
+    # --- staleness re-proofs: functions + skew (r2/r3) ---
+    "json_funcs_events", "salted_join_revenue",
+    # --- next-oldest r3 re-proofs (5) ---
+    "funnel_conversion_events", "cohort_retention_events",
+    "gapfill_hourly_events", "merge_upsert_customers",
+    "scd2_close_and_insert",
 ]
 
 

@@ -536,7 +536,10 @@ def stream_winsorized_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.col("value") * 100).cast("long").alias("vc")))
     cnt = mw_value_counts(ev)
     out = _run_to_table(cnt, "stream_winsorized_delta", "complete")
-    return winsorized_closed_form(out)
+    # MemorySink discipline: the closed form fans the cells into
+    # multiple branches — checkpoint once so the sink lineage is not
+    # recomputed per branch (matches the other round-7 twins).
+    return winsorized_closed_form(out.localCheckpoint(eager=True))
 
 
 def _winsorized_oracle() -> str:

@@ -53,6 +53,28 @@ def test_jpeg_byte_stuffing_worst_case():
     assert decode_jpeg_gray(jpg)[2] == img.tobytes()
 
 
+def test_jpeg_fill_bytes_before_marker_tolerated():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes.
+    Inject fill runs before DQT and SOS in a conforming stream and the
+    decode must be unchanged; a stream that ENDS in fill bytes must
+    raise ValueError, not misparse."""
+    import pytest
+
+    from mapreduce_rust_spark.llm.jpegcodec import (
+        QUANT_FLAT, decode_jpeg_gray, encode_jpeg_gray)
+    vals = np.arange(64, dtype=np.uint8)
+    img = _block_constant(vals)
+    jpg = encode_jpeg_gray(img.tobytes(), 64, 64, QUANT_FLAT)
+    # fill before the first tables segment (right after SOI) and
+    # before SOS (0xFFDA appears once in our single-scan streams)
+    sos = jpg.index(b"\xff\xda")
+    padded = (jpg[:2] + b"\xff\xff\xff" + jpg[2:sos]
+              + b"\xff" + jpg[sos:])
+    assert decode_jpeg_gray(padded)[2] == img.tobytes()
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(jpg[:2] + b"\xff\xff\xff\xff")
+
+
 def test_jpeg_lossy_error_bounded_on_smooth_image():
     """Annex K tables on a smooth gradient: decoded error stays within
     a few grey levels (JPEG's design case). Noise is the worst case
