@@ -513,8 +513,18 @@ def winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped exactly like the n-gram index (a boilerplate
     fingerprint shared by >DF_CAP docs leaves the index), and runs
     on exact-dedup representatives (the containment_pairs pipeline
-    ordering). Hashes are the house 48-bit md5 prefix — identical
-    integers on both engines."""
+    ordering).
+
+    Gram hashing is the packed-lane scheme the trigram kernel proved
+    out (round 7): ONE md5 per token (not one per gram over a built
+    k-token string), keep a 20-bit lane, and pack the k=3 lanes into
+    a 60-bit long with overflow-free multiplies — identical integers
+    on both engines, and the per-gram string building + md5 that
+    dominated the old profile (≈2× the remaining work) disappears.
+    20-bit token lanes make token-fingerprint collisions possible
+    (~vocab²/2²¹), but a collision only merges two tokens
+    consistently in BOTH engines and in every gram, preserving the
+    winnowing guarantee (shared passages still share fingerprints)."""
     docs = load_table(spark, sf_dir, "documents")
     reps = (docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
                 .agg(F.min("doc_id").alias("doc_id")))
@@ -524,12 +534,17 @@ def winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               lambda t: t != F.lit("")).alias("toks")))
     n = F.size("toks")
     k, w = WINNOW_K, WINNOW_W
+    assert k == 3, "packed-lane gram hash below is written for k=3"
+    th = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 5), 16, 10).cast("long"))
     grams = F.transform(
         F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.conv(F.substring(
-            F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
-            1, 12), 16, 10).cast("long"))
+        lambda i: (F.element_at(F.col("th"), i) * F.lit(1 << 40)
+                   + F.element_at(F.col("th"), i + 1) * F.lit(1 << 20)
+                   + F.element_at(F.col("th"), i + 2)))
     hs = (d.filter(n >= k)
+           .withColumn("th", th)
            .select("doc_id", grams.alias("hs")))
     m = F.size("hs")
     mins = F.transform(
@@ -537,9 +552,14 @@ def winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda j: F.array_min(F.slice(F.col("hs"), j, w)))
     fps = (hs.select("doc_id",
                      F.explode(F.array_distinct(mins)).alias("fp")))
-    hot = (fps.groupBy("fp").agg(F.count("*").alias("df"))
-              .filter(F.col("df") > DF_CAP).select("fp"))
-    idx = fps.join(hot, "fp", "left_anti")
+    # df-cap as ONE window over the fp partitioning (not groupBy+anti,
+    # which shuffled fps twice): the filter runs in place, and the
+    # self-join below joins on fp so both sides REUSE the window's
+    # hash partitioning — the whole cap+join pipeline is one exchange
+    # of the fingerprint table.
+    wdf = W.partitionBy("fp")
+    idx = (fps.withColumn("df", F.count("*").over(wdf))
+              .filter(F.col("df") <= DF_CAP).drop("df"))
     a, b = idx.alias("a"), idx.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -558,14 +578,19 @@ d AS (
            AS toks
   FROM documents SEMI JOIN reps USING (doc_id)
 ),
+th AS (
+  SELECT doc_id,
+         list_transform(toks,
+           t -> CAST('0x' || substr(md5(t), 1, 5) AS BIGINT)) AS th
+  FROM d WHERE len(toks) >= {WINNOW_K}
+),
 hs AS (
   SELECT doc_id,
          list_transform(
-           range(1, len(toks) - {WINNOW_K} + 2),
-           i -> CAST('0x' || substr(md5(
-                  array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')),
-                  1, 12) AS BIGINT)) AS hs
-  FROM d WHERE len(toks) >= {WINNOW_K}
+           range(1, len(th) - {WINNOW_K} + 2),
+           i -> th[i] * {1 << 40} + th[i + 1] * {1 << 20} + th[i + 2])
+           AS hs
+  FROM th
 ),
 fps AS (
   SELECT DISTINCT doc_id, fp
@@ -1018,3 +1043,49 @@ REGISTRATIONS = [
     ("semantic_dedup_embeddings", semantic_dedup_embeddings,
      SEMANTIC_DEDUP_ORACLE),
 ]
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the contamination readout a
+    corpus curator runs before mixing sources: for every unordered
+    source pair, how many near-dup document pairs (MinHash-LSH,
+    J ≥ 0.3) straddle it. A heavy off-diagonal cell means one source
+    republishes another (mirror sites, syndication) and the mixture
+    weights double-count; a heavy diagonal cell means within-source
+    boilerplate. Composition, not reimplementation: the operator calls
+    the registered ``minhash_lsh_pairs`` and reduces its output with
+    two dimension joins; the oracle nests the registered MinHash
+    oracle verbatim as a CTE.
+
+    Scale: the pair list is candidate-bound (the LSH property); the
+    doc→source dimension join is on doc_id, and the final matrix is
+    ≤ |sources|² rows.
+
+    Output: ``(source_a, source_b, n_pairs)`` with source_a ≤
+    source_b (unordered pairs canonicalized by name).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("sb"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .groupBy(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"))
+            .agg(F.count("*").cast("long").alias("n_pairs")))
+
+
+CROSS_SOURCE_DUP_ORACLE = f"""
+WITH mh AS ({MINHASH_LSH_ORACLE})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM mh JOIN documents da ON mh.doc_a = da.doc_id
+        JOIN documents db ON mh.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+REGISTRATIONS.append(("cross_source_dup_matrix", cross_source_dup_matrix,
+                      CROSS_SOURCE_DUP_ORACLE))
