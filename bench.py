@@ -291,6 +291,15 @@ HEADLINE = [
     "pps_fixed_k_sample_docs",
     "kmeans_exact_embeddings",
     "harmonic_centrality_seeds",
+    # round 8: ANN recall promoted to an oracled evaluation operator;
+    # video-shaped multi-frame container parse + stride-sample + decode;
+    # cross-source contamination matrix, centroid label-noise screen,
+    # fixed-quota stratum exemplars
+    "knn_eval_recall",
+    "multimodal_video_frames",
+    "cross_source_dup_matrix",
+    "label_centroid_outliers",
+    "stratum_exemplar_docs",
 ]
 
 
@@ -306,19 +315,30 @@ def main() -> None:
 
     # min over REPS runs per query: wall-clock noise (GC, page cache,
     # a concurrent process) shows up as one-sided spikes, and the min
-    # is the stable estimator of the plan's actual cost
+    # is the stable estimator of the plan's actual cost. Sub-1.5 s
+    # queries are the noisiest relative to their size (a 0.3 s plan
+    # can read 0.6 s under one GC pause) and have repeatedly cost
+    # regression-triage time (VERDICT r7 item 5), so they get a THIRD
+    # rep and report the median of 3 — one spike can no longer move
+    # the recorded number.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    noisy_cutoff = 1.5
     timings: dict[str, float] = {}
     for name in names:
-        best = None
+        runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count()  # force full execution
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 3)
+        if min(runs) < noisy_cutoff and len(runs) == 2:
+            t0 = time.perf_counter()
+            assert qs[name](spark, SF_DIR).count() >= 0
+            runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[1], 3)   # median of 3
+        else:
+            timings[name] = round(min(runs), 3)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:

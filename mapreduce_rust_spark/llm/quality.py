@@ -1283,3 +1283,55 @@ LIMIT {PPS_FIXED_K}
 
 REGISTRATIONS.append(("pps_fixed_k_sample_docs", pps_fixed_k_sample_docs,
                       PPS_FIXED_K_ORACLE))
+
+
+STRAT_K = 8   # exemplars kept per source stratum
+
+
+def stratum_exemplar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k per-stratum EXEMPLAR sample — exactly ``STRAT_K`` docs
+    per source stratum, selected by a content-keyed md5 priority: the
+    per-domain spot-check sample every corpus audit starts from.
+    Complements the existing sampling wing: ``stratified_sample_docs``
+    is per-language Bernoulli RATE sampling (binomial size noise),
+    ``pps_fixed_k_sample_docs`` is a size-weighted global fixed-k —
+    this is uniform-within-stratum with a fixed QUOTA per stratum.
+    Deterministic, retry-safe, and
+    ownership-stable: a doc's priority depends only on its text, so
+    re-running after an append only swaps exemplars where new docs
+    genuinely out-prioritize old ones.
+
+    Scale: one scan + a per-stratum top-k window keyed on source.
+    Strata counts are bounded (domains, not docs), and within-stratum
+    skew is irrelevant — the window keeps k rows per group with a
+    rank cutoff, which AQE handles at any stratum size; if strata
+    ever became pathological, ``operators/ranking.scalable_rank``'s
+    sub-sharded decomposition applies unchanged.
+
+    Output: ``(source, doc_id, pick_rank)``, pick_rank ∈ 1..STRAT_K.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pr = md5_bucket("text", 1 << 40)
+    w = W.partitionBy("source").orderBy(pr.asc(), F.col("doc_id").asc())
+    return (docs.select("source", "doc_id",
+                        F.row_number().over(w).alias("pick_rank"))
+                .filter(F.col("pick_rank") <= STRAT_K)
+                .select("source", "doc_id",
+                        F.col("pick_rank").cast("long").alias("pick_rank")))
+
+
+STRATUM_EXEMPLAR_ORACLE = f"""
+SELECT source, doc_id, pick_rank FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+                      % {1 << 40}, doc_id) AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= {STRAT_K}
+"""
+
+
+REGISTRATIONS.append(("stratum_exemplar_docs", stratum_exemplar_docs,
+                      STRATUM_EXEMPLAR_ORACLE))

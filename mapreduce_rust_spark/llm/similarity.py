@@ -876,3 +876,173 @@ FROM p GROUP BY bucket
 
 REGISTRATIONS.append(("cosine_hist_embeddings", cosine_hist_embeddings,
                       COS_HIST_ORACLE))
+
+def knn_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION as an operator (the ``dedup_eval_lsh``
+    pattern, VERDICT r7 item 3): per-query recall@k of the
+    sign-random-projection LSH path (``knn_lsh``) against the exact
+    brute-force baseline (``knn_bruteforce``) — the measurement a
+    production ANN rollout runs before swapping brute force for the
+    bucketed path (is multi-probe recall acceptable on OUR corpus?).
+
+    Composition, not reimplementation: the operator calls the two
+    registered queries and reduces their (query, neighbor) join to
+    per-query hit counts; the oracle nests the brute-force oracle as a
+    CTE and re-derives the LSH top-k relationally — the hyperplane
+    signs are SQL-expressible because the projection <e, w_p> is the
+    identical sequential fold on both engines (Spark ``F.aggregate``
+    over ``zip_with`` ≡ DuckDB ``list_reduce`` over ``list_zip``, the
+    proven bit-identical pair) over the same ±1 md5-parity weight
+    literals the Spark plan bakes in. Hits and recall are exact
+    integers (basis points via int DIV int).
+
+    Scale: both inputs are broadcast-probe shapes over the corpus; the
+    eval join itself is |Q|·k vs |Q|·k rows — negligible at any scale.
+
+    Output: ``(query_id, hits, k_eval, recall_bp)``.
+    """
+    lsh = knn_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    j = bf.join(lsh, ["query_id", "neighbor_id"], "left")
+    return (j.groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                  .cast("long").alias("hits"),
+                 F.count("*").cast("long").alias("k_eval"))
+            .select("query_id", "hits", "k_eval",
+                    F.expr("hits * 10000 DIV k_eval").alias("recall_bp")))
+
+
+def _lsh_topk_sql() -> str:
+    """The LSH top-k (query_id, neighbor_id) set as a DuckDB CTE body,
+    mirroring ``knn_lsh`` exactly: same MAX_DIM-length ±1 weight
+    literals sliced to the vector length, same sequential projection
+    fold, same multi-probe (home bucket + every Hamming-1 bucket),
+    same cosine ranking with vec_id tiebreak."""
+    def proj(p: int) -> str:
+        w = ",".join("1" if x > 0 else "-1" for x in _plane_weights(p))
+        return (f"list_reduce(list_transform(list_zip("
+                f"embedding::DOUBLE[], ([{w}]::DOUBLE[])[1:len(embedding)]),"
+                f" s -> s[1] * s[2]), (a, b) -> a + b)")
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES))
+    probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))
+    return f"""
+bkt AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, e AS qe,
+         unnest([bucket, {probes}]) AS qb
+  FROM bkt WHERE vec_id < {N_QUERIES}
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_cosine_similarity(p.qe, n.e) DESC, n.vec_id
+           ) AS rank
+    FROM probes p JOIN bkt n
+      ON p.qb = n.bucket AND p.query_id <> n.vec_id
+  ) WHERE rank <= {K}
+)"""
+
+
+KNN_EVAL_RECALL_ORACLE = f"""
+WITH bf AS ({KNN_BRUTEFORCE_ORACLE}),
+{_lsh_topk_sql()}
+SELECT b.query_id,
+       CAST(COUNT(l.query_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS k_eval,
+       CAST(COUNT(l.query_id) AS BIGINT) * 10000
+         // CAST(COUNT(*) AS BIGINT) AS recall_bp
+FROM bf b LEFT JOIN lsh l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+REGISTRATIONS.append(("knn_eval_recall", knn_eval_recall,
+                      KNN_EVAL_RECALL_ORACLE))
+
+
+CENT_GRID = 10_000   # quantization grid for the centroid-distance screen
+CENT_OUT_K = 3       # flagged vectors per label
+
+
+def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen by CENTROID distance — the classic
+    mislabeled-point readout (cheaper than the kNN consensus of
+    ``knn_label_consensus``, and the standard first pass at corpus
+    scale): for each label, flag the ``CENT_OUT_K`` vectors farthest
+    from their own label's centroid.
+
+    Exactness (what makes a float-geometry screen oracle-checkable):
+    coordinates quantize to the ``CENT_GRID`` integer grid with
+    HALF_EVEN (Spark ``bround`` ≡ DuckDB ``round_even``), and instead
+    of comparing float distances to a float centroid, the ranking
+    compares n²·‖x − s/n‖² = Σ_d (q_d·n − s_d)² — all-integer
+    sufficient statistics (s_d = per-label per-dim sums), squared in
+    DECIMAL(38) on the Spark side / HUGEINT in DuckDB, so the
+    ordering is exact on both engines.
+
+    Scale: one explode to (label, dim) cells, a ≤|labels|·d-row
+    centroid-sums table broadcast back, one per-vector aggregate and
+    a per-label top-k window. No pairwise work anywhere.
+
+    Output: ``(label, vec_id, out_rank)``, out_rank ∈ 1..CENT_OUT_K.
+    """
+    emb = _emb(spark, sf_dir)
+    q = (emb.select("vec_id", "label",
+                    F.posexplode("e").alias("dim", "x"))
+            .select("vec_id", "label", "dim",
+                    F.bround(F.col("x") * CENT_GRID, 0)
+                     .cast("long").alias("qv")))
+    s = (q.groupBy("label", "dim")
+          .agg(F.sum("qv").alias("sv"), F.count("*").alias("n")))
+    diff = (F.col("qv") * F.col("n") - F.col("sv")).cast("decimal(38,0)")
+    dist = (q.join(F.broadcast(s), ["label", "dim"])
+             .select("vec_id", "label", (diff * diff).alias("term"))
+             .groupBy("vec_id", "label")
+             .agg(F.sum("term").alias("dist")))
+    w = W.partitionBy("label").orderBy(F.col("dist").desc(), F.col("vec_id"))
+    return (dist.withColumn("out_rank", F.row_number().over(w))
+                .filter(F.col("out_rank") <= CENT_OUT_K)
+                .select("label", "vec_id",
+                        F.col("out_rank").cast("long").alias("out_rank")))
+
+
+LABEL_CENTROID_OUTLIERS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(round_even(embedding[i + 1]::DOUBLE * {CENT_GRID}, 0)
+              AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+),
+s AS (
+  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sv, COUNT(*) AS n
+  FROM q GROUP BY label, dim
+),
+d AS (
+  SELECT vec_id, q.label,
+         SUM(CAST(qv * n - sv AS HUGEINT) * CAST(qv * n - sv AS HUGEINT))
+           AS dist
+  FROM q JOIN s ON q.label = s.label AND q.dim = s.dim
+  GROUP BY vec_id, q.label
+)
+SELECT label, vec_id, out_rank FROM (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id) AS out_rank
+  FROM d
+)
+WHERE out_rank <= {CENT_OUT_K}
+"""
+
+
+REGISTRATIONS.append(("label_centroid_outliers", label_centroid_outliers,
+                      LABEL_CENTROID_OUTLIERS_ORACLE))
