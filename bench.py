@@ -300,6 +300,17 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "label_centroid_outliers",
     "stratum_exemplar_docs",
+    # round 8 second wave: t-closeness privacy gate + fifteenth kappa
+    # twin, bot gap-regularity screen, per-component structure stats
+    "t_closeness_orders",
+    "stream_t_closeness",
+    "bot_gap_regularity_events",
+    "component_stats_parts",
+    # round 8 third wave: Mood's median test + sixteenth kappa twin,
+    # exact integer Gini concentration
+    "median_sign_test_events",
+    "stream_median_sign_test",
+    "revenue_gini_parts",
 ]
 
 

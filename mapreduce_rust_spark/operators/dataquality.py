@@ -472,3 +472,123 @@ REGISTRATIONS = [
     ("k_anonymity_orders", k_anonymity_orders, K_ANONYMITY_ORACLE),
     ("table_checksum_orders", table_checksum_orders, TABLE_CHECKSUM_ORACLE),
 ]
+
+
+TCLOSE_BUCKET_CENTS = 5_000_000   # $50k ordered price bands
+TCLOSE_B = 10                     # fixed bucket grid 0..B-1
+
+
+def tclose_cells(orders: DataFrame) -> DataFrame:
+    """Mergeable sufficient statistic for t-closeness: counts per
+    (QI class, ordered sensitive bucket). Shared by the batch op and
+    the streaming kappa twin (one complete-mode aggregate)."""
+    b = F.expr(f"LEAST(CAST(round(o_totalprice * 100) AS BIGINT) "
+               f"DIV {TCLOSE_BUCKET_CENTS}, {TCLOSE_B - 1})")
+    return (orders.groupBy(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_day"),
+        b.alias("b"))
+        .agg(F.count("*").alias("c")))
+
+
+def tclose_closed_form(cells: DataFrame) -> DataFrame:
+    """EMD-based t-closeness from the cells: for each QI class, the
+    earth-mover's distance between its sensitive-bucket distribution
+    and the global one, on the ORDERED fixed grid — computed as
+    all-integer cross-multiplied prefix sums (common denominator
+    n·N·(B−1)), so both engines order and hash identically."""
+    from pyspark.sql import Window as W
+    spark = cells.sparkSession
+    glob = cells.groupBy("b").agg(F.sum("c").alias("cg"))
+    tot = cells.agg(F.sum("c").alias("n_all"))
+    classes = (cells.groupBy("o_orderpriority", "o_day")
+                    .agg(F.sum("c").alias("n")))
+    grid = (classes.crossJoin(
+                F.broadcast(spark.range(TCLOSE_B).withColumnRenamed("id", "b")))
+            .join(cells, ["o_orderpriority", "o_day", "b"], "left")
+            .join(F.broadcast(glob), "b", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("o_orderpriority", "o_day", "n", "b", "n_all",
+                    F.coalesce("c", F.lit(0)).alias("c"),
+                    F.coalesce("cg", F.lit(0)).alias("cg")))
+    w = (W.partitionBy("o_orderpriority", "o_day").orderBy("b")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    pref = grid.withColumn(
+        "d", F.sum(F.col("c") * F.col("n_all") - F.col("cg") * F.col("n"))
+              .over(w))
+    return (pref.groupBy("o_orderpriority", "o_day")
+            .agg(F.max("n").alias("n"),
+                 F.sum(F.abs(F.col("d"))).alias("emd_num"),
+                 F.max("n_all").alias("n_all"))
+            .select("o_orderpriority", "o_day", "n", "emd_num",
+                    F.expr(f"emd_num * 1000000 DIV "
+                           f"(n * n_all * {TCLOSE_B - 1})").alias("t_ppm")))
+
+
+def t_closeness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release gate — the third member of the privacy
+    family (``k_anonymity_orders`` catches tiny classes,
+    ``l_diversity_orders`` catches homogeneous ones; this catches
+    classes whose sensitive DISTRIBUTION leaks even with many rows
+    and several values — "orders that day at that priority skew
+    rich"). Same QI tuple (priority, exact order day); sensitive
+    attribute = o_totalprice in ordered $50k bands; distance = the
+    ordered-attribute EMD of Li et al., as exact integers: EMD ·
+    n·N·(B−1) = Σ_j |Σ_{i≤j} (c_i·N − C_i·n)|.
+
+    Shape: one map-side-combined aggregate to (class, bucket) cells,
+    a ≤B-row global broadcast, one B-row-per-class prefix window.
+    Factored into mergeable cells + closed form for the streaming
+    kappa twin (``streaming.windows.stream_t_closeness``).
+
+    Magnitude note: terms are bounded by n·N; at extreme scale the
+    prefix sum belongs in DECIMAL(38) — at any bench/driver scale
+    n·N·B ≪ 2⁶³ with 10¶ slack, and the same bound governs both
+    engines, so long/BIGINT is exact here.
+
+    Output: ``(o_orderpriority, o_day, n, emd_num, t_ppm)``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return tclose_closed_form(tclose_cells(orders))
+
+
+T_CLOSENESS_ORACLE = f"""
+WITH cells AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS VARCHAR) AS o_day,
+         LEAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 // {TCLOSE_BUCKET_CENTS}, {TCLOSE_B - 1}) AS b,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2, 3
+),
+gcnt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cg FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM cells),
+classes AS (
+  SELECT o_orderpriority, o_day, CAST(SUM(c) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2
+),
+grid AS (
+  SELECT cl.o_orderpriority, cl.o_day, cl.n, gb.i AS b, t.n_all,
+         COALESCE(ce.c, 0) AS c, COALESCE(g.cg, 0) AS cg
+  FROM classes cl
+  CROSS JOIN (SELECT i FROM UNNEST(range(0, {TCLOSE_B})) AS u(i)) gb
+  CROSS JOIN tot t
+  LEFT JOIN cells ce ON ce.o_orderpriority = cl.o_orderpriority
+                    AND ce.o_day = cl.o_day AND ce.b = gb.i
+  LEFT JOIN gcnt g ON g.b = gb.i
+),
+pref AS (
+  SELECT o_orderpriority, o_day, n, n_all,
+         SUM(c * n_all - cg * n)
+           OVER (PARTITION BY o_orderpriority, o_day ORDER BY b) AS d
+  FROM grid
+)
+SELECT o_orderpriority, o_day, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(ABS(d)) AS BIGINT) AS emd_num,
+       CAST(SUM(ABS(d)) AS BIGINT) * 1000000
+         // (MAX(n) * MAX(n_all) * {TCLOSE_B - 1}) AS t_ppm
+FROM pref GROUP BY o_orderpriority, o_day
+"""
+
+
+REGISTRATIONS.append(("t_closeness_orders", t_closeness_orders,
+                      T_CLOSENESS_ORACLE))

@@ -702,3 +702,112 @@ REGISTRATIONS.append(("winsorized_mean_delta", winsorized_mean_delta,
                       WINSORIZED_ORACLE))
 REGISTRATIONS.append(("propensity_strata_events", propensity_strata_events,
                       PROPENSITY_ORACLE))
+
+
+def median_sign_closed_form(cnt: DataFrame) -> DataFrame:
+    """Finish Mood's median test from the (vc, ct, cc) counts table —
+    shared by the batch op and ``streaming.windows.
+    stream_median_sign_test``. Pooled median = the k-th order
+    statistic with k = (n+1) DIV 2, selected as the smallest value
+    whose cumulative count reaches k (pure integers, no midpoint
+    averaging — the selection convention both engines share)."""
+    from pyspark.sql import Window as W
+    t = (cnt.withColumn("c", F.col("ct") + F.col("cc"))
+            .withColumn("cum", F.sum("c").over(W.orderBy("vc"))))
+    tot = t.agg(F.sum("c").cast("long").alias("n"))
+    med = (t.crossJoin(F.broadcast(tot))
+            .where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+            .agg(F.min("vc").alias("median_c")))
+    j = cnt.crossJoin(F.broadcast(med))
+    agg = j.agg(
+        F.sum(F.when(F.col("vc") > F.col("median_c"), F.col("ct"))
+               .otherwise(0)).cast("long").alias("t_above"),
+        F.sum(F.when(F.col("vc") < F.col("median_c"), F.col("ct"))
+               .otherwise(0)).cast("long").alias("t_below"),
+        F.sum(F.when(F.col("vc") == F.col("median_c"), F.col("ct"))
+               .otherwise(0)).cast("long").alias("t_eq"),
+        F.sum(F.when(F.col("vc") > F.col("median_c"), F.col("cc"))
+               .otherwise(0)).cast("long").alias("c_above"),
+        F.sum(F.when(F.col("vc") < F.col("median_c"), F.col("cc"))
+               .otherwise(0)).cast("long").alias("c_below"),
+        F.sum(F.when(F.col("vc") == F.col("median_c"), F.col("cc"))
+               .otherwise(0)).cast("long").alias("c_eq"),
+        F.max("median_c").alias("median_c"))
+    return agg.select(
+        "median_c", "t_above", "t_below", "t_eq",
+        "c_above", "c_below", "c_eq",
+        F.expr("t_above * 10000 DIV (t_above + t_below + t_eq)")
+         .alias("t_above_bp"),
+        F.expr("c_above * 10000 DIV (c_above + c_below + c_eq)")
+         .alias("c_above_bp"))
+
+
+def median_sign_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test between the treatment and control arms —
+    the coarsest, most outlier-proof effect readout (answers "did the
+    treatment shift the middle of the distribution" with nothing but
+    counts above/below the POOLED median; the companion the
+    Mann–Whitney U gets cross-checked against when tails are wild).
+
+    Exactness: the pooled median is an exact order statistic on the
+    cents grid; every output is a count or an integer-DIV basis
+    point — no float anywhere.
+
+    Scale shape: identical to ``mannwhitney_events`` — the corpus
+    collapses to per-distinct-value arm counts in one
+    partial+final aggregate (the mergeable cells the streaming twin
+    maintains), then one dims-sized cumsum and two 1-row reductions.
+
+    Output: ``(median_c, t_above, t_below, t_eq, c_above, c_below,
+    c_eq, t_above_bp, c_above_bp)``.
+    """
+    return median_sign_closed_form(mw_value_counts(_cells(spark, sf_dir)))
+
+
+MEDIAN_SIGN_ORACLE = """
+WITH c AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+cnt AS (
+  SELECT vc,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM c GROUP BY vc
+),
+t AS (
+  SELECT vc, ct, cc,
+         SUM(ct + cc) OVER (ORDER BY vc) AS cum
+  FROM cnt
+),
+tot AS (SELECT CAST(SUM(ct + cc) AS BIGINT) AS n FROM cnt),
+med AS (
+  SELECT MIN(vc) AS median_c FROM t, tot
+  WHERE cum >= (n + 1) // 2
+),
+agg AS (
+  SELECT MAX(median_c) AS median_c,
+         CAST(SUM(CASE WHEN vc > median_c THEN ct ELSE 0 END) AS BIGINT)
+           AS t_above,
+         CAST(SUM(CASE WHEN vc < median_c THEN ct ELSE 0 END) AS BIGINT)
+           AS t_below,
+         CAST(SUM(CASE WHEN vc = median_c THEN ct ELSE 0 END) AS BIGINT)
+           AS t_eq,
+         CAST(SUM(CASE WHEN vc > median_c THEN cc ELSE 0 END) AS BIGINT)
+           AS c_above,
+         CAST(SUM(CASE WHEN vc < median_c THEN cc ELSE 0 END) AS BIGINT)
+           AS c_below,
+         CAST(SUM(CASE WHEN vc = median_c THEN cc ELSE 0 END) AS BIGINT)
+           AS c_eq
+  FROM cnt, med
+)
+SELECT median_c, t_above, t_below, t_eq, c_above, c_below, c_eq,
+       t_above * 10000 // (t_above + t_below + t_eq) AS t_above_bp,
+       c_above * 10000 // (c_above + c_below + c_eq) AS c_above_bp
+FROM agg
+"""
+
+
+REGISTRATIONS.append(("median_sign_test_events", median_sign_test_events,
+                      MEDIAN_SIGN_ORACLE))

@@ -523,6 +523,23 @@ def labelprop_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency is built once (both directions in one explode) and
     persisted across rounds."""
     li = load_table(spark, sf_dir, "lineitem")
+    edges, labels, closed = _labelprop_labels(li)
+    out = (labels.groupBy("lbl").agg(F.count("*").alias("n_nodes"))
+           .select(F.col("lbl").alias("component_min"), "n_nodes")
+           # materialize the per-label counts (≤ #components rows) so the
+           # cached adjacency can be released before returning — without
+           # this, repeated invocations in one long session (bench
+           # min-of-N loops) accumulate cached blocks until LRU eviction
+           .localCheckpoint())
+    closed.unpersist()
+    return out
+
+
+def _labelprop_labels(li: DataFrame):
+    """Shared k-round min-label propagation: returns (edges, labels,
+    closed) with ``closed`` still persisted — the caller materializes
+    its output and unpersists (labelprop_components,
+    component_stats_parts)."""
     edges = copurchase_edges_cached(li)
     adj = (edges.select(F.explode(F.array(
                 F.struct(F.col("u").alias("node"), F.col("v").alias("nbr")),
@@ -539,18 +556,13 @@ def labelprop_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (closed
                   .join(labels.withColumnRenamed("node", "nbr"), "nbr")
                   .groupBy("node").agg(F.min("lbl").alias("lbl")))
-    out = (labels.groupBy("lbl").agg(F.count("*").alias("n_nodes"))
-           .select(F.col("lbl").alias("component_min"), "n_nodes")
-           # materialize the per-label counts (≤ #components rows) so the
-           # cached adjacency can be released before returning — without
-           # this, repeated invocations in one long session (bench
-           # min-of-N loops) accumulate cached blocks until LRU eviction
-           .localCheckpoint())
-    closed.unpersist()
-    return out
+    return edges, labels, closed
 
 
-def _labelprop_oracle() -> str:
+def _labelprop_cte_prefix() -> tuple[str, str]:
+    """The shared chained-CTE body (edges + k propagation rounds) and
+    the name of the final labels CTE — nested verbatim by the
+    labelprop and component-stats oracles."""
     rounds = []
     prev = "l0"
     for k in range(1, LABELPROP_ROUNDS + 1):
@@ -561,8 +573,7 @@ l{k} AS (
   GROUP BY c.node
 )""")
         prev = f"l{k}"
-    return f"""
-WITH op AS (
+    prefix = f"""op AS (
   -- basket-width cap: n smallest part ids (= COPURCHASE_MAX_BASKET)
   SELECT o, p FROM (
     SELECT l_orderkey AS o, l_partkey AS p, ROW_NUMBER() OVER
@@ -577,13 +588,93 @@ adj AS (SELECT u AS node, v AS nbr FROM edges
         UNION ALL SELECT v, u FROM edges),
 nodes AS (SELECT DISTINCT node FROM adj),
 closed AS (SELECT * FROM adj UNION ALL SELECT node, node FROM nodes),
-l0 AS (SELECT node, node AS lbl FROM nodes),{','.join(rounds)}
+l0 AS (SELECT node, node AS lbl FROM nodes),{','.join(rounds)}"""
+    return prefix, prev
+
+
+def _labelprop_oracle() -> str:
+    prefix, final = _labelprop_cte_prefix()
+    return f"""
+WITH {prefix}
 SELECT lbl AS component_min, COUNT(*) AS n_nodes
-FROM {prev} GROUP BY lbl
+FROM {final} GROUP BY lbl
 """
 
 
 LABELPROP_ORACLE = _labelprop_oracle()
+
+
+def component_stats_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component STRUCTURE report over the labelprop components —
+    the readout after any community/component pass (is the giant
+    component one blob or did the cap fragment it? are small
+    components cliques or chains?): for each component label, node
+    count, internal edge count (both endpoints carry the label) and
+    integer density in basis points, 2E·10⁴ DIV n(n−1).
+
+    Composition: reuses the SAME k-round propagation
+    (``_labelprop_labels``) and co-purchase edge cache as
+    ``labelprop_components``; the oracle nests the shared chained-CTE
+    prefix verbatim and adds two label joins. With bounded rounds a
+    true component can still straddle labels — internal means
+    same-label-at-round-k on BOTH engines, so the artifact stays
+    exact.
+
+    Scale: two broadcast-or-shuffle joins of the edge list against
+    the (node, label) table keyed on node id; stats are one
+    map-side-combined aggregate per label.
+
+    Output: ``(component_min, n_nodes, n_internal_edges,
+    density_bp)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges, labels, closed = _labelprop_labels(li)
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    internal = (edges.join(lu, "u").join(lv, "v")
+                .where(F.col("lu") == F.col("lv"))
+                .groupBy(F.col("lu").alias("component_min"))
+                .agg(F.count("*").alias("n_internal_edges")))
+    sizes = (labels.groupBy(F.col("lbl").alias("component_min"))
+                   .agg(F.count("*").alias("n_nodes")))
+    out = (sizes.join(internal, "component_min", "left")
+           .select("component_min", "n_nodes",
+                   F.coalesce("n_internal_edges", F.lit(0))
+                    .alias("n_internal_edges"))
+           .select("component_min", "n_nodes", "n_internal_edges",
+                   F.when(F.col("n_nodes") > 1,
+                          F.expr("n_internal_edges * 2 * 10000 "
+                                 "DIV (n_nodes * (n_nodes - 1))"))
+                    .otherwise(F.lit(0)).cast("long").alias("density_bp"))
+           .localCheckpoint())
+    closed.unpersist()
+    return out
+
+
+def _component_stats_oracle() -> str:
+    prefix, final = _labelprop_cte_prefix()
+    return f"""
+WITH {prefix},
+sizes AS (SELECT lbl AS component_min, COUNT(*) AS n_nodes
+          FROM {final} GROUP BY lbl),
+internal AS (
+  SELECT a.lbl AS component_min, COUNT(*) AS n_internal_edges
+  FROM edges e JOIN {final} a ON a.node = e.u
+               JOIN {final} b ON b.node = e.v
+  WHERE a.lbl = b.lbl GROUP BY a.lbl
+)
+SELECT s.component_min, s.n_nodes,
+       CAST(COALESCE(i.n_internal_edges, 0) AS BIGINT)
+         AS n_internal_edges,
+       CASE WHEN s.n_nodes > 1 THEN
+         CAST(COALESCE(i.n_internal_edges, 0) * 2 * 10000 AS BIGINT)
+           // (s.n_nodes * (s.n_nodes - 1))
+       ELSE 0 END AS density_bp
+FROM sizes s LEFT JOIN internal i ON i.component_min = s.component_min
+"""
+
+
+COMPONENT_STATS_ORACLE = _component_stats_oracle()
 
 
 PR_EXACT_ITERS = 3
@@ -1101,3 +1192,7 @@ FROM n1 LEFT JOIN two ON n1.seed = two.seed
 
 REGISTRATIONS.append(("harmonic_centrality_seeds",
                       harmonic_centrality_seeds, HARMONIC_ORACLE))
+
+
+REGISTRATIONS.append(("component_stats_parts", component_stats_parts,
+                      COMPONENT_STATS_ORACLE))

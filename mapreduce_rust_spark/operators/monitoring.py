@@ -1344,3 +1344,84 @@ REGISTRATIONS = [
     ("stl_lite_events", stl_lite_events, STL_LITE_ORACLE),
     ("fano_burstiness_events", fano_burstiness_events, FANO_ORACLE),
 ]
+
+
+BOT_MIN_GAPS = 12   # users with fewer inter-event gaps aren't scored
+
+
+def bot_gap_regularity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automation screen by inter-event-gap regularity: humans
+    produce heavy-tailed, high-entropy gap distributions; schedulers
+    and scripts repeat the same gap. For each user with ≥
+    ``BOT_MIN_GAPS`` consecutive-event gaps, report the gap-count,
+    distinct-gap count, the MODAL gap and its share — a modal share
+    near 10000 bp is a cron job, not a customer.
+
+    Exactness: gaps are integer seconds (Spark timestamp→long cast
+    truncates ≡ DuckDB FLOOR(epoch)); tie-break on (count DESC, gap
+    ASC) pins the mode; shares are integer basis points via DIV.
+
+    Scale: one lag window per user (the sessionize shape — a
+    pathological giant user follows the ``sessionize_events_scalable``
+    sub-shard decomposition), then a (user, gap) count aggregate and a
+    per-user top-1 window over DISTINCT GAP VALUES (already
+    collapsed, ≪ events).
+
+    Output: ``(user_id, n_gaps, n_distinct_gaps, mode_gap_s,
+    mode_share_bp)``.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "event_id")
+    wlag = W.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = (ev.withColumn("gap", F.col("sec") - F.lag("sec").over(wlag))
+              .where(F.col("gap").isNotNull()))
+    cnt = gaps.groupBy("user_id", "gap").agg(F.count("*").alias("c"))
+    wmode = W.partitionBy("user_id").orderBy(F.col("c").desc(),
+                                             F.col("gap").asc())
+    per_user = (cnt.withColumn("r", F.row_number().over(wmode))
+                .groupBy("user_id")
+                .agg(F.sum("c").alias("n_gaps"),
+                     F.count("*").alias("n_distinct_gaps"),
+                     F.max(F.when(F.col("r") == 1, F.col("gap")))
+                      .alias("mode_gap_s"),
+                     F.max(F.when(F.col("r") == 1, F.col("c")))
+                      .alias("mode_c")))
+    return (per_user.where(F.col("n_gaps") >= BOT_MIN_GAPS)
+            .select("user_id", "n_gaps", "n_distinct_gaps", "mode_gap_s",
+                    F.expr("mode_c * 10000 DIV n_gaps")
+                     .alias("mode_share_bp")))
+
+
+BOT_GAP_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+cnt AS (
+  SELECT user_id, gap, COUNT(*) AS c FROM g
+  WHERE gap IS NOT NULL GROUP BY user_id, gap
+),
+ranked AS (
+  SELECT user_id, gap, c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, gap ASC) AS r
+  FROM cnt
+),
+per_user AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_gaps,
+         COUNT(*) AS n_distinct_gaps,
+         MAX(CASE WHEN r = 1 THEN gap END) AS mode_gap_s,
+         CAST(MAX(CASE WHEN r = 1 THEN c END) AS BIGINT) AS mode_c
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id, n_gaps, n_distinct_gaps, mode_gap_s,
+       mode_c * 10000 // n_gaps AS mode_share_bp
+FROM per_user WHERE n_gaps >= {BOT_MIN_GAPS}
+"""
+
+
+REGISTRATIONS.append(("bot_gap_regularity_events", bot_gap_regularity_events,
+                      BOT_GAP_ORACLE))

@@ -2377,3 +2377,75 @@ REGISTRATIONS.append(("dup_payment_screen_orders",
                       dup_payment_screen_orders, DUP_PAY_ORACLE))
 REGISTRATIONS.append(("mase_baseline_events", mase_baseline_events,
                       MASE_ORACLE))
+
+
+def revenue_gini_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of revenue concentration across parts —
+    the single-number companion of ``abc_pareto_parts`` (Pareto says
+    "which parts are the head"; Gini says HOW concentrated the whole
+    curve is, the number a catalog-health dashboard trends
+    week-over-week). Formula: with per-part revenues x₁ ≤ … ≤ xₙ in
+    exact micro-units and ascending ranks i,
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ), reported as integer ppm.
+
+    Exactness: revenue sums in DECIMAL(18,6) (the ABC convention),
+    ×10⁶ to integer-valued DECIMAL(38,0); rank sums and the final
+    ratio stay in DECIMAL(38) on the Spark side / HUGEINT in DuckDB
+    (probed: HUGEINT // HUGEINT is exact), so the ppm is a true
+    floor division at ANY scale — no 2⁶³ ceiling anywhere.
+
+    Scale: per-part aggregate with map-side combine, ascending ranks
+    via the ``scalable_rank`` bucket decomposition (window over
+    bucket COUNTS, never a single global data window), one 1-row
+    reduction.
+
+    Output: ``(n_parts, rev_total_u, gini_ppm)``.
+    """
+    from mapreduce_rust_spark.operators.ranking import scalable_rank
+    from mapreduce_rust_spark.operators.relational import DEC_MONEY
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))).cast(DEC_MONEY))
+                     .alias("rev")))
+    u = (per_part.select(
+            "l_partkey",
+            F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
+         .localCheckpoint(eager=True))   # scalable_rank consumes twice
+    # dollar-granularity bucket: monotone in x (double cast + floor
+    # are order-preserving), so scalable_rank's precondition holds
+    bucket = F.floor(F.col("x").cast("double") / 1e6).cast("long")
+    ranked = scalable_rank(u, bucket, [F.col("x"), F.col("l_partkey")],
+                           rank_col="i")
+    a = ranked.agg(F.count("*").alias("n"),
+                   F.sum("x").alias("sx"),
+                   F.sum(F.col("i") * F.col("x")).alias("six"))
+    return a.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.col("sx").cast("long").alias("rev_total_u"),
+        F.expr("CAST((2 * six - (n + 1) * sx) * 1000000 DIV (n * sx) "
+               "AS BIGINT)").alias("gini_ppm"))
+
+
+REVENUE_GINI_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+u AS (SELECT l_partkey, CAST(rev * 1000000 AS HUGEINT) AS x
+      FROM per_part),
+r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, l_partkey)
+                     AS HUGEINT) AS i FROM u),
+a AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six FROM r)
+SELECT CAST(n AS BIGINT) AS n_parts,
+       CAST(sx AS BIGINT) AS rev_total_u,
+       CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+         AS gini_ppm
+FROM a
+"""
+
+
+REGISTRATIONS.append(("revenue_gini_parts", revenue_gini_parts,
+                      REVENUE_GINI_ORACLE))

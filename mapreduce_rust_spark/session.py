@@ -51,4 +51,16 @@ def get_spark(app_name: str = "mapreduce_rust_spark",
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Dims-sized closed forms legitimately use empty-partition windows
+    # (cum distributions over ≤ buckets rows); WindowExec warns "moving
+    # all data to a single partition" on every one regardless of input
+    # partitioning, which buries real warnings. The inputs are provably
+    # bounded (each call site caps them), so demote just that logger.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:  # noqa: BLE001 — cosmetic; never fail the session
+        pass
     return spark

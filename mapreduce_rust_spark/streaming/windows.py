@@ -634,6 +634,58 @@ def _shufq_oracle() -> str:
     return SHUFFLE_QUALITY_ORACLE
 
 
+
+def stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``dataquality.t_closeness_orders`` —
+    fifteenth kappa pair, second over the ORDERS feed: the (QI class,
+    sensitive bucket) counts are ONE complete-mode aggregate (state =
+    classes × B buckets — the same class-dims size the batch op
+    groups to), and the shared closed form derives the global
+    distribution and the integer EMD batch-side. Bit-identical to the
+    batch op (pure integer cross-multiplied prefix sums); same DuckDB
+    oracle."""
+    from mapreduce_rust_spark.operators.dataquality import (
+        tclose_cells, tclose_closed_form)
+    orders = read_orders_stream(spark, sf_dir)
+    cells = tclose_cells(orders)
+    out = _run_to_table(cells, "stream_t_closeness", "complete")
+    # closed form fans the cells into global/total/class branches —
+    # checkpoint so the MemorySink lineage is not recomputed per branch
+    return tclose_closed_form(out.localCheckpoint(eager=True))
+
+
+def _tclose_oracle() -> str:
+    from mapreduce_rust_spark.operators.dataquality import (
+        T_CLOSENESS_ORACLE)
+    return T_CLOSENESS_ORACLE
+
+
+
+def stream_median_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.median_sign_test_events`` —
+    sixteenth kappa pair: the per-distinct-value arm counts are the
+    SAME mergeable Mann–Whitney sufficient statistic (one
+    complete-mode aggregate over the cents grid), and the shared
+    closed form selects the pooled median and splits the 2×3 table
+    batch-side. Bit-identical to the batch op (order statistics and
+    integer basis points only); same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        median_sign_closed_form, mw_value_counts)
+    ev = (read_events_stream(spark, sf_dir)
+          .select((F.col("user_id") % 2 == 1).alias("treat"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    cnt = mw_value_counts(ev)
+    out = _run_to_table(cnt, "stream_median_sign_test", "complete")
+    # the closed form fans the cells into cum/median/split branches
+    return median_sign_closed_form(out.localCheckpoint(eager=True))
+
+
+def _median_sign_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import (
+        MEDIAN_SIGN_ORACLE)
+    return MEDIAN_SIGN_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -663,4 +715,7 @@ REGISTRATIONS = [
     ("stream_sla_business_days", stream_sla_business_days,
      _sla_oracle()),
     ("stream_shuffle_quality", stream_shuffle_quality, _shufq_oracle()),
+    ("stream_t_closeness", stream_t_closeness, _tclose_oracle()),
+    ("stream_median_sign_test", stream_median_sign_test,
+     _median_sign_oracle()),
 ]

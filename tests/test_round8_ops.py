@@ -92,3 +92,89 @@ def test_video_container_cap_bounds_giant_doc():
     pdf = pd.DataFrame({"doc_id": [7], "payload": [b"x" * 1_000_000]})
     out = pd.concat(list(_video_frame_batches(iter([pdf]))))
     assert len(out) == len(range(0, VIDEO_FRAMES_CAP, VIDEO_STRIDE))
+
+
+def test_tclose_closed_form_planted_example(spark):
+    """Hand-checkable t-closeness: two classes over two buckets.
+    Class A = (2,0), class B = (0,2), global = (2,2), N=4. For A:
+    D_0 = c·N − C·n = 2·4 − 2·2 = 4; bucket 1 adds 0·4 − 2·2 = −4 so
+    D_j = 0 for j ≥ 1 (empty global buckets keep it 0). emd_num = 4,
+    symmetric for B."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.dataquality import (
+        TCLOSE_B, tclose_closed_form)
+
+    cells = spark.createDataFrame(
+        pd.DataFrame({"o_orderpriority": ["A", "A", "B", "B"],
+                      "o_day": ["d", "d", "d", "d"],
+                      "b": [0, 1, 0, 1],
+                      "c": [2, 0, 0, 2]}))
+    out = {r.o_orderpriority: r
+           for r in tclose_closed_form(cells).collect()}
+    assert out["A"].n == 2 and out["B"].n == 2
+    assert out["A"].emd_num == 4 and out["B"].emd_num == 4
+    # t_ppm = 4 * 1e6 DIV (2 * 4 * (B-1))
+    assert out["A"].t_ppm == 4 * 1_000_000 // (2 * 4 * (TCLOSE_B - 1))
+
+
+def test_median_sign_closed_form_planted_example(spark):
+    """Counts table with n=7 (k=4): values 1..7, one each, treat on
+    odd values. Median = 4; treat above = {5,7}, below = {1,3},
+    eq = 0... value 4 is control (even)."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        median_sign_closed_form)
+
+    cnt = spark.createDataFrame(
+        pd.DataFrame({"vc": [1, 2, 3, 4, 5, 6, 7],
+                      "ct": [1, 0, 1, 0, 1, 0, 1],
+                      "cc": [0, 1, 0, 1, 0, 1, 0]}))
+    r = median_sign_closed_form(cnt).collect()[0]
+    assert r.median_c == 4
+    assert (r.t_above, r.t_below, r.t_eq) == (2, 2, 0)
+    assert (r.c_above, r.c_below, r.c_eq) == (1, 1, 1)
+    assert r.t_above_bp == 5000 and r.c_above_bp == 3333
+
+
+def test_revenue_gini_matches_pure_python(spark):
+    """The op's DECIMAL(38) rank-sum Gini equals an exact integer
+    computation in Python over the same per-part revenues."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.operators.olap import revenue_gini_parts
+    from mapreduce_rust_spark.operators.relational import DEC_MONEY
+    from mapreduce_rust_spark.tables import load_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    rev = (li.groupBy("l_partkey")
+             .agg(F.sum((F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).cast(DEC_MONEY))
+                  .alias("rev"))
+             .select("l_partkey",
+                     F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))")
+                      .alias("x")).collect())
+    xs = [int(r.x) for r in sorted(rev, key=lambda r: (int(r.x),
+                                                       r.l_partkey))]
+    n = len(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    sx = sum(xs)
+    expect = (2 * six - (n + 1) * sx) * 1_000_000 // (n * sx)
+    got = revenue_gini_parts(spark, SF_CORRECT).collect()[0]
+    assert (got.n_parts, got.rev_total_u, got.gini_ppm) == (n, sx, expect)
+
+
+def test_bot_gap_regularity_invariants(spark):
+    """Structural invariants the oracle compare can't state: modal
+    share is a valid basis-point fraction, the mode's count never
+    exceeds the gap count, distinct ≤ total."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        BOT_MIN_GAPS, bot_gap_regularity_events)
+
+    rows = bot_gap_regularity_events(spark, SF_CORRECT).collect()
+    assert rows, "fixture has users above the gap threshold"
+    for r in rows:
+        assert r.n_gaps >= BOT_MIN_GAPS
+        assert 1 <= r.n_distinct_gaps <= r.n_gaps
+        assert 0 < r.mode_share_bp <= 10000
