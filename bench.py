@@ -311,6 +311,11 @@ HEADLINE = [
     "median_sign_test_events",
     "stream_median_sign_test",
     "revenue_gini_parts",
+    # round 8 fourth wave: exact per-priority delay percentiles +
+    # seventeenth kappa twin (stream-static join), LSH occupancy audit
+    "ship_delay_percentiles_priority",
+    "stream_ship_delay_percentiles",
+    "lsh_bucket_stats",
 ]
 
 

@@ -913,21 +913,29 @@ def knn_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("hits * 10000 DIV k_eval").alias("recall_bp")))
 
 
-def _lsh_topk_sql() -> str:
-    """The LSH top-k (query_id, neighbor_id) set as a DuckDB CTE body,
-    mirroring ``knn_lsh`` exactly: same MAX_DIM-length ±1 weight
-    literals sliced to the vector length, same sequential projection
-    fold, same multi-probe (home bucket + every Hamming-1 bucket),
-    same cosine ranking with vec_id tiebreak."""
+def _lsh_bucket_sql() -> str:
+    """The sign-random-projection bucket id as one DuckDB expression
+    over ``embeddings`` — the relational mirror of ``_bucket`` (same
+    ±1 md5-parity weight literals, same sequential fold). Shared by
+    the knn_eval_recall and lsh_bucket_stats oracles."""
     def proj(p: int) -> str:
         w = ",".join("1" if x > 0 else "-1" for x in _plane_weights(p))
         return (f"list_reduce(list_transform(list_zip("
                 f"embedding::DOUBLE[], ([{w}]::DOUBLE[])[1:len(embedding)]),"
                 f" s -> s[1] * s[2]), (a, b) -> a + b)")
 
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {proj(p)} >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(N_PLANES))
+
+
+def _lsh_topk_sql() -> str:
+    """The LSH top-k (query_id, neighbor_id) set as a DuckDB CTE body,
+    mirroring ``knn_lsh`` exactly: same MAX_DIM-length ±1 weight
+    literals sliced to the vector length, same sequential projection
+    fold, same multi-probe (home bucket + every Hamming-1 bucket),
+    same cosine ranking with vec_id tiebreak."""
+    bucket = _lsh_bucket_sql()
     probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))
     return f"""
 bkt AS (
@@ -1046,3 +1054,46 @@ WHERE out_rank <= {CENT_OUT_K}
 
 REGISTRATIONS.append(("label_centroid_outliers", label_centroid_outliers,
                       LABEL_CENTROID_OUTLIERS_ORACLE))
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy audit — the readout that decides whether
+    the plane count is right BEFORE paying for a recall eval: with
+    2^N_PLANES buckets, a balanced table costs each probe
+    (1+planes)/2^planes of the corpus; one overloaded bucket (the
+    all-vectors-correlated failure mode) silently turns the "ANN"
+    path quadratic. Reports per-bucket counts and shares plus what a
+    multi-probe query would scan. Pairs with ``cosine_hist_embeddings``
+    (angle mass) and ``knn_eval_recall`` (quality) as the ANN tuning
+    trio.
+
+    Exactness: the bucket id is the same bit-identical projection
+    fold the recall oracle re-derives; counts and basis points are
+    pure integers.
+
+    Scale: one corpus scan + a ≤2^planes-row aggregate.
+
+    Output: ``(bucket, n_vecs, share_bp)``.
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    cnt = emb.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
+    tot = cnt.agg(F.sum("n_vecs").alias("n_all"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_vecs",
+                    F.expr("n_vecs * 10000 DIV n_all").alias("share_bp")))
+
+
+LSH_BUCKET_STATS_ORACLE = f"""
+WITH bkt AS (
+  SELECT vec_id, {_lsh_bucket_sql()} AS bucket FROM embeddings
+),
+cnt AS (SELECT bucket, COUNT(*) AS n_vecs FROM bkt GROUP BY bucket),
+tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_all FROM cnt)
+SELECT bucket, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(n_vecs AS BIGINT) * 10000 // n_all AS share_bp
+FROM cnt, tot
+"""
+
+
+REGISTRATIONS.append(("lsh_bucket_stats", lsh_bucket_stats,
+                      LSH_BUCKET_STATS_ORACLE))

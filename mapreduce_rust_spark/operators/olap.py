@@ -2449,3 +2449,95 @@ FROM a
 
 REGISTRATIONS.append(("revenue_gini_parts", revenue_gini_parts,
                       REVENUE_GINI_ORACLE))
+
+
+SHIP_PCTS = (50, 90, 99)   # reported exact percentiles
+
+
+def ship_delay_cells(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """(priority, days, c) — the MERGEABLE sufficient statistic for
+    the per-priority delay percentiles (one count aggregate after the
+    orderkey join; the sla_bday_cells shape with a group column).
+    Shared by the batch op and ``streaming.windows.
+    stream_ship_delay_percentiles``."""
+    j = (li.select("l_orderkey", F.to_date("l_shipdate").alias("ship"))
+         .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                             "o_orderpriority",
+                             F.to_date("o_orderdate").alias("odate")),
+               "l_orderkey"))
+    return (j.select("o_orderpriority",
+                     F.datediff("ship", "odate").cast("long").alias("days"))
+            .groupBy("o_orderpriority", "days")
+            .agg(F.count("*").cast("long").alias("c")))
+
+
+def ship_delay_closed_form(cells: DataFrame) -> DataFrame:
+    """EXACT per-group percentiles from the (group, value, count)
+    cells: P_p = the smallest value whose cumulative count reaches
+    ceil(p·n/100) = (p·n + 99) DIV 100 — the nearest-rank definition,
+    pure integer selection on both engines."""
+    from pyspark.sql import Window as W
+    wcum = (W.partitionBy("o_orderpriority").orderBy("days")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = cells.withColumn("cum", F.sum("c").over(wcum))
+    n = cells.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
+    j = t.join(F.broadcast(n), "o_orderpriority")
+    aggs = [F.max("n").alias("n_lines")]
+    for p in SHIP_PCTS:
+        k = F.expr(f"({p} * n + 99) DIV 100")
+        aggs.append(F.min(F.when(F.col("cum") >= k, F.col("days")))
+                     .alias(f"p{p}_days"))
+    return (j.groupBy("o_orderpriority").agg(*aggs)
+             .select("o_orderpriority", F.col("n_lines").cast("long"),
+                     *[F.col(f"p{p}_days") for p in SHIP_PCTS]))
+
+
+def ship_delay_percentiles_priority(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """EXACT order→ship delay percentiles per order priority — the
+    fulfillment-ops companion of ``sla_business_days_lineitem`` (the
+    SLA op thresholds; this reports the whole latency profile a
+    capacity planner reads: P50 steady-state, P90 commitment, P99
+    tail). Nearest-rank percentiles, never an approximate sketch.
+
+    Scale shape: the corpus collapses to (priority, days) counts in
+    one map-side-combined aggregate after the orderkey equi-join —
+    the value grid is bounded (≤ max-latency days × 5 priorities),
+    so the cumsum window runs over a dims table, never data. The
+    same cells drive the streaming twin.
+
+    Output: ``(o_orderpriority, n_lines, p50_days, p90_days,
+    p99_days)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return ship_delay_closed_form(ship_delay_cells(li, o))
+
+
+SHIP_DELAY_ORACLE = f"""
+WITH cells AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS days,
+         COUNT(*) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderpriority, days, c,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY days) AS cum
+  FROM cells
+),
+n AS (SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n FROM cells
+      GROUP BY 1)
+SELECT t.o_orderpriority,
+       CAST(MAX(n.n) AS BIGINT) AS n_lines,
+       {", ".join(f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100 "
+                  f"THEN days END) AS p{p}_days" for p in SHIP_PCTS)}
+FROM t JOIN n ON t.o_orderpriority = n.o_orderpriority
+GROUP BY t.o_orderpriority
+"""
+
+
+REGISTRATIONS.append(("ship_delay_percentiles_priority",
+                      ship_delay_percentiles_priority, SHIP_DELAY_ORACLE))

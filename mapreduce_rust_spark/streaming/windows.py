@@ -686,6 +686,32 @@ def _median_sign_oracle() -> str:
     return MEDIAN_SIGN_ORACLE
 
 
+
+def stream_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``olap.ship_delay_percentiles_priority`` —
+    seventeenth kappa pair, second stream-static-join member: the
+    lineitem FEED joins the static orders dimension per micro-batch
+    and the (priority, days) counts are ONE complete-mode aggregate
+    (state ≤ priorities × max-latency days); the shared closed form
+    selects the exact nearest-rank percentiles batch-side.
+    Bit-identical to the batch op (pure integer order statistics);
+    same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.olap import (
+        ship_delay_cells, ship_delay_closed_form)
+    from mapreduce_rust_spark.tables import load_table
+    li = read_lineitem_stream(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cells = ship_delay_cells(li, orders)
+    out = _run_to_table(cells, "stream_ship_delay_percentiles", "complete")
+    # closed form fans the cells into cum + per-group-count branches
+    return ship_delay_closed_form(out.localCheckpoint(eager=True))
+
+
+def _ship_delay_oracle() -> str:
+    from mapreduce_rust_spark.operators.olap import SHIP_DELAY_ORACLE
+    return SHIP_DELAY_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -718,4 +744,6 @@ REGISTRATIONS = [
     ("stream_t_closeness", stream_t_closeness, _tclose_oracle()),
     ("stream_median_sign_test", stream_median_sign_test,
      _median_sign_oracle()),
+    ("stream_ship_delay_percentiles", stream_ship_delay_percentiles,
+     _ship_delay_oracle()),
 ]
