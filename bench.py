@@ -316,6 +316,8 @@ HEADLINE = [
     "ship_delay_percentiles_priority",
     "stream_ship_delay_percentiles",
     "lsh_bucket_stats",
+    "edge_support_hist_parts",
+    "stream_bot_gap_regularity",
 ]
 
 

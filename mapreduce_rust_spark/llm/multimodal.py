@@ -704,7 +704,11 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: all work is in-row inside one Arrow-batched kernel
     (bounded by VIDEO_FRAMES_CAP frames/doc); payload bytes never
-    shuffle. A real MP4 demuxer slots into the parse step unchanged.
+    shuffle, and the codec kernel runs once per DISTINCT text (the
+    round-7 duplicate-collapse lesson: on the ×20 replicated corpus
+    the naive form paid 20× the PNG work — measured 32 s → see
+    SCALE.md) with results joined back to doc_ids on the digest.
+    A real MP4 demuxer slots into the parse step unchanged.
 
     Reference scope note: the reference engine
     (Freebirdgo/MapReduce_Rust, src/mr/worker.rs) has no media
@@ -714,8 +718,19 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_self_shipping()
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= 1)
-    return with_payload(docs).mapInPandas(
-        _video_frame_batches, VIDEO_SCHEMA)
+    # one digest pass, materialized — it feeds the rep choice AND the
+    # final fan-out join
+    key = (docs.select("doc_id", F.sha2("text", 256).alias("h"))
+               .localCheckpoint(eager=True))
+    reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
+    per_rep = (with_payload(rep_docs)
+               .mapInPandas(_video_frame_batches, VIDEO_SCHEMA)
+               .withColumnRenamed("doc_id", "rep_id"))
+    return (key.join(reps, "h").join(per_rep, "rep_id")
+            .select("doc_id", "frame_idx", "width", "height",
+                    "gray", "ink"))
 
 
 VIDEO_FRAMES_ORACLE = f"""

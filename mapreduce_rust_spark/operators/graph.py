@@ -1196,3 +1196,122 @@ REGISTRATIONS.append(("harmonic_centrality_seeds",
 
 REGISTRATIONS.append(("component_stats_parts", component_stats_parts,
                       COMPONENT_STATS_ORACLE))
+
+
+KTRUSS_K = 4   # report how many edges survive support >= K-2
+
+
+def _triangle_corners(edges: DataFrame, n_edges: int) -> DataFrame:
+    """One row (s, a, b) per triangle — s the orientation-lowest
+    corner, a < b the other two by id (each triangle exactly once).
+    Size-gated exactly like ``triangle_count``: below the broadcast
+    gate the out-adjacency intersect runs in-row and only TRUE
+    triangles materialize; above it, the O(m^1.5) wedge join."""
+    oriented = _orient(edges)
+    if n_edges < BROADCAST_EDGE_LIMIT:
+        adj = (oriented.groupBy(F.col("s").alias("n"))
+               .agg(F.array_sort(F.collect_list("t")).alias("nbrs")))
+        sa, ta = adj.alias("sa"), adj.alias("ta")
+        return (oriented
+                .join(F.broadcast(sa), F.col("s") == F.col("sa.n"))
+                .join(F.broadcast(ta), F.col("t") == F.col("ta.n"), "left")
+                .select(F.col("s"), F.col("t").alias("x"),
+                        F.explode(F.array_intersect(
+                            F.col("sa.nbrs"),
+                            F.coalesce(F.col("ta.nbrs"),
+                                       F.slice(F.col("sa.nbrs"), 1, 0))))
+                         .alias("y"))
+                .select("s", F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b")))
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (w1.join(w2, (F.col("w1.s") == F.col("w2.s"))
+                      & (F.col("w1.t") < F.col("w2.t")))
+                .select(F.col("w1.s").alias("s"),
+                        F.col("w1.t").alias("a"), F.col("w2.t").alias("b")))
+    return (wedges.join(edges, (F.col("a") == F.col("u"))
+                        & (F.col("b") == F.col("v")))
+            .select("s", "a", "b"))
+
+
+def edge_support_hist_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge TRIANGLE SUPPORT histogram over the co-purchase graph
+    — the k-truss round-1 readout (an edge with support < k−2 cannot
+    be in the k-truss; the histogram says how much of the graph a
+    truss filter would keep, before paying for the iterative peel):
+    for each support value, how many edges carry it, plus each row
+    repeats how many edges survive the ``KTRUSS_K``-truss seed filter
+    (support ≥ k−2). Zero-support edges are counted (left join from
+    the edge list), so Σ n_edges = |E| exactly.
+
+    Scale: reuses the memoized capped edge list and the
+    degree-orientation machinery; below the broadcast gate only TRUE
+    triangles materialize as rows (in-row adjacency intersects);
+    above it, the O(m^1.5) wedge join — the documented 100 TB path.
+    The 3-way corner→edge explode is 3 rows/triangle; support agg is
+    map-side combinable.
+
+    Output: ``(support, n_edges, truss_k, n_truss_edges)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges_cached(li)
+    n = edges.count()   # checkpointed — already materialized
+    tri = _triangle_corners(edges, n)
+    epairs = tri.select(F.explode(F.array(
+        F.struct(F.least("s", "a").alias("u"),
+                 F.greatest("s", "a").alias("v")),
+        F.struct(F.least("s", "b").alias("u"),
+                 F.greatest("s", "b").alias("v")),
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v"))))
+        .alias("e")).select("e.u", "e.v")
+    sup = epairs.groupBy("u", "v").agg(F.count("*").alias("supp"))
+    per_edge = (edges.join(sup, ["u", "v"], "left")
+                .select(F.coalesce("supp", F.lit(0)).alias("support")))
+    # materialize the ≤max-support-row histogram once — the survival
+    # count derives from IT, so the triangle pipeline never runs twice
+    hist = (per_edge.groupBy("support")
+            .agg(F.count("*").cast("long").alias("n_edges"))
+            .localCheckpoint(eager=True))
+    surv = (hist.agg(F.sum(F.when(
+                F.col("support") >= KTRUSS_K - 2, F.col("n_edges"))
+                .otherwise(0))
+            .cast("long").alias("n_truss_edges")))
+    return (hist.crossJoin(F.broadcast(surv))
+            .select(F.col("support").cast("long").alias("support"),
+                    "n_edges", F.lit(KTRUSS_K).cast("long").alias("truss_k"),
+                    "n_truss_edges"))
+
+
+EDGE_SUPPORT_ORACLE = f"""
+WITH {CAPPED_EDGES_SQL},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+epairs AS (
+  SELECT a AS u, b AS v FROM tri
+  UNION ALL SELECT b, c FROM tri
+  UNION ALL SELECT a, c FROM tri
+),
+sup AS (
+  SELECT e.u, e.v, COUNT(p.u) AS support
+  FROM edges e LEFT JOIN epairs p ON e.u = p.u AND e.v = p.v
+  GROUP BY e.u, e.v
+),
+surv AS (
+  SELECT CAST(SUM(CASE WHEN support >= {KTRUSS_K - 2} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_truss_edges
+  FROM sup
+)
+SELECT CAST(support AS BIGINT) AS support,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST({KTRUSS_K} AS BIGINT) AS truss_k,
+       surv.n_truss_edges
+FROM sup, surv
+GROUP BY support, surv.n_truss_edges
+"""
+
+
+REGISTRATIONS.append(("edge_support_hist_parts", edge_support_hist_parts,
+                      EDGE_SUPPORT_ORACLE))

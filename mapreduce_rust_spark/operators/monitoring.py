@@ -1376,6 +1376,13 @@ def bot_gap_regularity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = (ev.withColumn("gap", F.col("sec") - F.lag("sec").over(wlag))
               .where(F.col("gap").isNotNull()))
     cnt = gaps.groupBy("user_id", "gap").agg(F.count("*").alias("c"))
+    return bot_gap_closed_form(cnt)
+
+
+def bot_gap_closed_form(cnt: DataFrame) -> DataFrame:
+    """Finish the regularity report from the (user_id, gap, c) counts
+    — the MERGEABLE sufficient statistic (plain sums), shared by the
+    batch op and ``streaming.stateful.stream_bot_gap_regularity``."""
     wmode = W.partitionBy("user_id").orderBy(F.col("c").desc(),
                                              F.col("gap").asc())
     per_user = (cnt.withColumn("r", F.row_number().over(wmode))

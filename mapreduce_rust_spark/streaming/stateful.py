@@ -536,6 +536,69 @@ from mapreduce_rust_spark.operators.monitoring import ZSCORE_ORACLE  # noqa: E40
 from mapreduce_rust_spark.operators.olap import ATTRIBUTION_ORACLE, EVENT_PATTERN_ORACLE, MARKOV_ORACLE  # noqa: E402
 from mapreduce_rust_spark.operators.temporal import EWMA_ORACLE, HOLT_ORACLE  # noqa: E402
 
+
+BOTGAP_OUT_SCHEMA = "user_id long, gap long, n long"
+BOTGAP_STATE_SCHEMA = "last_sec long, last_eid long"
+
+
+def _update_botgap(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user last-event state (2 scalars per key): each event in
+    (sec, event_id) order emits its integer-second gap to the
+    previous event. Gaps are pre-counted per batch so the sink holds
+    (user, gap, n) partials, not per-event rows — the _update_markov
+    discipline on the timing axis instead of the type axis."""
+    from collections import Counter
+    last = state.get if state.exists else None
+    rows = []
+    for pdf in pdfs:
+        rows += list(zip((int(x) for x in pdf["sec"]),
+                         (int(x) for x in pdf["event_id"])))
+    rows.sort()
+    counts: Counter = Counter()
+    for sec, eid in rows:
+        if last is not None:
+            counts[sec - last[0]] += 1
+        last = (sec, eid)
+    if last is not None:
+        state.update(last)
+    if counts:
+        ks = sorted(counts)
+        yield pd.DataFrame({"user_id": [int(key[0])] * len(ks),
+                            "gap": ks,
+                            "n": [counts[k] for k in ks]})
+
+
+def stream_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.bot_gap_regularity_events`` —
+    eighteenth kappa pair, third member of the order-sensitive
+    stateful class (beside stream_ewma / stream_markov): the per-user
+    gap derivation is 2-scalar sequential state, the (user, gap)
+    counts are mergeable per-batch increments, and the shared closed
+    form picks the modal gap batch-side. Bit-identical to the batch
+    op (integer seconds, deterministic mode tie-break); same DuckDB
+    oracle."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    from mapreduce_rust_spark.operators.monitoring import (
+        bot_gap_closed_form)
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", F.col("ts").cast("long").alias("sec"),
+                  "event_id"))
+    updated = (ev.groupBy("user_id")
+                 .applyInPandasWithState(
+                     _update_botgap, BOTGAP_OUT_SCHEMA, BOTGAP_STATE_SCHEMA,
+                     "update", GroupStateTimeout.NoTimeout))
+    out = _run_to_table(updated, "stream_bot_gap", "update")
+    cnt = out.groupBy("user_id", "gap").agg(F.sum("n").alias("c"))
+    return bot_gap_closed_form(cnt)
+
+
+def _botgap_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import BOT_GAP_ORACLE
+    return BOT_GAP_ORACLE
+
+
 REGISTRATIONS = [
     ("stateful_user_totals", stateful_user_totals, STATEFUL_ORACLE),
     ("stateful_session_flush", stateful_session_flush,
@@ -547,4 +610,6 @@ REGISTRATIONS = [
     ("stream_markov_transitions", stream_markov_transitions, MARKOV_ORACLE),
     ("stream_attribution", stream_attribution, ATTRIBUTION_ORACLE),
     ("stream_event_pattern", stream_event_pattern, EVENT_PATTERN_ORACLE),
+    ("stream_bot_gap_regularity", stream_bot_gap_regularity,
+     _botgap_oracle()),
 ]

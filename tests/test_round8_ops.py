@@ -120,8 +120,9 @@ def test_tclose_closed_form_planted_example(spark):
 
 def test_median_sign_closed_form_planted_example(spark):
     """Counts table with n=7 (k=4): values 1..7, one each, treat on
-    odd values. Median = 4; treat above = {5,7}, below = {1,3},
-    eq = 0... value 4 is control (even)."""
+    odd values. Median = 4 (a control value): treat above = {5,7},
+    below = {1,3}, eq = {}; control above = {6}, below = {2},
+    eq = {4}."""
     import pandas as pd
 
     from mapreduce_rust_spark.operators.experiment import (
@@ -178,3 +179,33 @@ def test_bot_gap_regularity_invariants(spark):
         assert r.n_gaps >= BOT_MIN_GAPS
         assert 1 <= r.n_distinct_gaps <= r.n_gaps
         assert 0 < r.mode_share_bp <= 10000
+
+
+def test_triangle_corners_both_gate_paths_agree(spark):
+    """Planted graph (K4 on 1-4 plus pendant 5 and triangle 6-7-8):
+    the broadcast fast path and the O(m^1.5) wedge path must emit the
+    IDENTICAL corner set, and per-edge support must match hand
+    counts. K4: every edge has support 2; pendant edge 0; the 6-7-8
+    triangle edges 1 each."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.graph import _triangle_corners
+
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (6, 7), (6, 8), (7, 8)]
+    edges = spark.createDataFrame(pd.DataFrame(e, columns=["u", "v"]))
+    fast = {tuple(r) for r in
+            _triangle_corners(edges, n_edges=10).collect()}
+    slow = {tuple(r) for r in
+            _triangle_corners(edges, n_edges=10**9).collect()}
+    assert fast == slow
+    assert len(fast) == 5  # C(4,3) = 4 triangles in K4 + one in 6-7-8
+    support = {}
+    for s, a, b in fast:
+        for x, y in ((min(s, a), max(s, a)), (min(s, b), max(s, b)),
+                     (a, b)):
+            support[(x, y)] = support.get((x, y), 0) + 1
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert all(support[p] == 2 for p in k4)
+    assert (4, 5) not in support
+    assert all(support[p] == 1 for p in [(6, 7), (6, 8), (7, 8)])
