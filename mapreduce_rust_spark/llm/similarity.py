@@ -904,7 +904,9 @@ def knn_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = knn_lsh(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit"))
     bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    j = bf.join(lsh, ["query_id", "neighbor_id"], "left")
+    # both sides are |Q|·k rows by construction — broadcast, don't
+    # let the static planner sort-merge two window outputs
+    j = bf.join(F.broadcast(lsh), ["query_id", "neighbor_id"], "left")
     return (j.groupBy("query_id")
             .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
                   .cast("long").alias("hits"),

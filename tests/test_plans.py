@@ -558,3 +558,49 @@ def test_round7_crop_plan_shapes(spark):
     p = _plan(cosine_hist_embeddings(spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round8_crop_plan_shapes(spark):
+    """Round-8 crop plan pins: the centroid screen must BROADCAST its
+    ≤|labels|·d sums table (never shuffle the exploded corpus against
+    it twice); the stratum exemplar sample is one scan + one window
+    (no join anywhere); lsh_bucket_stats aggregates with a partial
+    phase and joins its 1-row total by broadcast; knn_eval_recall
+    composes two broadcast-probe shapes (no sort-merge join, no
+    cartesian); the video-frame op's digest DISTINCT (duplicate
+    collapse) must sit below the Python kernel; the Gini ranks come
+    from scalable_rank (every Window partitioned by the bucket
+    column, never a partition-less window over parts)."""
+    from mapreduce_rust_spark.llm.multimodal import multimodal_video_frames
+    from mapreduce_rust_spark.llm.quality import stratum_exemplar_docs
+    from mapreduce_rust_spark.llm.similarity import (
+        knn_eval_recall, label_centroid_outliers, lsh_bucket_stats)
+    from mapreduce_rust_spark.operators.olap import revenue_gini_parts
+
+    p = _plan(label_centroid_outliers(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    p = _plan(stratum_exemplar_docs(spark, SF_CORRECT))
+    assert "Join" not in p
+    assert "Window" in p
+
+    p = _plan(lsh_bucket_stats(spark, SF_CORRECT))
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p      # the 1-row total
+    assert "CartesianProduct" not in p
+
+    p = _plan(knn_eval_recall(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    p = _plan(multimodal_video_frames(spark, SF_CORRECT))
+    assert "MapInPandas" in p
+    # duplicate collapse: the digest key table is materialized once
+    # (localCheckpoint → ExistingRDD scan) and the rep choice is a
+    # min-per-digest aggregate feeding the fan-out join
+    assert "ExistingRDD" in p and "min(doc_id" in p
+
+    p = _plan(revenue_gini_parts(spark, SF_CORRECT))
+    for seg in p.split("Window ")[1:]:
+        head = seg.splitlines()[0]
+        assert "_sb" in head, head             # scalable_rank windows
