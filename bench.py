@@ -318,6 +318,9 @@ HEADLINE = [
     "lsh_bucket_stats",
     "edge_support_hist_parts",
     "stream_bot_gap_regularity",
+    # round 8 fifth wave: corpus-profile audits
+    "len_quantiles_sources",
+    "char_class_profile_docs",
 ]
 
 

@@ -1619,3 +1619,123 @@ FROM ev GROUP BY source
 
 REGISTRATIONS.append(("ngram_novelty_docs", ngram_novelty_docs,
                       NGRAM_NOVELTY_ORACLE))
+
+
+LEN_PCTS = (25, 50, 90)   # per-source length profile percentiles
+
+
+def len_quantiles_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source document-length percentiles — the corpus-
+    profile drift readout a curation pipeline trends per ingest
+    source (a source whose P50 halves started truncating; one whose
+    P90 doubles started concatenating). Nearest-rank on the integer
+    n_chars grid — never an approximate sketch, so week-over-week
+    deltas are real, not sketch noise.
+
+    Scale shape: the corpus collapses to (source, n_chars) counts in
+    one map-side-combined aggregate; the cumsum window runs over the
+    bounded value grid per source, never over docs (the
+    ship_delay_percentiles shape on the corpus axis).
+
+    Output: ``(source, n_docs, p25_chars, p50_chars, p90_chars)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (docs.groupBy("source", F.col("n_chars").alias("len"))
+                 .agg(F.count("*").alias("c")))
+    wcum = (W.partitionBy("source").orderBy("len")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = cells.withColumn("cum", F.sum("c").over(wcum))
+    n = cells.groupBy("source").agg(F.sum("c").alias("n"))
+    j = t.join(F.broadcast(n), "source")
+    aggs = [F.max("n").alias("n_docs")]
+    for p in LEN_PCTS:
+        k = F.expr(f"({p} * n + 99) DIV 100")
+        aggs.append(F.min(F.when(F.col("cum") >= k, F.col("len")))
+                     .alias(f"p{p}_chars"))
+    return (j.groupBy("source").agg(*aggs)
+             .select("source", F.col("n_docs").cast("long"),
+                     *[F.col(f"p{p}_chars") for p in LEN_PCTS]))
+
+
+LEN_QUANTILES_ORACLE = f"""
+WITH cells AS (
+  SELECT source, n_chars AS len, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT source, len, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY len) AS cum
+  FROM cells
+),
+n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1)
+SELECT t.source, CAST(MAX(n.n) AS BIGINT) AS n_docs,
+       {", ".join(f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100 "
+                  f"THEN len END) AS p{p}_chars" for p in LEN_PCTS)}
+FROM t JOIN n ON t.source = n.source
+GROUP BY t.source
+"""
+
+
+REGISTRATIONS.append(("len_quantiles_sources", len_quantiles_sources,
+                      LEN_QUANTILES_ORACLE))
+
+
+def char_class_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source — the cheapest corpus
+    fingerprint there is (letters/digits/spaces/other shares): a
+    source whose digit share spikes started emitting tables or
+    minified junk; one whose 'other' share spikes changed encoding.
+    Class counts via length-after-class-deletion (one codegen'd
+    regexp per class, no explode, no tokenize); shares in integer
+    basis points.
+
+    Output: ``(source, n_docs, n_chars_total, n_letters, n_digits,
+    n_spaces, n_other, letters_bp, digits_bp)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    def cls(pat: str) -> F.Column:
+        return F.length(F.regexp_replace("text", pat, ""))
+    per = docs.select(
+        "source", F.length("text").alias("nc"),
+        cls(r"[^A-Za-z]").alias("let"),
+        cls(r"[^0-9]").alias("dig"),
+        cls(r"[^ \t\n\r]").alias("sp"))
+    agg = (per.groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("nc").cast("long").alias("n_chars_total"),
+                F.sum("let").cast("long").alias("n_letters"),
+                F.sum("dig").cast("long").alias("n_digits"),
+                F.sum("sp").cast("long").alias("n_spaces")))
+    return agg.select(
+        "source", "n_docs", "n_chars_total", "n_letters", "n_digits",
+        "n_spaces",
+        (F.col("n_chars_total") - F.col("n_letters") - F.col("n_digits")
+         - F.col("n_spaces")).alias("n_other"),
+        F.expr("n_letters * 10000 DIV n_chars_total").alias("letters_bp"),
+        F.expr("n_digits * 10000 DIV n_chars_total").alias("digits_bp"))
+
+
+CHAR_CLASS_ORACLE = """
+WITH per AS (
+  SELECT source, LENGTH(text) AS nc,
+         LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS let,
+         LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS dig,
+         LENGTH(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS sp
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS n_chars_total,
+       CAST(SUM(let) AS BIGINT) AS n_letters,
+       CAST(SUM(dig) AS BIGINT) AS n_digits,
+       CAST(SUM(sp) AS BIGINT) AS n_spaces,
+       CAST(SUM(nc) - SUM(let) - SUM(dig) - SUM(sp) AS BIGINT) AS n_other,
+       CAST(SUM(let) AS BIGINT) * 10000 // CAST(SUM(nc) AS BIGINT)
+         AS letters_bp,
+       CAST(SUM(dig) AS BIGINT) * 10000 // CAST(SUM(nc) AS BIGINT)
+         AS digits_bp
+FROM per GROUP BY source
+"""
+
+
+REGISTRATIONS.append(("char_class_profile_docs", char_class_profile_docs,
+                      CHAR_CLASS_ORACLE))
