@@ -320,6 +320,7 @@ HEADLINE = [
     "stream_bot_gap_regularity",
     # round 8 fifth wave: corpus-profile audits
     "len_quantiles_sources",
+    "stream_len_quantiles",
     "char_class_profile_docs",
 ]
 

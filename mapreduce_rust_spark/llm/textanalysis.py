@@ -1640,8 +1640,20 @@ def len_quantiles_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(source, n_docs, p25_chars, p50_chars, p90_chars)``.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cells = (docs.groupBy("source", F.col("n_chars").alias("len"))
-                 .agg(F.count("*").alias("c")))
+    return len_quantiles_closed_form(len_cells(docs))
+
+
+def len_cells(docs: DataFrame) -> DataFrame:
+    """(source, len, c) — the MERGEABLE sufficient statistic (one
+    count aggregate), shared by the batch op and
+    ``streaming.windows.stream_len_quantiles``."""
+    return (docs.groupBy("source", F.col("n_chars").alias("len"))
+                .agg(F.count("*").alias("c")))
+
+
+def len_quantiles_closed_form(cells: DataFrame) -> DataFrame:
+    """Exact nearest-rank percentiles from the (source, len, c)
+    cells — the ship_delay_closed_form shape on the corpus axis."""
     wcum = (W.partitionBy("source").orderBy("len")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     t = cells.withColumn("cum", F.sum("c").over(wcum))

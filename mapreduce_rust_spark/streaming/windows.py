@@ -712,6 +712,30 @@ def _ship_delay_oracle() -> str:
     return SHIP_DELAY_ORACLE
 
 
+
+def stream_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``llm.textanalysis.len_quantiles_sources`` —
+    nineteenth kappa pair, second over the DOCUMENTS feed: the
+    (source, len) counts are ONE complete-mode aggregate (state =
+    sources × distinct lengths, the bounded value grid), and the
+    shared closed form selects the exact nearest-rank percentiles
+    batch-side. Bit-identical to the batch op (pure integer order
+    statistics); same DuckDB oracle."""
+    from mapreduce_rust_spark.llm.textanalysis import (
+        len_cells, len_quantiles_closed_form)
+    docs = read_docs_stream(spark, sf_dir)
+    cells = len_cells(docs)
+    out = _run_to_table(cells, "stream_len_quantiles", "complete")
+    # closed form fans the cells into cum + per-source-count branches
+    return len_quantiles_closed_form(out.localCheckpoint(eager=True))
+
+
+def _len_quantiles_oracle() -> str:
+    from mapreduce_rust_spark.llm.textanalysis import (
+        LEN_QUANTILES_ORACLE)
+    return LEN_QUANTILES_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -746,4 +770,6 @@ REGISTRATIONS = [
      _median_sign_oracle()),
     ("stream_ship_delay_percentiles", stream_ship_delay_percentiles,
      _ship_delay_oracle()),
+    ("stream_len_quantiles", stream_len_quantiles,
+     _len_quantiles_oracle()),
 ]
