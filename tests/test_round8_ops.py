@@ -209,3 +209,21 @@ def test_triangle_corners_both_gate_paths_agree(spark):
     assert all(support[p] == 2 for p in k4)
     assert (4, 5) not in support
     assert all(support[p] == 1 for p in [(6, 7), (6, 8), (7, 8)])
+
+
+def test_nearest_rank_percentile_selection(spark):
+    """Planted nearest-rank check for the percentile closed forms:
+    values 10,20,...,100 (one each, n=10) give P25 = 3rd value = 30,
+    P50 = 5th = 50, P90 = 9th = 90 under k = ceil(p*n/100)."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.llm.textanalysis import (
+        len_quantiles_closed_form)
+
+    cells = spark.createDataFrame(
+        pd.DataFrame({"source": ["s"] * 10,
+                      "len": [10 * i for i in range(1, 11)],
+                      "c": [1] * 10}))
+    r = len_quantiles_closed_form(cells).collect()[0]
+    assert (r.n_docs, r.p25_chars, r.p50_chars, r.p90_chars) \
+        == (10, 30, 50, 90)
