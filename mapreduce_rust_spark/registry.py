@@ -41,61 +41,67 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-8 window (the round-7 window went 50/50 green — see COVERAGE.md):
-# the 27-query round-7 crop (24 new oracled queries + the 3 rows-only→
-# oracled closure conversions) that has only judge-mirror evidence so
-# far, plus 18 r2/r3 staleness re-proofs (TPC-H q5/q6/q10, the six
-# temporal joins, the sessionize trio, the subquery family, json_funcs,
-# salted join), plus 5 next-oldest r3 re-proofs. Every streaming kappa
-# twin is scheduled WITH its batch op (retention / winsorized /
-# isotonic / SLA / shuffle-quality pairs) so the artifact shows batch
-# and stream passing the SAME DuckDB oracle. Ledger invariant (see
-# COVERAGE.md for the proof-per-round table): after a green round-N
-# artifact, every query oracled BEFORE round N carries a hash-verified
-# driver row; queries oracled DURING round N are judge-mirror green and
-# queued for the round-N+1 window. Round 9 rotates to the r4 staleness
-# queue written in COVERAGE.md.
+# Round-9 window (the round-8 window went 50/50 green — see COVERAGE.md):
+# the 20-query round-8 crop (all oracled, judge-mirror green in the
+# round-8 verdict) scheduled first, with every streaming kappa twin
+# beside its batch op (t-closeness / Mood's median / ship-delay
+# percentiles / bot gap-regularity / length-percentile pairs), then the
+# r4/r5 staleness re-proof tiers from COVERAGE.md's pre-written queue:
+# tier 1 (newest row r4: multimodal quartet head, MAD outliers,
+# triangles, 2-hop, chunk UDTF), tiers 2–6 (r5: multimodal/spans,
+# mixture/quality, text/sharding, join/dedup, monitoring with its
+# twins), plus the first tier-7 entry. COVERAGE.md's "30 re-proofs"
+# arithmetic undercounted tiers 1–7 (they hold 35); per its own
+# displace-from-the-BOTTOM rule the last five tier-7 entries roll to
+# round 10. Ledger invariant (see COVERAGE.md for the proof-per-round
+# table): after a green round-N artifact, every query oracled BEFORE
+# round N carries a hash-verified driver row; queries oracled DURING
+# round N are judge-mirror green and queued for the round-N+1 window.
 DRIVER_WINDOW = [
-    # --- round-7 crop: codecs + multimodal ---
-    "jpeg_gray_roundtrip", "rasterize_glyph_metrics",
-    # --- round-7 crop: LLM curation / text ---
-    "ngram_novelty_docs", "dupfree_epoch_plan",
-    "pps_fixed_k_sample_docs", "shuffle_quality_stats",
-    "stream_shuffle_quality",
-    # --- round-7 crop: similarity / clustering ---
-    "mmr_diverse_topk", "cosine_hist_embeddings",
-    "kmeans_exact_embeddings",
-    # --- round-7 crop: near-dup closure conversions (never rowed) ---
-    "neardup_clusters", "neardup_keep_best", "leakage_safe_split_docs",
-    # --- round-7 crop: experimentation + kappa twins ---
-    "winsorized_mean_delta", "stream_winsorized_delta",
-    "isotonic_calibration_docs", "stream_isotonic_calibration",
-    "propensity_strata_events",
-    # --- round-7 crop: OLAP / ops analytics + kappa twins ---
-    "retention_triangle_orders", "stream_retention_triangle",
-    "sla_business_days_lineitem", "stream_sla_business_days",
-    "attribution_position_based", "abc_xyz_matrix_parts",
-    "dup_payment_screen_orders", "mase_baseline_events",
-    # --- round-7 crop: graph ---
-    "harmonic_centrality_seeds",
-    # --- staleness re-proofs: TPC-H (newest row r2) ---
-    "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
-    # --- staleness re-proofs: temporal joins (newest row r3) ---
-    "asof_last_error", "asof_next_purchase",
-    "interval_join_click_purchase", "twa_user_value",
-    "decay_weighted_user_value", "range_join_ship_near_order",
-    # --- staleness re-proofs: sessionize trio (r3) ---
-    "sessionize_events", "sessionize_events_scalable",
-    "mr_sessionize_secondary_sort",
-    # --- staleness re-proofs: subquery family (r3) ---
-    "scalar_subquery_orders", "in_subquery_lineitem",
-    "exists_big_order_customers", "not_exists_idle_suppliers",
-    # --- staleness re-proofs: functions + skew (r2/r3) ---
-    "json_funcs_events", "salted_join_revenue",
-    # --- next-oldest r3 re-proofs (5) ---
-    "funnel_conversion_events", "cohort_retention_events",
-    "gapfill_hourly_events", "merge_upsert_customers",
-    "scd2_close_and_insert",
+    # --- round-8 crop: ANN evaluation + similarity ---
+    "knn_eval_recall", "lsh_bucket_stats", "label_centroid_outliers",
+    # --- round-8 crop: multimodal ---
+    "multimodal_video_frames",
+    # --- round-8 crop: dedup / corpus audit ---
+    "cross_source_dup_matrix", "stratum_exemplar_docs",
+    # --- round-8 crop: privacy + kappa twin ---
+    "t_closeness_orders", "stream_t_closeness",
+    # --- round-8 crop: monitoring + kappa twin ---
+    "bot_gap_regularity_events", "stream_bot_gap_regularity",
+    # --- round-8 crop: experimentation + kappa twin ---
+    "median_sign_test_events", "stream_median_sign_test",
+    # --- round-8 crop: OLAP + kappa twin ---
+    "revenue_gini_parts",
+    "ship_delay_percentiles_priority", "stream_ship_delay_percentiles",
+    # --- round-8 crop: graph ---
+    "component_stats_parts", "edge_support_hist_parts",
+    # --- round-8 crop: text profile + kappa twin ---
+    "len_quantiles_sources", "stream_len_quantiles",
+    "char_class_profile_docs",
+    # --- staleness tier 1 (newest row r4) ---
+    "multimodal_features", "mad_outlier_orders",
+    "triangle_count_copurchase", "reachable_parts_2hop",
+    "chunk_docs_udtf",
+    # --- staleness tier 2 (multimodal/spans wing, r5) ---
+    "multimodal_resize", "multimodal_dedup_payload",
+    "dup_span_docs", "chunk_stride_docs",
+    # --- staleness tier 3 (mixture/quality wing, r5) ---
+    "domain_mix_sample", "domain_upsample_docs",
+    "quality_classifier_score", "curriculum_phase_docs",
+    # --- staleness tier 4 (text/sharding wing, r5) ---
+    "normalize_text_docs", "dedup_normalized_docs", "event_trigrams",
+    "boolean_search_docs", "domain_keywords_docs",
+    "bucket_pad_stats_docs",
+    # --- staleness tier 5 (join/dedup wing, r5) ---
+    "allknn_within_label", "ppjoin_jaccard_pairs",
+    "bloom_semijoin_revenue", "bloom_crawl_dedup",
+    "incremental_mv_orders",
+    # --- staleness tier 6 (monitoring wing with its twins, r5) ---
+    "trend_ols_events", "stream_trend_ols",
+    "zscore_anomaly_events", "stream_zscore_anomaly",
+    "cusum_changepoint_events",
+    # --- staleness tier 7 head (r5; rest rolls to round 10) ---
+    "funnel_timebound_events",
 ]
 
 
