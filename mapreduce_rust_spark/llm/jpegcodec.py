@@ -339,6 +339,12 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError("truncated JPEG: trailing fill bytes")
         if marker == 0xD9:
             break
+        # the fill loop can advance pos to within 4 bytes of the end
+        # when a real marker follows a fill run in a truncated stream —
+        # re-check before reading the length or unpack_from raises
+        # struct.error instead of this module's documented ValueError
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: segment header past end")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + seglen]
         pos += 2 + seglen

@@ -1723,8 +1723,15 @@ def char_class_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spaces",
         (F.col("n_chars_total") - F.col("n_letters") - F.col("n_digits")
          - F.col("n_spaces")).alias("n_other"),
-        F.expr("n_letters * 10000 DIV n_chars_total").alias("letters_bp"),
-        F.expr("n_digits * 10000 DIV n_chars_total").alias("digits_bp"))
+        # positivity guard: a source of only empty documents would hit
+        # ÷0 — Spark's non-ANSI DIV yields NULL but DuckDB's // errors,
+        # so the CASE (mirrored in the oracle) keeps the engines agreed
+        F.expr("CASE WHEN n_chars_total > 0 THEN "
+               "n_letters * 10000 DIV n_chars_total END")
+        .alias("letters_bp"),
+        F.expr("CASE WHEN n_chars_total > 0 THEN "
+               "n_digits * 10000 DIV n_chars_total END")
+        .alias("digits_bp"))
 
 
 CHAR_CLASS_ORACLE = """
@@ -1741,10 +1748,12 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(dig) AS BIGINT) AS n_digits,
        CAST(SUM(sp) AS BIGINT) AS n_spaces,
        CAST(SUM(nc) - SUM(let) - SUM(dig) - SUM(sp) AS BIGINT) AS n_other,
-       CAST(SUM(let) AS BIGINT) * 10000 // CAST(SUM(nc) AS BIGINT)
-         AS letters_bp,
-       CAST(SUM(dig) AS BIGINT) * 10000 // CAST(SUM(nc) AS BIGINT)
-         AS digits_bp
+       CASE WHEN CAST(SUM(nc) AS BIGINT) > 0 THEN
+         CAST(SUM(let) AS BIGINT) * 10000 // CAST(SUM(nc) AS BIGINT)
+       END AS letters_bp,
+       CASE WHEN CAST(SUM(nc) AS BIGINT) > 0 THEN
+         CAST(SUM(dig) AS BIGINT) * 10000 // CAST(SUM(nc) AS BIGINT)
+       END AS digits_bp
 FROM per GROUP BY source
 """
 

@@ -73,6 +73,10 @@ def test_jpeg_fill_bytes_before_marker_tolerated():
     assert decode_jpeg_gray(padded)[2] == img.tobytes()
     with pytest.raises(ValueError):
         decode_jpeg_gray(jpg[:2] + b"\xff\xff\xff\xff")
+    # fill run, then a REAL marker, then a truncated segment header:
+    # must be the documented ValueError, never struct.error (r8 advice)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xff\xdb\x00")
 
 
 def test_jpeg_lossy_error_bounded_on_smooth_image():
