@@ -82,6 +82,11 @@ from weakref import WeakKeyDictionary  # noqa: E402
 
 _SHINGLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
+# Memoized (sf_dir, df_cap) → materialized truth pair table; see
+# ngram_jaccard_pairs. Small by construction (near-dup pairs at
+# J >= 0.3 over the df-capped index), so localCheckpoint is cheap.
+_JACCARD_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
 
 def _persisted_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = _SHINGLE_CACHE.setdefault(spark, {})
@@ -261,8 +266,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     near-duplication), and both |A|, |B| shrink consistently. The
     oracle applies the identical cap. ``df_cap=None`` is the
     exhaustive form, kept as ground truth for the LSH recall tests —
-    never use it on a corpus with unbounded hot shingles."""
-    return _jaccard_from_shingles(_persisted_shingles(spark, sf_dir), df_cap)
+    never use it on a corpus with unbounded hot shingles.
+
+    The RESULT pair table is memoized per (session, sf_dir, cap) —
+    the labelprop-label memo discipline for derived tables ≥2
+    consumers share: this query is registered on its own AND is the
+    truth side ``dedup_eval_lsh`` re-ran per call (the r8 bench
+    regression, VERDICT r8 item 4). Entries die with the session
+    (WeakKeyDictionary); a planted corpus goes through
+    ``jaccard_pairs_from_docs`` and never touches the memo."""
+    per_session = _JACCARD_MEMO.setdefault(spark, {})
+    key = (sf_dir, df_cap)
+    if key not in per_session:
+        per_session[key] = _jaccard_from_shingles(
+            _persisted_shingles(spark, sf_dir),
+            df_cap).localCheckpoint(eager=True)
+    return per_session[key]
 
 
 def jaccard_pairs_from_docs(docs: DataFrame,

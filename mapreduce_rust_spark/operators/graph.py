@@ -237,7 +237,12 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges_cached(li)
     n = edges.count()  # checkpointed: the count is already materialized
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
-    return n_edges.crossJoin(triangle_count(edges, n_edges=n))
+    # count over the session-memoized triangle table (shared with the
+    # clustering-coefficient and edge-support queries) instead of the
+    # standalone in-row counter — one triangle build per session
+    n_tri = (triangle_table_cached(edges, n)
+             .agg(F.count("*").cast("long").alias("n_triangles")))
+    return n_edges.crossJoin(n_tri)
 
 
 # Oracle counts each triangle once via the u<v canonical form:
@@ -446,7 +451,10 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges_cached(li)
     n = edges.count()
-    ntri = (triangle_corners(edges, n_edges=n)
+    # corner explode over the session-memoized (s, a, b) triangle
+    # table — {s, a, b} are exactly the triangle's three corners
+    ntri = (triangle_table_cached(edges, n)
+            .select(F.explode(F.array("s", "a", "b")).alias("n"))
             .groupBy("n").agg(F.count("*").alias("n_tri")))
     deg = (edges.select(F.explode(F.array("u", "v")).alias("n"))
            .groupBy("n").agg(F.count("*").alias("deg")))
@@ -1244,6 +1252,35 @@ def _triangle_corners(edges: DataFrame, n_edges: int) -> DataFrame:
             .select("s", "a", "b"))
 
 
+# Session memo for the per-triangle (s, a, b) table — the
+# labelprop-label memo pattern (VERDICT r8 item 3): three registered
+# queries (triangle_count_copurchase, clustering_coeff_parts,
+# edge_support_hist_parts) each need the triangle set of the SAME
+# memoized co-purchase edge list, and rebuilding the orientation +
+# intersect machinery per query re-pays its shuffles every time.
+# Keyed by (applicationId, semanticHash of the EDGE plan): planted
+# test graphs and other sf_dirs miss by construction; localCheckpoint
+# blocks die with the session. Size: 3 longs per triangle — bounded
+# by the capped-basket triangle count, not lineitem.
+_TRI_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
+def triangle_table_cached(edges: DataFrame, n_edges: int) -> DataFrame:
+    """Materialized (s, a, b) triangle table of the given distinct
+    (u < v) edge list, built once per (application, edge plan) and
+    shared by every triangle consumer. The standalone
+    :func:`triangle_count` / :func:`triangle_corners` remain the
+    un-memoized forms for arbitrary graphs."""
+    app_id = edges.sparkSession.sparkContext.applicationId
+    evict_stale_memo(_TRI_MEMO, app_id)
+    key = (app_id, edges.semanticHash())
+    df = _TRI_MEMO.get(key)
+    if df is None:
+        df = _triangle_corners(edges, n_edges).localCheckpoint(eager=True)
+        _TRI_MEMO[key] = df
+    return df
+
+
 def edge_support_hist_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge TRIANGLE SUPPORT histogram over the co-purchase graph
     — the k-truss round-1 readout (an edge with support < k−2 cannot
@@ -1266,17 +1303,7 @@ def edge_support_hist_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges_cached(li)
     n = edges.count()   # checkpointed — already materialized
-    tri = _triangle_corners(edges, n)
-    epairs = tri.select(F.explode(F.array(
-        F.struct(F.least("s", "a").alias("u"),
-                 F.greatest("s", "a").alias("v")),
-        F.struct(F.least("s", "b").alias("u"),
-                 F.greatest("s", "b").alias("v")),
-        F.struct(F.col("a").alias("u"), F.col("b").alias("v"))))
-        .alias("e")).select("e.u", "e.v")
-    sup = epairs.groupBy("u", "v").agg(F.count("*").alias("supp"))
-    per_edge = (edges.join(sup, ["u", "v"], "left")
-                .select(F.coalesce("supp", F.lit(0)).alias("support")))
+    per_edge = edge_support_table_cached(edges, n)
     # materialize the ≤max-support-row histogram once — the survival
     # count derives from IT, so the triangle pipeline never runs twice
     hist = (per_edge.groupBy("support")
@@ -1326,3 +1353,229 @@ GROUP BY support, surv.n_truss_edges
 
 REGISTRATIONS.append(("edge_support_hist_parts", edge_support_hist_parts,
                       EDGE_SUPPORT_ORACLE))
+
+
+KTRUSS_ROUNDS = 3
+
+
+def ktruss_edges_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-truss peel of the co-purchase graph
+    (k = ``KTRUSS_K``): repeatedly drop edges with triangle support
+    < k−2 (support recomputed over the SURVIVING edge set each
+    round), ``KTRUSS_ROUNDS`` times — the iterative closure of
+    ``edge_support_hist_parts``'s seed filter (that query reports
+    round-1 survival; this one actually peels, so an edge whose
+    support rested on since-dropped edges cascades out). Cohen's
+    k-truss is the standard community-core refinement of the k-core:
+    every surviving edge sits in ≥ k−2 triangles of the truss itself.
+
+    Like ``kcore_parts``, the deterministic k-round PREFIX of the
+    peel fixpoint is what's computed and oracled: each round is one
+    triangle enumeration + a 3-rows-per-triangle explode + a
+    map-side-combinable support agg + one filter, the exact chain
+    the oracle's unrolled CTEs replay. Early fixpoint stop: a round
+    that drops no edge leaves support (a function of the edge set
+    alone) unchanged, so all later rounds are no-ops and hash
+    equality with the fully-unrolled oracle is preserved — one 1-row
+    driver count per round, the kcore/k-means loop pattern.
+
+    Scale: round 1 reads the session-memoized triangle table (shared
+    with the count / clustering-coefficient / support-histogram
+    queries); later rounds re-run the size-gated corner machinery on
+    the SHRUNKEN survivor set (monotone: each round's input is a
+    subset of the last). Inherits ``COPURCHASE_MAX_BASKET``; lineage
+    truncated per round.
+
+    Output: ``(u, v, support, truss_k)`` — surviving edges with the
+    support that admitted them in the final executed round (support
+    over the previous round's survivor set, exactly as the oracle's
+    last CTE).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges_cached(li)
+    return ktruss_peel(edges, use_memo=True)
+
+
+# Per-edge support table memo: (u, v, support) over the full edge
+# list — the round-1 scored table the histogram readout AND the
+# k-truss peel both start from (same keying discipline as _TRI_MEMO).
+_SUPPORT_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
+def edge_support_table_cached(edges: DataFrame, n_edges: int) -> DataFrame:
+    """Materialized (u, v, support) for every edge of the given
+    distinct (u < v) edge list (zero-support edges included), built
+    from the session triangle table once per (application, edge
+    plan). Shared by ``edge_support_hist_parts`` (histogram readout)
+    and ``ktruss_edges_parts`` (round-1 scores)."""
+    app_id = edges.sparkSession.sparkContext.applicationId
+    evict_stale_memo(_SUPPORT_MEMO, app_id)
+    key = (app_id, edges.semanticHash())
+    df = _SUPPORT_MEMO.get(key)
+    if df is None:
+        tri = triangle_table_cached(edges, n_edges)
+        epairs = tri.select(F.explode(F.array(
+            F.struct(F.least("s", "a").alias("u"),
+                     F.greatest("s", "a").alias("v")),
+            F.struct(F.least("s", "b").alias("u"),
+                     F.greatest("s", "b").alias("v")),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v"))))
+            .alias("e")).select("e.u", "e.v")
+        sup = epairs.groupBy("u", "v").agg(F.count("*").alias("supp"))
+        df = (edges.join(sup, ["u", "v"], "left")
+              .select("u", "v",
+                      F.coalesce("supp", F.lit(0)).cast("long")
+                       .alias("support"))
+              .localCheckpoint(eager=True))
+        _SUPPORT_MEMO[key] = df
+    return df
+
+
+def ktruss_peel(edges: DataFrame, use_memo: bool = False) -> DataFrame:
+    """The peel loop of :func:`ktruss_edges_parts` over an arbitrary
+    distinct (u < v) edge list (planted tests call this directly;
+    ``use_memo`` routes round 1 through the session triangle memo).
+
+    Delta peeling: a triangle of the round-r survivor set is exactly
+    a round-(r−1) triangle none of whose three edges was dropped, so
+    rounds ≥ 2 never re-run the orientation/intersect machinery and
+    never re-aggregate the full 3·|T| corner→edge explode. Instead:
+    (1) REMOVED triangles = prior triangles touching a dropped edge
+    (union of three broadcast semi-joins against the frontier-sized
+    dropped set, deduped — a triangle can touch two dropped edges);
+    (2) the carried triangle table is filtered with three broadcast
+    anti-joins; (3) support updates in place:
+    support_r(e) = support_{r-1}(e) − |removed triangles on e| — a
+    broadcast-sized subtraction join instead of a full re-count.
+    Measured at sf0.1 (1.2M edges, 1.88M triangles, 7% peeled):
+    9.4 s (re-enumerate per round) → 7.4 s (triangle filter only) →
+    see SCALE.md for the shipped incremental number. At 100 TB the
+    broadcasts gate on BROADCAST_EDGE_LIMIT and fall back to shuffle
+    joins — still delta-sized, never graph-sized. Identical
+    semantics to the oracle's per-round 3-way re-join — same
+    triangle set and supports, proven by hash."""
+    thresh = KTRUSS_K - 2
+    n_prev = edges.count()
+    out, tri = None, None
+    for rnd in range(KTRUSS_ROUNDS):
+        if rnd == 0:
+            if use_memo:
+                tri = triangle_table_cached(edges, n_prev)
+                scored = edge_support_table_cached(edges, n_prev)
+            else:
+                tri = (_triangle_corners(edges, n_prev)
+                       .localCheckpoint(eager=True))
+                epairs = tri.select(F.explode(F.array(
+                    F.struct(F.least("s", "a").alias("u"),
+                             F.greatest("s", "a").alias("v")),
+                    F.struct(F.least("s", "b").alias("u"),
+                             F.greatest("s", "b").alias("v")),
+                    F.struct(F.col("a").alias("u"),
+                             F.col("b").alias("v"))))
+                    .alias("e")).select("e.u", "e.v")
+                sup = (epairs.groupBy("u", "v")
+                       .agg(F.count("*").alias("supp")))
+                scored = (edges.join(sup, ["u", "v"], "left")
+                          .select("u", "v",
+                                  F.coalesce("supp", F.lit(0))
+                                   .cast("long").alias("support"))
+                          .localCheckpoint(eager=True))
+        else:
+            # ONE scan of the carried triangle table: three broadcast
+            # left joins mark which edge slots were dropped; the
+            # marked rows are the removed triangles, the rest carry
+            # forward — both filters read the same checkpointed scan.
+            d0 = dropped.withColumn("hit", F.lit(1))
+            if n_dropped < BROADCAST_EDGE_LIMIT:
+                d0 = F.broadcast(d0)
+            marked = tri
+            for idx, (x, y) in enumerate((("s", "a"), ("s", "b"),
+                                          ("a", "b"))):
+                di = d0.select(F.col("du").alias(f"du{idx}"),
+                               F.col("dv").alias(f"dv{idx}"),
+                               F.col("hit").alias(f"hit{idx}"))
+                marked = marked.join(
+                    di,
+                    (F.least(F.col(x), F.col(y)) == F.col(f"du{idx}"))
+                    & (F.greatest(F.col(x), F.col(y))
+                       == F.col(f"dv{idx}")),
+                    "left")
+            marked = (marked.select(
+                "s", "a", "b",
+                (F.coalesce("hit0", F.lit(0)) + F.coalesce("hit1", F.lit(0))
+                 + F.coalesce("hit2", F.lit(0)) > 0).alias("rm"))
+                .localCheckpoint(eager=True))
+            tri = marked.where(~F.col("rm")).select("s", "a", "b")
+            removed = marked.where(F.col("rm")).select("s", "a", "b")
+            rc = (removed.select(F.explode(F.array(
+                F.struct(F.least("s", "a").alias("u"),
+                         F.greatest("s", "a").alias("v")),
+                F.struct(F.least("s", "b").alias("u"),
+                         F.greatest("s", "b").alias("v")),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v"))))
+                .alias("e")).select("e.u", "e.v")
+                .groupBy("u", "v").agg(F.count("*").alias("rm_n")))
+            if n_dropped < BROADCAST_EDGE_LIMIT:
+                rc = F.broadcast(rc)
+            scored = (out.join(rc, ["u", "v"], "left")
+                      .select("u", "v",
+                              (F.col("support")
+                               - F.coalesce("rm_n", F.lit(0)))
+                              .alias("support"))
+                      .localCheckpoint(eager=True))
+        out = scored.where(F.col("support") >= thresh)
+        dropped = (scored.where(F.col("support") < thresh)
+                   .select(F.col("u").alias("du"), F.col("v").alias("dv")))
+        n_now = out.count()
+        n_dropped = n_prev - n_now
+        if n_dropped == 0:
+            break
+        n_prev = n_now
+    return out.select("u", "v", "support",
+                      F.lit(KTRUSS_K).cast("long").alias("truss_k"))
+
+
+def _ktruss_oracle() -> str:
+    # AS MATERIALIZED: each e{r} is referenced 4x (three triangle
+    # sides + the support left join) — DuckDB's default CTE inlining
+    # would expand the chain ~4^r times and exhausts memory at r = 3
+    # (observed); materializing keeps each round evaluated once,
+    # which is also what the Spark side's per-round localCheckpoint
+    # does.
+    rounds = []
+    prev = "e0"
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        rounds.append(f"""
+t{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.u = e1.v
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+p{r} AS (
+  SELECT a AS u, b AS v FROM t{r}
+  UNION ALL SELECT b, c FROM t{r}
+  UNION ALL SELECT a, c FROM t{r}
+),
+s{r} AS (
+  SELECT e.u, e.v, COUNT(p.u) AS support
+  FROM {prev} e LEFT JOIN p{r} p ON e.u = p.u AND e.v = p.v
+  GROUP BY e.u, e.v
+),
+e{r} AS MATERIALIZED (SELECT u, v, support FROM s{r}
+         WHERE support >= {KTRUSS_K - 2})""")
+        prev = f"e{r}"
+    return f"""
+WITH {CAPPED_EDGES_SQL},
+e0 AS MATERIALIZED (SELECT u, v FROM edges),{','.join(rounds)}
+SELECT u, v, CAST(support AS BIGINT) AS support,
+       CAST({KTRUSS_K} AS BIGINT) AS truss_k
+FROM {prev}
+"""
+
+
+KTRUSS_ORACLE = _ktruss_oracle()
+
+
+REGISTRATIONS.append(("ktruss_edges_parts", ktruss_edges_parts,
+                      KTRUSS_ORACLE))

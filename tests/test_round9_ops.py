@@ -1,0 +1,159 @@
+"""Behavioral tests for the round-9 crop and round-9 hardening —
+properties the oracle mirror cannot see (degenerate inputs absent
+from the fixtures, gate paths, planted worst cases).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+
+def test_char_class_profile_empty_source_guard(spark, tmp_path):
+    """A source containing only empty documents drives n_chars_total
+    to 0: the basis-point shares must be NULL in BOTH engines (Spark's
+    non-ANSI DIV nulls; DuckDB needs the mirrored CASE guard or its
+    // raises), so the two engines stay hash-agreed on degenerate
+    corpora (r8 advice)."""
+    from mapreduce_rust_spark.llm.textanalysis import (
+        CHAR_CLASS_ORACLE, char_class_profile_docs)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["empty", "empty", "real"],
+        "text": ["", "", "ab1 c"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = {r.source: r
+           for r in char_class_profile_docs(spark, str(tmp_path)).collect()}
+    assert got["empty"].n_chars_total == 0
+    assert got["empty"].letters_bp is None
+    assert got["empty"].digits_bp is None
+    assert got["real"].letters_bp == 3 * 10000 // 5
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(CHAR_CLASS_ORACLE).fetchdf()
+    w = want.set_index("source")
+    assert pd.isna(w.loc["empty", "letters_bp"])
+    assert int(w.loc["real", "letters_bp"]) == 6000
+
+
+def test_triangle_table_memo_hit_and_miss(spark):
+    """The session triangle-table memo (shared by triangle count /
+    clustering coefficient / edge support) must return the SAME
+    materialized frame for the same edge plan and MISS for a
+    different (e.g. planted-test) edge plan — stale reuse across
+    inputs would silently corrupt all three queries."""
+    from mapreduce_rust_spark.operators.graph import (
+        _TRI_MEMO, triangle_table_cached)
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long")
+    e2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "u long, v long")
+    a = triangle_table_cached(e1, 4)
+    b = triangle_table_cached(e1, 4)
+    assert a is b, "same edge plan must hit the memo"
+    c = triangle_table_cached(e2, 3)
+    assert c is not a, "different edge plan must miss"
+    assert {tuple(sorted(r)) for r in a.collect()} == {(1, 2, 3)}
+    for k in [k for k, v in list(_TRI_MEMO.items()) if v in (a, c)]:
+        _TRI_MEMO.pop(k).unpersist()
+
+
+def test_ktruss_peel_cascade_planted(spark):
+    """Planted cascade for the k-truss peel (K = 4, support >= 2):
+    K4 on {1,2,3,4} plus vertex 5 joined to 3 and 4. Round 1 drops
+    (3,5) and (4,5) (support 1 each) — edge (3,4) had support 3 (two
+    K4 triangles + {3,4,5}); round 2 recomputes support over the
+    survivors and (3,4) falls to 2, still surviving: the final truss
+    is exactly K4 with every edge at support 2. The support column
+    must reflect the LAST executed round (so (3,4) reports 2, not
+    its round-1 value 3) — the cascade is invisible to the seed
+    filter edge_support_hist_parts and is what this op adds."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.graph import KTRUSS_K, ktruss_peel
+
+    assert KTRUSS_K == 4
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (3, 5), (4, 5)]
+    edges = spark.createDataFrame(pd.DataFrame(e, columns=["u", "v"]))
+    out = {(r.u, r.v): r.support for r in ktruss_peel(edges).collect()}
+    k4 = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert set(out) == k4
+    assert all(s == 2 for s in out.values()), out
+
+
+def test_wav_pcm_roundtrip_and_gates():
+    """The RIFF/PCM codec: pack→decode round-trips the exact sample
+    sequence; corrupt containers raise ValueError; non-PCM format
+    codes and non-16-bit depths hit the honest NotImplementedError
+    gate (the audio analogue of decode_image_stub's)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_PCM_RATE, _pack_wav_pcm, decode_wav_pcm)
+
+    text = "Hello, WAV world! 0123"
+    wav = _pack_wav_pcm(text)
+    rate, ch, samples = decode_wav_pcm(wav)
+    assert (rate, ch) == (AUDIO_PCM_RATE, 1)
+    expect = np.array([(ord(c) % 256 - 100) * 201 for c in text],
+                      dtype=np.int16)
+    assert np.array_equal(samples, expect)
+
+    # an extra chunk before data must be skipped (odd length → padded)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    patched = wav[:12] + extra + wav[12:]
+    patched = (b"RIFF" + struct.pack("<I", len(patched) - 8)
+               + patched[8:])
+    assert np.array_equal(decode_wav_pcm(patched)[2], expect)
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFX" + wav[4:])
+    with pytest.raises(ValueError):
+        decode_wav_pcm(wav[:20])          # truncated chunk list
+    # format code 3 (float PCM) → honest gate
+    fmt_off = wav.index(b"fmt ") + 8
+    float_fmt = wav[:fmt_off] + struct.pack("<H", 3) + wav[fmt_off + 2:]
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm(float_fmt)
+    # 8-bit depth → honest gate (bits field is last in fmt)
+    bits_off = fmt_off + 14
+    eight = wav[:bits_off] + struct.pack("<H", 8) + wav[bits_off + 2:]
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm(eight)
+
+
+def test_audio_pcm_cap_bounds_giant_doc():
+    """A giant document yields at most AUDIO_PCM_CAP samples →
+    CAP/WIN windows; the kernel is bounded per row by construction."""
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_PCM_CAP, _pack_wav_pcm, decode_wav_pcm)
+
+    wav = _pack_wav_pcm("x" * (AUDIO_PCM_CAP * 50))
+    assert len(decode_wav_pcm(wav)[2]) == AUDIO_PCM_CAP
+
+
+def test_ktruss_peel_k5_and_triangle_dropped(spark):
+    """K5 survives the 4-truss wholly (every edge support 3); an
+    isolated triangle (support 1 < 2) is peeled in round 1; a pendant
+    edge (support 0) too."""
+    import pandas as pd
+    from itertools import combinations
+
+    from mapreduce_rust_spark.operators.graph import ktruss_peel
+
+    e = list(combinations(range(1, 6), 2)) + [(6, 7), (6, 8), (7, 8),
+                                              (9, 10)]
+    edges = spark.createDataFrame(pd.DataFrame(e, columns=["u", "v"]))
+    out = {(r.u, r.v): r.support for r in ktruss_peel(edges).collect()}
+    assert set(out) == set(combinations(range(1, 6), 2))
+    assert all(s == 3 for s in out.values()), out
