@@ -321,6 +321,15 @@ HEADLINE = [
     # RIFF/PCM audio decode stats (closes the audio gate)
     "ktruss_edges_parts",
     "multimodal_audio_pcm_stats",
+    "stream_audio_pcm_stats",
+    # round 9 second wave: degree-discounted link prediction,
+    # nonparametric trend + SRM guardrail kappa pairs, Good-Turing
+    "linkpred_resource_allocation",
+    "mann_kendall_events",
+    "stream_mann_kendall",
+    "srm_check_events",
+    "stream_srm_check",
+    "good_turing_counts_docs",
     "stream_bot_gap_regularity",
     # round 8 fifth wave: corpus-profile audits
     "len_quantiles_sources",

@@ -1760,3 +1760,85 @@ FROM per GROUP BY source
 
 REGISTRATIONS.append(("char_class_profile_docs", char_class_profile_docs,
                       CHAR_CLASS_ORACLE))
+
+
+GT_GRID = 10**6   # ppm grid for the smoothed-count ratios
+
+
+def good_turing_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency-of-frequencies table over the corpus
+    vocabulary (Good 1953; the smoothing base of Katz backoff and the
+    classic unseen-mass estimator LLM tokenizer/vocab audits use):
+    for every observed frequency r, N_r = how many token TYPES occur
+    exactly r times, the smoothed count r* = (r+1)·N_{r+1}/N_r, and
+    the leave-one-out missing-mass estimate p₀ = N₁/N (the
+    probability the NEXT token is a never-seen type — the number that
+    says whether a corpus is big enough for its vocabulary).
+
+    Exactness: N_r, N_{r+1}, N are exact counts; the ratios are
+    emitted on the ppm integer grid via DIV, so the row hash is
+    exact on both engines (the engine-wide no-float-ratio rule).
+    r* is NULL where N_{r+1} = 0 (the standard place a production
+    smoother switches to the unsmoothed count / a fitted tail).
+
+    Scale: token counts are one map-side-combinable groupBy; the
+    count-of-counts table is ≤ max-frequency rows (dims-sized), and
+    the N_{r+1} lookup is a self-join on that dims table — never
+    token-grain. Streaming note: the cells (tok, cnt) are NOT
+    dims-sized, which is why this op has no kappa twin (the honest
+    boundary the sketch family also sits behind).
+
+    Output: ``(r, n_types, n_next, rstar_ppm, p0_ppm)``.
+    """
+    toks = _tok_table(spark, sf_dir)
+    cnts = toks.groupBy("tok").agg(F.count("*").alias("r"))
+    nr = (cnts.groupBy("r")
+          .agg(F.count("*").cast("long").alias("n_types"))
+          .localCheckpoint(eager=True))   # read by 3 plan branches
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_types")).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_types")).otherwise(0))
+         .cast("long").alias("n1"))
+    nxt = nr.select((F.col("r") - 1).alias("r"),
+                    F.col("n_types").alias("n_next"))
+    return (nr.join(nxt, "r", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.col("r").cast("long").alias("r"),
+                "n_types",
+                F.coalesce("n_next", F.lit(0)).cast("long").alias("n_next"),
+                F.expr(f"CASE WHEN coalesce(n_next, 0) > 0 THEN "
+                       f"(r + 1) * coalesce(n_next, 0) * {GT_GRID} "
+                       f"DIV n_types END").cast("long").alias("rstar_ppm"),
+                F.expr(f"n1 * {GT_GRID} DIV n_tokens").cast("long")
+                 .alias("p0_ppm")))
+
+
+GOOD_TURING_ORACLE = f"""
+WITH cnts AS (
+  SELECT tok, COUNT(*) AS r
+  FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types
+       FROM cnts GROUP BY r),
+tot AS (
+  SELECT CAST(SUM(r * n_types) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN r = 1 THEN n_types ELSE 0 END) AS BIGINT)
+           AS n1
+  FROM nr
+)
+SELECT CAST(nr.r AS BIGINT) AS r, nr.n_types,
+       CAST(COALESCE(nx.n_types, 0) AS BIGINT) AS n_next,
+       CASE WHEN COALESCE(nx.n_types, 0) > 0 THEN
+         CAST((nr.r + 1) * COALESCE(nx.n_types, 0) * {GT_GRID}
+              AS BIGINT) // nr.n_types
+       END AS rstar_ppm,
+       CAST(tot.n1 * {GT_GRID} AS BIGINT) // tot.n_tokens AS p0_ppm
+FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1, tot
+"""
+
+
+REGISTRATIONS.append(("good_turing_counts_docs", good_turing_counts_docs,
+                      GOOD_TURING_ORACLE))

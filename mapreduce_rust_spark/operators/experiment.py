@@ -811,3 +811,87 @@ FROM agg
 
 REGISTRATIONS.append(("median_sign_test_events", median_sign_test_events,
                       MEDIAN_SIGN_ORACLE))
+
+
+SRM_CRIT_1DF = 3.841   # chi-square 95% critical value, 1 df
+
+
+def srm_arm_counts(ev: DataFrame) -> DataFrame:
+    """Mergeable cells for the SRM check: event traffic per
+    (event_type, arm) with the engine-standard ``user_id % 2``
+    assignment — one map-side-combinable count, dims-sized state in
+    the streaming twin (types × 2 arms)."""
+    return (ev.select("event_type",
+                      (F.col("user_id") % 2 == 1).alias("treat"))
+            .groupBy("event_type", "treat")
+            .agg(F.count("*").cast("long").alias("c")))
+
+
+def srm_closed_form(cells: DataFrame) -> DataFrame:
+    """Chi-square SRM statistic from the arm-count cells. For two
+    arms at an expected 50/50 split the statistic collapses to
+    χ² = (n_treat − n_ctrl)² / n — one exact-integer square over one
+    int÷int IEEE division, bit-equal across engines; the flag
+    compares that double to the same 3.841 literal on both sides."""
+    p = (cells.groupBy("event_type")
+         .agg(F.sum(F.when(F.col("treat"), F.col("c")).otherwise(0))
+              .cast("long").alias("n_treat"),
+              F.sum(F.when(~F.col("treat"), F.col("c")).otherwise(0))
+              .cast("long").alias("n_ctrl")))
+    return p.select(
+        "event_type", "n_treat", "n_ctrl",
+        (F.col("n_treat") - F.col("n_ctrl")).cast("long").alias("delta"),
+        F.expr("CAST((n_treat - n_ctrl) * (n_treat - n_ctrl) AS DOUBLE)"
+               " / CAST(n_treat + n_ctrl AS DOUBLE)").alias("chi2"),
+        (F.expr("CAST((n_treat - n_ctrl) * (n_treat - n_ctrl) AS DOUBLE)"
+                " / CAST(n_treat + n_ctrl AS DOUBLE)")
+         > F.lit(SRM_CRIT_1DF)).alias("srm_flag"))
+
+
+def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Fabijan et al. 2019 — the
+    standard trustworthiness gate every experimentation platform runs
+    BEFORE reading any metric): is per-type traffic split across the
+    two ``user_id % 2`` arms consistent with the designed 50/50
+    ratio? A significant chi-square here means broken randomization,
+    bot skew, or logging loss — every downstream effect estimate
+    (DiD, CUPED, Mann–Whitney, the two-proportion z) is then invalid,
+    which is why the guardrail belongs next to them in the engine.
+
+    Exactness: counts are exact longs; for 2 cells at expected N/2
+    the chi-square reduces to (n_t − n_c)²/N — a single int÷int IEEE
+    division, so both engines produce the bit-identical double and
+    the identical flag. Scale: one map-side-combinable count per
+    (type, arm); the closed form runs on the dims grid.
+
+    Output: ``(event_type, n_treat, n_ctrl, delta, chi2, srm_flag)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return srm_closed_form(srm_arm_counts(ev))
+
+
+SRM_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, (user_id % 2 = 1) AS treat,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN treat THEN c ELSE 0 END) AS BIGINT)
+           AS n_treat,
+         CAST(SUM(CASE WHEN NOT treat THEN c ELSE 0 END) AS BIGINT)
+           AS n_ctrl
+  FROM cells GROUP BY event_type
+)
+SELECT event_type, n_treat, n_ctrl,
+       CAST(n_treat - n_ctrl AS BIGINT) AS delta,
+       CAST((n_treat - n_ctrl) * (n_treat - n_ctrl) AS DOUBLE)
+         / CAST(n_treat + n_ctrl AS DOUBLE) AS chi2,
+       CAST((n_treat - n_ctrl) * (n_treat - n_ctrl) AS DOUBLE)
+         / CAST(n_treat + n_ctrl AS DOUBLE) > {SRM_CRIT_1DF} AS srm_flag
+FROM p
+"""
+
+
+REGISTRATIONS.append(("srm_check_events", srm_check_events, SRM_ORACLE))

@@ -1579,3 +1579,90 @@ KTRUSS_ORACLE = _ktruss_oracle()
 
 REGISTRATIONS.append(("ktruss_edges_parts", ktruss_edges_parts,
                       KTRUSS_ORACLE))
+
+
+RA_GRID = 10**12   # integer micro-units for the 1/deg RA terms
+
+
+def linkpred_resource_allocation(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Seeded link prediction by the RESOURCE-ALLOCATION index (Zhou,
+    Lü & Zhang 2009): ra(s,c) = Σ_{w ∈ N(s)∩N(c)} 1/deg(w) — the
+    common-neighbor count of ``linkpred_common_neighbors`` with each
+    shared neighbor DISCOUNTED by its degree, so a hub co-purchased
+    with everything stops dominating the ranking (empirically the
+    strongest of the degree-penalized local indices; Adamic–Adar's
+    1/ln deg needs libm and is deliberately NOT used — 1/deg is
+    rational and stays exact). Terms are computed on the integer grid
+    ra_num = Σ (RA_GRID DIV deg(w)), so ranking and hashes are exact
+    on both engines; no float ever enters the ordering.
+
+    Scale: identical frontier shape as the common-neighbor ranker —
+    wedge volume Σ_{v∈N(s)} deg(v), never Σdeg²; the degree of the
+    MIDDLE vertex joins onto the frontier-sized seed-adjacency rows
+    BEFORE the wedge expansion (broadcast ≤ Σ|N(s)| rows), so the
+    n-sized degree table streams exactly once. Per-seed top-k via one
+    bounded window. Inherits ``COPURCHASE_MAX_BASKET``.
+
+    Output: ``(seed, cand, cn, ra_num, rnk)``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = _bidir_adjacency(copurchase_edges_cached(li))
+    deg = adj.groupBy("a").agg(F.count("*").alias("d"))
+    ns = (adj.where(F.col("a").isin(*PPR_SEEDS))
+          .select(F.col("a").alias("seed"), F.col("b").alias("v"))
+          .localCheckpoint(eager=True))   # consumed by 2 plan branches
+    # degree of the middle vertex, attached while still frontier-sized
+    nsd = ns.join(deg.select(F.col("a").alias("v"), "d"), "v")
+    wedges = (F.broadcast(nsd)
+              .join(adj.select(F.col("a").alias("v"),
+                               F.col("b").alias("cand")), "v")
+              .where(F.col("cand") != F.col("seed")))
+    scored = (wedges.groupBy("seed", "cand")
+              .agg(F.count("*").cast("long").alias("cn"),
+                   F.sum(F.expr(f"{RA_GRID} DIV d")).cast("long")
+                    .alias("ra_num")))
+    open_pairs = scored.join(
+        F.broadcast(ns.select("seed", F.col("v").alias("cand"))),
+        ["seed", "cand"], "left_anti")
+    w = W.partitionBy("seed").orderBy(F.col("ra_num").desc(), "cand")
+    return (open_pairs
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= LINKPRED_TOP_K)
+            .select("seed", "cand", "cn", "ra_num", "rnk"))
+
+
+LINKPRED_RA_ORACLE = f"""
+WITH {CAPPED_EDGES_SQL},
+adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT a, COUNT(*) AS d FROM adj GROUP BY a),
+ns AS (SELECT a AS seed, b AS v FROM adj
+       WHERE a IN ({", ".join(str(s) for s in PPR_SEEDS)})),
+scored AS (
+  SELECT ns.seed, adj.b AS cand,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM({RA_GRID} // d.d) AS BIGINT) AS ra_num
+  FROM ns JOIN deg d ON d.a = ns.v
+          JOIN adj ON adj.a = ns.v
+  WHERE adj.b <> ns.seed
+  GROUP BY ns.seed, adj.b
+),
+open_pairs AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM ns
+                    WHERE ns.seed = s.seed AND ns.v = s.cand)
+),
+ranked AS (
+  SELECT seed, cand, cn, ra_num,
+         CAST(ROW_NUMBER() OVER (PARTITION BY seed
+                                 ORDER BY ra_num DESC, cand) AS BIGINT)
+           AS rnk
+  FROM open_pairs
+)
+SELECT seed, cand, cn, ra_num, rnk FROM ranked
+WHERE rnk <= {LINKPRED_TOP_K}
+"""
+
+
+REGISTRATIONS.append(("linkpred_resource_allocation",
+                      linkpred_resource_allocation, LINKPRED_RA_ORACLE))

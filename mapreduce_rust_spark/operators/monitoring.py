@@ -1432,3 +1432,117 @@ FROM per_user WHERE n_gaps >= {BOT_MIN_GAPS}
 
 REGISTRATIONS.append(("bot_gap_regularity_events", bot_gap_regularity_events,
                       BOT_GAP_ORACLE))
+
+
+def mk_daily_cells(ev: DataFrame) -> DataFrame:
+    """Mergeable cells for the Mann–Kendall test: the per-(type, day)
+    event-count grid — one complete-mode aggregate in the streaming
+    twin, dims-sized state (types × distinct days)."""
+    return (ev.select("event_type", F.to_date("ts").alias("d"))
+            .groupBy("event_type", "d")
+            .agg(F.count("*").cast("long").alias("c")))
+
+
+def mk_closed_form(daily: DataFrame) -> DataFrame:
+    """Mann–Kendall S, tie-corrected variance numerator, and the
+    continuity-corrected z from the (type, day, count) cells. All
+    inputs to z are exact integers; z itself is the identical IEEE
+    DAG on both engines (one division, one sqrt, one division — each
+    correctly rounded), so the doubles are bit-equal."""
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.d") < F.col("b.d")))
+         .groupBy(F.col("a.event_type").alias("event_type"))
+         .agg(F.sum(F.when(F.col("b.c") > F.col("a.c"), 1)
+                    .when(F.col("b.c") < F.col("a.c"), -1)
+                    .otherwise(0)).cast("long").alias("s_stat")))
+    nn = (daily.groupBy("event_type")
+          .agg(F.count("*").cast("long").alias("n_days")))
+    ties = (daily.groupBy("event_type", "c")
+            .agg(F.count("*").alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                 .cast("long").alias("tie_num")))
+    out = (nn.join(s, "event_type").join(ties, "event_type")
+           .select("event_type", "n_days", "s_stat",
+                   (F.expr("n_days * (n_days - 1) * (2 * n_days + 5)")
+                    - F.col("tie_num")).cast("long").alias("var_num")))
+    return out.select(
+        "event_type", "n_days", "s_stat", "var_num",
+        F.expr("CASE WHEN var_num > 0 THEN "
+               "(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) "
+               " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) "
+               " ELSE 0.0 END) / SQRT(CAST(var_num AS DOUBLE) / 18.0) "
+               "END").alias("z"))
+
+
+def mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the daily event count per
+    type (Mann 1945, Kendall's tau numerator): S = Σ_{i<j}
+    sign(x_j − x_i) over day pairs, with the standard tie-corrected
+    variance and continuity-corrected z — the NONPARAMETRIC
+    complement of ``trend_ols_events``' least-squares slope (no
+    linearity assumption, robust to outliers and monotone-nonlinear
+    drift; the pairing with Theil–Sen's slope is the classic
+    trend-monitoring kit).
+
+    Exactness: daily counts are integers, so S, n, and the
+    tie-corrected variance numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    are exact BIGINTs; z applies the same 3-op IEEE DAG on both
+    engines. Degenerate all-tied series (var 0) yield NULL z,
+    mirrored in the oracle.
+
+    Scale: the cells are the (type, day) grid — one map-side
+    combinable scan; the pair join is day² PER TYPE over the
+    dims-sized grid, never event-grain (the rolling-median /
+    lagged-corr discipline). Streaming twin shares the cells and this
+    closed form.
+
+    Output: ``(event_type, n_days, s_stat, var_num, z)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return mk_closed_form(mk_daily_cells(ev))
+
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY a.event_type
+),
+nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num
+  FROM (SELECT event_type, c, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+base AS (
+  SELECT nn.event_type, nn.n_days, s.s_stat,
+         CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+              - ties.tie_num AS BIGINT) AS var_num
+  FROM nn JOIN s USING (event_type) JOIN ties USING (event_type)
+)
+SELECT event_type, n_days, s_stat, var_num,
+       CASE WHEN var_num > 0 THEN
+         (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+               ELSE 0.0 END)
+         / SQRT(CAST(var_num AS DOUBLE) / 18.0)
+       END AS z
+FROM base
+"""
+
+
+REGISTRATIONS.append(("mann_kendall_events", mann_kendall_events,
+                      MANN_KENDALL_ORACLE))

@@ -736,6 +736,78 @@ def _len_quantiles_oracle() -> str:
     return LEN_QUANTILES_ORACLE
 
 
+def stream_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``llm.multimodal.multimodal_audio_pcm_stats``
+    — twentieth kappa pair, third over the DOCUMENTS feed and the
+    first STATELESS one: media decode is the canonical ingest-time
+    transform (decode on arrival, store features), so the twin is the
+    same Arrow-batched RIFF/PCM kernel applied per micro-batch in
+    append mode — no state store at all, the kappa architecture's
+    map-only degenerate case. Per-document windows never span
+    batches, so output is row-identical to the batch op (the batch
+    op's per-DISTINCT-text duplicate collapse is a batch-side cost
+    optimization, not a semantic one); same DuckDB oracle."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_PCM_SCHEMA, _audio_pcm_batches, with_payload)
+    _ensure_self_shipping()
+    docs = read_docs_stream(spark, sf_dir).where(F.length("text") >= 1)
+    stats = with_payload(docs).mapInPandas(
+        _audio_pcm_batches, AUDIO_PCM_SCHEMA)
+    return _run_to_table(stats, "stream_audio_pcm_stats", "append")
+
+
+def _audio_pcm_oracle() -> str:
+    from mapreduce_rust_spark.llm.multimodal import AUDIO_PCM_ORACLE
+    return AUDIO_PCM_ORACLE
+
+
+def stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.mann_kendall_events`` —
+    twenty-first kappa pair: the per-(type, day) count grid is ONE
+    complete-mode mergeable aggregate (dims-sized state, the Fano
+    twin's shape), and the shared closed form runs the day-pair sign
+    sum + tie correction batch-side. Bit-identical (exact integer S /
+    n / variance numerator, same 3-op IEEE z DAG); same DuckDB
+    oracle. The closed form self-joins the cells, so the MemorySink
+    table is checkpointed first (stream_retention_triangle lesson)."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        mk_closed_form, mk_daily_cells)
+    ev = read_events_stream(spark, sf_dir)
+    daily = mk_daily_cells(ev)
+    out = _run_to_table(daily, "stream_mann_kendall", "complete")
+    return mk_closed_form(out.localCheckpoint(eager=True))
+
+
+def _mk_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import (
+        MANN_KENDALL_ORACLE)
+    return MANN_KENDALL_ORACLE
+
+
+def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.srm_check_events`` —
+    twenty-second kappa pair, and the guardrail's natural home: SRM
+    is monitored LIVE during a rollout (catching broken randomization
+    after the experiment ends is too late). The (type, arm) traffic
+    counts are ONE complete-mode mergeable aggregate (types × 2
+    state rows — the smallest state grid in the engine alongside the
+    two-proportion twin), and the shared closed form emits the
+    chi-square + flag batch-side. Bit-identical; same DuckDB
+    oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        srm_arm_counts, srm_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    cells = srm_arm_counts(ev)
+    out = _run_to_table(cells, "stream_srm_check", "complete")
+    return srm_closed_form(out)
+
+
+def _srm_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import SRM_ORACLE
+    return SRM_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -772,4 +844,8 @@ REGISTRATIONS = [
      _ship_delay_oracle()),
     ("stream_len_quantiles", stream_len_quantiles,
      _len_quantiles_oracle()),
+    ("stream_audio_pcm_stats", stream_audio_pcm_stats,
+     _audio_pcm_oracle()),
+    ("stream_mann_kendall", stream_mann_kendall, _mk_oracle()),
+    ("stream_srm_check", stream_srm_check, _srm_oracle()),
 ]

@@ -604,3 +604,47 @@ def test_round8_crop_plan_shapes(spark):
     for seg in p.split("Window ")[1:]:
         head = seg.splitlines()[0]
         assert "_sb" in head, head             # scalable_rank windows
+
+
+def test_round9_crop_plan_shapes(spark):
+    """Round-9 crop plan pins: the RA link predictor must broadcast
+    its frontier tables (no sort-merge join, no cartesian — the
+    n-sized adjacency/degree tables stream); the k-truss final plan
+    reads checkpointed per-round tables (ExistingRDD), never a
+    re-orientation of the full edge list at the output stage; the
+    SRM / Mann-Kendall closed forms run on dims grids with partial
+    aggregation; the audio op keeps its Python kernel above the
+    digest duplicate collapse (the video-frame discipline); Good-
+    Turing's count-of-counts self-join is broadcast-sized."""
+    from mapreduce_rust_spark.llm.multimodal import (
+        multimodal_audio_pcm_stats)
+    from mapreduce_rust_spark.llm.textanalysis import (
+        good_turing_counts_docs)
+    from mapreduce_rust_spark.operators.experiment import srm_check_events
+    from mapreduce_rust_spark.operators.graph import (
+        ktruss_edges_parts, linkpred_resource_allocation)
+    from mapreduce_rust_spark.operators.monitoring import (
+        mann_kendall_events)
+
+    p = _plan(linkpred_resource_allocation(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    p = _plan(ktruss_edges_parts(spark, SF_CORRECT))
+    assert "ExistingRDD" in p          # checkpointed round tables
+    assert "CartesianProduct" not in p
+
+    p = _plan(srm_check_events(spark, SF_CORRECT))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Join" not in p or "BroadcastHashJoin" in p
+
+    p = _plan(mann_kendall_events(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+
+    p = _plan(multimodal_audio_pcm_stats(spark, SF_CORRECT))
+    assert "MapInPandas" in p
+    assert "ExistingRDD" in p and "min(doc_id" in p
+
+    p = _plan(good_turing_counts_docs(spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in p      # the 1-row totals
+    assert "CartesianProduct" not in p

@@ -157,3 +157,102 @@ def test_ktruss_peel_k5_and_triangle_dropped(spark):
     out = {(r.u, r.v): r.support for r in ktruss_peel(edges).collect()}
     assert set(out) == set(combinations(range(1, 6), 2))
     assert all(s == 3 for s in out.values()), out
+
+
+def test_mann_kendall_closed_form_planted(spark):
+    """Hand-checkable MK: strictly rising counts 1..5 on one type
+    (S = C(5,2) = 10, no ties → var_num = 5·4·15 = 300,
+    z = 9/sqrt(300/18)), and an all-tied type (S = 0, var_num = 0 →
+    NULL z)."""
+    import math
+
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.monitoring import mk_closed_form
+
+    rows = [("up", f"2024-01-0{i}", i) for i in range(1, 6)]
+    rows += [("flat", f"2024-01-0{i}", 7) for i in range(1, 5)]
+    daily = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "d", "c"]))
+    out = {r.event_type: r for r in mk_closed_form(daily).collect()}
+    up = out["up"]
+    assert (up.n_days, up.s_stat, up.var_num) == (5, 10, 300)
+    assert abs(up.z - 9 / math.sqrt(300 / 18)) < 1e-15
+    flat = out["flat"]
+    # 4 tied values: S = 0; var_num = 4·3·13 − 4·3·13 = 0 → NULL z
+    assert (flat.s_stat, flat.var_num, flat.z) == (0, 0, None)
+
+
+def test_srm_closed_form_planted(spark):
+    """60/40 on n=100 → χ² = 20²/100 = 4.0 > 3.841 → flagged;
+    51/49 → 0.04 → clean."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import srm_closed_form
+
+    cells = spark.createDataFrame(pd.DataFrame(
+        [("bad", True, 60), ("bad", False, 40),
+         ("ok", True, 51), ("ok", False, 49)],
+        columns=["event_type", "treat", "c"]))
+    out = {r.event_type: r for r in srm_closed_form(cells).collect()}
+    assert out["bad"].chi2 == 4.0 and out["bad"].srm_flag
+    assert abs(out["ok"].chi2 - 0.04) < 1e-12 and not out["ok"].srm_flag
+
+
+def test_good_turing_planted(spark, tmp_path):
+    """Corpus 'a a a b b c' → N₁=1 (c), N₂=1 (b), N₃=1 (a), N=6:
+    r*=ppm for r=1 is 2·N₂/N₁ = 2e6; r=2 → 3·N₃/N₂ = 3e6; r=3 →
+    NULL (N₄=0); p₀ = N₁/N = 1/6 → 166666 ppm."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.llm.textanalysis import good_turing_counts_docs
+
+    pd.DataFrame({"doc_id": [1], "source": ["s"],
+                  "text": ["a a a b b c"]}).to_parquet(
+        tmp_path / "documents.parquet")
+    out = {r.r: r for r in
+           good_turing_counts_docs(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].rstar_ppm == 2_000_000
+    assert out[2].rstar_ppm == 3_000_000
+    assert out[3].rstar_ppm is None and out[3].n_next == 0
+    assert all(r.p0_ppm == 166_666 for r in out.values())
+
+
+def test_linkpred_ra_discounts_hubs(spark):
+    """RA must rank a candidate sharing a LOW-degree neighbor above
+    one sharing only a HUB, where raw common-neighbor count ties.
+    Graph: seed 0 — n1 (deg 2: 0, c1) and hub h (deg 5: 0, c1, c2,
+    x1, x2). c1 shares {n1, h}, c2 shares {h} only; both are
+    non-adjacent to 0."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.graph import (
+        RA_GRID, linkpred_resource_allocation)
+    from mapreduce_rust_spark.operators import graph as G
+    from mapreduce_rust_spark.tables import load_table  # noqa: F401
+
+    # drive the registered op's core on a planted edge list by
+    # monkey-free direct composition: rebuild its plan pieces
+    e = [(0, 1), (1, 101), (0, 9), (9, 101), (9, 102), (9, 201),
+         (9, 202)]
+    edges = spark.createDataFrame(pd.DataFrame(e, columns=["u", "v"]))
+    adj = G._bidir_adjacency(edges)
+    from pyspark.sql import functions as F
+    deg = adj.groupBy("a").agg(F.count("*").alias("d"))
+    ns = (adj.where(F.col("a") == 0)
+          .select(F.col("a").alias("seed"), F.col("b").alias("v")))
+    nsd = ns.join(deg.select(F.col("a").alias("v"), "d"), "v")
+    wedges = (nsd.join(adj.select(F.col("a").alias("v"),
+                                  F.col("b").alias("cand")), "v")
+              .where(F.col("cand") != F.col("seed")))
+    scored = (wedges.groupBy("seed", "cand")
+              .agg(F.sum(F.expr(f"{RA_GRID} DIV d")).alias("ra_num")))
+    open_pairs = scored.join(
+        ns.select("seed", F.col("v").alias("cand")),
+        ["seed", "cand"], "left_anti")
+    out = {r.cand: r.ra_num for r in open_pairs.collect()}
+    # c1 = 101: via n1 (deg 2) + hub (deg 5); c2 = 102: via hub only
+    assert out[101] == RA_GRID // 2 + RA_GRID // 5
+    assert out[102] == RA_GRID // 5
+    assert out[101] > out[102]
