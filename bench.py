@@ -330,6 +330,12 @@ HEADLINE = [
     "srm_check_events",
     "stream_srm_check",
     "good_turing_counts_docs",
+    # round 9 third wave: SPC zone rules (+twin), concentration +
+    # hub-wiring readouts
+    "weco_rules_events",
+    "stream_weco_rules",
+    "hhi_revenue_nations",
+    "rich_club_copurchase",
     "stream_bot_gap_regularity",
     # round 8 fifth wave: corpus-profile audits
     "len_quantiles_sources",

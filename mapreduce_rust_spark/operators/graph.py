@@ -1666,3 +1666,89 @@ WHERE rnk <= {LINKPRED_TOP_K}
 
 REGISTRATIONS.append(("linkpred_resource_allocation",
                       linkpred_resource_allocation, LINKPRED_RA_ORACLE))
+
+
+RICH_CLUB_KS = (4, 8, 16, 32, 64)
+
+
+def rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-purchase graph (Zhou &
+    Mondragón 2004): for each degree threshold k, φ(k) =
+    2·E_k / (N_k·(N_k−1)) where N_k = nodes with degree > k and
+    E_k = edges with BOTH endpoints above threshold — do the
+    best-selling parts preferentially co-purchase with EACH OTHER
+    (hub club), or do they bridge to the long tail? The structural
+    complement of ``assortativity_copurchase`` (one correlation vs a
+    full threshold profile) and the standard hub-wiring readout for
+    recommender graphs.
+
+    Exactness: node/edge counts are exact longs; φ is reported as
+    integer ppm (2·E_k·10⁶ DIV pairs) plus the raw counts, so every
+    checked value is a floor division of exact integers.
+
+    Scale: the degree table joins onto the edge list TWICE (u and v
+    sides) — both joins key on node id against the n-sized degree
+    table; thresholds explode each surviving edge into ≤|Ks| rows
+    (a constant), and everything reduces map-side. Inherits
+    ``COPURCHASE_MAX_BASKET``.
+
+    Output: ``(k, n_nodes, n_edges, phi_ppm)`` — one row per
+    threshold with N_k ≥ 2.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges_cached(li)
+    deg = (edges.select(F.col("u").alias("n"))
+           .unionAll(edges.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d"))
+           .localCheckpoint(eager=True))   # nodes branch + 2 edge joins
+    ks = F.array(*[F.lit(k) for k in RICH_CLUB_KS])
+    nk = (deg.select(F.explode(ks).alias("k"), "d")
+          .where(F.col("d") > F.col("k"))
+          .groupBy("k").agg(F.count("*").cast("long").alias("n_nodes")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ek = (edges.join(du, "u").join(dv, "v")
+          .select(F.explode(ks).alias("k"), "du", "dv")
+          .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+          .groupBy("k").agg(F.count("*").cast("long").alias("n_edges")))
+    return (nk.join(ek, "k", "left")
+            .where(F.col("n_nodes") >= 2)
+            .select(F.col("k").cast("long").alias("k"), "n_nodes",
+                    F.coalesce("n_edges", F.lit(0)).cast("long")
+                     .alias("n_edges"),
+                    F.expr("2 * coalesce(n_edges, 0) * 1000000 DIV "
+                           "(n_nodes * (n_nodes - 1))").cast("long")
+                     .alias("phi_ppm")))
+
+
+RICH_CLUB_ORACLE = f"""
+WITH {CAPPED_EDGES_SQL},
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY n
+),
+ks AS (SELECT UNNEST(ARRAY{list(RICH_CLUB_KS)}) AS k),
+nk AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM ks JOIN deg ON deg.d > ks.k
+  GROUP BY ks.k
+),
+ek AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM ks, edges e
+  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+  WHERE du.d > ks.k AND dv.d > ks.k
+  GROUP BY ks.k
+)
+SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(2 * COALESCE(ek.n_edges, 0) * 1000000
+            // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT) AS phi_ppm
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+WHERE nk.n_nodes >= 2
+"""
+
+
+REGISTRATIONS.append(("rich_club_copurchase", rich_club_copurchase,
+                      RICH_CLUB_ORACLE))

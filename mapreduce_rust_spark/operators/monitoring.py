@@ -1546,3 +1546,127 @@ FROM base
 
 REGISTRATIONS.append(("mann_kendall_events", mann_kendall_events,
                       MANN_KENDALL_ORACLE))
+
+
+def weco_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric control-chart rules on the daily event count
+    per type (the 1956 WECO handbook zone tests — the alarm logic
+    behind every Shewhart/SPC dashboard): against the series' own
+    mean μ and population σ,
+    rule 1 = point beyond 3σ; rule 2 = 2 of the last 3 beyond 2σ on
+    the SAME side; rule 3 = 4 of the last 5 beyond 1σ same side;
+    rule 4 = 8 consecutive on one side of μ. Complements the z-score
+    monitor (rule 1 alone) with the run-pattern rules that catch
+    slow drifts a single-point test misses.
+
+    Exactness: every zone test clears its denominators — with
+    dev = n·c − S, V = n·Q − S² (S = Σc, Q = Σc²),
+    |c − μ| > kσ  ⟺  dev² > k²·V — so the flags are pure integer
+    comparisons. dev² runs in DECIMAL(38)/HUGEINT (at petabyte daily
+    volumes n·c overflows BIGINT when squared — the revenue_gini
+    ceiling discipline); the window counts are small ints. Both
+    engines evaluate the identical cleared inequalities: no σ, no
+    sqrt, no float anywhere.
+
+    Scale: cells are the (type, day) grid (one map-side-combinable
+    scan); per-type totals broadcast back onto the grid; the rule
+    windows run over ≤ span-days rows per type — never event-grain.
+
+    Output: ``(event_type, d, c, dev, rule1, rule2, rule3, rule4)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return weco_closed_form(mk_daily_cells(ev))
+
+
+def weco_closed_form(daily: DataFrame) -> DataFrame:
+    """The cleared-inequality zone tests from the (type, day, count)
+    cells — shared by the batch op, the planted rule-firing tests,
+    and the streaming twin (same cells as Mann-Kendall)."""
+    tot = (daily.groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("c").cast("long").alias("s"),
+                F.sum(F.expr("c * c")).cast("long").alias("q")))
+    g = (daily.join(F.broadcast(tot), "event_type")
+         .select("event_type", "d", "c",
+                 (F.col("n") * F.col("c") - F.col("s")).cast("long")
+                  .alias("dev"),
+                 (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+                  .cast("long").alias("v")))
+    dev2 = F.expr("CAST(dev AS DECIMAL(38,0)) * CAST(dev AS DECIMAL(38,0))")
+    vbig = F.expr("CAST(v AS DECIMAL(38,0))")
+    g = g.select(
+        "event_type", "d", "c", "dev",
+        (dev2 > 9 * vbig).alias("b3"),
+        (dev2 > 4 * vbig).alias("b2"),
+        (dev2 > vbig).alias("b1"))
+    w3 = (W.partitionBy("event_type").orderBy("d").rowsBetween(-2, 0))
+    w5 = (W.partitionBy("event_type").orderBy("d").rowsBetween(-4, 0))
+    w8 = (W.partitionBy("event_type").orderBy("d").rowsBetween(-7, 0))
+    pos, neg = F.col("dev") > 0, F.col("dev") < 0
+    cnt = lambda cond, w: F.sum(F.when(cond, 1).otherwise(0)).over(w)  # noqa: E731
+    return (g.select(
+        "event_type", F.col("d").cast("string").alias("d"), "c", "dev",
+        F.col("b3").alias("rule1"),
+        ((F.col("b2") & pos & (cnt(F.col("b2") & pos, w3) >= 2))
+         | (F.col("b2") & neg & (cnt(F.col("b2") & neg, w3) >= 2)))
+        .alias("rule2"),
+        ((F.col("b1") & pos & (cnt(F.col("b1") & pos, w5) >= 4))
+         | (F.col("b1") & neg & (cnt(F.col("b1") & neg, w5) >= 4)))
+        .alias("rule3"),
+        ((pos & (cnt(pos, w8) >= 8)) | (neg & (cnt(neg, w8) >= 8)))
+        .alias("rule4")))
+
+
+WECO_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM daily GROUP BY 1
+),
+g AS (
+  SELECT daily.event_type, daily.d, daily.c,
+         CAST(tot.n * daily.c - tot.s AS BIGINT) AS dev,
+         CAST(tot.n * tot.q - tot.s * tot.s AS BIGINT) AS v
+  FROM daily JOIN tot USING (event_type)
+),
+z AS (
+  SELECT event_type, d, c, dev,
+         CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)
+           > 9 * CAST(v AS HUGEINT) AS b3,
+         CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)
+           > 4 * CAST(v AS HUGEINT) AS b2,
+         CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)
+           > CAST(v AS HUGEINT) AS b1
+  FROM g
+)
+SELECT event_type, CAST(d AS VARCHAR) AS d, c, dev,
+       b3 AS rule1,
+       (b2 AND dev > 0 AND SUM(CASE WHEN b2 AND dev > 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2)
+       OR (b2 AND dev < 0 AND SUM(CASE WHEN b2 AND dev < 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2) AS rule2,
+       (b1 AND dev > 0 AND SUM(CASE WHEN b1 AND dev > 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4)
+       OR (b1 AND dev < 0 AND SUM(CASE WHEN b1 AND dev < 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4) AS rule3,
+       (dev > 0 AND SUM(CASE WHEN dev > 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) >= 8)
+       OR (dev < 0 AND SUM(CASE WHEN dev < 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) >= 8) AS rule4
+FROM z
+"""
+
+
+REGISTRATIONS.append(("weco_rules_events", weco_rules_events, WECO_ORACLE))

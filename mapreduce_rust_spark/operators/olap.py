@@ -2541,3 +2541,80 @@ GROUP BY t.o_orderpriority
 
 REGISTRATIONS.append(("ship_delay_percentiles_priority",
                       ship_delay_percentiles_priority, SHIP_DELAY_ORACLE))
+
+
+def hhi_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Herfindahl–Hirschman concentration index of customer
+    revenue within each nation — the antitrust-standard "is this
+    market a few whales or many minnows" number, and the
+    within-group companion of ``revenue_gini_parts`` (Gini trends the
+    whole curve; HHI is the regulator's Σ share² with hard policy
+    thresholds at 0.15/0.25). For per-customer revenues xᵢ in a
+    nation, HHI = Σ xᵢ² / (Σ xᵢ)², reported as integer ppm — no
+    per-customer share is ever rounded (the Σ-of-rounded-shares
+    error the cleared form avoids entirely).
+
+    Exactness: revenue sums in DECIMAL(18,6) (the ABC convention) ×10⁶
+    to integer DECIMAL(38,0); squares and both Σ stay in DECIMAL(38)
+    / HUGEINT (xᵢ² overflows BIGINT at real scale — the
+    revenue_gini discipline), final ppm one exact floor division.
+
+    Scale: one customer-grain aggregate with map-side combine, one
+    nation-grain reduction; the nation dimension joins broadcast.
+
+    Output: ``(n_name, n_customers, rev_total_u, hhi_ppm)``.
+    """
+    from mapreduce_rust_spark.operators.relational import DEC_MONEY
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("o_custkey")
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast(DEC_MONEY))
+                .alias("rev")))
+    per_cust = rev.select(
+        "o_custkey",
+        F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
+    by_nation = (per_cust
+                 .join(cust, per_cust.o_custkey == cust.c_custkey)
+                 .join(F.broadcast(nation),
+                       cust.c_nationkey == nation.n_nationkey)
+                 .groupBy("n_name")
+                 .agg(F.count("*").cast("long").alias("n_customers"),
+                      F.sum("x").alias("sx"),
+                      F.sum(F.expr("x * x")).alias("sxx")))
+    return by_nation.select(
+        "n_name", "n_customers",
+        F.col("sx").cast("long").alias("rev_total_u"),
+        F.expr("CAST(sxx * 1000000 DIV (sx * sx) AS BIGINT)")
+         .alias("hhi_ppm"))
+
+
+HHI_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6))) * 1000000
+              AS HUGEINT) AS x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+by_nation AS (
+  SELECT n.n_name, COUNT(*) AS n_customers,
+         SUM(r.x) AS sx, SUM(r.x * r.x) AS sxx
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(sx AS BIGINT) AS rev_total_u,
+       CAST(sxx * 1000000 // (sx * sx) AS BIGINT) AS hhi_ppm
+FROM by_nation
+"""
+
+
+REGISTRATIONS.append(("hhi_revenue_nations", hhi_revenue_nations,
+                      HHI_ORACLE))

@@ -808,6 +808,27 @@ def _srm_oracle() -> str:
     return SRM_ORACLE
 
 
+def stream_weco_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.weco_rules_events`` —
+    twenty-third kappa pair, sharing the Mann–Kendall twin's
+    (type, day) count cells (one complete-mode aggregate, dims-sized
+    state) with the cleared-inequality zone tests run batch-side.
+    This is how SPC alarms deploy in practice: maintain the daily
+    grid live, evaluate the rule windows on read. Bit-identical
+    (pure integer comparisons); same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        mk_daily_cells, weco_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    daily = mk_daily_cells(ev)
+    out = _run_to_table(daily, "stream_weco_rules", "complete")
+    return weco_closed_form(out.localCheckpoint(eager=True))
+
+
+def _weco_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import WECO_ORACLE
+    return WECO_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -848,4 +869,5 @@ REGISTRATIONS = [
      _audio_pcm_oracle()),
     ("stream_mann_kendall", stream_mann_kendall, _mk_oracle()),
     ("stream_srm_check", stream_srm_check, _srm_oracle()),
+    ("stream_weco_rules", stream_weco_rules, _weco_oracle()),
 ]

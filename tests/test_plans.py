@@ -648,3 +648,28 @@ def test_round9_crop_plan_shapes(spark):
     p = _plan(good_turing_counts_docs(spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" in p      # the 1-row totals
     assert "CartesianProduct" not in p
+
+
+def test_round9_third_wave_plan_shapes(spark):
+    """WECO joins its per-type totals broadcast onto the day grid and
+    runs every rule window partitioned by type (never a global
+    window); HHI is two partial-combinable aggregates with the nation
+    dim broadcast; rich-club joins the degree table by hash with
+    map-side partial counts — no cartesian anywhere."""
+    from mapreduce_rust_spark.operators.graph import rich_club_copurchase
+    from mapreduce_rust_spark.operators.monitoring import weco_rules_events
+    from mapreduce_rust_spark.operators.olap import hhi_revenue_nations
+
+    p = _plan(weco_rules_events(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    for seg in p.split("Window ")[1:]:
+        assert "event_type" in seg.splitlines()[0]
+
+    p = _plan(hhi_revenue_nations(spark, SF_CORRECT))
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    p = _plan(rich_club_copurchase(spark, SF_CORRECT))
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p

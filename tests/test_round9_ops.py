@@ -256,3 +256,63 @@ def test_linkpred_ra_discounts_hubs(spark):
     assert out[101] == RA_GRID // 2 + RA_GRID // 5
     assert out[102] == RA_GRID // 5
     assert out[101] > out[102]
+
+
+def test_weco_rules_fire_on_planted_series(spark):
+    """The fixture is stationary (no rule fires — the oracle only
+    proves the quiet path), so plant a series firing each rule.
+    Series: 19 days at 100 with hand-placed excursions. μ and σ are
+    computed from the series itself, so flags are checked against an
+    independent numpy reimplementation of the textbook rules rather
+    than hand arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.monitoring import weco_closed_form
+
+    # a single series cannot fire all four rules — the rule-1 spike
+    # inflates its own sigma past what rules 2/3 need (max |z| of one
+    # outlier among n constants is sqrt(n-1)) — so plant two types:
+    # A = constant run + one huge spike (rules 1, 4); B = moderate
+    # two-point and four-point excursions (rules 2, 3).
+    series = {
+        "A": [100] * 11 + [800] + [100] * 8,
+        "B": [105, 105, 150, 150, 122, 125, 118, 118, 95, 95, 95, 95,
+              105, 105],
+    }
+    rows = [(t, f"2024-02-{i + 1:02d}", x)
+            for t, c in series.items() for i, x in enumerate(c)]
+    daily = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "d", "c"]))
+    out = {(r.event_type, r.d): r
+           for r in weco_closed_form(daily).collect()}
+
+    def expected(c):
+        a = np.array(c, dtype=np.int64)
+        n, s, q = len(a), a.sum(), (a * a).sum()
+        dev = n * a - s
+        v = n * q - s * s
+        b = {k: dev.astype(object) ** 2 > k * k * v for k in (1, 2, 3)}
+        pos, neg = dev > 0, dev < 0
+
+        def run(flags, side, w, need):
+            f = flags & side
+            return np.array([f[max(0, i - w + 1):i + 1].sum() >= need
+                             and f[i] for i in range(n)])
+
+        return (b[3],
+                run(b[2], pos, 3, 2) | run(b[2], neg, 3, 2),
+                run(b[1], pos, 5, 4) | run(b[1], neg, 5, 4),
+                run(np.ones(n, bool), pos, 8, 8)
+                | run(np.ones(n, bool), neg, 8, 8))
+
+    fired = [False] * 4
+    for t, c in series.items():
+        exp = expected(c)
+        for i in range(len(c)):
+            r = out[(t, f"2024-02-{i + 1:02d}")]
+            got = (r.rule1, r.rule2, r.rule3, r.rule4)
+            assert got == tuple(bool(e[i]) for e in exp), (t, i, r)
+        fired = [f or e.any() for f, e in zip(fired, exp)]
+    # the plant actually exercises every rule's TRUE branch
+    assert all(fired), fired
