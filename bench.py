@@ -341,6 +341,20 @@ HEADLINE = [
     "len_quantiles_sources",
     "stream_len_quantiles",
     "char_class_profile_docs",
+    # round 9 fourth wave: rank-statistics family (k-sample +
+    # dispersion tests with their kappa twins, monotone association)
+    "kruskal_wallis_events",
+    "stream_kruskal_wallis",
+    "brown_forsythe_events",
+    "stream_brown_forsythe",
+    "spearman_corr_events",
+    "contribution_cap_events",
+    "rrf_hybrid_search",
+    # round 9 fifth wave: rank changepoint (+twin), perceptual image
+    # near-dup
+    "pettitt_changepoint_events",
+    "stream_pettitt_changepoint",
+    "image_dhash_neardup",
 ]
 
 

@@ -931,3 +931,109 @@ FROM w
 
 REGISTRATIONS.append(("multimodal_audio_pcm_stats",
                       multimodal_audio_pcm_stats, AUDIO_PCM_ORACLE))
+
+
+DHASH_WIDTH = 32        # strip width, same convention as PNG_WIDTH
+DHASH_ROWS = 7          # rows sampled (7 rows x 8 diffs = 56 bits)
+DHASH_COLS = 8          # horizontal gradients per row (needs 9 cols)
+DHASH_BANDS = 4         # 4 bands x 14 bits for the LSH candidate join
+DHASH_MAX_HAM = 6       # Hamming radius reported as a near-dup
+DHASH_MIN_LEN = DHASH_WIDTH * (DHASH_ROWS - 1) + DHASH_COLS + 2
+# = 202: the last gradient reads byte (ROWS-1)*WIDTH + COLS + 1
+
+
+def _dhash_expr(col: str = "text") -> str:
+    """56-bit difference-hash of the document's byte strip (the
+    ``multimodal_png_roundtrip`` image convention: byte r·32+c is the
+    greyscale pixel at row r, col c) as ONE integer-arithmetic SQL
+    expression — bit r·8+c is set iff pixel(r, c+1) > pixel(r, c),
+    the classic dHash horizontal gradient. The identical string runs
+    in Spark and DuckDB (``ascii``/``substr``/``CASE`` only), so the
+    hash needs no UDF and no float anywhere."""
+    terms = []
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS):
+            p0 = f"ascii(substr({col}, {r * DHASH_WIDTH + c + 1}, 1))"
+            p1 = f"ascii(substr({col}, {r * DHASH_WIDTH + c + 2}, 1))"
+            terms.append(f"(CASE WHEN {p1} > {p0} "
+                         f"THEN CAST({1 << (r * DHASH_COLS + c)} AS BIGINT) "
+                         "ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL near-duplicate pairs over the corpus's image strips
+    — the image analogue of ``simhash_docs``+banding for text:
+    ``multimodal_dedup_payload`` catches byte-identical media, this
+    catches *visually* near-identical media (the re-encoded /
+    slightly-retouched copies a crawl is full of), via the standard
+    dHash: a 56-bit horizontal-gradient sign hash, compared by
+    Hamming distance. Image = the document's byte strip under the
+    repo's ``multimodal_png_roundtrip`` convention (fixture docs
+    stand in for decoded pixel buffers; the hash expression reads
+    the same bytes the PNG round-trip proves decodable).
+
+    Scale shape (what makes this 100 TB-shaped): exact payload
+    duplicates collapse to min-doc_id representatives FIRST (the
+    pair-generating discipline — c copies would otherwise grow
+    candidates ~c²); candidates come from a 4×14-bit band-bucket
+    self-join (any pair within Hamming 6 of 56 bits shares ≥1 exact
+    band by pigeonhole over 4 bands ⇔ ham ≤ 3 guaranteed, radius
+    6 covered in expectation like MinHash-LSH — banding is the
+    sub-quadratic standard); the full 56-bit Hamming check
+    (``bit_count(a ^ b)``) runs only on bucket-mates. No float, no
+    UDF — the hash is one codegen'd integer projection.
+
+    Output: ``(doc_a, doc_b, hamming)``, doc_a < doc_b, distinct,
+    hamming ≤ ``DHASH_MAX_HAM``.
+    """
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.length("text") >= DHASH_MIN_LEN)
+            .select("doc_id", F.md5("text").alias("sig"),
+                    F.expr(_dhash_expr()).alias("dh")))
+    rep = (docs.groupBy("sig")
+               .agg(F.min("doc_id").alias("doc_id"),
+                    F.min("dh").alias("dh")))
+    bands = rep.select(
+        "doc_id", "dh",
+        F.explode(F.array(*[
+            F.expr(f"CAST({b} AS BIGINT)") for b in range(DHASH_BANDS)
+        ])).alias("b"))
+    bands = bands.withColumn(
+        "bv", F.expr("shiftright(dh, CAST(b * 14 AS INT)) & 16383"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("dh").alias("dh_a"), "b", "bv")
+    bb = bands.select(F.col("doc_id").alias("doc_b"),
+                      F.col("dh").alias("dh_b"), "b", "bv")
+    pairs = (a.join(bb, ["b", "bv"])
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b",
+                      F.expr("bit_count(dh_a ^ dh_b)").cast("long")
+                       .alias("hamming"))
+              .filter(F.col("hamming") <= DHASH_MAX_HAM)
+              .distinct())
+    return pairs
+
+
+IMAGE_DHASH_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS sig, ({_dhash_expr()}) AS dh
+  FROM documents WHERE length(text) >= {DHASH_MIN_LEN}
+),
+rep AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(dh) AS dh FROM h GROUP BY sig
+),
+bands AS (
+  SELECT doc_id, dh, b, (dh >> (CAST(b AS INT) * 14)) & 16383 AS bv
+  FROM rep, UNNEST([0, 1, 2, 3]) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dh, bb.dh)) AS BIGINT) AS hamming
+FROM bands a JOIN bands bb
+  ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id
+WHERE bit_count(xor(a.dh, bb.dh)) <= {DHASH_MAX_HAM}
+"""
+
+
+REGISTRATIONS.append(("image_dhash_neardup", image_dhash_neardup,
+                      IMAGE_DHASH_ORACLE))

@@ -1099,3 +1099,146 @@ FROM cnt, tot
 
 REGISTRATIONS.append(("lsh_bucket_stats", lsh_bucket_stats,
                       LSH_BUCKET_STATS_ORACLE))
+
+
+RRF_K = 60        # the standard Cormack/Clarke/Buettcher constant
+RRF_POOL = 100    # per-ranker candidate pool fused (top-N lists)
+RRF_TOP_K = 20    # fused results returned
+RRF_QVEC = 0      # vec_id whose embedding plays the dense query
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009) — THE standard way modern search stacks
+    combine a sparse lexical ranker with a dense vector ranker
+    without score calibration: each ranker contributes
+    1/(60 + rank), missing-from-pool contributes 0, and documents
+    strong on either list (or decent on both) float to the top.
+    Sparse side: the ``bm25_scored`` table for ``SEARCH_TERMS``.
+    Dense side: exact dot product against ``RRF_QVEC``'s embedding
+    on the ``CENT_GRID`` integer grid (1:1 vec_id = doc_id, the
+    ``cluster_keywords_embeddings`` correspondence); the query doc
+    itself is excluded from both pools.
+
+    Exactness: dense scores are exact BIGINT dot products of
+    HALF_EVEN-quantized coordinates; sparse ranks order by the
+    bit-identical BM25 float chain; fusion is pure integer —
+    contribution = 10⁹ DIV (60 + rank) in parts-per-billion, summed
+    and re-ranked with doc_id tie-breaks. Rank 0 is the explicit
+    "not in this ranker's pool" sentinel (NULL would round-trip as
+    float through pandas and break the hash).
+
+    Scale shape: both rankers end in top-``RRF_POOL``
+    TakeOrderedAndProject (never a global sort); the fusion is a
+    full-outer join of two 100-row lists — broadcast-trivial at any
+    corpus size. The dense scan is one explode + broadcast-dim join
+    + per-vector aggregate; the sparse scan prunes to query-term
+    tokens at the source.
+
+    Output: ``(doc_id, rank_sparse, rank_dense, rrf_ppb,
+    fused_rank)``, fused_rank ∈ 1..RRF_TOP_K.
+    """
+    from mapreduce_rust_spark.llm.textanalysis import bm25_scored
+    from mapreduce_rust_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    # top-POOL first (TakeOrderedAndProject — never a global sort),
+    # THEN row_number over the POOL-row list (single tiny partition)
+    sparse = (bm25_scored(docs)
+              .filter(F.col("doc_id") != RRF_QVEC)
+              .orderBy(F.desc("score"), "doc_id").limit(RRF_POOL)
+              .withColumn("rank_sparse", F.row_number().over(
+                  W.orderBy(F.desc("score"), "doc_id")))
+              .select("doc_id", "rank_sparse"))
+
+    q = (_emb(spark, sf_dir)
+         .select("vec_id", F.posexplode("e").alias("dim", "x"))
+         .select("vec_id", "dim",
+                 F.bround(F.col("x") * CENT_GRID, 0)
+                  .cast("long").alias("qv")))
+    qvec = (q.filter(F.col("vec_id") == RRF_QVEC)
+             .select("dim", F.col("qv").alias("qq")))
+    dense = (q.filter(F.col("vec_id") != RRF_QVEC)
+              .join(F.broadcast(qvec), "dim")
+              .groupBy("vec_id")
+              .agg(F.sum(F.col("qv") * F.col("qq")).alias("dot"))
+              .orderBy(F.desc("dot"), "vec_id").limit(RRF_POOL)
+              .withColumn("rank_dense", F.row_number().over(
+                  W.orderBy(F.desc("dot"), "vec_id")))
+              .select(F.col("vec_id").alias("doc_id"), "rank_dense"))
+
+    fused = (sparse.join(dense, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.coalesce("rank_sparse", F.lit(0)).cast("long")
+                      .alias("rank_sparse"),
+                     F.coalesce("rank_dense", F.lit(0)).cast("long")
+                      .alias("rank_dense"))
+             .withColumn(
+                 "rrf_ppb",
+                 (F.when(F.col("rank_sparse") > 0,
+                         F.expr(f"1000000000 DIV ({RRF_K} + rank_sparse)"))
+                   .otherwise(F.lit(0))
+                  + F.when(F.col("rank_dense") > 0,
+                           F.expr(f"1000000000 DIV ({RRF_K} + rank_dense)"))
+                     .otherwise(F.lit(0))).cast("long")))
+    return (fused.withColumn("fused_rank", F.row_number().over(
+                W.orderBy(F.desc("rrf_ppb"), "doc_id")))
+            .filter(F.col("fused_rank") <= RRF_TOP_K)
+            .select("doc_id", "rank_sparse", "rank_dense", "rrf_ppb",
+                    F.col("fused_rank").cast("long").alias("fused_rank")))
+
+
+def _rrf_oracle() -> str:
+    from mapreduce_rust_spark.llm.textanalysis import bm25_scored_sql
+    return f"""
+WITH bm AS (
+{bm25_scored_sql()}
+),
+sparse AS (
+  SELECT doc_id, rank_sparse FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_sparse
+    FROM bm WHERE doc_id <> {RRF_QVEC}
+  ) WHERE rank_sparse <= {RRF_POOL}
+),
+q AS (
+  SELECT vec_id, i AS dim,
+         CAST(round_even(embedding[i + 1]::DOUBLE * {CENT_GRID}, 0)
+              AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+),
+dense AS (
+  SELECT doc_id, rank_dense FROM (
+    SELECT x.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY SUM(x.qv * qq.qv) DESC, x.vec_id) AS rank_dense
+    FROM q x JOIN q qq
+      ON qq.vec_id = {RRF_QVEC} AND x.dim = qq.dim
+    WHERE x.vec_id <> {RRF_QVEC}
+    GROUP BY x.vec_id
+  ) WHERE rank_dense <= {RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(sparse.doc_id, dense.doc_id) AS doc_id,
+         CAST(COALESCE(rank_sparse, 0) AS BIGINT) AS rank_sparse,
+         CAST(COALESCE(rank_dense, 0) AS BIGINT) AS rank_dense,
+         CAST(CASE WHEN COALESCE(rank_sparse, 0) > 0
+                   THEN 1000000000 // ({RRF_K} + rank_sparse)
+                   ELSE 0 END
+              + CASE WHEN COALESCE(rank_dense, 0) > 0
+                     THEN 1000000000 // ({RRF_K} + rank_dense)
+                     ELSE 0 END AS BIGINT) AS rrf_ppb
+  FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id
+)
+SELECT doc_id, rank_sparse, rank_dense, rrf_ppb,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_ppb DESC, doc_id)
+              AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {RRF_TOP_K}
+"""
+
+
+REGISTRATIONS.append(("rrf_hybrid_search", rrf_hybrid_search,
+                      _rrf_oracle()))

@@ -1415,6 +1415,16 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan prunes everything else), df/N/avg are ≤|terms|-row
     broadcasts, top-k is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
+    return (bm25_scored(docs)
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(BM25_TOP_K))
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_terms, score) for every document matching ≥1 query
+    term — the pre-top-k BM25 table, shared by ``bm25_search_docs``
+    and the hybrid RRF fusion (``similarity.rrf_hybrid_search``).
+    See ``bm25_search_docs`` for the float discipline."""
     toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
     base = docs.select("doc_id", toks.alias("toks"))
     lens = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
@@ -1447,13 +1457,20 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_terms = sum(
         (F.when(F.col(f"s_{i}").isNotNull(), 1).otherwise(0)
          for i in range(len(SEARCH_TERMS))), F.lit(0))
-    return (piv.select("doc_id", n_terms.cast("long").alias("n_terms"),
-                       total.alias("score"))
-               .orderBy(F.desc("score"), "doc_id")
-               .limit(BM25_TOP_K))
+    return piv.select("doc_id", n_terms.cast("long").alias("n_terms"),
+                      total.alias("score"))
 
 
 def _bm25_oracle() -> str:
+    return (bm25_scored_sql()
+            + f"\nORDER BY score DESC, doc_id\nLIMIT {BM25_TOP_K}")
+
+
+def bm25_scored_sql() -> str:
+    """Full ``WITH … SELECT (doc_id, n_terms, score)`` oracle body for
+    the pre-top-k BM25 table — parenthesizable as a nested CTE (the
+    ``dedup_eval_lsh`` composition trick), so the RRF-fusion oracle
+    reuses the exact float chain without drift."""
     terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
     s_cols = ",\n         ".join(
         f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
@@ -1500,8 +1517,6 @@ SELECT doc_id,
        CAST({n_terms} AS BIGINT) AS n_terms,
        {total} AS score
 FROM piv
-ORDER BY score DESC, doc_id
-LIMIT {BM25_TOP_K}
 """
 
 

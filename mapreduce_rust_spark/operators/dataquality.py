@@ -592,3 +592,80 @@ FROM pref GROUP BY o_orderpriority, o_day
 
 REGISTRATIONS.append(("t_closeness_orders", t_closeness_orders,
                       T_CLOSENESS_ORACLE))
+
+
+CONTRIB_CAP = 3   # max events per (user, day) kept for DP pre-aggregation
+
+
+def contribution_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level contribution bounding — the differential-privacy
+    PRE-processing step (Wilson et al., "Differentially Private SQL",
+    VLDB 2020): before adding noise to a daily metric, each user's
+    contribution must be capped at C events/day, or one heavy user
+    makes the query's sensitivity — and therefore the noise —
+    unbounded. Completes the privacy wing's release pipeline:
+    k-anonymity / l-diversity / t-closeness gate the GROUPING; this
+    bounds the SENSITIVITY. Reports, per day, the raw vs capped
+    daily totals and the bias the cap introduces — the
+    utility-vs-privacy readout used to pick C.
+
+    Semantics: keep each user's first C events per day in
+    (ts, event_id) order — deterministic, and "first-k" is the
+    standard bounding policy because it is stable under late data.
+
+    Exactness: counts, cents sums, and an integer-DIV ppm — no float.
+
+    Scale shape: one window partitioned by (user, day) — the
+    SESSIONIZE partition shape: millions of small partitions, never
+    a global or per-day window — then one partial+final daily
+    aggregate. A hot user-day bounds the window partition, not the
+    day.
+
+    Output: ``(day, n_raw, n_capped, sum_vc_raw, sum_vc_capped,
+    drop_ppm)``.
+    """
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"))
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    daily = (r.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(F.when(F.col("rn") <= CONTRIB_CAP, 1).otherwise(0))
+         .cast("long").alias("n_capped"),
+        F.sum("vc").cast("long").alias("sum_vc_raw"),
+        F.sum(F.when(F.col("rn") <= CONTRIB_CAP, F.col("vc")).otherwise(0))
+         .cast("long").alias("sum_vc_capped")))
+    return daily.select(
+        "day", "n_raw", "n_capped", "sum_vc_raw", "sum_vc_capped",
+        F.expr("(n_raw - n_capped) * 1000000 DIV n_raw")
+         .cast("long").alias("drop_ppm"))
+
+
+CONTRIB_CAP_ORACLE = f"""
+WITH r AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN rn <= {CONTRIB_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped,
+       CAST(SUM(vc) AS BIGINT) AS sum_vc_raw,
+       CAST(SUM(CASE WHEN rn <= {CONTRIB_CAP} THEN vc ELSE 0 END)
+            AS BIGINT) AS sum_vc_capped,
+       (CAST(COUNT(*) AS BIGINT)
+        - CAST(SUM(CASE WHEN rn <= {CONTRIB_CAP} THEN 1 ELSE 0 END)
+               AS BIGINT)) * 1000000 // COUNT(*) AS drop_ppm
+FROM r GROUP BY day
+"""
+
+
+REGISTRATIONS.append(("contribution_cap_events", contribution_cap_events,
+                      CONTRIB_CAP_ORACLE))

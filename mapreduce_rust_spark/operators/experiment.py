@@ -895,3 +895,394 @@ FROM p
 
 
 REGISTRATIONS.append(("srm_check_events", srm_check_events, SRM_ORACLE))
+
+
+def kw_value_counts(ev: DataFrame) -> DataFrame:
+    """Mergeable cells for the Kruskal–Wallis test: per-(group,
+    distinct cents value) counts — plain sums, so the streaming twin
+    maintains them as one complete-mode aggregate (state = groups ×
+    cents grid, the same dims bound as ``mw_value_counts``)."""
+    return (ev.groupBy("event_type", "vc")
+            .agg(F.count("*").cast("long").alias("c")))
+
+
+def kruskal_wallis_closed_form(cnt: DataFrame) -> DataFrame:
+    """Finish the tie-corrected Kruskal–Wallis H from the
+    (event_type, vc, c) counts table — shared by the batch op and
+    ``streaming.windows.stream_kruskal_wallis``.
+
+    Doubled-midrank identity (the ``mannwhitney_events`` trick, k
+    groups instead of 2): for the pooled tied group at value v with
+    count cp and p values strictly below, 2·midrank = 2p + cp + 1,
+    so the per-group doubled rank sum R2_g = Σ c_g·(2p + cp + 1) is
+    a pure integer. With R_g = R2_g/2,
+    H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)
+      = [3·Σ R2_g²/n_g − 3N(N+1)²] / (N(N+1)),
+    reported as integer ppm via the same floor-DIV chain in both
+    engines (GREATEST(0, ·) guards the one case — H within a few
+    floor-losses of exactly 0 — where trunc-vs-floor DIV semantics
+    on a negative numerator could differ). Tie correction divides by
+    1 − Σ(cp³−cp)/(N³−N), applied as one more integer ratio.
+
+    int128 ceiling: R2_g² is the tall pole (~(N²/k)² past ~10¹⁹
+    doubled rank-sum, i.e. ~3·10⁹ events per group); beyond that,
+    split R2_g into hi/lo limbs before squaring (documented, not
+    needed at any test SF)."""
+    from pyspark.sql import Window as W
+    pooled = cnt.groupBy("vc").agg(F.sum("c").alias("cp"))
+    pw = (pooled.withColumn("cum", F.sum("cp").over(W.orderBy("vc")))
+                .withColumn("p", F.col("cum") - F.col("cp")))
+    per_g = (cnt.join(pw.select("vc", "cp", "p"), "vc")
+             .groupBy("event_type")
+             .agg(F.sum("c").cast("long").alias("n_g"),
+                  F.sum(F.col("c") * (2 * F.col("p") + F.col("cp") + 1))
+                   .cast("decimal(38,0)").alias("r2_g")))
+    ties = pw.agg(
+        F.sum(F.expr("CAST(cp AS DECIMAL(38,0)) * cp * cp - cp"))
+         .cast("decimal(38,0)").alias("ct3"))
+    agg = per_g.agg(
+        F.sum("n_g").cast("decimal(38,0)").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.expr("CAST(r2_g * r2_g AS DECIMAL(38,0)) DIV n_g"))
+         .cast("decimal(38,0)").alias("ssum"))
+    h = ("CAST(GREATEST(CAST(0 AS DECIMAL(38,0)), "
+         "3000000 * ssum - 3000000 * n * (n + 1) * (n + 1)) "
+         "DIV (n * (n + 1)) AS DECIMAL(38,0))")
+    return (agg.crossJoin(F.broadcast(ties))
+            .select(F.col("n").cast("long").alias("n"),
+                    F.col("k").alias("k"),
+                    F.col("ct3").cast("long").alias("tie_c3"),
+                    F.expr(f"CAST({h} AS BIGINT)").alias("h_ppm"),
+                    F.expr(f"CAST({h} * (n * n * n - n) "
+                           "DIV (n * n * n - n - ct3) AS BIGINT)")
+                     .alias("h_adj_ppm")))
+
+
+def kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal–Wallis H across the event-type groups —
+    the k-sample generalization of ``mannwhitney_events`` (one rank
+    test over ALL arms instead of k² pairwise U tests; the standard
+    first readout when an experiment has more than two variants or a
+    metric is compared across k segments).
+
+    Exactness: doubled midranks keep every rank sum integer (see
+    ``kruskal_wallis_closed_form``); H and its tie-corrected form
+    are floor-DIV ppm computed by the identical integer chain in
+    both engines — no float anywhere.
+
+    Scale shape: the corpus collapses to per-(group, distinct cents
+    value) counts in one partial+final aggregate (the mergeable cells
+    the streaming twin maintains), then one dims-sized cumsum, one
+    per-group reduction, and two 1-row aggregates. One shuffle of the
+    corpus, everything after runs on the grid.
+
+    Output: ``(n, k, tie_c3, h_ppm, h_adj_ppm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = kw_value_counts(ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc")))
+    return kruskal_wallis_closed_form(cells)
+
+
+KRUSKAL_WALLIS_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+cnt AS (
+  SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS c
+  FROM c GROUP BY 1, 2
+),
+pooled AS (SELECT vc, SUM(c) AS cp FROM cnt GROUP BY vc),
+pw AS (
+  SELECT vc, cp, SUM(cp) OVER (ORDER BY vc) - cp AS p FROM pooled
+),
+perg AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_g,
+         CAST(SUM(c * (2 * p + cp + 1)) AS HUGEINT) AS r2_g
+  FROM cnt JOIN pw USING (vc) GROUP BY event_type
+),
+ties AS (
+  SELECT CAST(SUM(CAST(cp AS HUGEINT) * cp * cp - cp) AS HUGEINT) AS ct3
+  FROM pooled
+),
+agg AS (
+  SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(r2_g * r2_g // n_g) AS ssum
+  FROM perg
+),
+h AS (
+  SELECT n, k, ct3,
+         GREATEST(CAST(0 AS HUGEINT),
+                  3000000 * ssum - 3000000 * n * (n + 1) * (n + 1))
+           // (n * (n + 1)) AS h_ppm
+  FROM agg, ties
+)
+SELECT CAST(n AS BIGINT) AS n, k, CAST(ct3 AS BIGINT) AS tie_c3,
+       CAST(h_ppm AS BIGINT) AS h_ppm,
+       CAST(h_ppm * (n * n * n - n) // (n * n * n - n - ct3) AS BIGINT)
+         AS h_adj_ppm
+FROM h
+"""
+
+
+REGISTRATIONS.append(("kruskal_wallis_events", kruskal_wallis_events,
+                      KRUSKAL_WALLIS_ORACLE))
+
+
+def brown_forsythe_closed_form(cnt: DataFrame) -> DataFrame:
+    """Finish the Brown–Forsythe robust variance-equality test from
+    the (vc, ct, cc) arm counts table — shared by the batch op and
+    ``streaming.windows.stream_brown_forsythe``.
+
+    Per-arm nearest-rank median (k = (n_a+1) DIV 2, the
+    ``median_sign_closed_form`` convention), then absolute deviations
+    z = |vc − med_arm| stay integer cents and collapse to three
+    sufficient statistics per arm (n, S = Σz, Q = Σz²). For two arms
+    the BF one-way-ANOVA-on-|deviations| statistic is the exact
+    rational
+      W = (N−2)·d² / (N·[n_c(n_t·Q_t − S_t²) + n_t(n_c·Q_c − S_c²)])
+    with d = S_t·n_c − S_c·n_t, reported as integer ppm via the same
+    two-step floor-DIV chain in both engines.
+
+    int128 ceiling: 10⁶·d² is the tall pole (d ≲ S·n ~ z̄·N²/4);
+    past ~10¹⁶ in d (≈10⁸ events at cents scale) move to a hi/lo
+    limb split — documented, far beyond any test SF."""
+    from pyspark.sql import Window as W
+    m = (cnt.select("vc", F.col("ct").alias("c"), F.lit(True).alias("treat"))
+            .unionByName(cnt.select("vc", F.col("cc").alias("c"),
+                                    F.lit(False).alias("treat")))
+            .filter(F.col("c") > 0))
+    t = m.withColumn("cum", F.sum("c").over(
+        W.partitionBy("treat").orderBy("vc")))
+    tot = m.groupBy("treat").agg(F.sum("c").cast("long").alias("n_a"))
+    med = (t.join(F.broadcast(tot), "treat")
+            .where(F.col("cum") >= F.expr("(n_a + 1) DIV 2"))
+            .groupBy("treat").agg(F.min("vc").alias("med")))
+    z = (m.join(F.broadcast(med), "treat")
+          .select("treat", "c",
+                  F.abs(F.col("vc") - F.col("med")).alias("z"), "med"))
+    stats = z.groupBy("treat").agg(
+        F.sum("c").cast("long").alias("n_a"),
+        F.max("med").alias("med"),
+        F.sum(F.col("c") * F.col("z")).cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * z * z")).alias("q"))
+    p = (stats.groupBy().pivot("treat", [True, False])
+         .agg(F.max("n_a").alias("n"), F.max("med").alias("med"),
+              F.max("s").alias("s"), F.max("q").alias("q")))
+    d = "(true_s * false_n - false_s * true_n)"
+    den = ("(false_n * (true_n * true_q - true_s * true_s)"
+           " + true_n * (false_n * false_q - false_s * false_s))")
+    n_all = "(true_n + false_n)"
+    return p.select(
+        F.col("true_n").alias("n_treat"),
+        F.col("false_n").alias("n_ctrl"),
+        F.col("true_med").alias("med_t"),
+        F.col("false_med").alias("med_c"),
+        F.col("true_s").cast("long").alias("absdev_sum_t"),
+        F.col("false_s").cast("long").alias("absdev_sum_c"),
+        F.expr(f"CAST((1000000 * {d} * {d} DIV {den})"
+               f" * ({n_all} - 2) DIV {n_all} AS BIGINT)").alias("w_ppm"))
+
+
+def brown_forsythe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe robust variance-equality test between the
+    treatment and control arms — the SCALE companion of the location
+    readouts (``mannwhitney_events`` asks "did the middle move";
+    this asks "did the SPREAD move", the signal a risk- or
+    latency-affecting treatment shows first, and the Levene-family
+    variant that stays valid under heavy tails because it centers on
+    the MEDIAN, not the mean).
+
+    Exactness: reuses the Mann–Whitney (vc, ct, cc) cells; per-arm
+    medians are exact order statistics, deviations are integer
+    cents, and W is a two-step floor-DIV ppm computed by the
+    identical integer chain in both engines (see
+    ``brown_forsythe_closed_form``). No float anywhere.
+
+    Scale shape: identical to ``mannwhitney_events`` — one
+    partial+final aggregate to the cents-grid cells (the mergeable
+    state the streaming twin maintains), then dims-sized per-arm
+    cumsums and 1-row reductions.
+
+    Output: ``(n_treat, n_ctrl, med_t, med_c, absdev_sum_t,
+    absdev_sum_c, w_ppm)``.
+    """
+    return brown_forsythe_closed_form(mw_value_counts(_cells(spark, sf_dir)))
+
+
+BROWN_FORSYTHE_ORACLE = """
+WITH c AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+cnt AS (
+  SELECT vc,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM c GROUP BY vc
+),
+m AS (
+  SELECT vc, ct AS c, TRUE AS treat FROM cnt WHERE ct > 0
+  UNION ALL
+  SELECT vc, cc AS c, FALSE AS treat FROM cnt WHERE cc > 0
+),
+t AS (
+  SELECT treat, vc, c,
+         SUM(c) OVER (PARTITION BY treat ORDER BY vc) AS cum
+  FROM m
+),
+tot AS (SELECT treat, CAST(SUM(c) AS BIGINT) AS n_a FROM m GROUP BY treat),
+med AS (
+  SELECT t.treat, MIN(vc) AS med
+  FROM t JOIN tot ON t.treat = tot.treat
+  WHERE cum >= (n_a + 1) // 2
+  GROUP BY t.treat
+),
+z AS (
+  SELECT m.treat, c, ABS(vc - med) AS z, med
+  FROM m JOIN med ON m.treat = med.treat
+),
+stats AS (
+  SELECT treat, CAST(SUM(c) AS BIGINT) AS n_a, MAX(med) AS med,
+         CAST(SUM(c * z) AS HUGEINT) AS s,
+         CAST(SUM(CAST(c AS HUGEINT) * z * z) AS HUGEINT) AS q
+  FROM z GROUP BY treat
+),
+p AS (
+  SELECT MAX(CASE WHEN treat THEN n_a END) AS true_n,
+         MAX(CASE WHEN NOT treat THEN n_a END) AS false_n,
+         MAX(CASE WHEN treat THEN med END) AS true_med,
+         MAX(CASE WHEN NOT treat THEN med END) AS false_med,
+         MAX(CASE WHEN treat THEN s END) AS true_s,
+         MAX(CASE WHEN NOT treat THEN s END) AS false_s,
+         MAX(CASE WHEN treat THEN q END) AS true_q,
+         MAX(CASE WHEN NOT treat THEN q END) AS false_q
+  FROM stats
+)
+SELECT true_n AS n_treat, false_n AS n_ctrl,
+       true_med AS med_t, false_med AS med_c,
+       CAST(true_s AS BIGINT) AS absdev_sum_t,
+       CAST(false_s AS BIGINT) AS absdev_sum_c,
+       CAST((1000000 * (true_s * false_n - false_s * true_n)
+                     * (true_s * false_n - false_s * true_n)
+             // (false_n * (true_n * true_q - true_s * true_s)
+                 + true_n * (false_n * false_q - false_s * false_s)))
+            * (true_n + false_n - 2) // (true_n + false_n) AS BIGINT)
+         AS w_ppm
+FROM p
+"""
+
+
+REGISTRATIONS.append(("brown_forsythe_events", brown_forsythe_events,
+                      BROWN_FORSYTHE_ORACLE))
+
+
+def _rank2(vals: DataFrame, col: str) -> DataFrame:
+    """Doubled-midrank table for one integer metric column: per
+    DISTINCT value v with count c and p rows strictly below,
+    2·midrank = 2p + c + 1 (the ``mannwhitney_events`` identity) —
+    ranking decomposed into a count aggregate plus a window over the
+    DISTINCT-value grid, never a window over the corpus."""
+    from pyspark.sql import Window as W
+    cnt = vals.groupBy(col).agg(F.count("*").alias("c"))
+    return (cnt.withColumn("cum", F.sum("c").over(W.orderBy(col)))
+               .select(col, (2 * (F.col("cum") - F.col("c"))
+                             + F.col("c") + 1).alias(f"r2_{col}")))
+
+
+def spearman_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event
+    count) and per-user total spend (value cents) — the monotone-
+    association readout (does more usage go with more spend,
+    REGARDLESS of the relationship's shape?) that survives the
+    heavy tails and outliers Pearson (``corr_matrix_lineitem``'s
+    family) chokes on. Ties get textbook average ranks.
+
+    Exactness: both metrics rank via the doubled-midrank identity
+    (integers, see ``_rank2``); Spearman ρ is Pearson on ranks, so
+    ρ² = num²/(vx·vy) with num = n·Σxy − Σx·Σy and
+    vx/vy = n·Σx² − (Σx)² all exact DECIMAL(38)/HUGEINT — reported
+    as a two-step floor-DIV ppm plus the exact sign, the identical
+    integer chain in both engines. No float anywhere. int128
+    ceiling: 10⁶·num² (~10³⁸ at ~3·10⁷ users) — hi/lo limb split
+    past that, documented.
+
+    Scale shape: one per-user aggregate (map-side combinable), two
+    DISTINCT-value-grid rank tables joined back (no corpus-wide
+    window — the ``scalable_rank`` discipline), one 1-row reduction.
+
+    Output: ``(n_users, rho_sign, rho_num, rho2_ppm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+         .cast("long").alias("y"))
+    ranked = (per_user
+              .join(_rank2(per_user.select("x"), "x"), "x")
+              .join(_rank2(per_user.select("y"), "y"), "y"))
+    a = ranked.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("r2_x").cast("decimal(38,0)").alias("sx"),
+        F.sum("r2_y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(r2_x AS DECIMAL(38,0)) * r2_y")).alias("sxy"),
+        F.sum(F.expr("CAST(r2_x AS DECIMAL(38,0)) * r2_x")).alias("sx2"),
+        F.sum(F.expr("CAST(r2_y AS DECIMAL(38,0)) * r2_y")).alias("sy2"))
+    num = "(n * sxy - sx * sy)"
+    vx = "(n * sx2 - sx * sx)"
+    vy = "(n * sy2 - sy * sy)"
+    return a.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.expr(f"CAST(CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1 "
+               "ELSE 0 END AS BIGINT)").alias("rho_sign"),
+        F.expr(f"CAST({num} AS BIGINT)").alias("rho_num"),
+        F.expr(f"CAST((1000000 * {num} * {num} DIV {vx}) DIV {vy} "
+               "AS BIGINT)").alias("rho2_ppm"))
+
+
+SPEARMAN_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+rx AS (
+  SELECT x, 2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1 AS r2_x
+  FROM (SELECT x, COUNT(*) AS c FROM per_user GROUP BY x)
+),
+ry AS (
+  SELECT y, 2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1 AS r2_y
+  FROM (SELECT y, COUNT(*) AS c FROM per_user GROUP BY y)
+),
+r AS (
+  SELECT r2_x, r2_y
+  FROM per_user JOIN rx USING (x) JOIN ry USING (y)
+),
+a AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(r2_x) AS HUGEINT) AS sx,
+         CAST(SUM(r2_y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(r2_x AS HUGEINT) * r2_y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(r2_x AS HUGEINT) * r2_x) AS HUGEINT) AS sx2,
+         CAST(SUM(CAST(r2_y AS HUGEINT) * r2_y) AS HUGEINT) AS sy2
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(CASE WHEN (n * sxy - sx * sy) > 0 THEN 1
+                 WHEN (n * sxy - sx * sy) < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS rho_sign,
+       CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
+       CAST((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             // (n * sx2 - sx * sx)) // (n * sy2 - sy * sy) AS BIGINT)
+         AS rho2_ppm
+FROM a
+"""
+
+
+REGISTRATIONS.append(("spearman_corr_events", spearman_corr_events,
+                      SPEARMAN_ORACLE))

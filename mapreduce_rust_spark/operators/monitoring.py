@@ -1670,3 +1670,129 @@ FROM z
 
 
 REGISTRATIONS.append(("weco_rules_events", weco_rules_events, WECO_ORACLE))
+
+
+def pettitt_closed_form(daily: DataFrame) -> DataFrame:
+    """Finish the Pettitt changepoint test from the (type, day,
+    count) grid — shared by the batch op and
+    ``streaming.windows.stream_pettitt_changepoint``.
+
+    Rank identity: with doubled midranks R2_i = 2p + cp + 1 (the
+    Mann–Whitney trick), antisymmetry cancels the within-prefix
+    pairs, so Pettitt's U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)
+    collapses to the exact integer prefix statistic
+    U_t = (Σ_{i≤t} R2_i) − t(n+1). K = max_t |U_t| over the interior
+    split points, t* = the earliest day achieving it. Pure integers
+    end to end — no float anywhere."""
+    from pyspark.sql import Window as W
+    v = daily.groupBy("event_type", "c").agg(F.count("*").alias("cnt"))
+    wv = W.partitionBy("event_type").orderBy("c")
+    r2 = (v.withColumn("cum", F.sum("cnt").over(wv))
+           .select("event_type", "c",
+                   (2 * (F.col("cum") - F.col("cnt"))
+                    + F.col("cnt") + 1).alias("r2")))
+    n = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"))
+    wd = W.partitionBy("event_type").orderBy("d")
+    u = (daily.join(r2, ["event_type", "c"])
+              .join(F.broadcast(n), "event_type")
+              .withColumn("tix", F.row_number().over(wd))
+              .withColumn("s2", F.sum("r2").over(wd))
+              .withColumn("u", (F.col("s2")
+                                - F.col("tix") * (F.col("n_days") + 1))
+                          .cast("long"))
+              .filter(F.col("tix") < F.col("n_days"))
+              .localCheckpoint(eager=True))   # consumed by two branches
+    k = u.groupBy("event_type").agg(
+        F.max(F.abs(F.col("u"))).cast("long").alias("k_stat"),
+        F.max("n_days").alias("n_days"))
+    star = (u.join(F.broadcast(k), "event_type")
+             .filter(F.abs(F.col("u")) == F.col("k_stat"))
+             .groupBy("event_type")
+             .agg(F.min(F.col("d").cast("string")).alias("t_star")))
+    at = (u.join(F.broadcast(star.withColumnRenamed("t_star", "d_s")),
+                 "event_type")
+           .filter(F.col("d").cast("string") == F.col("d_s"))
+           .select("event_type", F.col("u").alias("u_at_t")))
+    return (k.join(star, "event_type").join(at, "event_type")
+             .select("event_type", "n_days", "k_stat", "t_star",
+                     "u_at_t"))
+
+
+def pettitt_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt homogeneity/changepoint test per event type — the
+    rank-based single-changepoint locator (Pettitt 1979): the
+    nonparametric sibling of ``cusum_changepoint_events`` (CUSUM
+    needs a mean/σ reference; Pettitt needs NOTHING — it is a
+    Mann–Whitney at every interior split, maximized), and the
+    standard homogeneity screen run before trusting a KPI's history.
+
+    Exactness: doubled midranks make every U_t an exact integer (see
+    ``pettitt_closed_form``); K, t*, and U_{t*} are integer/date
+    outputs — no float anywhere.
+
+    Scale shape: the corpus collapses to the (type, day) count grid
+    in one partial+final aggregate (the mergeable cells the streaming
+    twin maintains); ranks, prefix sums, and the argmax all run on
+    the dims grid partitioned by type — never a corpus window.
+
+    Output: ``(event_type, n_days, k_stat, t_star, u_at_t)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return pettitt_closed_form(mk_daily_cells(ev))
+
+
+PETTITT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+v AS (
+  SELECT event_type, c, COUNT(*) AS cnt
+  FROM daily GROUP BY event_type, c
+),
+r2t AS (
+  SELECT event_type, c,
+         2 * (SUM(cnt) OVER (PARTITION BY event_type ORDER BY c)
+              - cnt) + cnt + 1 AS r2
+  FROM v
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+u AS (
+  SELECT daily.event_type, d, n_days,
+         ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY d)
+           AS tix,
+         CAST(SUM(r2) OVER (PARTITION BY daily.event_type ORDER BY d)
+              - (ROW_NUMBER() OVER (PARTITION BY daily.event_type
+                                    ORDER BY d))
+                * (n_days + 1) AS BIGINT) AS u
+  FROM daily
+  JOIN r2t ON daily.event_type = r2t.event_type AND daily.c = r2t.c
+  JOIN n ON daily.event_type = n.event_type
+  QUALIFY tix < n_days
+),
+k AS (
+  SELECT event_type, CAST(MAX(ABS(u)) AS BIGINT) AS k_stat,
+         MAX(n_days) AS n_days
+  FROM u GROUP BY event_type
+),
+star AS (
+  SELECT u.event_type, MIN(CAST(d AS VARCHAR)) AS t_star
+  FROM u JOIN k ON u.event_type = k.event_type
+  WHERE ABS(u) = k_stat
+  GROUP BY u.event_type
+)
+SELECT k.event_type, k.n_days AS n_days, k_stat, t_star, u.u AS u_at_t
+FROM k
+JOIN star ON k.event_type = star.event_type
+JOIN u ON u.event_type = k.event_type
+      AND CAST(u.d AS VARCHAR) = star.t_star
+"""
+
+
+REGISTRATIONS.append(("pettitt_changepoint_events",
+                      pettitt_changepoint_events, PETTITT_ORACLE))

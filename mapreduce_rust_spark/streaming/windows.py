@@ -829,6 +829,83 @@ def _weco_oracle() -> str:
     return WECO_ORACLE
 
 
+def stream_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.kruskal_wallis_events`` —
+    twenty-fourth kappa pair: the per-(group, distinct cents value)
+    counts are ONE complete-mode aggregate (state = groups × cents
+    grid, the Mann–Whitney twin's dims bound times k), and the shared
+    closed form derives the doubled midranks and the tie-corrected H
+    batch-side. The k-sample rank test as a LIVE multi-variant
+    monitor. Bit-identical to the batch op (pure integer floor-DIV
+    ppm); same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        kruskal_wallis_closed_form, kw_value_counts)
+    ev = (read_events_stream(spark, sf_dir)
+          .select("event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    cells = kw_value_counts(ev)
+    out = _run_to_table(cells, "stream_kruskal_wallis", "complete")
+    # the closed form fans the cells into pooled/per-group/tie branches
+    return kruskal_wallis_closed_form(out.localCheckpoint(eager=True))
+
+
+def _kw_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import (
+        KRUSKAL_WALLIS_ORACLE)
+    return KRUSKAL_WALLIS_ORACLE
+
+
+def stream_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.brown_forsythe_events`` —
+    twenty-fifth kappa pair: the (vc, ct, cc) arm counts are the
+    SAME mergeable Mann–Whitney sufficient statistic (one
+    complete-mode aggregate over the cents grid) that already backs
+    the median-sign twin, and the shared closed form selects the
+    per-arm medians and finishes W batch-side — a live dispersion
+    guardrail next to the live location tests. Bit-identical to the
+    batch op (order statistics and integer floor-DIV ppm only); same
+    DuckDB oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        brown_forsythe_closed_form, mw_value_counts)
+    ev = (read_events_stream(spark, sf_dir)
+          .select((F.col("user_id") % 2 == 1).alias("treat"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    cnt = mw_value_counts(ev)
+    out = _run_to_table(cnt, "stream_brown_forsythe", "complete")
+    # the closed form fans the cells into median/deviation branches
+    return brown_forsythe_closed_form(out.localCheckpoint(eager=True))
+
+
+def _bf_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import (
+        BROWN_FORSYTHE_ORACLE)
+    return BROWN_FORSYTHE_ORACLE
+
+
+def stream_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.pettitt_changepoint_events`` —
+    twenty-sixth kappa pair, third consumer of the Mann–Kendall
+    twin's (type, day) count cells (one complete-mode aggregate,
+    dims-sized state), with the rank prefix statistic and the argmax
+    run batch-side. The homogeneity screen as a LIVE monitor: the
+    detected split point updates as days accumulate. Bit-identical
+    to the batch op (pure integer doubled-midrank prefix sums); same
+    DuckDB oracle."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        mk_daily_cells, pettitt_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    daily = mk_daily_cells(ev)
+    out = _run_to_table(daily, "stream_pettitt_changepoint", "complete")
+    # checkpoint: the closed form SELF-JOINS the cells (grid ⋈ rank
+    # table) and a MemorySink view can't resolve conflicting refs
+    return pettitt_closed_form(out.localCheckpoint(eager=True))
+
+
+def _pettitt_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import PETTITT_ORACLE
+    return PETTITT_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -870,4 +947,8 @@ REGISTRATIONS = [
     ("stream_mann_kendall", stream_mann_kendall, _mk_oracle()),
     ("stream_srm_check", stream_srm_check, _srm_oracle()),
     ("stream_weco_rules", stream_weco_rules, _weco_oracle()),
+    ("stream_kruskal_wallis", stream_kruskal_wallis, _kw_oracle()),
+    ("stream_brown_forsythe", stream_brown_forsythe, _bf_oracle()),
+    ("stream_pettitt_changepoint", stream_pettitt_changepoint,
+     _pettitt_oracle()),
 ]

@@ -673,3 +673,64 @@ def test_round9_third_wave_plan_shapes(spark):
     p = _plan(rich_club_copurchase(spark, SF_CORRECT))
     assert "partial_count" in p
     assert "CartesianProduct" not in p
+
+
+def test_round9_fourth_wave_plan_shapes(spark):
+    """The rank-statistics family collapses the corpus with partial
+    aggregation before any window, and every window runs on the
+    dims-sized value grid (Kruskal–Wallis / Brown–Forsythe) or the
+    DISTINCT-value rank tables (Spearman) — never sorting the corpus.
+    Contribution capping windows by (user, day) — the sessionize
+    partition shape — with no join at all. RRF's two pools end in
+    TakeOrderedAndProject (never a global Sort+Window over the scored
+    set) and the dense side broadcasts the 1-vector query."""
+    from mapreduce_rust_spark.llm.similarity import rrf_hybrid_search
+    from mapreduce_rust_spark.operators.dataquality import (
+        contribution_cap_events)
+    from mapreduce_rust_spark.operators.experiment import (
+        brown_forsythe_events, kruskal_wallis_events,
+        spearman_corr_events)
+
+    p = _plan(kruskal_wallis_events(spark, SF_CORRECT))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(brown_forsythe_events(spark, SF_CORRECT))
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(spearman_corr_events(spark, SF_CORRECT))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(contribution_cap_events(spark, SF_CORRECT))
+    assert "Join" not in p                     # window + agg only
+    for seg in p.split("Window ")[1:]:
+        assert "user_id" in seg.splitlines()[0]
+
+    p = _plan(rrf_hybrid_search(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_round9_fifth_wave_plan_shapes(spark):
+    """Pettitt runs entirely on the (type, day) dims grid — every
+    window partitioned by type, the n/k/star branches broadcast back;
+    the dHash near-dup pairs come from a hash band-bucket join (a
+    real equi-join, never a cartesian) over an aggregated
+    representative table, with the 56-bit hash one codegen'd integer
+    projection (no UDF, no Python)."""
+    from mapreduce_rust_spark.llm.multimodal import image_dhash_neardup
+    from mapreduce_rust_spark.operators.monitoring import (
+        pettitt_changepoint_events)
+
+    p = _plan(pettitt_changepoint_events(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    for seg in p.split("Window ")[1:]:
+        assert "event_type" in seg.splitlines()[0]
+
+    p = _plan(image_dhash_neardup(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    assert "Join" in p                       # the band-bucket join
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p

@@ -316,3 +316,190 @@ def test_weco_rules_fire_on_planted_series(spark):
         fired = [f or e.any() for f, e in zip(fired, exp)]
     # the plant actually exercises every rule's TRUE branch
     assert all(fired), fired
+
+
+def test_kruskal_wallis_separated_groups(spark, tmp_path):
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        kruskal_wallis_events)
+
+    rows = [{"event_type": g, "value": v / 100.0, "user_id": i}
+            for i, (g, v) in enumerate(
+                [("a", 1), ("a", 2), ("a", 3),
+                 ("b", 4), ("b", 5), ("b", 6),
+                 ("c", 7), ("c", 8), ("c", 9)])]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = kruskal_wallis_events(spark, str(tmp_path)).collect()[0]
+    # no ties: ranks 1..9, R = (6, 15, 24) -> H = 7.2 exactly
+    assert (r.n, r.k, r.tie_c3) == (9, 3, 0)
+    assert r.h_ppm == 7_200_000
+    assert r.h_adj_ppm == 7_200_000
+
+
+def test_kruskal_wallis_tie_correction(spark, tmp_path):
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        kruskal_wallis_events)
+
+    rows = [{"event_type": g, "value": v / 100.0, "user_id": i}
+            for i, (g, v) in enumerate(
+                [("a", 1), ("a", 1), ("b", 2), ("b", 2)])]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = kruskal_wallis_events(spark, str(tmp_path)).collect()[0]
+    # midranks (1.5, 1.5, 3.5, 3.5): H = 2.4; ct3 = 12 of max 60
+    # -> correction 0.8 lifts H_adj to exactly 3.0
+    assert (r.n, r.k, r.tie_c3) == (4, 2, 12)
+    assert r.h_ppm == 2_400_000
+    assert r.h_adj_ppm == 3_000_000
+
+
+def test_brown_forsythe_planted_exact(spark, tmp_path):
+    """Planted dispersion shift: treat arm {0, 0, 10, 10} cents vs a
+    constant control arm — per-arm medians 0 and 5, W = 3.0 exactly
+    through the two-step floor-DIV chain."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        brown_forsythe_events)
+
+    rows = ([{"user_id": 1, "value": 0.00} for _ in range(2)]
+            + [{"user_id": 1, "value": 0.10} for _ in range(2)]
+            + [{"user_id": 2, "value": 0.05} for _ in range(4)])
+    for i, r in enumerate(rows):
+        r["event_type"] = "x"
+        r["ts"] = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = brown_forsythe_events(spark, str(tmp_path)).collect()[0]
+    assert (r.n_treat, r.n_ctrl) == (4, 4)
+    assert (r.med_t, r.med_c) == (0, 5)
+    assert (r.absdev_sum_t, r.absdev_sum_c) == (20, 0)
+    assert r.w_ppm == 3_000_000
+
+
+def test_spearman_perfect_monotone_and_inverse(spark, tmp_path):
+    """Perfectly monotone per-user (count, spend) profile must give
+    rho_sign = +1 with rho2_ppm = 1_000_000 exactly; inverting the
+    spend flips the sign but keeps |rho| = 1."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        spearman_corr_events)
+
+    def mk(spend_for_user):
+        rows = []
+        for u in (1, 2, 3):
+            for j in range(u):   # user u has u events
+                rows.append({"user_id": u, "event_type": "x",
+                             "value": spend_for_user(u) / u})
+        return pd.DataFrame(rows)
+
+    mk(lambda u: u * 100.0).to_parquet(tmp_path / "events.parquet")
+    r = spearman_corr_events(spark, str(tmp_path)).collect()[0]
+    assert r.n_users == 3
+    assert r.rho_sign == 1
+    assert r.rho2_ppm == 1_000_000
+
+    mk(lambda u: (4 - u) * 100.0).to_parquet(
+        tmp_path / "events.parquet")
+    r = spearman_corr_events(spark, str(tmp_path)).collect()[0]
+    assert r.rho_sign == -1
+    assert r.rho2_ppm == 1_000_000
+
+
+def test_contribution_cap_first_k_kept(spark, tmp_path):
+    """Planted hot user-day: 5 events must cap to the FIRST 3 in
+    (ts, event_id) order — the capped sum keeps the earliest values,
+    and drop_ppm is the exact integer DIV."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.dataquality import (
+        contribution_cap_events)
+
+    rows = [{"user_id": 1, "event_id": i, "event_type": "x",
+             "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+             "value": (i + 1) * 1.0}
+            for i in range(5)]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = contribution_cap_events(spark, str(tmp_path)).collect()[0]
+    assert (r.n_raw, r.n_capped) == (5, 3)
+    assert r.sum_vc_raw == 1500
+    assert r.sum_vc_capped == 600          # first three: 100+200+300
+    assert r.drop_ppm == 2 * 1_000_000 // 5
+
+
+def test_rrf_fusion_invariants(spark):
+    """RRF output on the fixture: the ppb contribution of each rank
+    recomputes exactly from the rank columns (sentinel 0 = absent
+    from that ranker's pool, contributes nothing), fused_rank follows
+    (rrf_ppb DESC, doc_id), and the dense query doc is excluded."""
+    from mapreduce_rust_spark.llm.similarity import (
+        RRF_K, RRF_QVEC, rrf_hybrid_search)
+
+    rows = rrf_hybrid_search(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "fused list must be non-empty"
+    assert all(r.doc_id != RRF_QVEC for r in rows)
+    for r in rows:
+        want = sum(1_000_000_000 // (RRF_K + rank)
+                   for rank in (r.rank_sparse, r.rank_dense) if rank > 0)
+        assert r.rrf_ppb == want
+    order = sorted(rows, key=lambda r: (-r.rrf_ppb, r.doc_id))
+    assert [r.doc_id for r in order] == [
+        r.doc_id for r in sorted(rows, key=lambda r: r.fused_rank)]
+    # hybrid premise: at least one result reached the fused list
+    # through BOTH rankers' pools on the fixture
+    assert any(r.rank_sparse > 0 and r.rank_dense > 0 for r in rows)
+
+
+def test_pettitt_planted_step_change(spark):
+    """Hand-computed Pettitt on a planted step: counts (1,1,1,9,9,9)
+    over six days. Doubled midranks: 4 for the 1s, 10 for the 9s;
+    U_t = ΣR2(≤t) − 7t = (−3, −6, −9, −6, −3) → K = 9 at the step
+    boundary day 3 with U = −9. An all-tied series must give K = 0
+    (no changepoint signal) at the earliest interior day."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.monitoring import (
+        pettitt_closed_form)
+
+    rows = [("step", f"2024-01-0{i}", c)
+            for i, c in zip(range(1, 7), [1, 1, 1, 9, 9, 9])]
+    rows += [("flat", f"2024-01-0{i}", 7) for i in range(1, 5)]
+    daily = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "d", "c"]))
+    out = {r.event_type: r for r in pettitt_closed_form(daily).collect()}
+    step = out["step"]
+    assert (step.n_days, step.k_stat) == (6, 9)
+    assert step.t_star == "2024-01-03"
+    assert step.u_at_t == -9
+    flat = out["flat"]
+    assert (flat.k_stat, flat.t_star) == (0, "2024-01-01")
+
+
+def test_image_dhash_neardup_planted(spark, tmp_path):
+    """Planted perceptual near-dups: a strip, a 1-gradient retouch of
+    it (hamming 1 — caught), an unrelated strip (not paired), and an
+    exact COPY of the base (collapsed to the representative before
+    pairing — the c² discipline, so the copy appears in NO pair)."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.llm.multimodal import (
+        DHASH_MIN_LEN, image_dhash_neardup)
+
+    base = ("ab" * 200)[:DHASH_MIN_LEN + 20]
+    # dim ONE pixel below its neighbors inside the sampled 7x8
+    # window (row 1, col 3 -> byte index 32+3 = 35, 0-based): flips
+    # the two gradients that touch it -> hamming 2
+    retouch = base[:35] + chr(ord(base[35]) - 4) + base[36:]
+    other = ("zq9 x" * 100)[:DHASH_MIN_LEN + 20]
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, retouch, other, base],
+        "source": ["s"] * 4, "lang": ["en"] * 4,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in image_dhash_neardup(spark, str(tmp_path)).collect()}
+    assert set(pairs) == {(1, 2)}, pairs
+    assert 1 <= pairs[(1, 2)] <= 2
