@@ -1207,10 +1207,14 @@ def spearman_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integers, see ``_rank2``); Spearman ρ is Pearson on ranks, so
     ρ² = num²/(vx·vy) with num = n·Σxy − Σx·Σy and
     vx/vy = n·Σx² − (Σx)² all exact DECIMAL(38)/HUGEINT — reported
-    as a two-step floor-DIV ppm plus the exact sign, the identical
-    integer chain in both engines. No float anywhere. int128
-    ceiling: 10⁶·num² (~10³⁸ at ~3·10⁷ users) — hi/lo limb split
-    past that, documented.
+    as a floor-DIV ppm plus the exact sign, the identical integer
+    chain in both engines. No float anywhere. The ppm divides
+    BEFORE the second |num| multiply — (10⁶·|num| DIV vx)·|num|
+    DIV vy, never 10⁶·num² — because num² blows DECIMAL(38) at just
+    ~15k units (measured: the ×10-events fixture overflowed the
+    naive form); the divide-first chain holds to vx ≲ 10³¹ ≈ 10⁷
+    users at a ≤ ~1 ppm floor cost, identical in both engines so
+    still hash-exact.
 
     Scale shape: one per-user aggregate (map-side combinable), two
     DISTINCT-value-grid rank tables joined back (no corpus-wide
@@ -1241,8 +1245,8 @@ def spearman_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1 "
                "ELSE 0 END AS BIGINT)").alias("rho_sign"),
         F.expr(f"CAST({num} AS BIGINT)").alias("rho_num"),
-        F.expr(f"CAST((1000000 * {num} * {num} DIV {vx}) DIV {vy} "
-               "AS BIGINT)").alias("rho2_ppm"))
+        F.expr(f"CAST(((1000000 * ABS({num}) DIV {vx}) * ABS({num})) "
+               f"DIV {vy} AS BIGINT)").alias("rho2_ppm"))
 
 
 SPEARMAN_ORACLE = """
@@ -1277,8 +1281,9 @@ SELECT CAST(n AS BIGINT) AS n_users,
                  WHEN (n * sxy - sx * sy) < 0 THEN -1
                  ELSE 0 END AS BIGINT) AS rho_sign,
        CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
-       CAST((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
-             // (n * sx2 - sx * sx)) // (n * sy2 - sy * sy) AS BIGINT)
+       CAST(((1000000 * ABS(n * sxy - sx * sy)
+              // (n * sx2 - sx * sx)) * ABS(n * sxy - sx * sy))
+             // (n * sy2 - sy * sy) AS BIGINT)
          AS rho2_ppm
 FROM a
 """
