@@ -24,10 +24,12 @@ fold: append the symbol, unless the accumulator tail equals the merge
 left AND the symbol equals the merge right — then replace the tail
 with the merged symbol. The fold is JVM whole-stage codegen, not a
 Python UDF. Greedy/overlap/tiebreak semantics are pinned against a
-pure-Python reference implementation in tests (no SQL oracle — an
-argmax-per-iteration recursion is not reasonably SQL-expressible, so
-the driver records a rows-only check; the local property test is the
-evidence).
+pure-Python reference implementation in tests AND, since round 9,
+against a full SQL oracle: the argmax-per-iteration recursion IS
+expressible for a fixed merge budget as an unrolled MATERIALIZED-CTE
+chain (``_bpe_chain`` — the k-truss unroll discipline), with the
+greedy merge pass mirrored by a delimiter-wrapped ``replace``. Both
+bpe_train_merges and bpe_encode_docs are hash-checked end to end.
 """
 
 from __future__ import annotations
@@ -141,10 +143,11 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals; encoding is then a ZERO-shuffle scan — per token, one
     char split + N_MERGES chained JVM folds, no explode, no Python.
     Per-doc totals come from an in-row sum, so nothing moves between
-    executors. Rows-only for the driver (the merge table is learned
-    by a recursion SQL can't express); the encode itself is pinned
-    against a pure-Python greedy-merge reference in
-    tests/test_graph_bpe.py."""
+    executors. Oracled since round 9: the merge table IS learnable
+    relationally (``_bpe_chain`` unrolls the training loop), so the
+    oracle re-trains and re-encodes end to end; the encode fold is
+    additionally pinned against a pure-Python greedy-merge reference
+    in tests/test_graph_bpe.py."""
     from mapreduce_rust_spark.functions.text import WS_RE
     merges = bpe_train(_word_freqs(spark, sf_dir), N_MERGES)
     from mapreduce_rust_spark.tables import load_table
@@ -173,3 +176,111 @@ REGISTRATIONS = [
     ("bpe_train_merges", bpe_train_merges, None),
     ("bpe_encode_docs", bpe_encode_docs, None),
 ]
+
+
+def _bpe_chain(carry_w: bool, n_merges: int = N_MERGES) -> str:
+    """The shared unrolled (pair-count → argmax → merge-apply) CTE
+    chain for both BPE oracles — the ``ktruss_edges_parts``
+    discipline applied to the training LOOP, one MATERIALIZED round
+    per learned merge, so DuckDB re-runs the exact greedy algorithm.
+
+    The merge application mirrors the Spark fold via a delimiter
+    trick: each symbol is individually wrapped (``\\x1f sym \\x1f``),
+    and ``replace(s, ␟l␟␟r␟, ␟lr␟)`` is exactly the left-to-right
+    non-overlapping greedy pass — SQL ``replace`` scans forward and
+    never rescans emitted text, and ``merged == left`` would need an
+    empty right symbol, so neither engine can chain within a pass.
+    Argmax ties break (count DESC, left, right) on both sides.
+    ``carry_w`` keeps the word key through the chain (the encode
+    oracle joins the final symbol table back to documents)."""
+    S = "chr(31)"
+    wc = "w, " if carry_w else ""
+    out = [f"""
+tok AS (
+  SELECT t.tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) t
+  GROUP BY t.tok
+),
+w0 AS MATERIALIZED (
+  SELECT {wc}freq,
+         {S} || array_to_string(string_split(w, ''), {S} || {S}) || {S}
+           AS s
+  FROM tok
+)"""]
+    for r in range(1, n_merges + 1):
+        out.append(f""",
+p{r} AS (
+  SELECT u.z[1] AS lft, u.z[2] AS rgt, CAST(SUM(freq) AS BIGINT) AS c
+  FROM (SELECT freq,
+               string_split(trim(s, {S}), {S} || {S}) AS syms
+        FROM w{r - 1}) t,
+       UNNEST(list_zip(syms[1:len(syms) - 1], syms[2:len(syms)]))
+         AS u(z)
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+  SELECT {r} AS step, lft, rgt, lft || rgt AS merged, c
+  FROM p{r} ORDER BY c DESC, lft, rgt LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT {wc}freq,
+         replace(s, {S} || lft || {S} || {S} || rgt || {S},
+                 {S} || merged || {S}) AS s
+  FROM w{r - 1}, m{r}
+)""")
+    return "".join(out)
+
+
+def _bpe_train_oracle(n_merges: int = N_MERGES) -> str:
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST(step AS INT) AS step, lft AS "left", '
+        f'rgt AS "right", merged, c AS pair_count FROM m{r}'
+        for r in range(1, n_merges + 1))
+    return "WITH" + _bpe_chain(carry_w=False) + "\n" + union
+
+
+def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
+    """Per-doc encode readout from the SAME learned chain: the final
+    symbol table (word → merged symbol count) joins back to the
+    token stream; empty docs keep n_tokens = 0 via the LEFT JOIN."""
+    S = "chr(31)"
+    return f"""WITH{_bpe_chain(carry_w=True)},
+enc AS (
+  SELECT w, CAST(len(string_split(trim(s, {S}), {S} || {S}))
+                 AS BIGINT) AS n_sub
+  FROM w{n_merges}
+),
+dtok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+  FROM dtok JOIN enc ON dtok.tok = enc.w
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(n_subwords, 0) AS n_subwords,
+       CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+            ELSE CAST(n_subwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       END AS fertility
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
+BPE_TRAIN_ORACLE = _bpe_train_oracle()
+
+# bpe_train_merges registered rows-only above (the oracle text is
+# defined below the list); promote it — the training loop is now
+# fully re-derived relationally, converting the tokenizer-training
+# flagship from rows-only to hash-checked
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
+
+_PROMOTED = {"bpe_train_merges": BPE_TRAIN_ORACLE,
+             "bpe_encode_docs": BPE_ENCODE_ORACLE}
+REGISTRATIONS[:] = [(n, f, _PROMOTED.get(n, o)) for n, f, o in REGISTRATIONS]

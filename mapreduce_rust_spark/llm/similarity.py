@@ -115,7 +115,10 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k with multi-probe: each query probes its own
     bucket plus every Hamming-1 neighbor bucket (near vectors most
     often differ in exactly one sign bit). Candidates stay sub-linear:
-    (1+N_PLANES)/2^N_PLANES of the corpus per query. No oracle
+    (1+N_PLANES)/2^N_PLANES of the corpus per query. Oracled since
+    round 9 via ``KNN_LSH_ORACLE`` (the relational bucket mirror the
+    recall evaluator proved); rank parity carries the same near-tie
+    caveat as ``knn_bruteforce``. Previously rows-only
     (approximation is implementation-defined); tests measure recall
     against ``knn_bruteforce``."""
     emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
@@ -654,7 +657,7 @@ REGISTRATIONS = [
     ("cluster_keywords_embeddings", cluster_keywords_embeddings,
      CLUSTER_KEYWORDS_ORACLE),
     ("allknn_within_label", allknn_within_label, ALLKNN_ORACLE),
-    ("knn_lsh", knn_lsh, None),  # approximate — recall-tested, rows-only check
+    ("knn_lsh", knn_lsh, None),  # oracle patched in below KNN_LSH_ORACLE
     ("knn_ivf", knn_ivf, None),  # approximate — recall-tested, rows-only check
     ("knn_quantized", knn_quantized, KNN_QUANTIZED_ORACLE),
     ("embedding_covariance", embedding_covariance, EMB_COV_ORACLE),
@@ -950,7 +953,7 @@ probes AS (
   FROM bkt WHERE vec_id < {N_QUERIES}
 ),
 lsh AS (
-  SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
     SELECT p.query_id, n.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (
              PARTITION BY p.query_id
@@ -960,6 +963,18 @@ lsh AS (
       ON p.qb = n.bucket AND p.query_id <> n.vec_id
   ) WHERE rank <= {K}
 )"""
+
+
+KNN_LSH_ORACLE = f"""
+WITH {_lsh_topk_sql()}
+SELECT query_id, neighbor_id, rank FROM lsh
+"""
+
+# knn_lsh registered rows-only above (the oracle text needs
+# _lsh_topk_sql, defined here); promote it now that the recall
+# evaluator has proven the relational mirror of the bucketed top-k
+REGISTRATIONS[:] = [(n, f, KNN_LSH_ORACLE if n == "knn_lsh" else o)
+                    for n, f, o in REGISTRATIONS]
 
 
 KNN_EVAL_RECALL_ORACLE = f"""
