@@ -355,6 +355,10 @@ HEADLINE = [
     "pettitt_changepoint_events",
     "stream_pettitt_changepoint",
     "image_dhash_neardup",
+    # round 9 sixth wave: dose-response trend (+twin), embedding drift
+    "ca_trend_events",
+    "stream_ca_trend",
+    "embedding_drift_sources",
 ]
 
 

@@ -1257,3 +1257,105 @@ FROM (
 
 REGISTRATIONS.append(("rrf_hybrid_search", rrf_hybrid_search,
                       _rrf_oracle()))
+
+
+DRIFT_SCALE = 1000   # per-dim mean-shift reported in milli-grid units
+
+
+def embedding_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift per SOURCE — the vector-space
+    analogue of ``tv_drift_sources``/``ks_drift_sources``: how far is
+    each source's embedding CENTROID from the global centroid? The
+    readout a multi-source ingestion pipeline alarms on when one
+    source's upstream encoder, scraper, or content mix silently
+    changes (scalar drift screens can't see a direction-preserving
+    shift in vector space; the centroid can).
+
+    Exactness (the ``label_centroid_outliers`` clearing, two
+    populations instead of point-vs-centroid): coordinates quantize
+    to the CENT_GRID integer grid (HALF_EVEN both engines); the
+    per-dim mean difference s_d/n − g_d/m clears to
+    (s_d·m − g_d·n)·SCALE DIV (n·m) — exact integer milli-grid
+    units, squared and summed to one drift number per source. No
+    float anywhere; output magnitudes are n-independent, so no
+    overflow at any corpus size (intermediates documented to
+    DECIMAL(38) at ≤10⁹ vectors).
+
+    Scale shape: one explode to (source, dim) cells (via the 1:1
+    vec_id = doc_id documents join — broadcast the dim side), one
+    per-source and one global sums table (both ≤ sources×dims
+    rows), a dims-grid join, one per-source reduction. The corpus
+    shuffles once.
+
+    Output: ``(source, n_vecs, shift_mgrid2, drift_rank)``.
+    """
+    from mapreduce_rust_spark.tables import load_table as _lt
+    docs = _lt(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source")
+    q = (_emb(spark, sf_dir)
+         .join(docs, "vec_id")
+         .select("source", F.posexplode("e").alias("dim", "x"))
+         .select("source", "dim",
+                 F.bround(F.col("x") * CENT_GRID, 0)
+                  .cast("long").alias("qv")))
+    s = (q.groupBy("source", "dim")
+          .agg(F.sum("qv").cast("decimal(38,0)").alias("sv"),
+               F.count("*").cast("long").alias("n")))
+    g = (q.groupBy("dim")
+          .agg(F.sum("qv").cast("decimal(38,0)").alias("gv"),
+               F.count("*").cast("long").alias("m")))
+    dd = (s.join(F.broadcast(g), "dim")
+           .select("source", "n",
+                   F.expr(f"CAST((sv * m - gv * n) * {DRIFT_SCALE} "
+                          "DIV (CAST(n AS DECIMAL(38,0)) * m) "
+                          "AS BIGINT)").alias("dd")))
+    agg = (dd.groupBy("source")
+             .agg(F.max("n").alias("n_vecs"),
+                  F.sum(F.col("dd") * F.col("dd")).cast("long")
+                   .alias("shift_mgrid2")))
+    w = W.orderBy(F.desc("shift_mgrid2"), "source")
+    return (agg.withColumn("drift_rank",
+                           F.row_number().over(w).cast("long"))
+               .select("source", F.col("n_vecs").cast("long").alias("n_vecs"),
+                       "shift_mgrid2", "drift_rank"))
+
+
+EMBEDDING_DRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT d.source, i AS dim,
+         CAST(round_even(embedding[i + 1]::DOUBLE * {CENT_GRID}, 0)
+              AS BIGINT) AS qv
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id,
+       UNNEST(range(0, len(embedding))) AS u(i)
+),
+s AS (
+  SELECT source, dim, CAST(SUM(qv) AS HUGEINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY source, dim
+),
+g AS (
+  SELECT dim, CAST(SUM(qv) AS HUGEINT) AS gv,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM q GROUP BY dim
+),
+dd AS (
+  SELECT source, n,
+         CAST((sv * m - gv * n) * {DRIFT_SCALE}
+              // (CAST(n AS HUGEINT) * m) AS BIGINT) AS dd
+  FROM s JOIN g USING (dim)
+),
+agg AS (
+  SELECT source, MAX(n) AS n_vecs,
+         CAST(SUM(dd * dd) AS BIGINT) AS shift_mgrid2
+  FROM dd GROUP BY source
+)
+SELECT source, CAST(n_vecs AS BIGINT) AS n_vecs, shift_mgrid2,
+       CAST(ROW_NUMBER() OVER (ORDER BY shift_mgrid2 DESC, source)
+            AS BIGINT) AS drift_rank
+FROM agg
+"""
+
+
+REGISTRATIONS.append(("embedding_drift_sources", embedding_drift_sources,
+                      EMBEDDING_DRIFT_ORACLE))

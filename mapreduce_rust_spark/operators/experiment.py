@@ -1291,3 +1291,105 @@ FROM a
 
 REGISTRATIONS.append(("spearman_corr_events", spearman_corr_events,
                       SPEARMAN_ORACLE))
+
+
+CA_BUCKET_HOURS = 6   # daypart width: 4 ordered exposure buckets
+
+
+def ca_daypart_cells(ev: DataFrame) -> DataFrame:
+    """Mergeable cells for the Cochran–Armitage trend test:
+    per-daypart (ordered exposure bucket w ∈ 0..3) total traffic and
+    purchase successes — two plain sums, so the streaming twin
+    maintains them as one complete-mode aggregate with 4-row state."""
+    return (ev.select(
+                (F.hour("ts") / CA_BUCKET_HOURS).cast("long").alias("w"),
+                F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("succ"))
+            .groupBy("w")
+            .agg(F.count("*").cast("long").alias("n_g"),
+                 F.sum("succ").cast("long").alias("r_g")))
+
+
+def ca_trend_closed_form(cells: DataFrame) -> DataFrame:
+    """Finish the Cochran–Armitage statistic from the (w, n_g, r_g)
+    cells — shared by the batch op and ``streaming.windows.
+    stream_ca_trend``. With T·N = Σ w(r_g·N − n_g·R) and
+    Var(T)·N³ = R(N−R)·[N·Σw²n − (Σwn)²], the squared trend z is the
+    exact rational z² = (T·N)²·N / (R(N−R)·[…]) — one floor-DIV ppm
+    over DECIMAL(38)/HUGEINT sufficient statistics, identical in
+    both engines; the trend DIRECTION is the exact sign of T·N.
+    int128 ceiling: 10⁶·(T·N)² (~10³⁸ at ~3·10⁷ events with w ≤ 3) —
+    documented, far past any test SF."""
+    a = cells.agg(
+        F.sum("n_g").cast("decimal(38,0)").alias("n"),
+        F.sum("r_g").cast("decimal(38,0)").alias("rr"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * n_g")).alias("swn"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w * n_g")).alias("sw2n"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * r_g")).alias("swr"))
+    tn = "(swr * n - swn * rr)"
+    den = "(rr * (n - rr) * (n * sw2n - swn * swn))"
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("successes"),
+        F.expr(f"CAST({tn} AS BIGINT)").alias("t_n"),
+        F.expr(f"CAST(CASE WHEN {tn} > 0 THEN 1 WHEN {tn} < 0 THEN -1 "
+               "ELSE 0 END AS BIGINT)").alias("trend_sign"),
+        F.expr(f"CAST(1000000 * {tn} * {tn} * n DIV {den} AS BIGINT)")
+         .alias("z2_ppm"))
+
+
+def ca_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the purchase RATE rise (or
+    fall) monotonically across ordered dayparts? — the dose-response
+    readout (Armitage 1955) an experimentation/monitoring stack runs
+    when exposure is ORDERED (dose, daypart, cohort age, price
+    tier): strictly more powerful than the unordered k-sample
+    chi-square when the alternative is a trend, and the standard
+    epidemiology/conversion-analysis gate.
+
+    Exactness: cleared to integer sufficient statistics — T·N and
+    Var·N³ are exact DECIMAL(38)/HUGEINT, z² is one floor-DIV ppm,
+    direction is an exact sign (see ``ca_trend_closed_form``). No
+    float anywhere.
+
+    Scale shape: ONE map-side-combinable aggregate to 4 cells (the
+    mergeable state the streaming twin maintains), then a 1-row
+    closed form. The cheapest possible shape — the corpus is
+    touched once.
+
+    Output: ``(n, successes, t_n, trend_sign, z2_ppm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ca_trend_closed_form(ca_daypart_cells(ev))
+
+
+CA_TREND_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(hour(ts) // {CA_BUCKET_HOURS} AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r_g
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+         CAST(SUM(r_g) AS HUGEINT) AS rr,
+         CAST(SUM(CAST(w AS HUGEINT) * n_g) AS HUGEINT) AS swn,
+         CAST(SUM(CAST(w AS HUGEINT) * w * n_g) AS HUGEINT) AS sw2n,
+         CAST(SUM(CAST(w AS HUGEINT) * r_g) AS HUGEINT) AS swr
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(rr AS BIGINT) AS successes,
+       CAST(swr * n - swn * rr AS BIGINT) AS t_n,
+       CAST(CASE WHEN (swr * n - swn * rr) > 0 THEN 1
+                 WHEN (swr * n - swn * rr) < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS trend_sign,
+       CAST(1000000 * (swr * n - swn * rr) * (swr * n - swn * rr) * n
+            // (rr * (n - rr) * (n * sw2n - swn * swn)) AS BIGINT)
+         AS z2_ppm
+FROM a
+"""
+
+
+REGISTRATIONS.append(("ca_trend_events", ca_trend_events, CA_TREND_ORACLE))

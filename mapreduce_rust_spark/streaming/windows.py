@@ -906,6 +906,28 @@ def _pettitt_oracle() -> str:
     return PETTITT_ORACLE
 
 
+def stream_ca_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.ca_trend_events`` —
+    twenty-seventh kappa pair, and the SMALLEST state in the fleet:
+    the per-daypart (traffic, successes) cells are one complete-mode
+    aggregate with exactly 4 rows, and the shared closed form
+    finishes the dose-response z² batch-side. A conversion-trend
+    guardrail that is live by construction. Bit-identical to the
+    batch op (integer sufficient statistics, one floor-DIV ppm);
+    same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        ca_daypart_cells, ca_trend_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    cells = ca_daypart_cells(ev)
+    out = _run_to_table(cells, "stream_ca_trend", "complete")
+    return ca_trend_closed_form(out)
+
+
+def _ca_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import CA_TREND_ORACLE
+    return CA_TREND_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -951,4 +973,5 @@ REGISTRATIONS = [
     ("stream_brown_forsythe", stream_brown_forsythe, _bf_oracle()),
     ("stream_pettitt_changepoint", stream_pettitt_changepoint,
      _pettitt_oracle()),
+    ("stream_ca_trend", stream_ca_trend, _ca_oracle()),
 ]

@@ -734,3 +734,23 @@ def test_round9_fifth_wave_plan_shapes(spark):
     assert "CartesianProduct" not in p
     assert "Join" in p                       # the band-bucket join
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_round9_sixth_wave_plan_shapes(spark):
+    """CA trend is ONE map-side-combinable aggregate to 4 cells plus
+    a 1-row closed form (no join, no window over data); embedding
+    drift broadcasts the dims-sized global-sums table and its only
+    window runs on the per-source aggregate (sources rows), with
+    partial aggregation under every sum."""
+    from mapreduce_rust_spark.llm.similarity import (
+        embedding_drift_sources)
+    from mapreduce_rust_spark.operators.experiment import ca_trend_events
+
+    p = _plan(ca_trend_events(spark, SF_CORRECT))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Join" not in p and "Window" not in p
+
+    p = _plan(embedding_drift_sources(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p

@@ -503,3 +503,59 @@ def test_image_dhash_neardup_planted(spark, tmp_path):
              for r in image_dhash_neardup(spark, str(tmp_path)).collect()}
     assert set(pairs) == {(1, 2)}, pairs
     assert 1 <= pairs[(1, 2)] <= 2
+
+
+def test_ca_trend_planted_exact(spark, tmp_path):
+    """Hand-computed Cochran–Armitage on a planted dose response:
+    daypart 0 converts 1/10, daypart 3 converts 9/10 — T·N = 240,
+    Var-denominator 90000, z² = 12.8 exactly (12_800_000 ppm),
+    positive trend."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import ca_trend_events
+
+    rows = []
+    for i in range(10):
+        rows.append({"user_id": i, "event_type":
+                     "purchase" if i < 1 else "view",
+                     "ts": pd.Timestamp(f"2024-01-01 03:{i:02d}:00"),
+                     "value": 1.0})
+    for i in range(10):
+        rows.append({"user_id": i, "event_type":
+                     "purchase" if i < 9 else "view",
+                     "ts": pd.Timestamp(f"2024-01-01 21:{i:02d}:00"),
+                     "value": 1.0})
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = ca_trend_events(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.successes) == (20, 10)
+    assert r.t_n == 240
+    assert r.trend_sign == 1
+    assert r.z2_ppm == 12_800_000
+
+
+def test_embedding_drift_symmetric_planted(spark, tmp_path):
+    """Two sources at mirrored centroids (+e₀ / −e₀): the global
+    centroid is the origin, both sources drift identically
+    ((20000·4)·1000 DIV 8 = 10⁷ milli-grid per dim, squared once),
+    and the rank tie breaks on source name."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.llm.similarity import (
+        embedding_drift_sources)
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "source": ["a", "a", "b", "b"],
+        "text": ["x"] * 4, "lang": ["en"] * 4,
+    })
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [-1.0, 0.0]],
+        "label": [0, 0, 1, 1],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+    out = {r.source: r
+           for r in embedding_drift_sources(spark, str(tmp_path)).collect()}
+    assert out["a"].shift_mgrid2 == out["b"].shift_mgrid2 == 10_000_000 ** 2
+    assert out["a"].drift_rank == 1 and out["b"].drift_rank == 2
