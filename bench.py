@@ -359,6 +359,8 @@ HEADLINE = [
     "ca_trend_events",
     "stream_ca_trend",
     "embedding_drift_sources",
+    "seasonal_kendall_events",
+    "stream_seasonal_kendall",
 ]
 
 

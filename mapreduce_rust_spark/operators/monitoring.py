@@ -1796,3 +1796,113 @@ JOIN u ON u.event_type = k.event_type
 
 REGISTRATIONS.append(("pettitt_changepoint_events",
                       pettitt_changepoint_events, PETTITT_ORACLE))
+
+
+def seasonal_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Kendall trend test (Hirsch & Slack 1984) per event
+    type — the Mann–Kendall variant every KPI with weekly seasonality
+    actually needs: comparing Mondays only with Mondays (season =
+    day-of-week), so the weekly cycle can neither mask a real trend
+    nor fake one. S = Σ_seasons S_s and Var = Σ_seasons Var_s; the
+    z formula (continuity-corrected, tie-corrected) is
+    ``mann_kendall_events``' applied to the summed statistics.
+
+    Exactness: S_s and every variance term are exact integers (the
+    MK discipline); z is the same one-division/one-sqrt/one-division
+    IEEE DAG in both engines.
+
+    Scale shape: the corpus collapses to the (type, day) grid once
+    (the shared ``mk_daily_cells``); the pair join runs within
+    (type, season) — per-season day grids, ~n/7 rows each, so the
+    quadratic term is 7× smaller than MK's own dims-bounded join.
+
+    Output: ``(event_type, n_seasons, s_stat, var_num, z)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return sk_closed_form(mk_daily_cells(ev))
+
+
+def sk_closed_form(cells: DataFrame) -> DataFrame:
+    """Finish the seasonal Kendall statistics from the (type, day,
+    count) grid — shared by the batch op and ``streaming.windows.
+    stream_seasonal_kendall`` (the same cells the Mann–Kendall twin
+    maintains; the season key derives from the day batch-side)."""
+    daily = cells.withColumn("season", F.dayofweek("d").cast("long"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.season") == F.col("b.season"))
+                & (F.col("a.d") < F.col("b.d")))
+         .groupBy(F.col("a.event_type").alias("event_type"))
+         .agg(F.sum(F.when(F.col("b.c") > F.col("a.c"), 1)
+                    .when(F.col("b.c") < F.col("a.c"), -1)
+                    .otherwise(0)).cast("long").alias("s_stat")))
+    per_season = (daily.groupBy("event_type", "season")
+                  .agg(F.count("*").cast("long").alias("n_s")))
+    ties = (daily.groupBy("event_type", "season", "c")
+            .agg(F.count("*").alias("t"))
+            .groupBy("event_type", "season")
+            .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                 .cast("long").alias("tie_num_s")))
+    var = (per_season.join(ties, ["event_type", "season"])
+           .groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n_seasons"),
+                F.sum(F.expr("n_s * (n_s - 1) * (2 * n_s + 5) "
+                             "- tie_num_s"))
+                 .cast("long").alias("var_num")))
+    out = var.join(s, "event_type")
+    return out.select(
+        "event_type", "n_seasons", "s_stat", "var_num",
+        F.expr("CASE WHEN var_num > 0 THEN "
+               "(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) "
+               " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) "
+               " ELSE 0.0 END) / SQRT(CAST(var_num AS DOUBLE) / 18.0) "
+               "END").alias("z"))
+
+
+SEASONAL_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS season,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.season = b.season
+   AND a.d < b.d
+  GROUP BY a.event_type
+),
+per_season AS (
+  SELECT event_type, season, CAST(COUNT(*) AS BIGINT) AS n_s
+  FROM daily GROUP BY event_type, season
+),
+ties AS (
+  SELECT event_type, season,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num_s
+  FROM (SELECT event_type, season, c, COUNT(*) AS t
+        FROM daily GROUP BY event_type, season, c)
+  GROUP BY event_type, season
+),
+var AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seasons,
+         CAST(SUM(n_s * (n_s - 1) * (2 * n_s + 5) - tie_num_s)
+              AS BIGINT) AS var_num
+  FROM per_season JOIN ties USING (event_type, season)
+  GROUP BY event_type
+)
+SELECT var.event_type, n_seasons, s_stat, var_num,
+       CASE WHEN var_num > 0 THEN
+         (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+               ELSE 0.0 END) / SQRT(CAST(var_num AS DOUBLE) / 18.0)
+       END AS z
+FROM var JOIN s ON var.event_type = s.event_type
+"""
+
+
+REGISTRATIONS.append(("seasonal_kendall_events", seasonal_kendall_events,
+                      SEASONAL_KENDALL_ORACLE))

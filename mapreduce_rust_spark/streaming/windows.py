@@ -928,6 +928,31 @@ def _ca_oracle() -> str:
     return CA_TREND_ORACLE
 
 
+def stream_seasonal_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.seasonal_kendall_events`` —
+    twenty-eighth kappa pair, fourth consumer of the Mann–Kendall
+    twin's (type, day) count cells (one complete-mode aggregate,
+    dims-sized state); the season key and the within-season pair
+    statistics derive batch-side. The seasonality-proof trend test
+    as a LIVE monitor. Bit-identical to the batch op (integer S/Var
+    sums, the shared one-division/one-sqrt/one-division IEEE DAG);
+    same DuckDB oracle."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        mk_daily_cells, sk_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    daily = mk_daily_cells(ev)
+    out = _run_to_table(daily, "stream_seasonal_kendall", "complete")
+    # checkpoint: the closed form SELF-JOINS the day grid (the
+    # Pettitt-twin MemorySink conflicting-refs lesson)
+    return sk_closed_form(out.localCheckpoint(eager=True))
+
+
+def _sk_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import (
+        SEASONAL_KENDALL_ORACLE)
+    return SEASONAL_KENDALL_ORACLE
+
+
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
@@ -974,4 +999,5 @@ REGISTRATIONS = [
     ("stream_pettitt_changepoint", stream_pettitt_changepoint,
      _pettitt_oracle()),
     ("stream_ca_trend", stream_ca_trend, _ca_oracle()),
+    ("stream_seasonal_kendall", stream_seasonal_kendall, _sk_oracle()),
 ]

@@ -559,3 +559,32 @@ def test_embedding_drift_symmetric_planted(spark, tmp_path):
            for r in embedding_drift_sources(spark, str(tmp_path)).collect()}
     assert out["a"].shift_mgrid2 == out["b"].shift_mgrid2 == 10_000_000 ** 2
     assert out["a"].drift_rank == 1 and out["b"].drift_rank == 2
+
+
+def test_seasonal_kendall_cycle_proof_planted(spark):
+    """The scenario the seasonal test exists for: a strong weekly
+    cycle (weekday base levels differing by hundreds) with a small
+    +1/week trend. Within each weekday season the two observations
+    rise → S = +7 over 7 seasons, Var = 7·(2·1·9) = 126, z =
+    (7−1)/sqrt(126/18) exactly — the cycle contributes NOTHING
+    because cross-season pairs are never compared."""
+    import math
+
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.monitoring import sk_closed_form
+    from pyspark.sql import functions as F
+
+    base = {0: 100, 1: 300, 2: 50, 3: 700, 4: 20, 5: 900, 6: 400}
+    rows = []
+    for day in range(14):
+        d = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+        rows.append(("x", d.date().isoformat(),
+                     base[d.dayofweek] + day // 7))
+    daily = (spark.createDataFrame(
+                pd.DataFrame(rows, columns=["event_type", "d", "c"]))
+             .select("event_type", F.to_date("d").alias("d"),
+                     F.col("c").cast("long").alias("c")))
+    r = sk_closed_form(daily).collect()[0]
+    assert (r.n_seasons, r.s_stat, r.var_num) == (7, 7, 126)
+    assert abs(r.z - 6 / math.sqrt(126 / 18)) < 1e-15
