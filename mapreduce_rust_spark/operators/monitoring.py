@@ -1799,7 +1799,7 @@ REGISTRATIONS.append(("pettitt_changepoint_events",
 
 
 def seasonal_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonal Kendall trend test (Hirsch & Slack 1984) per event
+    """Seasonal Kendall trend test (Hirsch et al. 1982) per event
     type — the Mann–Kendall variant every KPI with weekly seasonality
     actually needs: comparing Mondays only with Mondays (season =
     day-of-week), so the weekly cycle can neither mask a real trend

@@ -48,7 +48,10 @@ def test_cli_list_and_query(spark, capsys, tmp_path):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "q1_pricing_summary\toracled" in out
-    assert "knn_lsh\trows-only" in out
+    # knn_lsh was the rows-only exemplar until its round-9 oracle
+    # promotion; knn_ivf (float-centroid assignment) remains rows-only
+    assert "knn_lsh\toracled" in out
+    assert "knn_ivf\trows-only" in out
     dst = str(tmp_path / "q1")
     assert main(["query", "q1_pricing_summary", "--output", dst]) == 0
     assert spark.read.parquet(dst).count() == 6
