@@ -361,6 +361,7 @@ HEADLINE = [
     "embedding_drift_sources",
     "seasonal_kendall_events",
     "stream_seasonal_kendall",
+    "video_scene_cuts",
 ]
 
 

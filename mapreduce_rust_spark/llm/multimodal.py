@@ -1037,3 +1037,63 @@ WHERE bit_count(xor(a.dh, bb.dh)) <= {DHASH_MAX_HAM}
 
 REGISTRATIONS.append(("image_dhash_neardup", image_dhash_neardup,
                       IMAGE_DHASH_ORACLE))
+
+
+VIDEO_CUT_THRESH = 32   # |Δgray| at/above this = a shot boundary
+
+
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-change) detection per container — the
+    classic frame-differencing detector every video-ingest pipeline
+    runs before sampling training frames (sample ONE frame per shot,
+    not N near-identical frames of the same shot): consecutive
+    DECODED frames whose mean-intensity delta reaches
+    ``VIDEO_CUT_THRESH`` mark a cut.
+
+    Composition, not reimplementation (the ``knn_eval_recall``
+    pattern): consumes the registered ``multimodal_video_frames``
+    output — real container parse, stride sampling, REAL PNG decode,
+    kernel once per DISTINCT text — and adds one lag window over the
+    per-container frame sequence (≤ VIDEO_FRAMES_CAP rows per
+    partition, bounded by construction). The oracle nests the video
+    oracle verbatim and applies the same LAG.
+
+    Exactness: frame grays are exact integers off the decoded
+    pixels; deltas, cut counts, and maxima are pure integer ops.
+
+    Output: ``(doc_id, n_frames, n_cuts, max_delta)``; single-frame
+    containers report 0 cuts / 0 max_delta.
+    """
+    from pyspark.sql import Window as W
+    frames = multimodal_video_frames(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    d = (frames.withColumn("prev", F.lag("gray").over(w))
+               .withColumn("delta", F.abs(F.col("gray") - F.col("prev"))))
+    return (d.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_frames"),
+                 F.sum(F.when(F.col("delta") >= VIDEO_CUT_THRESH, 1)
+                        .otherwise(0)).cast("long").alias("n_cuts"),
+                 F.coalesce(F.max("delta"), F.lit(0)).cast("long")
+                  .alias("max_delta")))
+
+
+VIDEO_SCENE_CUTS_ORACLE = f"""
+WITH frames AS (
+{VIDEO_FRAMES_ORACLE}
+),
+d AS (
+  SELECT doc_id, frame_idx, gray,
+         ABS(gray - LAG(gray) OVER (PARTITION BY doc_id
+                                    ORDER BY frame_idx)) AS delta
+  FROM frames
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN delta >= {VIDEO_CUT_THRESH} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
+FROM d GROUP BY doc_id
+"""
+
+
+REGISTRATIONS.append(("video_scene_cuts", video_scene_cuts,
+                      VIDEO_SCENE_CUTS_ORACLE))

@@ -588,3 +588,28 @@ def test_seasonal_kendall_cycle_proof_planted(spark):
     r = sk_closed_form(daily).collect()[0]
     assert (r.n_seasons, r.s_stat, r.var_num) == (7, 7, 126)
     assert abs(r.z - 6 / math.sqrt(126 / 18)) < 1e-15
+
+
+def test_video_scene_cuts_planted(spark, tmp_path):
+    """Planted shot boundary: a 64-char container has 4 frames, the
+    stride keeps i = 0 and 3; frame 3's source byte (index 21) drops
+    'a'(97) → 'A'(65), an exact delta of 32 = the cut threshold. A
+    constant container of the same shape reports 0 cuts."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.llm.multimodal import (
+        VIDEO_CUT_THRESH, video_scene_cuts)
+
+    assert VIDEO_CUT_THRESH == 32
+    cut_doc = "a" * 21 + "A" + "a" * 42
+    flat_doc = "b" * 64
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [cut_doc, flat_doc],
+        "source": ["s", "s"], "lang": ["en", "en"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r
+           for r in video_scene_cuts(spark, str(tmp_path)).collect()}
+    assert (out[1].n_frames, out[1].n_cuts, out[1].max_delta) == (2, 1, 32)
+    assert (out[2].n_frames, out[2].n_cuts, out[2].max_delta) == (2, 0, 0)
