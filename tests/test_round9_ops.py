@@ -613,3 +613,205 @@ def test_video_scene_cuts_planted(spark, tmp_path):
            for r in video_scene_cuts(spark, str(tmp_path)).collect()}
     assert (out[1].n_frames, out[1].n_cuts, out[1].max_delta) == (2, 1, 32)
     assert (out[2].n_frames, out[2].n_cuts, out[2].max_delta) == (2, 0, 0)
+
+
+# --- independent-reference parity for the round-9 statistics --------
+# The DuckDB oracles MIRROR each op's integer chain, so a formula
+# error would pass both engines; these references recompute the
+# textbook float definitions from scratch (midranks, medians, pair
+# signs) and pin the ppm outputs within the documented floor-DIV
+# slack.
+
+
+def _midranks(vals):
+    from collections import Counter
+    cnt = Counter(vals)
+    out, below = {}, 0
+    for v in sorted(cnt):
+        out[v] = below + (cnt[v] + 1) / 2
+        below += cnt[v]
+    return out, cnt
+
+
+def test_kruskal_wallis_matches_float_reference(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        kruskal_wallis_events)
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g, shift in [("a", 0), ("b", 3), ("c", 10)]:
+        for v in rng.randint(0, 40, size=25) + shift:
+            rows.append({"event_type": g, "value": int(v) / 100.0,
+                         "user_id": 1})
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = kruskal_wallis_events(spark, str(tmp_path)).collect()[0]
+
+    groups = {}
+    for row in rows:
+        groups.setdefault(row["event_type"], []).append(
+            round(row["value"] * 100))
+    ranks, cnt = _midranks([v for vs in groups.values() for v in vs])
+    n = sum(len(vs) for vs in groups.values())
+    h = (12 / (n * (n + 1))
+         * sum(sum(ranks[v] for v in vs) ** 2 / len(vs)
+               for vs in groups.values()) - 3 * (n + 1))
+    ct3 = sum(c ** 3 - c for c in cnt.values())
+    h_adj = h / (1 - ct3 / (n ** 3 - n))
+    assert r.tie_c3 == ct3
+    # documented floor-DIV slack: ssum floors once per group, worth
+    # up to 3e6*k/(N(N+1)) ppm (plus the final DIV's 1)
+    slack = 3_000_000 * len(groups) / (n * (n + 1)) + 2
+    assert abs(r.h_ppm - 1_000_000 * h) <= slack
+    assert abs(r.h_adj_ppm - 1_000_000 * h_adj) <= slack * 1.25
+
+
+def test_brown_forsythe_matches_float_reference(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        brown_forsythe_events)
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for uid, scale in [(1, 10), (2, 40)]:   # odd uid = treat
+        for i, v in enumerate(rng.randint(0, scale, size=30) + 50):
+            rows.append({"user_id": uid, "event_type": "x",
+                         "ts": pd.Timestamp("2024-01-02")
+                         + pd.Timedelta(minutes=i),
+                         "value": int(v) / 100.0})
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = brown_forsythe_events(spark, str(tmp_path)).collect()[0]
+
+    arms = {True: [], False: []}
+    for row in rows:
+        arms[row["user_id"] % 2 == 1].append(round(row["value"] * 100))
+    def nearest_rank_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+    z = {a: [abs(x - nearest_rank_median(xs)) for x in xs]
+         for a, xs in arms.items()}
+    zt, zc = z[True], z[False]
+    nt, nc, n = len(zt), len(zc), len(zt) + len(zc)
+    mt, mc = sum(zt) / nt, sum(zc) / nc
+    num = (n - 2) * (nt * nc / n) * (mt - mc) ** 2
+    den = (sum((x - mt) ** 2 for x in zt)
+           + sum((x - mc) ** 2 for x in zc))
+    w = num / den
+    assert r.med_t == nearest_rank_median(arms[True])
+    assert r.med_c == nearest_rank_median(arms[False])
+    assert abs(r.w_ppm - 1_000_000 * w) <= 5
+    assert r.w_ppm > 2_000_000, "planted variance shift must be seen"
+
+
+def test_spearman_matches_float_reference(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        spearman_corr_events)
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for uid in range(40):
+        k = int(rng.randint(1, 6))
+        for _ in range(k):
+            # spend loosely tracks activity, with noise and ties
+            rows.append({"user_id": uid, "event_type": "x",
+                         "value": float(int(rng.randint(0, 8)) + k)})
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = spearman_corr_events(spark, str(tmp_path)).collect()[0]
+
+    per = {}
+    for row in rows:
+        x, y = per.setdefault(row["user_id"], [0, 0])
+        per[row["user_id"]] = [x + 1, y + round(row["value"] * 100)]
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    rx, _ = _midranks(xs)
+    ry, _ = _midranks(ys)
+    a = [rx[x] for x in xs]
+    b = [ry[y] for y in ys]
+    n = len(a)
+    ma, mb = sum(a) / n, sum(b) / n
+    cov = sum((u - ma) * (v - mb) for u, v in zip(a, b))
+    va = sum((u - ma) ** 2 for u in a)
+    vb = sum((v - mb) ** 2 for v in b)
+    rho = cov / (va * vb) ** 0.5
+    assert r.n_users == n
+    assert r.rho_sign == (1 if rho > 0 else -1 if rho < 0 else 0)
+    assert abs(r.rho2_ppm - 1_000_000 * rho * rho) <= 5
+
+
+def test_pettitt_matches_bruteforce_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.monitoring import (
+        pettitt_closed_form)
+
+    rng = np.random.RandomState(3)
+    vals = [int(v) for v in rng.randint(0, 6, size=12)] + [
+        int(v) for v in rng.randint(4, 12, size=10)]
+    rows = [("x", (pd.Timestamp("2024-01-01")
+                   + pd.Timedelta(days=i)).date().isoformat(), int(c))
+            for i, c in enumerate(vals)]
+    from pyspark.sql import functions as F
+    daily = (spark.createDataFrame(
+                pd.DataFrame(rows, columns=["event_type", "d", "c"]))
+             .select("event_type", F.to_date("d").alias("d"),
+                     F.col("c").cast("long").alias("c")))
+    r = pettitt_closed_form(daily).collect()[0]
+
+    n = len(vals)
+    def sgn(x): return (x > 0) - (x < 0)
+    u = [sum(sgn(vals[i] - vals[j])
+             for i in range(t + 1) for j in range(t + 1, n))
+         for t in range(n - 1)]
+    k = max(abs(x) for x in u)
+    t_star = min(t for t, x in enumerate(u) if abs(x) == k)
+    assert r.n_days == n
+    assert r.k_stat == k
+    assert r.u_at_t == u[t_star]
+    assert r.t_star == (pd.Timestamp("2024-01-01")
+                        + pd.Timedelta(days=t_star)).date().isoformat()
+
+
+def test_ca_trend_matches_float_reference(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import ca_trend_events
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for w, p in enumerate([0.1, 0.2, 0.25, 0.4]):
+        for i in range(50):
+            rows.append({"user_id": i, "event_type":
+                         "purchase" if rng.rand() < p else "view",
+                         "ts": pd.Timestamp(
+                             f"2024-01-01 {w * 6 + 2:02d}:00:00")
+                         + pd.Timedelta(seconds=i),
+                         "value": 1.0})
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    r = ca_trend_events(spark, str(tmp_path)).collect()[0]
+
+    cells = {}
+    for row in rows:
+        w = row["ts"].hour // 6
+        n, s = cells.setdefault(w, [0, 0])
+        cells[w] = [n + 1, s + (row["event_type"] == "purchase")]
+    n = sum(v[0] for v in cells.values())
+    rr = sum(v[1] for v in cells.values())
+    t = sum(w * (v[1] - v[0] * rr / n) for w, v in cells.items())
+    pbar = rr / n
+    var = pbar * (1 - pbar) * (
+        sum(w * w * v[0] for w, v in cells.items())
+        - sum(w * v[0] for w, v in cells.items()) ** 2 / n)
+    z2 = t * t / var
+    assert (r.n, r.successes) == (n, rr)
+    assert r.trend_sign == (1 if t > 0 else -1)
+    assert abs(r.z2_ppm - 1_000_000 * z2) <= 5
