@@ -938,6 +938,7 @@ DHASH_ROWS = 7          # rows sampled (7 rows x 8 diffs = 56 bits)
 DHASH_COLS = 8          # horizontal gradients per row (needs 9 cols)
 DHASH_BANDS = 4         # 4 bands x 14 bits for the LSH candidate join
 DHASH_MAX_HAM = 6       # Hamming radius reported as a near-dup
+DHASH_BUCKET_CAP = 64   # band buckets larger than this leave the join
 DHASH_MIN_LEN = DHASH_WIDTH * (DHASH_ROWS - 1) + DHASH_COLS + 2
 # = 202: the last gradient reads byte (ROWS-1)*WIDTH + COLS + 1
 
@@ -981,8 +982,12 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band by pigeonhole over 4 bands ⇔ ham ≤ 3 guaranteed, radius
     6 covered in expectation like MinHash-LSH — banding is the
     sub-quadratic standard); the full 56-bit Hamming check
-    (``bit_count(a ^ b)``) runs only on bucket-mates. No float, no
-    UDF — the hash is one codegen'd integer projection.
+    (``bit_count(a ^ b)``) runs only on bucket-mates, and hot
+    buckets past ``DHASH_BUCKET_CAP`` leave the join entirely (the
+    ngram df-cap discipline — a shared ~200-char prefix would
+    otherwise put the WHOLE corpus in one band-0 bucket; a true
+    near-dup still surfaces through any distinctive band). No float,
+    no UDF — the hash is one codegen'd integer projection.
 
     Output: ``(doc_a, doc_b, hamming)``, doc_a < doc_b, distinct,
     hamming ≤ ``DHASH_MAX_HAM``.
@@ -1001,6 +1006,17 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])).alias("b"))
     bands = bands.withColumn(
         "bv", F.expr("shiftright(dh, CAST(b * 14 AS INT)) & 16383"))
+    # hot-bucket cap (the ngram df-cap discipline): a templated
+    # corpus sharing its first ~200 chars puts EVERY doc in one
+    # band-0 bucket — an O(n²) candidate blowup. Buckets past the
+    # cap leave the join; a genuine near-dup pair survives through
+    # any of its other (distinctive) bands, and prefix-boilerplate
+    # mass is the normalized/exact pass's job anyway. Mirrored in
+    # the oracle; planted worst case in tests.
+    sizes = bands.groupBy("b", "bv").agg(F.count("*").alias("bn"))
+    bands = (bands.join(F.broadcast(
+                sizes.filter(F.col("bn") <= DHASH_BUCKET_CAP)
+                     .select("b", "bv")), ["b", "bv"]))
     a = bands.select(F.col("doc_id").alias("doc_a"),
                      F.col("dh").alias("dh_a"), "b", "bv")
     bb = bands.select(F.col("doc_id").alias("doc_b"),
@@ -1023,10 +1039,16 @@ WITH h AS (
 rep AS (
   SELECT MIN(doc_id) AS doc_id, MIN(dh) AS dh FROM h GROUP BY sig
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, dh, b, (dh >> (CAST(b AS INT) * 14)) & 16383 AS bv
   FROM rep, UNNEST([0, 1, 2, 3]) AS u(b)
-)
+),
+keep AS (
+  SELECT b, bv FROM (SELECT b, bv, COUNT(*) AS bn
+                     FROM bands0 GROUP BY b, bv)
+  WHERE bn <= {DHASH_BUCKET_CAP}
+),
+bands AS (SELECT bands0.* FROM bands0 JOIN keep USING (b, bv))
 SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
        CAST(bit_count(xor(a.dh, bb.dh)) AS BIGINT) AS hamming
 FROM bands a JOIN bands bb

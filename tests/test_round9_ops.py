@@ -815,3 +815,34 @@ def test_ca_trend_matches_float_reference(spark, tmp_path):
     assert (r.n, r.successes) == (n, rr)
     assert r.trend_sign == (1 if t > 0 else -1)
     assert abs(r.z2_ppm - 1_000_000 * z2) <= 5
+
+
+def test_image_dhash_hot_bucket_cap(spark, tmp_path):
+    """The templated-corpus worst case: 100 distinct docs sharing
+    their first ~210 chars have IDENTICAL dHashes (the hash window is
+    the first ~200 bytes), which would put all of them in every band
+    bucket — an O(n²) pair blowup. The bucket cap drops those buckets
+    (boilerplate-prefix mass is the normalized/exact pass's job), so
+    the output contains ONLY the genuinely distinctive planted
+    retouch pair."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.llm.multimodal import (
+        DHASH_BUCKET_CAP, DHASH_MIN_LEN, image_dhash_neardup)
+
+    # constant prefix -> all-zero gradients, a DIFFERENT bucket family
+    # than the planted alternating-gradient pair below
+    prefix = "q" * (DHASH_MIN_LEN + 8)
+    boiler = [{"doc_id": 100 + i, "text": prefix + f" tail {i}",
+               "source": "s", "lang": "en"}
+              for i in range(DHASH_BUCKET_CAP + 36)]
+    base = ("ab" * 200)[:DHASH_MIN_LEN + 20]
+    retouch = base[:35] + chr(ord(base[35]) - 4) + base[36:]
+    docs = pd.DataFrame(boiler + [
+        {"doc_id": 1, "text": base, "source": "s", "lang": "en"},
+        {"doc_id": 2, "text": retouch, "source": "s", "lang": "en"},
+    ])
+    docs.to_parquet(tmp_path / "documents.parquet")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in image_dhash_neardup(spark, str(tmp_path)).collect()}
+    assert pairs == {(1, 2)}, pairs
