@@ -917,17 +917,23 @@ def kruskal_wallis_closed_form(cnt: DataFrame) -> DataFrame:
     so the per-group doubled rank sum R2_g = Σ c_g·(2p + cp + 1) is
     a pure integer. With R_g = R2_g/2,
     H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)
-      = [3·Σ R2_g²/n_g − 3N(N+1)²] / (N(N+1)),
-    reported as integer ppm via the same floor-DIV chain in both
-    engines (GREATEST(0, ·) guards the one case — H within a few
-    floor-losses of exactly 0 — where trunc-vs-floor DIV semantics
-    on a negative numerator could differ). Tie correction divides by
-    1 − Σ(cp³−cp)/(N³−N), applied as one more integer ratio.
+      = Σ_g [3·R2_g² / (n_g·N(N+1))] − 3(N+1),
+    reported as integer ppm: one floor-DIV PER GROUP with the full
+    n_g·N(N+1) divisor, summed, minus the exact 3·10⁶(N+1). The
+    per-group division (not Σ(R2²/n_g) first) is load-bearing at
+    scale: Spark's decimal DIV yields a BIGINT quotient, and
+    R2²/n_g ~ N²·n_g blows past int64 at ~10⁷ events (measured —
+    the ×100 fixture ANSI-errored the earlier form), while the full
+    divisor keeps quotients at ~3·10⁶·n_g. Floor cost ≤ 1 ppm per
+    group, identical in both engines; GREATEST(0, ·) guards the
+    near-zero-H case where trunc-vs-floor on a negative value could
+    differ. Tie correction divides by 1 − Σ(cp³−cp)/(N³−N), one
+    more integer ratio.
 
-    int128 ceiling: R2_g² is the tall pole (~(N²/k)² past ~10¹⁹
-    doubled rank-sum, i.e. ~3·10⁹ events per group); beyond that,
-    split R2_g into hi/lo limbs before squaring (documented, not
-    needed at any test SF)."""
+    int128 ceiling: 3·10⁶·R2_g² is the tall pole — fits DECIMAL(38)/
+    HUGEINT while R2_g < ~5·10¹⁵ (≈ n_g·N < 3·10¹⁵, i.e. ~10⁸
+    balanced events); beyond that, split R2_g into hi/lo limbs
+    before squaring (documented, not needed at any test SF)."""
     from pyspark.sql import Window as W
     pooled = cnt.groupBy("vc").agg(F.sum("c").alias("cp"))
     pw = (pooled.withColumn("cum", F.sum("cp").over(W.orderBy("vc")))
@@ -940,14 +946,18 @@ def kruskal_wallis_closed_form(cnt: DataFrame) -> DataFrame:
     ties = pw.agg(
         F.sum(F.expr("CAST(cp AS DECIMAL(38,0)) * cp * cp - cp"))
          .cast("decimal(38,0)").alias("ct3"))
-    agg = per_g.agg(
-        F.sum("n_g").cast("decimal(38,0)").alias("n"),
-        F.count("*").cast("long").alias("k"),
-        F.sum(F.expr("CAST(r2_g * r2_g AS DECIMAL(38,0)) DIV n_g"))
-         .cast("decimal(38,0)").alias("ssum"))
+    nrow = per_g.agg(F.sum("n_g").cast("decimal(38,0)").alias("n"),
+                     F.count("*").cast("long").alias("k"))
+    tg = (per_g.crossJoin(F.broadcast(nrow))
+          .select("n", "k",
+                  F.expr("CAST(3000000 * CAST(r2_g * r2_g "
+                         "AS DECIMAL(38,0)) "
+                         "DIV (n_g * n * (n + 1)) AS DECIMAL(38,0))")
+                   .alias("t_g")))
+    agg = tg.groupBy("n", "k").agg(
+        F.sum("t_g").cast("decimal(38,0)").alias("hsum"))
     h = ("CAST(GREATEST(CAST(0 AS DECIMAL(38,0)), "
-         "3000000 * ssum - 3000000 * n * (n + 1) * (n + 1)) "
-         "DIV (n * (n + 1)) AS DECIMAL(38,0))")
+         "hsum - 3000000 * (n + 1)) AS DECIMAL(38,0))")
     return (agg.crossJoin(F.broadcast(ties))
             .select(F.col("n").cast("long").alias("n"),
                     F.col("k").alias("k"),
@@ -1008,17 +1018,25 @@ ties AS (
   SELECT CAST(SUM(CAST(cp AS HUGEINT) * cp * cp - cp) AS HUGEINT) AS ct3
   FROM pooled
 ),
-agg AS (
+nrow AS (
   SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
-         CAST(COUNT(*) AS BIGINT) AS k,
-         SUM(r2_g * r2_g // n_g) AS ssum
+         CAST(COUNT(*) AS BIGINT) AS k
   FROM perg
+),
+tg AS (
+  SELECT n, k,
+         (3000000 * (r2_g * r2_g)) // (CAST(n_g AS HUGEINT) * n * (n + 1))
+           AS t_g
+  FROM perg, nrow
+),
+agg AS (
+  SELECT n, k, CAST(SUM(t_g) AS HUGEINT) AS hsum
+  FROM tg GROUP BY n, k
 ),
 h AS (
   SELECT n, k, ct3,
          GREATEST(CAST(0 AS HUGEINT),
-                  3000000 * ssum - 3000000 * n * (n + 1) * (n + 1))
-           // (n * (n + 1)) AS h_ppm
+                  hsum - 3000000 * (n + 1)) AS h_ppm
   FROM agg, ties
 )
 SELECT CAST(n AS BIGINT) AS n, k, CAST(ct3 AS BIGINT) AS tie_c3,
@@ -1214,13 +1232,15 @@ def spearman_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~15k units (measured: the ×10-events fixture overflowed the
     naive form); the divide-first chain holds to vx ≲ 10³¹ ≈ 10⁷
     users at a ≤ ~1 ppm floor cost, identical in both engines so
-    still hash-exact.
+    still hash-exact. The audit column reduces |num| mod the prime
+    2⁶¹−1 (the wide-decimal checksum discipline) — the raw num
+    outgrows int64 at ~1.5·10⁵ units (measured at ×100).
 
     Scale shape: one per-user aggregate (map-side combinable), two
     DISTINCT-value-grid rank tables joined back (no corpus-wide
     window — the ``scalable_rank`` discipline), one 1-row reduction.
 
-    Output: ``(n_users, rho_sign, rho_num, rho2_ppm)``.
+    Output: ``(n_users, rho_sign, rho_num_red, rho2_ppm)``.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -1244,7 +1264,8 @@ def spearman_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_users"),
         F.expr(f"CAST(CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1 "
                "ELSE 0 END AS BIGINT)").alias("rho_sign"),
-        F.expr(f"CAST({num} AS BIGINT)").alias("rho_num"),
+        F.expr(f"CAST(ABS({num}) % 2305843009213693951 AS BIGINT)")
+         .alias("rho_num_red"),
         F.expr(f"CAST(((1000000 * ABS({num}) DIV {vx}) * ABS({num})) "
                f"DIV {vy} AS BIGINT)").alias("rho2_ppm"))
 
@@ -1280,7 +1301,8 @@ SELECT CAST(n AS BIGINT) AS n_users,
        CAST(CASE WHEN (n * sxy - sx * sy) > 0 THEN 1
                  WHEN (n * sxy - sx * sy) < 0 THEN -1
                  ELSE 0 END AS BIGINT) AS rho_sign,
-       CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
+       CAST(ABS(n * sxy - sx * sy) % 2305843009213693951 AS BIGINT)
+         AS rho_num_red,
        CAST(((1000000 * ABS(n * sxy - sx * sy)
               // (n * sx2 - sx * sx)) * ABS(n * sxy - sx * sy))
              // (n * sy2 - sy * sy) AS BIGINT)
