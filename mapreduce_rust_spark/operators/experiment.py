@@ -963,8 +963,11 @@ def kruskal_wallis_closed_form(cnt: DataFrame) -> DataFrame:
                     F.col("k").alias("k"),
                     F.col("ct3").cast("long").alias("tie_c3"),
                     F.expr(f"CAST({h} AS BIGINT)").alias("h_ppm"),
-                    F.expr(f"CAST({h} * (n * n * n - n) "
-                           "DIV (n * n * n - n - ct3) AS BIGINT)")
+                    # all-tied corpus: ct3 = n³−n zeroes the tie
+                    # divisor — H is undefined there, NULL both engines
+                    F.expr(f"CAST(CASE WHEN n * n * n - n - ct3 > 0 "
+                           f"THEN {h} * (n * n * n - n) "
+                           "DIV (n * n * n - n - ct3) END AS BIGINT)")
                      .alias("h_adj_ppm")))
 
 
@@ -1041,8 +1044,9 @@ h AS (
 )
 SELECT CAST(n AS BIGINT) AS n, k, CAST(ct3 AS BIGINT) AS tie_c3,
        CAST(h_ppm AS BIGINT) AS h_ppm,
-       CAST(h_ppm * (n * n * n - n) // (n * n * n - n - ct3) AS BIGINT)
-         AS h_adj_ppm
+       CAST(CASE WHEN n * n * n - n - ct3 > 0
+                 THEN h_ppm * (n * n * n - n) // (n * n * n - n - ct3)
+            END AS BIGINT) AS h_adj_ppm
 FROM h
 """
 
@@ -1102,8 +1106,11 @@ def brown_forsythe_closed_form(cnt: DataFrame) -> DataFrame:
         F.col("false_med").alias("med_c"),
         F.col("true_s").cast("long").alias("absdev_sum_t"),
         F.col("false_s").cast("long").alias("absdev_sum_c"),
-        F.expr(f"CAST((1000000 * {d} * {d} DIV {den})"
-               f" * ({n_all} - 2) DIV {n_all} AS BIGINT)").alias("w_ppm"))
+        # constant arms (den = 0): W undefined — NULL both engines
+        F.expr(f"CAST(CASE WHEN {den} > 0 THEN "
+               f"(1000000 * {d} * {d} DIV {den})"
+               f" * ({n_all} - 2) DIV {n_all} END AS BIGINT)")
+         .alias("w_ppm"))
 
 
 def brown_forsythe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,12 +1193,15 @@ SELECT true_n AS n_treat, false_n AS n_ctrl,
        true_med AS med_t, false_med AS med_c,
        CAST(true_s AS BIGINT) AS absdev_sum_t,
        CAST(false_s AS BIGINT) AS absdev_sum_c,
-       CAST((1000000 * (true_s * false_n - false_s * true_n)
-                     * (true_s * false_n - false_s * true_n)
-             // (false_n * (true_n * true_q - true_s * true_s)
-                 + true_n * (false_n * false_q - false_s * false_s)))
-            * (true_n + false_n - 2) // (true_n + false_n) AS BIGINT)
-         AS w_ppm
+       CAST(CASE WHEN (false_n * (true_n * true_q - true_s * true_s)
+                       + true_n * (false_n * false_q - false_s * false_s))
+                      > 0
+            THEN (1000000 * (true_s * false_n - false_s * true_n)
+                          * (true_s * false_n - false_s * true_n)
+                  // (false_n * (true_n * true_q - true_s * true_s)
+                      + true_n * (false_n * false_q - false_s * false_s)))
+                 * (true_n + false_n - 2) // (true_n + false_n)
+            END AS BIGINT) AS w_ppm
 FROM p
 """
 
@@ -1266,8 +1276,11 @@ def spearman_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                "ELSE 0 END AS BIGINT)").alias("rho_sign"),
         F.expr(f"CAST(ABS({num}) % 2305843009213693951 AS BIGINT)")
          .alias("rho_num_red"),
-        F.expr(f"CAST(((1000000 * ABS({num}) DIV {vx}) * ABS({num})) "
-               f"DIV {vy} AS BIGINT)").alias("rho2_ppm"))
+        # a constant metric (vx or vy = 0) has no rank ordering —
+        # ρ undefined, NULL both engines
+        F.expr(f"CAST(CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+               f"((1000000 * ABS({num}) DIV {vx}) * ABS({num})) "
+               f"DIV {vy} END AS BIGINT)").alias("rho2_ppm"))
 
 
 SPEARMAN_ORACLE = """
@@ -1303,10 +1316,12 @@ SELECT CAST(n AS BIGINT) AS n_users,
                  ELSE 0 END AS BIGINT) AS rho_sign,
        CAST(ABS(n * sxy - sx * sy) % 2305843009213693951 AS BIGINT)
          AS rho_num_red,
-       CAST(((1000000 * ABS(n * sxy - sx * sy)
-              // (n * sx2 - sx * sx)) * ABS(n * sxy - sx * sy))
-             // (n * sy2 - sy * sy) AS BIGINT)
-         AS rho2_ppm
+       CAST(CASE WHEN (n * sx2 - sx * sx) > 0
+                  AND (n * sy2 - sy * sy) > 0
+            THEN ((1000000 * ABS(n * sxy - sx * sy)
+                   // (n * sx2 - sx * sx)) * ABS(n * sxy - sx * sy))
+                 // (n * sy2 - sy * sy)
+            END AS BIGINT) AS rho2_ppm
 FROM a
 """
 
@@ -1356,7 +1371,9 @@ def ca_trend_closed_form(cells: DataFrame) -> DataFrame:
         F.expr(f"CAST({tn} AS BIGINT)").alias("t_n"),
         F.expr(f"CAST(CASE WHEN {tn} > 0 THEN 1 WHEN {tn} < 0 THEN -1 "
                "ELSE 0 END AS BIGINT)").alias("trend_sign"),
-        F.expr(f"CAST(1000000 * {tn} * {tn} * n DIV {den} AS BIGINT)")
+        # no/all successes or one bucket: Var = 0 — NULL both engines
+        F.expr(f"CAST(CASE WHEN {den} > 0 THEN "
+               f"1000000 * {tn} * {tn} * n DIV {den} END AS BIGINT)")
          .alias("z2_ppm"))
 
 
@@ -1407,9 +1424,10 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(CASE WHEN (swr * n - swn * rr) > 0 THEN 1
                  WHEN (swr * n - swn * rr) < 0 THEN -1
                  ELSE 0 END AS BIGINT) AS trend_sign,
-       CAST(1000000 * (swr * n - swn * rr) * (swr * n - swn * rr) * n
-            // (rr * (n - rr) * (n * sw2n - swn * swn)) AS BIGINT)
-         AS z2_ppm
+       CAST(CASE WHEN (rr * (n - rr) * (n * sw2n - swn * swn)) > 0
+            THEN 1000000 * (swr * n - swn * rr) * (swr * n - swn * rr) * n
+                 // (rr * (n - rr) * (n * sw2n - swn * swn))
+            END AS BIGINT) AS z2_ppm
 FROM a
 """
 

@@ -846,3 +846,44 @@ def test_image_dhash_hot_bucket_cap(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b)
              for r in image_dhash_neardup(spark, str(tmp_path)).collect()}
     assert pairs == {(1, 2)}, pairs
+
+
+def test_rank_statistics_degenerate_inputs_null_not_error(spark, tmp_path):
+    """Degenerate corpora must yield NULL statistics in BOTH engines,
+    never a division error: an all-tied corpus zeroes KW's tie
+    divisor AND Brown–Forsythe's within-arm deviations AND Spearman's
+    rank variances; a zero-success log zeroes the CA variance."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from mapreduce_rust_spark.operators.experiment import (
+        BROWN_FORSYTHE_ORACLE, CA_TREND_ORACLE, KRUSKAL_WALLIS_ORACLE,
+        SPEARMAN_ORACLE, brown_forsythe_events, ca_trend_events,
+        kruskal_wallis_events, spearman_corr_events)
+
+    rows = [{"user_id": u, "event_type": "view",
+             "ts": pd.Timestamp("2024-01-01 01:00:00")
+             + pd.Timedelta(minutes=i), "value": 5.0}
+            for i, u in enumerate([1, 1, 2, 2, 3, 3])]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+
+    kw = kruskal_wallis_events(spark, str(tmp_path)).collect()[0]
+    assert kw.h_ppm == 0 and kw.h_adj_ppm is None
+    bf = brown_forsythe_events(spark, str(tmp_path)).collect()[0]
+    assert bf.w_ppm is None
+    sp = spearman_corr_events(spark, str(tmp_path)).collect()[0]
+    # every user has 2 events: x constant -> vx = 0 -> undefined
+    assert sp.rho2_ppm is None and sp.rho_sign == 0
+    ca = ca_trend_events(spark, str(tmp_path)).collect()[0]
+    assert ca.successes == 0 and ca.z2_ppm is None
+
+    con = _duck.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    assert pd.isna(con.execute(KRUSKAL_WALLIS_ORACLE)
+                   .fetchdf()["h_adj_ppm"][0])
+    assert pd.isna(con.execute(BROWN_FORSYTHE_ORACLE)
+                   .fetchdf()["w_ppm"][0])
+    assert pd.isna(con.execute(SPEARMAN_ORACLE)
+                   .fetchdf()["rho2_ppm"][0])
+    assert pd.isna(con.execute(CA_TREND_ORACLE).fetchdf()["z2_ppm"][0])
