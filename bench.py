@@ -362,6 +362,7 @@ HEADLINE = [
     "seasonal_kendall_events",
     "stream_seasonal_kendall",
     "video_scene_cuts",
+    "zipf_fit_sources",
 ]
 
 

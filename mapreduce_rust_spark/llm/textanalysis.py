@@ -1857,3 +1857,117 @@ FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1, tot
 
 REGISTRATIONS.append(("good_turing_counts_docs", good_turing_counts_docs,
                       GOOD_TURING_ORACLE))
+
+
+ZIPF_TOP_R = 50          # ranks fitted per source
+ZIPF_W_SCALE = 1_000_000  # harmonic weight w_r = SCALE DIV r
+
+
+def zipf_fit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency goodness-of-fit per source — the corpus
+    forensics screen: natural text follows Zipf's law closely over
+    its head ranks, while templated, machine-generated, or spammy
+    sources deviate hard (too-flat from boilerplate rotation,
+    too-steep from keyword stuffing). A chi-square of the observed
+    top-``ZIPF_TOP_R`` token counts against the Zipf expectation
+    (share ∝ 1/r over the fitted head) gives each source one
+    comparable deviation score — the readout that flags which
+    source's text distribution stopped looking like language.
+
+    Exactness: Zipf weights are the scaled integers
+    w_r = SCALE DIV r (both engines floor identically; the fit is
+    against this SHARED discretized law, so no float harmonic
+    number), and with T = Σ top counts, W = Σ w_r the cleared
+    chi-square is Σ_r 1000·(c_r·W − T·w_r)² DIV (T·w_r·W) —
+    DECIMAL(38)/HUGEINT squares, one floor-DIV per rank, reported in
+    milli units. Rank ties break on token text (deterministic both
+    engines). int128 ceiling: (c_r·W)² — fits while head counts
+    c_r ≲ 10¹⁰ (≈10¹² tokens/source), documented.
+
+    Scale shape: one (source, token) count with map-side combine,
+    per-source top-R via a window over the per-source VOCAB
+    aggregate (the ``stratum_exemplar_docs`` shape — never a
+    corpus-grain window), then a 50-cell-per-source reduction.
+
+    Output: ``(source, top_r, t_mass, chi2_milli)``.
+    """
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("source",
+                       F.explode(F.split("text", WS_RE)).alias("tok"))
+               .filter(F.col("tok") != ""))
+    cnt = (tok.groupBy("source", "tok")
+              .agg(F.count("*").cast("long").alias("c")))
+    # EXACT two-phase top-R (the build_vocab lesson — never a window
+    # over a source's full vocab): per-(source, hash-bucket) top-R
+    # first (each window partition sees vocab/B rows), then the final
+    # top-R over ≤ B·R candidates per source. Any true top-R token is
+    # top-R within its own bucket, so phase 1 loses nothing.
+    cand = (cnt.withColumn("b", F.expr("pmod(xxhash64(tok), 16)"))
+               .withColumn("r1", F.row_number().over(
+                   W.partitionBy("source", "b")
+                    .orderBy(F.desc("c"), "tok")))
+               .filter(F.col("r1") <= ZIPF_TOP_R)
+               .drop("b", "r1"))
+    w = W.partitionBy("source").orderBy(F.desc("c"), "tok")
+    top = (cand.withColumn("r", F.row_number().over(w))
+               .filter(F.col("r") <= ZIPF_TOP_R)
+               .withColumn("w_r", F.expr(f"{ZIPF_W_SCALE} DIV r")))
+    tot = (top.groupBy("source")
+              .agg(F.sum("c").cast("decimal(38,0)").alias("t_mass"),
+                   F.sum("w_r").cast("decimal(38,0)").alias("w_sum"),
+                   F.count("*").cast("long").alias("top_r")))
+    cells = (top.join(F.broadcast(tot), "source")
+             .select("source", "top_r", "t_mass",
+                     F.expr("CAST(1000 * (c * w_sum - t_mass * w_r) "
+                            "* (c * w_sum - t_mass * w_r) "
+                            "DIV (t_mass * w_r * w_sum) "
+                            "AS DECIMAL(38,0))").alias("cell")))
+    return (cells.groupBy("source")
+            .agg(F.max("top_r").alias("top_r"),
+                 F.max("t_mass").cast("long").alias("t_mass"),
+                 F.sum("cell").cast("long").alias("chi2_milli")))
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH tok AS (
+  SELECT source, t.tok AS tok
+  FROM (SELECT source,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) t
+),
+cnt AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, tok
+),
+top AS (
+  SELECT source, c, r, {ZIPF_W_SCALE} // r AS w_r FROM (
+    SELECT source, c,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, tok) AS r
+    FROM cnt
+  ) WHERE r <= {ZIPF_TOP_R}
+),
+tot AS (
+  SELECT source, CAST(SUM(c) AS HUGEINT) AS t_mass,
+         CAST(SUM(w_r) AS HUGEINT) AS w_sum,
+         CAST(COUNT(*) AS BIGINT) AS top_r
+  FROM top GROUP BY source
+),
+cells AS (
+  SELECT top.source, top_r, t_mass,
+         CAST(1000 * (c * w_sum - t_mass * w_r)
+                   * (c * w_sum - t_mass * w_r)
+              // (t_mass * w_r * w_sum) AS HUGEINT) AS cell
+  FROM top JOIN tot ON top.source = tot.source
+)
+SELECT source, MAX(top_r) AS top_r,
+       CAST(MAX(t_mass) AS BIGINT) AS t_mass,
+       CAST(SUM(cell) AS BIGINT) AS chi2_milli
+FROM cells GROUP BY source
+"""
+
+
+REGISTRATIONS.append(("zipf_fit_sources", zipf_fit_sources,
+                      ZIPF_FIT_ORACLE))

@@ -754,3 +754,20 @@ def test_round9_sixth_wave_plan_shapes(spark):
     assert "BroadcastHashJoin" in p
     assert "partial_sum" in p
     assert "CartesianProduct" not in p
+
+
+def test_zipf_fit_plan_shape(spark):
+    """Both top-R windows must partition by bounded keys — phase 1 by
+    (source, bucket) so no window sees a source's full vocab, phase 2
+    over the <= B*R candidate rows — with partial aggregation under
+    the token counts and no cartesian anywhere."""
+    from mapreduce_rust_spark.llm.textanalysis import zipf_fit_sources
+
+    p = _plan(zipf_fit_sources(spark, SF_CORRECT))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
+    segs = p.split("Window ")[1:]
+    assert len(segs) >= 2
+    assert any("xxhash64" in seg.splitlines()[0] or "b#" in
+               seg.splitlines()[0] for seg in segs), \
+        "phase-1 window must include the hash bucket key"

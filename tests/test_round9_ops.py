@@ -887,3 +887,28 @@ def test_rank_statistics_degenerate_inputs_null_not_error(spark, tmp_path):
     assert pd.isna(con.execute(SPEARMAN_ORACLE)
                    .fetchdf()["rho2_ppm"][0])
     assert pd.isna(con.execute(CA_TREND_ORACLE).fetchdf()["z2_ppm"][0])
+
+
+def test_zipf_fit_planted_perfect_vs_skewed(spark, tmp_path):
+    """A source whose head counts are exactly Zipf-proportional
+    (12, 6, 4 ∝ 1, 1/2, 1/3) fits with chi2_milli = 0 (the cleared
+    residuals are single digits, floored away by design); a
+    stuffed source (20, 1, 1 — one keyword dominating) deviates
+    by thousands of milli units."""
+    import pandas as pd
+
+    from mapreduce_rust_spark.llm.textanalysis import zipf_fit_sources
+
+    zipfy = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4)
+    stuffed = " ".join(["a"] * 20 + ["b"] * 1 + ["c"] * 1)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "source": ["zipfy", "stuffed"],
+        "text": [zipfy, stuffed], "lang": ["en", "en"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {r.source: r
+           for r in zipf_fit_sources(spark, str(tmp_path)).collect()}
+    assert (out["zipfy"].top_r, out["zipfy"].t_mass) == (3, 22)
+    assert out["zipfy"].chi2_milli == 0
+    assert out["stuffed"].chi2_milli > 5_000
