@@ -192,7 +192,15 @@ def _bpe_chain(carry_w: bool, n_merges: int = N_MERGES) -> str:
     empty right symbol, so neither engine can chain within a pass.
     Argmax ties break (count DESC, left, right) on both sides.
     ``carry_w`` keeps the word key through the chain (the encode
-    oracle joins the final symbol table back to documents)."""
+    oracle joins the final symbol table back to documents).
+
+    Vocabulary exhaustion: when no pair remains before round
+    ``n_merges`` the Spark trainer breaks early, so ``m{{r}}`` must be
+    allowed to be EMPTY without emptying the symbol table — ``w{{r}}``
+    is a LEFT JOIN ON TRUE with ``COALESCE(replace(...), s)`` so an
+    empty argmax carries ``w{{r-1}}`` through unchanged (an inner
+    cross join would zero every doc's counts on a degenerate
+    corpus)."""
     S = "chr(31)"
     wc = "w, " if carry_w else ""
     out = [f"""
@@ -226,9 +234,9 @@ m{r} AS MATERIALIZED (
 ),
 w{r} AS MATERIALIZED (
   SELECT {wc}freq,
-         replace(s, {S} || lft || {S} || {S} || rgt || {S},
-                 {S} || merged || {S}) AS s
-  FROM w{r - 1}, m{r}
+         COALESCE(replace(s, {S} || lft || {S} || {S} || rgt || {S},
+                          {S} || merged || {S}), s) AS s
+  FROM w{r - 1} LEFT JOIN m{r} ON TRUE
 )""")
     return "".join(out)
 

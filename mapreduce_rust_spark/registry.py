@@ -41,67 +41,52 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-9 window (the round-8 window went 50/50 green — see COVERAGE.md):
-# the 20-query round-8 crop (all oracled, judge-mirror green in the
-# round-8 verdict) scheduled first, with every streaming kappa twin
-# beside its batch op (t-closeness / Mood's median / ship-delay
-# percentiles / bot gap-regularity / length-percentile pairs), then the
-# r4/r5 staleness re-proof tiers from COVERAGE.md's pre-written queue:
-# tier 1 (newest row r4: multimodal quartet head, MAD outliers,
-# triangles, 2-hop, chunk UDTF), tiers 2–6 (r5: multimodal/spans,
-# mixture/quality, text/sharding, join/dedup, monitoring with its
-# twins), plus the first tier-7 entry. COVERAGE.md's "30 re-proofs"
-# arithmetic undercounted tiers 1–7 (they hold 35); per its own
-# displace-from-the-BOTTOM rule the last five tier-7 entries roll to
-# round 10. Ledger invariant (see COVERAGE.md for the proof-per-round
-# table): after a green round-N artifact, every query oracled BEFORE
-# round N carries a hash-verified driver row; queries oracled DURING
-# round N are judge-mirror green and queued for the round-N+1 window.
+# Round-10 window (the round-9 window went 50/50 green — see
+# COVERAGE.md): the 33-query round-9 crop first (every new statistic
+# with its kappa twin beside its batch op, the three
+# rows-only→oracled conversions knn_lsh / bpe_train_merges /
+# bpe_encode_docs, dHash near-dup, video scene cuts, Zipf fit, RRF
+# fusion), then staleness Tier A (the 16 r2-proven relational rows, 8
+# rounds stale), then Tier B's head (q4_order_priority). Tier B's
+# tail, Tiers C/D, and the r4-proven mass roll to the round-11 queue
+# written in COVERAGE.md. Ledger invariant: after a green round-N
+# artifact, every query oracled BEFORE round N carries a
+# hash-verified driver row; queries oracled DURING round N are
+# judge-mirror green and queued for the round-N+1 window.
 DRIVER_WINDOW = [
-    # --- round-8 crop: ANN evaluation + similarity ---
-    "knn_eval_recall", "lsh_bucket_stats", "label_centroid_outliers",
-    # --- round-8 crop: multimodal ---
-    "multimodal_video_frames",
-    # --- round-8 crop: dedup / corpus audit ---
-    "cross_source_dup_matrix", "stratum_exemplar_docs",
-    # --- round-8 crop: privacy + kappa twin ---
-    "t_closeness_orders", "stream_t_closeness",
-    # --- round-8 crop: monitoring + kappa twin ---
-    "bot_gap_regularity_events", "stream_bot_gap_regularity",
-    # --- round-8 crop: experimentation + kappa twin ---
-    "median_sign_test_events", "stream_median_sign_test",
-    # --- round-8 crop: OLAP + kappa twin ---
-    "revenue_gini_parts",
-    "ship_delay_percentiles_priority", "stream_ship_delay_percentiles",
-    # --- round-8 crop: graph ---
-    "component_stats_parts", "edge_support_hist_parts",
-    # --- round-8 crop: text profile + kappa twin ---
-    "len_quantiles_sources", "stream_len_quantiles",
-    "char_class_profile_docs",
-    # --- staleness tier 1 (newest row r4) ---
-    "multimodal_features", "mad_outlier_orders",
-    "triangle_count_copurchase", "reachable_parts_2hop",
-    "chunk_docs_udtf",
-    # --- staleness tier 2 (multimodal/spans wing, r5) ---
-    "multimodal_resize", "multimodal_dedup_payload",
-    "dup_span_docs", "chunk_stride_docs",
-    # --- staleness tier 3 (mixture/quality wing, r5) ---
-    "domain_mix_sample", "domain_upsample_docs",
-    "quality_classifier_score", "curriculum_phase_docs",
-    # --- staleness tier 4 (text/sharding wing, r5) ---
-    "normalize_text_docs", "dedup_normalized_docs", "event_trigrams",
-    "boolean_search_docs", "domain_keywords_docs",
-    "bucket_pad_stats_docs",
-    # --- staleness tier 5 (join/dedup wing, r5) ---
-    "allknn_within_label", "ppjoin_jaccard_pairs",
-    "bloom_semijoin_revenue", "bloom_crawl_dedup",
-    "incremental_mv_orders",
-    # --- staleness tier 6 (monitoring wing with its twins, r5) ---
-    "trend_ols_events", "stream_trend_ols",
-    "zscore_anomaly_events", "stream_zscore_anomaly",
-    "cusum_changepoint_events",
-    # --- staleness tier 7 head (r5; rest rolls to round 10) ---
-    "funnel_timebound_events",
+    # --- round-9 crop: graph ---
+    "ktruss_edges_parts", "linkpred_resource_allocation",
+    "rich_club_copurchase",
+    # --- round-9 crop: multimodal (audio decode + its kappa twin) ---
+    "multimodal_audio_pcm_stats", "stream_audio_pcm_stats",
+    "image_dhash_neardup", "video_scene_cuts",
+    # --- round-9 crop: monitoring rank statistics + kappa twins ---
+    "mann_kendall_events", "stream_mann_kendall",
+    "weco_rules_events", "stream_weco_rules",
+    "pettitt_changepoint_events", "stream_pettitt_changepoint",
+    "seasonal_kendall_events", "stream_seasonal_kendall",
+    # --- round-9 crop: experimentation + kappa twins ---
+    "srm_check_events", "stream_srm_check",
+    "kruskal_wallis_events", "stream_kruskal_wallis",
+    "brown_forsythe_events", "stream_brown_forsythe",
+    "spearman_corr_events", "ca_trend_events", "stream_ca_trend",
+    # --- round-9 crop: OLAP / privacy ---
+    "hhi_revenue_nations", "contribution_cap_events",
+    # --- round-9 crop: text / retrieval ---
+    "good_turing_counts_docs", "zipf_fit_sources", "rrf_hybrid_search",
+    # --- round-9 crop: similarity ---
+    "embedding_drift_sources",
+    # --- round-9 crop: rows-only→oracled conversions ---
+    "knn_lsh", "bpe_train_merges", "bpe_encode_docs",
+    # --- staleness Tier A (newest row r2, 8 rounds stale) ---
+    "agg_collect_sources", "agg_distinct_suppliers",
+    "array_funcs_docs", "cube_qty", "date_funcs_orders",
+    "distinct_segments", "join_cross_regions", "math_funcs_lineitem",
+    "percentile_exact_price", "pivot_status_qty", "posexplode_tokens",
+    "rollup_qty", "set_except_all_keys", "set_intersect_all_keys",
+    "string_funcs_part", "topk_orders_global",
+    # --- staleness Tier B head (r3; tail rolls to round 11) ---
+    "q4_order_priority",
 ]
 
 
