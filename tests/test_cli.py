@@ -49,9 +49,11 @@ def test_cli_list_and_query(spark, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "q1_pricing_summary\toracled" in out
     # knn_lsh was the rows-only exemplar until its round-9 oracle
-    # promotion; knn_ivf (float-centroid assignment) remains rows-only
+    # promotion; knn_ivf followed in round 10 (exact-grid cells); the
+    # float k-means production variant is the remaining rows-only ANN
     assert "knn_lsh\toracled" in out
-    assert "knn_ivf\trows-only" in out
+    assert "knn_ivf\toracled" in out
+    assert "kmeans_embeddings\trows-only" in out
     dst = str(tmp_path / "q1")
     assert main(["query", "q1_pricing_summary", "--output", dst]) == 0
     assert spark.read.parquet(dst).count() == 6
