@@ -131,14 +131,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at scale this is the materialized inverted index every dedup
     pass shares. Spark evicts it LRU when memory is needed."""
     sh = _persisted_shingles(spark, sf_dir)
+    _, cand = _minhash_sig_candidates(sh)
+    # exact-Jaccard verification restricted to CANDIDATES (never the
+    # full shingle self-join — hot shingles make that quadratic)
+    return _verify_pairs(sh, cand)
 
-    # signatures via the 2-hash affine family h_p = (h1 + p*h2) mod 2^48
-    # (Broder-style universal perms): h1/h2 are DISJOINT 48-bit slices
-    # of ONE md5 digest (chars 1-12 / 13-24 of the 32-hex digest) — one
-    # digest per shingle instead of N_PERM (or the round-1 two), with
-    # the same independence for banding purposes (recall floor pinned
-    # by the LSH recall test). 48-bit bases keep h1 + 15*h2 < 2^52,
-    # exact in int64 on any engine.
+
+def _minhash_sig_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """MinHash signatures + LSH band-collision candidate pairs from a
+    shingle index — the shared core of ``minhash_lsh_pairs`` and the
+    estimator audit ``dedup_minhash_jaccard_est``.
+
+    Signatures via the 2-hash affine family h_p = (h1 + p*h2) mod 2^48
+    (Broder-style universal perms): h1/h2 are DISJOINT 48-bit slices
+    of ONE md5 digest (chars 1-12 / 13-24 of the 32-hex digest) — one
+    digest per shingle instead of N_PERM (or the round-1 two), with
+    the same independence for banding purposes (recall floor pinned
+    by the LSH recall test). 48-bit bases keep h1 + 15*h2 < 2^52,
+    exact in int64 on any engine."""
     M48 = 1 << 48
     digest = F.md5(F.col("s"))
     hashed = (sh.select(
@@ -172,10 +182,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-
-    # exact-Jaccard verification restricted to CANDIDATES (never the
-    # full shingle self-join — hot shingles make that quadratic)
-    return _verify_pairs(sh, cand)
+    return sig, cand
 
 
 def _verify_pairs(sh: DataFrame, cand: DataFrame,
@@ -1108,3 +1115,110 @@ GROUP BY 1, 2
 
 REGISTRATIONS.append(("cross_source_dup_matrix", cross_source_dup_matrix,
                       CROSS_SOURCE_DUP_ORACLE))
+
+
+# --- MinHash estimator-quality audit (round 10) ---------------------------
+
+EST_PPM = 1_000_000   # parts-per-million grid for the estimate readout
+
+
+def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash near-dup pipeline: for
+    every LSH CANDIDATE pair, the MinHash Jaccard ESTIMATE (fraction
+    of the N_PERM signature positions that agree — the textbook
+    unbiased estimator, E[agree/k] = J) side by side with the exact
+    shingle Jaccard, both on the integer ppm grid. This is the
+    tuning readout for banding parameters: a drifting |est − exact|
+    distribution means N_PERM is too small (variance) or the hash
+    family is misbehaving (bias) — at 100 TB you audit the estimator
+    on a corpus sample before trusting the band thresholds.
+
+    All integer: agreement count ∈ 0..N_PERM, est_ppm = agree·10⁶
+    DIV N_PERM, exact_ppm = c·10⁶ DIV (na+nb−c) — truncating DIV on
+    both engines, no float anywhere.
+
+    Scale: candidates only (band-bucketed, never all-pairs);
+    agreement is a 1-row-per-doc signature join (N_PERM columns);
+    the exact side is the same Σ|shingles(doc_a)| probe as
+    ``_verify_pairs``. Output: (doc_a, doc_b, sig_agree, est_ppm,
+    exact_ppm, err_ppm), one row per candidate pair.
+    """
+    sh = _persisted_shingles(spark, sf_dir)
+    sig, cand = _minhash_sig_candidates(sh)
+
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"m{p}").alias(f"a{p}") for p in range(N_PERM)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"m{p}").alias(f"b{p}") for p in range(N_PERM)])
+    agree = sum(F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+                for p in range(N_PERM)).cast("long")
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    shb = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    common = (cand.join(sha, "doc_a")
+                  .join(shb, ["doc_b", "s"])
+                  .groupBy("doc_a", "doc_b")
+                  .agg(F.count("*").alias("c")))
+    out = (cand.join(sa, "doc_a").join(sb, "doc_b")
+               .select("doc_a", "doc_b", agree.alias("sig_agree"))
+               .join(common, ["doc_a", "doc_b"], "left")
+               .withColumn("c", F.coalesce("c", F.lit(0)))
+               .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
+                     "doc_a")
+               .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
+                     "doc_b"))
+    est = F.expr(f"sig_agree * {EST_PPM} DIV {N_PERM}")
+    exact = F.expr(f"c * {EST_PPM} DIV (na + nb - c)")
+    return (out.withColumn("est_ppm", est)
+               .withColumn("exact_ppm", exact)
+               .withColumn("err_ppm", F.abs(F.col("est_ppm")
+                                            - F.col("exact_ppm")))
+               .select("doc_a", "doc_b", "sig_agree", "est_ppm",
+                       "exact_ppm", "err_ppm"))
+
+
+MINHASH_EST_ORACLE = f"""
+WITH {_oracle_shingles_cte()},
+hb AS (SELECT doc_id,
+              CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h1,
+              CAST('0x' || substr(md5(s), 13, 12) AS BIGINT) AS h2
+       FROM sh),
+hp AS (SELECT doc_id, p, MIN((h1 + p * h2) % 281474976710656) AS m
+       FROM hb, UNNEST(range(0, {N_PERM})) AS t(p)
+       GROUP BY doc_id, p),
+bands AS (SELECT doc_id, p // {N_PERM // N_BANDS} AS band,
+                 string_agg(m::VARCHAR, ',' ORDER BY p) AS key
+          FROM hp GROUP BY doc_id, p // {N_PERM // N_BANDS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+agree AS (SELECT c.doc_a, c.doc_b,
+                 CAST(SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END)
+                      AS BIGINT) AS sig_agree
+          FROM cand c
+          JOIN hp x ON x.doc_id = c.doc_a
+          JOIN hp y ON y.doc_id = c.doc_b AND y.p = x.p
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM cand c
+           JOIN sh x ON x.doc_id = c.doc_a
+           JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+           GROUP BY 1, 2)
+SELECT a.doc_a, a.doc_b, a.sig_agree,
+       CAST(a.sig_agree * {EST_PPM} AS BIGINT) // {N_PERM} AS est_ppm,
+       CAST(COALESCE(co.c, 0) * {EST_PPM} AS BIGINT)
+         // (sa.n + sb.n - COALESCE(co.c, 0)) AS exact_ppm,
+       ABS(CAST(a.sig_agree * {EST_PPM} AS BIGINT) // {N_PERM}
+           - CAST(COALESCE(co.c, 0) * {EST_PPM} AS BIGINT)
+             // (sa.n + sb.n - COALESCE(co.c, 0))) AS err_ppm
+FROM agree a
+LEFT JOIN common co ON a.doc_a = co.doc_a AND a.doc_b = co.doc_b
+JOIN sizes sa ON a.doc_a = sa.doc_id
+JOIN sizes sb ON a.doc_b = sb.doc_id
+"""
+
+
+REGISTRATIONS.append(("dedup_minhash_jaccard_est",
+                      dedup_minhash_jaccard_est, MINHASH_EST_ORACLE))

@@ -1430,3 +1430,95 @@ FROM agg
 
 REGISTRATIONS.append(("embedding_drift_sources", embedding_drift_sources,
                       EMBEDDING_DRIFT_ORACLE))
+
+
+# --- pairwise label-centroid distance matrix (round 10) --------------------
+
+
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distance matrix between LABEL centroids in embedding
+    space — the confusion-structure audit (which classes sit on top
+    of each other and are merge/relabel candidates; which are far
+    apart so a classifier's confusion there signals data bugs).
+    Completes the centroid family: ``label_centroid_outliers`` ranks
+    points within a label, ``embedding_drift_sources`` tracks one
+    population against the global mean — this compares populations
+    pairwise.
+
+    Exactness (the ``embedding_drift_sources`` clearing, pair form):
+    per-dim mean difference s_Ad/n_A − s_Bd/n_B clears to
+    (s_Ad·n_B − s_Bd·n_A)·SCALE DIV (n_A·n_B) — exact integer
+    milli-grid units via truncating division on both engines, squared
+    and summed per pair. n-independent magnitudes, no overflow at any
+    corpus size (intermediates in DECIMAL(38)/HUGEINT).
+
+    Scale: one explode to (label, dim) cells; the pair join is
+    labels²·dims over the SUMS table (k²d rows for a k-cell
+    quantizer — dims-sized, never corpus); corpus shuffles once.
+
+    Output: ``(label_a, label_b, n_a, n_b, dist_mgrid2, near_rank)``
+    — near_rank 1 = the closest (most confusable) pair.
+    """
+    q = (_emb(spark, sf_dir)
+         .select("label", F.posexplode("e").alias("dim", "x"))
+         .select("label", "dim",
+                 F.bround(F.col("x") * CENT_GRID, 0)
+                  .cast("long").alias("qv")))
+    s = (q.groupBy("label", "dim")
+          .agg(F.sum("qv").cast("decimal(38,0)").alias("sv"),
+               F.count("*").cast("long").alias("n")))
+    a = s.select(F.col("label").alias("label_a"), "dim",
+                 F.col("sv").alias("sa"), F.col("n").alias("na"))
+    b = s.select(F.col("label").alias("label_b"), "dim",
+                 F.col("sv").alias("sb"), F.col("n").alias("nb"))
+    dd = (a.join(b, "dim")
+           .where(F.col("label_a") < F.col("label_b"))
+           .select("label_a", "label_b", "na", "nb",
+                   F.expr(f"CAST((sa * nb - sb * na) * {DRIFT_SCALE} "
+                          "DIV (CAST(na AS DECIMAL(38,0)) * nb) "
+                          "AS BIGINT)").alias("dd")))
+    agg = (dd.groupBy("label_a", "label_b")
+             .agg(F.max("na").cast("long").alias("n_a"),
+                  F.max("nb").cast("long").alias("n_b"),
+                  F.sum(F.col("dd") * F.col("dd")).cast("long")
+                   .alias("dist_mgrid2")))
+    w = W.orderBy("dist_mgrid2", "label_a", "label_b")
+    return (agg.withColumn("near_rank",
+                           F.row_number().over(w).cast("long")))
+
+
+LABEL_CENTROID_DIST_ORACLE = f"""
+WITH q AS (
+  SELECT label, i AS dim,
+         CAST(round_even(embedding[i + 1]::DOUBLE * {CENT_GRID}, 0)
+              AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+),
+s AS (
+  SELECT label, dim, CAST(SUM(qv) AS HUGEINT) AS sv,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM q GROUP BY label, dim
+),
+dd AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.n AS na, b.n AS nb,
+         CAST((a.sv * b.n - b.sv * a.n) * {DRIFT_SCALE}
+              // (a.n * b.n) AS BIGINT) AS dd
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+),
+agg AS (
+  SELECT label_a, label_b,
+         CAST(MAX(na) AS BIGINT) AS n_a,
+         CAST(MAX(nb) AS BIGINT) AS n_b,
+         CAST(SUM(dd * dd) AS BIGINT) AS dist_mgrid2
+  FROM dd GROUP BY 1, 2
+)
+SELECT label_a, label_b, n_a, n_b, dist_mgrid2,
+       CAST(ROW_NUMBER() OVER (ORDER BY dist_mgrid2, label_a, label_b)
+            AS BIGINT) AS near_rank
+FROM agg
+"""
+
+
+REGISTRATIONS.append(("label_centroid_distances", label_centroid_distances,
+                      LABEL_CENTROID_DIST_ORACLE))

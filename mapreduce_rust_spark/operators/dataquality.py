@@ -669,3 +669,110 @@ FROM r GROUP BY day
 
 REGISTRATIONS.append(("contribution_cap_events", contribution_cap_events,
                       CONTRIB_CAP_ORACLE))
+
+
+# --- Tukey IQR fences (round 10) -------------------------------------------
+
+
+def tukey_fences_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot outlier screen per order priority (Tukey 1977's
+    EDA fences — the convention behind every boxplot): values beyond
+    Q1 − 1.5·IQR / Q3 + 1.5·IQR are flagged. The quartile-based
+    sibling of ``mad_outlier_orders`` (MAD screens around the median;
+    the fences screen the tails asymmetrically, catching skew the
+    symmetric MAD band hides).
+
+    Exactness — NO interpolated quantiles anywhere (the
+    ``ship_delay_percentiles_priority`` discipline): prices live on
+    the integer cents grid; Q1/Q3 are exact lower nearest-rank
+    elements (rank ⌈n/4⌉ / ⌈3n/4⌉) read off a cumsum over the
+    per-priority value-count cells; the 1.5·IQR comparison is cleared
+    to integers by doubling — 2·v < 2·Q1 − 3·IQR flags low,
+    2·v > 2·Q3 + 3·IQR flags high. Pure BIGINT on both engines.
+
+    Scale: one map-side-combined aggregate to (priority, cents)
+    cells; the cumsum window runs over the bounded cells grid; one
+    broadcast join-back of the 5-row fence table for the final count.
+
+    Output: ``(o_orderpriority, n, q1_cents, q3_cents, n_low,
+    n_high)``.
+    """
+    from pyspark.sql import Window as W
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"))
+    cells = o.groupBy("o_orderpriority", "vc").agg(
+        F.count("*").alias("c"))
+    wc = (W.partitionBy("o_orderpriority").orderBy("vc")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = cells.withColumn("cum", F.sum("c").over(wc))
+    n = cells.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("long").alias("n"))
+    q = (t.join(F.broadcast(n), "o_orderpriority")
+         .groupBy("o_orderpriority")
+         .agg(F.max("n").alias("n"),
+              F.min(F.when(F.col("cum") >= F.expr("(n + 3) DIV 4"),
+                           F.col("vc"))).alias("q1_cents"),
+              F.min(F.when(F.col("cum") >= F.expr("(3 * n + 3) DIV 4"),
+                           F.col("vc"))).alias("q3_cents")))
+    iqr = F.col("q3_cents") - F.col("q1_cents")
+    fences = q.select(
+        "o_orderpriority", "n", "q1_cents", "q3_cents",
+        (2 * F.col("q1_cents") - 3 * iqr).alias("lo2"),
+        (2 * F.col("q3_cents") + 3 * iqr).alias("hi2"))
+    return (o.join(F.broadcast(fences), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.max("n").alias("n"),
+                 F.max("q1_cents").alias("q1_cents"),
+                 F.max("q3_cents").alias("q3_cents"),
+                 F.sum(F.when(2 * F.col("vc") < F.col("lo2"), 1)
+                        .otherwise(0)).cast("long").alias("n_low"),
+                 F.sum(F.when(2 * F.col("vc") > F.col("hi2"), 1)
+                        .otherwise(0)).cast("long").alias("n_high")))
+
+
+TUKEY_FENCES_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+  FROM orders
+),
+cells AS (
+  SELECT o_orderpriority, vc, CAST(COUNT(*) AS BIGINT) AS c
+  FROM o GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderpriority, vc, c,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY vc) AS cum
+  FROM cells
+),
+n AS (SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n
+      FROM cells GROUP BY 1),
+q AS (
+  SELECT t.o_orderpriority, MAX(n.n) AS n,
+         MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END) AS q1_cents,
+         MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END) AS q3_cents
+  FROM t JOIN n USING (o_orderpriority)
+  GROUP BY 1
+),
+fences AS (
+  SELECT o_orderpriority, n, q1_cents, q3_cents,
+         2 * q1_cents - 3 * (q3_cents - q1_cents) AS lo2,
+         2 * q3_cents + 3 * (q3_cents - q1_cents) AS hi2
+  FROM q
+)
+SELECT o.o_orderpriority,
+       CAST(MAX(f.n) AS BIGINT) AS n,
+       CAST(MAX(f.q1_cents) AS BIGINT) AS q1_cents,
+       CAST(MAX(f.q3_cents) AS BIGINT) AS q3_cents,
+       CAST(SUM(CASE WHEN 2 * vc < lo2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(SUM(CASE WHEN 2 * vc > hi2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM o JOIN fences f USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
+REGISTRATIONS.append(("tukey_fences_orders", tukey_fences_orders,
+                      TUKEY_FENCES_ORACLE))

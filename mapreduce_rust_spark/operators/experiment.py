@@ -1433,3 +1433,210 @@ FROM a
 
 
 REGISTRATIONS.append(("ca_trend_events", ca_trend_events, CA_TREND_ORACLE))
+
+
+# --- rank-biserial effect size (round 10) ---------------------------------
+
+
+def rank_biserial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biserial correlation — the standard EFFECT SIZE companion
+    to the Mann–Whitney test (Kerby 2014's simple-difference formula):
+    r = 2U/(n_t·n_c) − 1, i.e. P(treat > ctrl) − P(treat < ctrl) with
+    ties split (identically Cliff's δ under midrank ties) — the
+    readout a platform publishes next to the U test's p-value so
+    "significant" and "large" stay distinguishable at scale.
+
+    Exactness: composes the SAME doubled-midrank integer chain as
+    ``mannwhitney_events`` (u2 = 2U is exact BIGINT); the readout is
+    r·10⁶ = (u2 − n_t·n_c)·10⁶ DIV (n_t·n_c) on the signed ppm grid —
+    numerator and denominator cleared to HUGEINT/DECIMAL(38) first
+    (the Kruskal–Wallis ×100 overflow lesson: u2·10⁶ leaves int64
+    near ~3M events), truncating division on both engines.
+
+    Scale shape: inherited from the U chain — one partial+final
+    aggregate to the (value, arm) cells grid, one dims-sized cumsum,
+    one 1-row readout. Output: ``(n_treat, n_ctrl, u2, rb_ppm)``.
+    """
+    mw = mw_closed_form(mw_value_counts(_cells(spark, sf_dir)))
+    rb = ("CAST((CAST(u2 AS DECIMAL(38,0)) - CAST(n_treat AS DECIMAL(38,0))"
+          " * n_ctrl) * 1000000 DIV (CAST(n_treat AS DECIMAL(38,0))"
+          " * n_ctrl) AS BIGINT)")
+    return mw.select("n_treat", "n_ctrl", "u2",
+                     F.expr(rb).alias("rb_ppm"))
+
+
+RANK_BISERIAL_ORACLE = f"""
+WITH mw AS ({MANNWHITNEY_ORACLE})
+SELECT n_treat, n_ctrl, u2,
+       CAST((CAST(u2 AS HUGEINT) - CAST(n_treat AS HUGEINT) * n_ctrl)
+            * 1000000
+            // (CAST(n_treat AS HUGEINT) * n_ctrl) AS BIGINT) AS rb_ppm
+FROM mw
+"""
+
+
+REGISTRATIONS.append(("rank_biserial_events", rank_biserial_events,
+                      RANK_BISERIAL_ORACLE))
+
+
+# --- Hodges–Lehmann location shift (round 10) -----------------------------
+
+
+def hodges_lehmann_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann estimator of the treatment−control location
+    shift: the MEDIAN of all n_t·n_c pairwise differences
+    (t_value − c_value) — the robust effect-MAGNITUDE estimate that
+    belongs beside the Mann–Whitney p-value and the rank-biserial
+    effect size (Hodges & Lehmann 1963; the standard robust
+    alternative to the difference in means).
+
+    Exactness: differences live on the cents grid, so the pairwise-
+    difference DISTRIBUTION is exact integers: for every pair of
+    distinct values (vt, vc) the difference vt−vc occurs ct·cc times.
+    The median is the nearest-rank element at position ⌈N/2⌉ (lower
+    median, N = n_t·n_c) of that weighted distribution — an exact
+    integer cumsum readout, no float anywhere.
+
+    Scale shape: the corpus collapses to per-arm value-count tables
+    (bounded cents grids, the KS/TV discipline); the cross join is
+    |V_t|·|V_c| CELL pairs — dims², never corpus² (same bound the KS
+    statistic's grid join carries); one ordered cumsum over the
+    difference grid and a 1-row readout.
+
+    Output: ``(n_pairs, hl_shift_cents)``.
+    """
+    cnt = mw_value_counts(_cells(spark, sf_dir))
+    t = cnt.where(F.col("ct") > 0).select(F.col("vc").alias("vt"),
+                                          F.col("ct").alias("wt"))
+    c = cnt.where(F.col("cc") > 0).select(F.col("vc").alias("vcc"),
+                                          F.col("cc").alias("wc"))
+    diffs = (t.crossJoin(c)
+             .groupBy((F.col("vt") - F.col("vcc")).alias("d"))
+             .agg(F.sum(F.col("wt") * F.col("wc")).alias("w")))
+    from pyspark.sql import Window as W
+    cum = diffs.withColumn("cw", F.sum("w").over(W.orderBy("d")))
+    n = diffs.agg(F.sum("w").alias("n")).select(
+        "n", F.expr("(n + 1) DIV 2").alias("pos"))
+    return (cum.crossJoin(F.broadcast(n))
+            .where(F.col("cw") >= F.col("pos"))
+            .agg(F.max("n").cast("long").alias("n_pairs"),
+                 F.min("d").cast("long").alias("hl_shift_cents")))
+
+
+HODGES_LEHMANN_ORACLE = """
+WITH c AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+cnt AS (
+  SELECT vc,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM c GROUP BY vc
+),
+diffs AS (
+  SELECT t.vc - c2.vc AS d, CAST(SUM(t.ct * c2.cc) AS BIGINT) AS w
+  FROM cnt t JOIN cnt c2 ON t.ct > 0 AND c2.cc > 0
+  GROUP BY 1
+),
+cum AS (
+  SELECT d, SUM(w) OVER (ORDER BY d) AS cw FROM diffs
+),
+tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS n,
+         CAST((SUM(w) + 1) // 2 AS BIGINT) AS pos
+  FROM diffs
+)
+SELECT MAX(n) AS n_pairs, CAST(MIN(d) AS BIGINT) AS hl_shift_cents
+FROM cum, tot WHERE cw >= pos
+"""
+
+
+REGISTRATIONS.append(("hodges_lehmann_events", hodges_lehmann_events,
+                      HODGES_LEHMANN_ORACLE))
+
+
+# --- quantile treatment effects (round 10) ----------------------------------
+
+QTE_PCTS = (25, 50, 75, 90)
+
+
+def qte_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-arm EXACT nearest-rank
+    value quantiles at P25/P50/P75/P90 and their differences — the
+    distributional readout (does the treatment move the median? the
+    tail? both?) that a mean difference and even the Hodges–Lehmann
+    shift average away (Koenker's quantile-effect framing, here as
+    plain order statistics per arm, not a regression).
+
+    Exactness: values on the cents grid; each quantile is the lower
+    nearest-rank element (rank ⌈p·n/100⌉) read off the per-arm
+    cumsum over the SAME (value, arm) count cells the Mann–Whitney
+    family shares; the effect is an integer subtraction. No float,
+    no interpolation.
+
+    Scale: one partial+final aggregate to the bounded value grid;
+    cumsums and readouts are dims-table work (the
+    ship_delay_percentiles shape, one row per requested percentile).
+
+    Output: ``(pct, q_treat_cents, q_ctrl_cents, qte_cents)``, one
+    row per percentile.
+    """
+    cnt = mw_value_counts(_cells(spark, sf_dir))
+    from pyspark.sql import Window as W
+    wv = W.orderBy("vc").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = (cnt.withColumn("cum_t", F.sum("ct").over(wv))
+            .withColumn("cum_c", F.sum("cc").over(wv)))
+    n = cnt.agg(F.sum("ct").alias("nt"), F.sum("cc").alias("nc"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in QTE_PCTS])).alias("pct")
+    grid = t.crossJoin(F.broadcast(n.select(pcts, "nt", "nc")))
+    return (grid.groupBy("pct")
+            .agg(F.min(F.when(
+                     F.col("cum_t") >= F.expr("(pct * nt + 99) DIV 100"),
+                     F.col("vc"))).alias("q_treat_cents"),
+                 F.min(F.when(
+                     F.col("cum_c") >= F.expr("(pct * nc + 99) DIV 100"),
+                     F.col("vc"))).alias("q_ctrl_cents"))
+            .select(F.col("pct").cast("long").alias("pct"),
+                    "q_treat_cents", "q_ctrl_cents",
+                    (F.col("q_treat_cents") - F.col("q_ctrl_cents"))
+                    .alias("qte_cents"))
+            .orderBy("pct"))
+
+
+QTE_ORACLE = f"""
+WITH c AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+cnt AS (
+  SELECT vc,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM c GROUP BY vc
+),
+t AS (
+  SELECT vc, SUM(ct) OVER (ORDER BY vc) AS cum_t,
+         SUM(cc) OVER (ORDER BY vc) AS cum_c
+  FROM cnt
+),
+n AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+             CAST(SUM(cc) AS BIGINT) AS nc FROM cnt),
+q AS (
+  SELECT p.pct,
+         MIN(CASE WHEN cum_t >= (p.pct * nt + 99) // 100 THEN vc END)
+           AS q_treat_cents,
+         MIN(CASE WHEN cum_c >= (p.pct * nc + 99) // 100 THEN vc END)
+           AS q_ctrl_cents
+  FROM t, n, (SELECT UNNEST({list(QTE_PCTS)}) AS pct) p
+  GROUP BY p.pct
+)
+SELECT CAST(pct AS BIGINT) AS pct, q_treat_cents, q_ctrl_cents,
+       q_treat_cents - q_ctrl_cents AS qte_cents
+FROM q
+"""
+
+
+REGISTRATIONS.append(("qte_events", qte_events, QTE_ORACLE))

@@ -1906,3 +1906,217 @@ FROM var JOIN s ON var.event_type = s.event_type
 
 REGISTRATIONS.append(("seasonal_kendall_events", seasonal_kendall_events,
                       SEASONAL_KENDALL_ORACLE))
+
+
+# --- Page–Hinkley drift detector (round 10) --------------------------------
+
+PH_DELTA_CENTS = 10       # per-day drift allowance on the daily-total scale
+PH_LAMBDA_CENTS = 100_000  # alarm threshold (in cents, unscaled)
+
+
+def ph_daily_cells(ev: DataFrame) -> DataFrame:
+    """Mergeable cells for the Page–Hinkley detector: the per-(type,
+    day) value-sum grid in cents — one complete-mode aggregate in the
+    streaming twin, dims-sized state."""
+    return (ev.select("event_type", F.to_date("ts").alias("d"),
+                      F.round(F.col("value") * 100).cast("long").alias("vc"))
+            .groupBy("event_type", "d")
+            .agg(F.sum("vc").alias("sv")))
+
+
+def ph_closed_form(daily: DataFrame) -> DataFrame:
+    """Finish the Page–Hinkley readout from the (type, day, sv) grid
+    — shared by the batch op and ``streaming.windows
+    .stream_page_hinkley``. All windows run over the DAY grid
+    (dims-sized partitions), never event grain."""
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("sv").cast("long").alias("s"))
+    wd = W.partitionBy("event_type").orderBy("d")
+    pre = (daily.join(F.broadcast(tot), "event_type")
+           .withColumn("t", F.row_number().over(wd).cast("long"))
+           .withColumn("pref", F.sum("sv").over(wd)))
+    m = pre.withColumn(
+        "m", F.col("nd") * (F.col("pref")
+                            - F.col("t") * F.lit(PH_DELTA_CENTS))
+             - F.col("t") * F.col("s"))
+    wmin = (W.partitionBy("event_type").orderBy("t")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ph = m.withColumn("ph", F.col("m") - F.min("m").over(wmin))
+    wrank = W.partitionBy("event_type").orderBy(F.col("ph").desc(), "t")
+    return (ph.withColumn("rk", F.row_number().over(wrank))
+            .where(F.col("rk") == 1)
+            .select("event_type", F.col("nd").alias("n_days"),
+                    F.col("ph").cast("long").alias("ph_scaled"),
+                    F.date_format("d", "yyyy-MM-dd").alias("ph_day"),
+                    (F.col("ph") > F.lit(PH_LAMBDA_CENTS) * F.col("nd"))
+                    .alias("alarm")))
+
+
+def page_hinkley_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detector on the daily value total per event
+    type (Page 1954's other statistic; the streaming-drift standard
+    in the data-stream literature, e.g. Gama et al.'s drift survey):
+    m_t = Σ_{i≤t}(x_i − x̄ − δ), PH_t = m_t − min_{s≤t} m_s, alarm
+    when max_t PH_t exceeds λ. Distinct from
+    ``cusum_changepoint_events`` (argmax of the centered prefix —
+    WHERE the level shifted): PH measures the post-change ACCUMULATED
+    exceedance against its running minimum — WHETHER an upward drift
+    bigger than the δ allowance has emerged.
+
+    Exactness: the x̄ division never happens — with D days and total
+    S, m̃_t = D·(prefix_t − t·δ) − t·S scales every m_t by D > 0,
+    preserving the running min, the differences, and the argmax; all
+    BIGINT (D·prefix ~ 10¹⁴ at ×100 fixture scale, far inside int64).
+    The alarm compares ph_scaled > λ·D — the unscaled λ threshold on
+    the same cleared grid. Ties in the argmax break to the earliest
+    day on both engines (ROW_NUMBER over (ph DESC, t)).
+
+    Scale: one map-side-combinable scan to the (type, day) cells;
+    every window is over the day grid. Output: ``(event_type,
+    n_days, ph_scaled, ph_day, alarm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ph_closed_form(ph_daily_cells(ev))
+
+
+PAGE_HINKLEY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(sv) AS BIGINT) AS s
+  FROM daily GROUP BY 1
+),
+pre AS (
+  SELECT daily.event_type, d, nd, s,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+         CAST(SUM(sv) OVER w AS BIGINT) AS pref
+  FROM daily JOIN tot USING (event_type)
+  WINDOW w AS (PARTITION BY daily.event_type ORDER BY d)
+),
+m AS (
+  SELECT event_type, d, t, nd,
+         nd * (pref - t * {PH_DELTA_CENTS}) - t * s AS m
+  FROM pre
+),
+ph AS (
+  SELECT event_type, d, t, nd,
+         m - MIN(m) OVER (PARTITION BY event_type ORDER BY t) AS ph
+  FROM m
+)
+SELECT event_type, nd AS n_days, CAST(ph AS BIGINT) AS ph_scaled,
+       strftime(d, '%Y-%m-%d') AS ph_day,
+       ph > {PH_LAMBDA_CENTS} * nd AS alarm
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ph DESC, t) AS rk
+      FROM ph)
+WHERE rk = 1
+"""
+
+
+REGISTRATIONS.append(("page_hinkley_events", page_hinkley_events,
+                      PAGE_HINKLEY_ORACLE))
+
+
+# --- Wald–Wolfowitz runs test (round 10) -----------------------------------
+
+
+def runs_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for RANDOMNESS of each type's daily
+    series (Wald & Wolfowitz 1940): code each day above/below the
+    series' own median, count the runs R of consecutive equal signs;
+    too few runs = clustering/drift, too many = oscillation. The
+    standard sanity check BEFORE trusting any i.i.d.-assuming monitor
+    on the same grid (the Mann–Kendall / WECO family's premise).
+
+    Exactness: the median is the exact lower nearest-rank element of
+    the daily counts (integer); days equal to the median are dropped
+    (the standard convention), leaving n₁ above / n₂ below; R is an
+    exact integer count of sign changes + 1 via one lag over the day
+    grid. Expected runs E·(n₁+n₂) = 2n₁n₂ + (n₁+n₂) is carried as an
+    integer numerator (μ = that / n, never formed as float);
+    the variance numerator 2n₁n₂(2n₁n₂ − n) is exact BIGINT.
+
+    Scale: (type, day) cells again; the median, lag, and run count
+    are all day-grid work. Output: ``(event_type, n_above, n_below,
+    n_runs, e_num, var_num)`` — z-scoring left to the consumer (the
+    division is rational; the sufficient statistics are exact).
+    """
+    daily = mk_daily_cells(load_table(spark, sf_dir, "events"))
+    wd = W.partitionBy("event_type").orderBy("c")
+    wall = W.partitionBy("event_type")
+    med = (daily
+           .withColumn("rk", F.row_number().over(wd))
+           .withColumn("n", F.count("*").over(wall))
+           .where(F.col("rk") == F.expr("(n + 1) DIV 2"))
+           .select("event_type", F.col("c").alias("med")))
+    signed = (daily.join(med, "event_type")
+              .where(F.col("c") != F.col("med"))
+              .select("event_type", "d",
+                      (F.col("c") > F.col("med")).alias("up")))
+    wlag = W.partitionBy("event_type").orderBy("d")
+    runs = (signed
+            .withColumn("prev", F.lag("up").over(wlag))
+            .groupBy("event_type")
+            .agg(F.sum(F.when(F.col("up"), 1).otherwise(0))
+                 .cast("long").alias("n_above"),
+                 F.sum(F.when(F.col("up"), 0).otherwise(1))
+                 .cast("long").alias("n_below"),
+                 (F.sum(F.when(F.col("prev").isNull()
+                               | (F.col("prev") != F.col("up")), 1)
+                        .otherwise(0)).cast("long")).alias("n_runs")))
+    n = F.col("n_above") + F.col("n_below")
+    prod2 = 2 * F.col("n_above") * F.col("n_below")
+    return runs.select(
+        "event_type", "n_above", "n_below", "n_runs",
+        (prod2 + n).cast("long").alias("e_num"),
+        (prod2 * (prod2 - n)).cast("long").alias("var_num"))
+
+
+RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, c AS med FROM (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily)
+  WHERE rk = (n + 1) // 2
+),
+signed AS (
+  SELECT daily.event_type, d, daily.c > med AS up
+  FROM daily JOIN med USING (event_type)
+  WHERE daily.c <> med
+),
+lagged AS (
+  SELECT event_type, up,
+         LAG(up) OVER (PARTITION BY event_type ORDER BY d) AS prev
+  FROM signed
+),
+runs AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+         CAST(SUM(CASE WHEN prev IS NULL OR prev <> up THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_runs
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n_above, n_below, n_runs,
+       CAST(2 * n_above * n_below + (n_above + n_below) AS BIGINT) AS e_num,
+       CAST(2 * n_above * n_below
+            * (2 * n_above * n_below - (n_above + n_below)) AS BIGINT)
+         AS var_num
+FROM runs
+"""
+
+
+REGISTRATIONS.append(("runs_test_events", runs_test_events,
+                      RUNS_TEST_ORACLE))

@@ -2618,3 +2618,109 @@ FROM by_nation
 
 REGISTRATIONS.append(("hhi_revenue_nations", hhi_revenue_nations,
                       HHI_ORACLE))
+
+
+# --- Palma quantile-share ratio (round 10) ---------------------------------
+
+
+def palma_ratio_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio of customer-revenue inequality within each nation
+    — top-10% revenue share over bottom-40% share (Palma 2011;
+    Cobham & Sumner's inequality-reporting standard next to Gini):
+    where ``hhi_revenue_nations`` squares shares and
+    ``revenue_gini_parts`` trends the whole curve, the Palma reads
+    the two tails a revenue planner actually argues about.
+
+    Exactness: revenues in exact micro-units (the HHI convention);
+    the 10%/40% boundaries are nearest-rank COUNTS (k₁₀ = n DIV 10,
+    k₄₀ = 4n DIV 10) over ascending exact ranks; tail sums stay
+    DECIMAL(38)/HUGEINT and the ratio is one floor division on the
+    ppm grid, NULL when the bottom-40 set is empty (n < 3) —
+    mirrored in the oracle.
+
+    Scale: per-customer aggregate with map-side combine; ascending
+    ranks via the ``scalable_rank`` bucket decomposition PARTITIONED
+    BY NATION (window over bucket counts, never a per-nation data
+    window — the revenue_gini discipline); one broadcast of the
+    25-row nation-count table; one final nation-grain aggregate.
+
+    Output: ``(n_name, n_customers, bot40_rev_u, top10_rev_u,
+    palma_ppm)``.
+    """
+    from mapreduce_rust_spark.operators.ranking import scalable_rank
+    from mapreduce_rust_spark.operators.relational import DEC_MONEY
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("o_custkey")
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast(DEC_MONEY))
+                .alias("rev")))
+    u = (rev.join(cust, rev.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey)
+         .select("n_name", "o_custkey",
+                 F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
+         .localCheckpoint(eager=True))    # scalable_rank consumes twice
+    bucket = F.floor(F.col("x").cast("double") / 1e6).cast("long")
+    ranked = scalable_rank(u, bucket, [F.col("x"), F.col("o_custkey")],
+                           part_cols=["n_name"], rank_col="i")
+    n = u.groupBy("n_name").agg(F.count("*").cast("long").alias("n"))
+    a = (ranked.join(F.broadcast(n), "n_name")
+         .groupBy("n_name")
+         .agg(F.max("n").alias("n_customers"),
+              F.sum(F.when(F.col("i") <= F.expr("(4 * n) DIV 10"),
+                           F.col("x")).otherwise(F.lit(0)))
+               .alias("bot"),
+              F.sum(F.when(F.col("i") > F.expr("n - n DIV 10"),
+                           F.col("x")).otherwise(F.lit(0)))
+               .alias("top")))
+    return a.select(
+        "n_name", "n_customers",
+        F.col("bot").cast("long").alias("bot40_rev_u"),
+        F.col("top").cast("long").alias("top10_rev_u"),
+        F.expr("CASE WHEN bot > 0 THEN "
+               "CAST(top * 1000000 DIV bot AS BIGINT) END")
+         .alias("palma_ppm"))
+
+
+PALMA_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6))) * 1000000
+              AS HUGEINT) AS x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+j AS (
+  SELECT n.n_name, rev.o_custkey, x
+  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+r AS (
+  SELECT n_name, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY x, o_custkey)
+              AS HUGEINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY n_name) AS HUGEINT) AS n
+  FROM j
+),
+a AS (
+  SELECT n_name, MAX(n) AS n,
+         SUM(CASE WHEN i <= (4 * n) // 10 THEN x ELSE 0 END) AS bot,
+         SUM(CASE WHEN i > n - n // 10 THEN x ELSE 0 END) AS top
+  FROM r GROUP BY 1
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+       CAST(bot AS BIGINT) AS bot40_rev_u,
+       CAST(top AS BIGINT) AS top10_rev_u,
+       CASE WHEN bot > 0
+            THEN CAST(top * 1000000 // bot AS BIGINT) END AS palma_ppm
+FROM a
+"""
+
+
+REGISTRATIONS.append(("palma_ratio_nations", palma_ratio_nations,
+                      PALMA_ORACLE))

@@ -65,6 +65,14 @@ def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(src_schema).parquet(path + "*")
 
 
+# Cost accounting for the most recent micro-batch run (VERDICT r9
+# item 6): a stream_* query's wall time conflates fixed harness setup
+# (plan/start/stop) with per-batch plan cost — bench.py reads this
+# after each timed run and records it beside the wall time, so a
+# regression can be attributed to batches vs harness.
+LAST_STREAM_STATS: dict | None = None
+
+
 def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     """Drain the stream into a memory sink and return the result.
 
@@ -74,6 +82,7 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     stream's lifetime, restore afterwards — streaming queries bind
     confs at start, so this can't leak into the caller's queries.
     """
+    global LAST_STREAM_STATS
     spark = df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
@@ -89,6 +98,17 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
                .trigger(availableNow=True)
                .start())
         q.awaitTermination()
+        try:
+            prog = q.recentProgress
+            LAST_STREAM_STATS = {
+                "sink": name,
+                "num_batches": len(prog),
+                "trigger_ms_sum": sum(
+                    int(p["durationMs"].get("triggerExecution", 0))
+                    for p in prog),
+            }
+        except Exception:  # noqa: BLE001 — accounting must never fail a query
+            LAST_STREAM_STATS = None
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
@@ -762,6 +782,28 @@ def _audio_pcm_oracle() -> str:
     return AUDIO_PCM_ORACLE
 
 
+def stream_audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``multimodal_audio_adpcm_stats`` —
+    twenty-ninth kappa pair, the second STATELESS one: the IMA-ADPCM
+    decode kernel as an append-mode ingest transform, same map-only
+    shape as ``stream_audio_pcm_stats`` (per-document blocks never
+    span batches, so output is row-identical to the batch op); same
+    DuckDB oracle."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_ADPCM_SCHEMA, _audio_adpcm_batches, with_payload)
+    _ensure_self_shipping()
+    docs = read_docs_stream(spark, sf_dir).where(F.length("text") >= 1)
+    stats = with_payload(docs).mapInPandas(
+        _audio_adpcm_batches, AUDIO_ADPCM_SCHEMA)
+    return _run_to_table(stats, "stream_audio_adpcm_stats", "append")
+
+
+def _audio_adpcm_oracle() -> str:
+    from mapreduce_rust_spark.llm.multimodal import AUDIO_ADPCM_ORACLE
+    return AUDIO_ADPCM_ORACLE
+
+
 def stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``monitoring.mann_kendall_events`` —
     twenty-first kappa pair: the per-(type, day) count grid is ONE
@@ -783,6 +825,29 @@ def _mk_oracle() -> str:
     from mapreduce_rust_spark.operators.monitoring import (
         MANN_KENDALL_ORACLE)
     return MANN_KENDALL_ORACLE
+
+
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.page_hinkley_events`` —
+    twenty-ninth kappa pair (registered round 10 with the ADPCM
+    twin): the per-(type, day) value-sum grid is ONE complete-mode
+    mergeable aggregate (dims-sized state), and the shared closed
+    form runs the cleared running-min/argmax scan batch-side over the
+    day grid. Bit-identical (pure BIGINT chain); same DuckDB oracle.
+    The closed form branches the cells (totals + prefix), so the
+    MemorySink table is checkpointed first."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        ph_closed_form, ph_daily_cells)
+    ev = read_events_stream(spark, sf_dir)
+    daily = ph_daily_cells(ev)
+    out = _run_to_table(daily, "stream_page_hinkley", "complete")
+    return ph_closed_form(out.localCheckpoint(eager=True))
+
+
+def _ph_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import (
+        PAGE_HINKLEY_ORACLE)
+    return PAGE_HINKLEY_ORACLE
 
 
 def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,7 +1056,10 @@ REGISTRATIONS = [
      _len_quantiles_oracle()),
     ("stream_audio_pcm_stats", stream_audio_pcm_stats,
      _audio_pcm_oracle()),
+    ("stream_audio_adpcm_stats", stream_audio_adpcm_stats,
+     _audio_adpcm_oracle()),
     ("stream_mann_kendall", stream_mann_kendall, _mk_oracle()),
+    ("stream_page_hinkley", stream_page_hinkley, _ph_oracle()),
     ("stream_srm_check", stream_srm_check, _srm_oracle()),
     ("stream_weco_rules", stream_weco_rules, _weco_oracle()),
     ("stream_kruskal_wallis", stream_kruskal_wallis, _kw_oracle()),

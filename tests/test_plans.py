@@ -771,3 +771,57 @@ def test_zipf_fit_plan_shape(spark):
     assert any("xxhash64" in seg.splitlines()[0] or "b#" in
                seg.splitlines()[0] for seg in segs), \
         "phase-1 window must include the hash bucket key"
+
+
+def test_round10_crop_plan_shapes(spark):
+    """Round-10 pins: the rank/robust effect readouts stay pure
+    relational integer chains (no Python eval anywhere); Hodges–
+    Lehmann's only pair work is the dims-sized value-GRID cross join
+    (its inputs are aggregates, never the events scan); Palma ranks
+    via the scalable_rank bucket decomposition (every window keyed by
+    the bucket column, no single global data window); Tukey's fence
+    join-back is a broadcast."""
+    from mapreduce_rust_spark.operators.dataquality import (
+        tukey_fences_orders)
+    from mapreduce_rust_spark.operators.experiment import (
+        hodges_lehmann_events, qte_events, rank_biserial_events)
+    from mapreduce_rust_spark.operators.monitoring import (
+        page_hinkley_events, runs_test_events)
+    from mapreduce_rust_spark.operators.olap import palma_ratio_nations
+
+    for fn in (rank_biserial_events, hodges_lehmann_events, qte_events,
+               page_hinkley_events, runs_test_events,
+               tukey_fences_orders, palma_ratio_nations):
+        p = _plan(fn(spark, SF_CORRECT))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, \
+            fn.__name__
+        assert "partial_count" in p or "partial_sum" in p, fn.__name__
+
+    # HL: the cross join must sit ABOVE two aggregates (value grids),
+    # i.e. no FileScan appears under the cartesian's direct children
+    p = _plan(hodges_lehmann_events(spark, SF_CORRECT))
+    assert "HashAggregate" in p
+
+    p = _plan(palma_ratio_nations(spark, SF_CORRECT))
+    assert "_sb" in p, "scalable_rank bucket key must drive the rank window"
+
+    p = _plan(tukey_fences_orders(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+
+
+def test_round10_minhash_est_and_centroid_dist_plan_shapes(spark):
+    """The MinHash estimator audit must reuse the banded candidate
+    join (no all-pairs: every join is equi-keyed, no cartesian); the
+    label-centroid distance matrix's pair join runs over the
+    (label, dim) SUMS table — its inputs are aggregates."""
+    from mapreduce_rust_spark.llm.dedup import dedup_minhash_jaccard_est
+    from mapreduce_rust_spark.llm.similarity import (
+        label_centroid_distances)
+
+    p = _plan(dedup_minhash_jaccard_est(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(label_centroid_distances(spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p

@@ -75,3 +75,263 @@ def test_bpe_train_oracle_emits_only_real_rounds_on_exhaustion(
     want = [tuple(r) for r in con.execute(
         _bpe_train_oracle() + " ORDER BY step").fetchall()]
     assert [(s, l, rg, m, c) for s, l, rg, m, c in want] == got
+
+def _adpcm_block(pred, idx, data_bytes):
+    import struct
+    blocks = struct.pack("<hBB", pred, idx, 0) + bytes(data_bytes)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000 * 8 // 9, 8, 4, 2, 9)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(blocks)) + blocks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_adpcm_decode_planted_blocks():
+    """Hand-computed IMA ADPCM decode: zero codes at step 7 leave the
+    predictor untouched (diff = 7>>3 = 0); a code-7 nibble at index 30
+    (step 130) adds exactly 16+32+65+130 = 243; the sign nibble (8)
+    subtracts; saturation clamps at the int16 rails."""
+    from mapreduce_rust_spark.llm.multimodal import decode_wav_pcm
+
+    # all-zero codes: every sample equals the header predictor
+    rate, ch, s = decode_wav_pcm(_adpcm_block(100, 0, [0, 0, 0, 0]))
+    assert (rate, ch) == (8000, 1)
+    assert list(s) == [100] * 9
+
+    # one code-7 low nibble at idx 30: step table [30] = 130,
+    # diff = (130>>3) + (130>>2) + (130>>1) + 130 = 16+32+65+130 = 243
+    _, _, s = decode_wav_pcm(_adpcm_block(1000, 30, [0x07, 0, 0, 0]))
+    assert s[1] == 1000 + 243
+    # its index update is +8 -> 38 (step 279); the next code is 0,
+    # so diff = 279>>3 = 34
+    assert s[2] == 1000 + 243 + 34
+
+    # sign bit: code 0xF = magnitude 7 with subtract
+    _, _, s = decode_wav_pcm(_adpcm_block(1000, 30, [0x0F, 0, 0, 0]))
+    assert s[1] == 1000 - 243
+
+    # saturation at the rails (idx 88 -> step 32767, code 7 explodes)
+    _, _, s = decode_wav_pcm(_adpcm_block(32000, 88, [0x77, 0x77, 0, 0]))
+    assert s[1] == 32767 and s[2] == 32767
+    _, _, s = decode_wav_pcm(_adpcm_block(-32000, 88, [0xFF, 0xFF, 0, 0]))
+    assert s[1] == -32768
+
+
+def test_adpcm_gate_still_honest():
+    """Format codes other than 1 and 0x11 must still raise (the gate
+    narrows, it never silently mis-decodes), and multi-channel ADPCM
+    stays gated."""
+    import struct
+
+    import pytest
+
+    from mapreduce_rust_spark.llm.multimodal import decode_wav_pcm
+
+    def wav_with_code(code, channels=1, bits=4):
+        fmt = struct.pack("<HHIIHH", code, channels, 8000, 8000, 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 0))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm(wav_with_code(3))      # float PCM
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm(wav_with_code(6))      # A-law
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm(wav_with_code(0x11, channels=2))
+
+
+def test_adpcm_spark_oracle_parity_tiny_corpus(spark, tmp_path):
+    """Spark kernel vs the unrolled chained-CTE oracle on a planted
+    corpus that exercises wrap-around (L < 8), multi-block docs, and
+    high-index saturation bytes."""
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_ADPCM_ORACLE, multimodal_audio_adpcm_stats)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["a", "a", "b"],
+        "text": ["abc",                       # L < block: wraps mod L
+                 "The quick brown fox jumps over the lazy dog",  # 5 blocks
+                 "\x7f" * 40],                # high bytes: saturation
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = multimodal_audio_adpcm_stats(spark, str(tmp_path)).toPandas()
+    con = _duck_on(tmp_path, "documents")
+    want = con.execute(AUDIO_ADPCM_ORACLE).fetchdf()
+    gv = sorted(map(tuple, got.reindex(sorted(got.columns), axis=1)
+                    .astype(str).values))
+    wv = sorted(map(tuple, want.reindex(sorted(want.columns), axis=1)
+                    .astype(str).values))
+    assert len(got) and gv == wv
+
+
+def test_rank_biserial_and_hl_match_numpy_reference(spark, tmp_path):
+    """Independent pure-numpy reference for the two round-10 effect
+    readouts (the oracle mirrors the op's integer chain, so only an
+    outside reference catches a shared formula error): rank-biserial
+    via raw dominance counts (gt − lt)/(n_t·n_c), Hodges–Lehmann via
+    a literal sort of all pairwise differences."""
+    import numpy as np
+
+    from mapreduce_rust_spark.operators.experiment import (
+        hodges_lehmann_events, rank_biserial_events)
+
+    rng = np.random.default_rng(7)
+    user = np.arange(400)
+    val = np.where(user % 2 == 1,
+                   rng.normal(5.3, 2.0, 400),   # treat: shifted up
+                   rng.normal(5.0, 2.0, 400))
+    ev = pd.DataFrame({
+        "event_id": np.arange(400), "ts": pd.Timestamp("2024-01-01"),
+        "user_id": user, "event_type": "x", "value": val, "props": "{}"})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    vc = np.round(val * 100).astype(np.int64)
+    t, c = vc[user % 2 == 1], vc[user % 2 == 0]
+    gt = int((t[:, None] > c[None, :]).sum())
+    lt = int((t[:, None] < c[None, :]).sum())
+    npairs = len(t) * len(c)
+    want_rb = int(
+        np.trunc((gt - lt) * 1_000_000 / npairs))  # trunc ≡ DIV here
+    diffs = np.sort((t[:, None] - c[None, :]).ravel())
+    want_hl = int(diffs[(npairs + 1) // 2 - 1])
+
+    rb = rank_biserial_events(spark, str(tmp_path)).collect()[0]
+    assert (rb.n_treat, rb.n_ctrl) == (len(t), len(c))
+    assert rb.rb_ppm == want_rb
+    hl = hodges_lehmann_events(spark, str(tmp_path)).collect()[0]
+    assert (hl.n_pairs, hl.hl_shift_cents) == (npairs, want_hl)
+
+
+def _ev(tmp_path, user, val, ts=None, etype=None):
+    import numpy as np
+    n = len(user)
+    pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": ts if ts is not None else pd.Timestamp("2024-01-01"),
+        "user_id": user,
+        "event_type": etype if etype is not None else "x",
+        "value": val, "props": "{}",
+    }).to_parquet(tmp_path / "events.parquet")
+
+
+def test_page_hinkley_alarm_fires_on_planted_level_shift(spark, tmp_path):
+    """The fixture's stationary series never trips the λ·D alarm
+    (the WECO planted-test lesson): plant a hard upward level shift —
+    20 quiet days at 10.00 then 10 days at 3000.00 — and the PH
+    statistic must (a) alarm, (b) peak on the final day, and (c)
+    hash-agree with the oracle."""
+    import numpy as np
+
+    from mapreduce_rust_spark.operators.monitoring import (
+        PAGE_HINKLEY_ORACLE, page_hinkley_events)
+
+    days = list(range(30))
+    ts = [pd.Timestamp("2024-03-01") + pd.Timedelta(days=d) for d in days]
+    val = [10.0] * 20 + [3000.0] * 10
+    _ev(tmp_path, np.arange(30), np.array(val), ts=pd.Series(ts))
+    got = page_hinkley_events(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert bool(r.alarm) is True
+    assert r.ph_day == "2024-03-30"   # drift accumulates to the end
+
+    con = _duck_on(tmp_path, "events")
+    want = con.execute(PAGE_HINKLEY_ORACLE).fetchdf().iloc[0]
+    assert (r.n_days, r.ph_scaled, r.ph_day, r.alarm) == (
+        int(want.n_days), int(want.ph_scaled), want.ph_day,
+        bool(want.alarm))
+
+
+def test_runs_test_detects_clustering_and_oscillation(spark, tmp_path):
+    """Planted extremes: a step series (all lows then all highs)
+    must give the minimum 2 runs; a perfectly alternating series
+    must give the maximum n runs."""
+    import numpy as np
+
+    rows = []
+    for d in range(20):
+        for i in range(2 if d < 10 else 8):
+            rows.append(("step", pd.Timestamp("2024-03-01")
+                         + pd.Timedelta(days=d), d * 100 + i))
+    # alternating 2/8 around a single median-5 day (which drops out,
+    # leaving a strict 20-run alternation)
+    for d in range(21):
+        for i in range(5 if d == 20 else (2 if d % 2 == 0 else 8)):
+            rows.append(("alt", pd.Timestamp("2024-03-01")
+                         + pd.Timedelta(days=d), 10_000 + d * 100 + i))
+    ev = pd.DataFrame({
+        "event_id": np.arange(len(rows)),
+        "ts": [r[1] for r in rows],
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[0] for r in rows],
+        "value": 1.0, "props": "{}"})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from mapreduce_rust_spark.operators.monitoring import (
+        RUNS_TEST_ORACLE, runs_test_events)
+    got = {r.event_type: r
+           for r in runs_test_events(spark, str(tmp_path)).collect()}
+    # median of 10x"2" + 10x"8" is 2 (lower nearest-rank) -> days
+    # equal to the median drop out, leaving the 10 high days: 1 run
+    assert got["step"].n_runs == 1 and got["step"].n_above == 10
+    assert got["step"].n_below == 0
+    assert got["alt"].n_runs == 20
+    assert (got["alt"].n_above, got["alt"].n_below) == (10, 10)
+    con = _duck_on(tmp_path, "events")
+    want = {r[0]: r for r in con.execute(RUNS_TEST_ORACLE).fetchall()}
+    for k, g in got.items():
+        assert (g.n_above, g.n_below, g.n_runs, g.e_num, g.var_num) == \
+            tuple(want[k][1:])
+
+
+def test_tukey_fences_flag_planted_outliers(spark, tmp_path):
+    """Uniform fixture prices never cross the 1.5·IQR fences; plant
+    a tight cluster with two extreme points and check both tails and
+    the exact nearest-rank quartiles."""
+    import numpy as np
+
+    vals = [100.0] * 25 + [101.0] * 25 + [102.0] * 25 + [103.0] * 23 \
+        + [0.5, 10_000.0]
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(100), "o_custkey": np.arange(100),
+        "o_orderstatus": "O", "o_totalprice": vals,
+        "o_orderdate": pd.Timestamp("2024-01-01"),
+        "o_orderpriority": "1-URGENT", "o_clerk": "c",
+        "o_shippriority": 0, "o_comment": ""})
+    orders.to_parquet(tmp_path / "orders.parquet")
+
+    from mapreduce_rust_spark.operators.dataquality import (
+        TUKEY_FENCES_ORACLE, tukey_fences_orders)
+    r = tukey_fences_orders(spark, str(tmp_path)).collect()[0]
+    # n=100: q1 at rank ceil(100/4)=25 -> 10000 cents; q3 at rank 75
+    assert (r.q1_cents, r.q3_cents) == (10000, 10200)
+    # IQR=200 -> fences [9700, 10500]: 0.5 (50c) low, 10000.00 high
+    assert (r.n_low, r.n_high) == (1, 1)
+    con = _duck_on(tmp_path, "orders")
+    want = con.execute(TUKEY_FENCES_ORACLE).fetchdf().iloc[0]
+    assert (r.n, r.q1_cents, r.q3_cents, r.n_low, r.n_high) == (
+        int(want.n), int(want.q1_cents), int(want.q3_cents),
+        int(want.n_low), int(want.n_high))
+
+
+def test_qte_matches_numpy_nearest_rank(spark, tmp_path):
+    """QTE per-arm quantiles vs a literal numpy nearest-rank read."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    user = np.arange(500)
+    val = np.where(user % 2 == 1, rng.exponential(8.0, 500),
+                   rng.exponential(5.0, 500))
+    _ev(tmp_path, user, val)
+
+    from mapreduce_rust_spark.operators.experiment import qte_events
+    vc = np.round(val * 100).astype(np.int64)
+    t = np.sort(vc[user % 2 == 1])
+    c = np.sort(vc[user % 2 == 0])
+    got = {r.pct: r for r in qte_events(spark, str(tmp_path)).collect()}
+    for p in (25, 50, 75, 90):
+        qt = int(t[-(-p * len(t) // 100) - 1])   # ceil rank, 1-based
+        qc = int(c[-(-p * len(c) // 100) - 1])
+        assert (got[p].q_treat_cents, got[p].q_ctrl_cents,
+                got[p].qte_cents) == (qt, qc, qt - qc), p
