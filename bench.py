@@ -497,7 +497,7 @@ def main() -> None:
     compact = {k: v for k, v in payload.items()
                if k not in ("queries", "stream_detail")}
     compact["n_queries"] = len(timings)
-    compact["full_record"] = "BENCH_LOCAL.json"
+    compact["full_record"] = record
     # slowest-10 inside the parsed line so the driver artifact alone
     # supports regression triage (still well under a 2000-char tail)
     compact["slowest10"] = dict(sorted(timings.items(),
