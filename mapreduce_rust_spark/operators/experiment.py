@@ -1482,6 +1482,9 @@ REGISTRATIONS.append(("rank_biserial_events", rank_biserial_events,
 # --- Hodges–Lehmann location shift (round 10) -----------------------------
 
 
+HL_COARSE = 10   # difference grid: dimes (10-cent buckets)
+
+
 def hodges_lehmann_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hodges–Lehmann estimator of the treatment−control location
     shift: the MEDIAN of all n_t·n_c pairwise differences
@@ -1490,25 +1493,32 @@ def hodges_lehmann_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect size (Hodges & Lehmann 1963; the standard robust
     alternative to the difference in means).
 
-    Exactness: differences live on the cents grid, so the pairwise-
-    difference DISTRIBUTION is exact integers: for every pair of
-    distinct values (vt, vc) the difference vt−vc occurs ct·cc times.
-    The median is the nearest-rank element at position ⌈N/2⌉ (lower
-    median, N = n_t·n_c) of that weighted distribution — an exact
-    integer cumsum readout, no float anywhere.
+    Exactness: values quantize to the ``HL_COARSE``-cent (dime) grid
+    with truncating DIV (both engines), so the pairwise-difference
+    DISTRIBUTION is exact integers: for every pair of distinct
+    quantized values the difference occurs ct·cc times, and the
+    readout is the exact lower nearest-rank median (rank ⌈N/2⌉,
+    N = n_t·n_c) of that weighted distribution via one cumsum —
+    i.e. the TRUE HL estimate of the dime-quantized metric, with
+    quantization bias ≤ HL_COARSE cents by construction (negligible
+    on a dollars-scale metric and mirrored exactly in the oracle).
 
-    Scale shape: the corpus collapses to per-arm value-count tables
-    (bounded cents grids, the KS/TV discipline); the cross join is
-    |V_t|·|V_c| CELL pairs — dims², never corpus² (same bound the KS
-    statistic's grid join carries); one ordered cumsum over the
-    difference grid and a 1-row readout.
+    Scale shape — why the coarse grid is load-bearing: the raw cents
+    grid saturates at range·100 distinct values per arm (measured
+    14k×14k ≈ 2·10⁸ cell pairs at sf0.1, ~3·10⁹ at saturation); the
+    dime grid caps the cell cross join at (range·10)² ≈ 3·10⁷ pairs
+    — constant in corpus size (range-bounded, the KS/TV discipline),
+    so the op's cost is one corpus scan + fixed dims² work forever.
 
-    Output: ``(n_pairs, hl_shift_cents)``.
+    Output: ``(n_pairs, hl_shift_cents)`` — the median difference in
+    cents, a multiple of HL_COARSE.
     """
-    cnt = mw_value_counts(_cells(spark, sf_dir))
-    t = cnt.where(F.col("ct") > 0).select(F.col("vc").alias("vt"),
+    cnt = (mw_value_counts(_cells(spark, sf_dir))
+           .groupBy(F.expr(f"vc DIV {HL_COARSE}").alias("vq"))
+           .agg(F.sum("ct").alias("ct"), F.sum("cc").alias("cc")))
+    t = cnt.where(F.col("ct") > 0).select(F.col("vq").alias("vt"),
                                           F.col("ct").alias("wt"))
-    c = cnt.where(F.col("cc") > 0).select(F.col("vc").alias("vcc"),
+    c = cnt.where(F.col("cc") > 0).select(F.col("vq").alias("vcc"),
                                           F.col("cc").alias("wc"))
     diffs = (t.crossJoin(c)
              .groupBy((F.col("vt") - F.col("vcc")).alias("d"))
@@ -1520,23 +1530,24 @@ def hodges_lehmann_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cum.crossJoin(F.broadcast(n))
             .where(F.col("cw") >= F.col("pos"))
             .agg(F.max("n").cast("long").alias("n_pairs"),
-                 F.min("d").cast("long").alias("hl_shift_cents")))
+                 (F.min("d") * HL_COARSE).cast("long")
+                 .alias("hl_shift_cents")))
 
 
-HODGES_LEHMANN_ORACLE = """
+HODGES_LEHMANN_ORACLE = f"""
 WITH c AS (
   SELECT (user_id % 2 = 1) AS treat,
          CAST(round(value * 100) AS BIGINT) AS vc
   FROM events
 ),
 cnt AS (
-  SELECT vc,
+  SELECT CAST(vc // {HL_COARSE} AS BIGINT) AS vq,
          CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS ct,
          CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS cc
-  FROM c GROUP BY vc
+  FROM c GROUP BY 1
 ),
 diffs AS (
-  SELECT t.vc - c2.vc AS d, CAST(SUM(t.ct * c2.cc) AS BIGINT) AS w
+  SELECT t.vq - c2.vq AS d, CAST(SUM(t.ct * c2.cc) AS BIGINT) AS w
   FROM cnt t JOIN cnt c2 ON t.ct > 0 AND c2.cc > 0
   GROUP BY 1
 ),
@@ -1548,7 +1559,8 @@ tot AS (
          CAST((SUM(w) + 1) // 2 AS BIGINT) AS pos
   FROM diffs
 )
-SELECT MAX(n) AS n_pairs, CAST(MIN(d) AS BIGINT) AS hl_shift_cents
+SELECT MAX(n) AS n_pairs,
+       CAST(MIN(d) * {HL_COARSE} AS BIGINT) AS hl_shift_cents
 FROM cum, tot WHERE cw >= pos
 """
 

@@ -193,8 +193,10 @@ def test_rank_biserial_and_hl_match_numpy_reference(spark, tmp_path):
     npairs = len(t) * len(c)
     want_rb = int(
         np.trunc((gt - lt) * 1_000_000 / npairs))  # trunc ≡ DIV here
-    diffs = np.sort((t[:, None] - c[None, :]).ravel())
-    want_hl = int(diffs[(npairs + 1) // 2 - 1])
+    # HL quantizes to the dime grid (truncating DIV; values positive
+    # here so // matches) and reports the median difference in cents
+    diffs = np.sort((t[:, None] // 10 - c[None, :] // 10).ravel())
+    want_hl = int(diffs[(npairs + 1) // 2 - 1]) * 10
 
     rb = rank_biserial_events(spark, str(tmp_path)).collect()[0]
     assert (rb.n_treat, rb.n_ctrl) == (len(t), len(c))
