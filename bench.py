@@ -379,6 +379,9 @@ HEADLINE = [
     "palma_ratio_nations",
     "qte_events",
     "label_centroid_distances",
+    "lang_id_kappa_docs",
+    "capture_recapture_sources",
+    "kish_ess_sources",
 ]
 
 

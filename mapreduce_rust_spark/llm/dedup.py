@@ -1222,3 +1222,79 @@ JOIN sizes sb ON a.doc_b = sb.doc_id
 
 REGISTRATIONS.append(("dedup_minhash_jaccard_est",
                       dedup_minhash_jaccard_est, MINHASH_EST_ORACLE))
+
+
+# --- capture–recapture corpus-overlap estimate (round 10) -------------------
+
+
+def capture_recapture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture–recapture estimate of the shared-content
+    universe for every source pair: treating two sources' distinct
+    content digests as two "captures" from a common underlying
+    population (the classic Lincoln–Petersen setup; Chapman 1951's
+    bias-corrected form), N̂ = (n₁+1)(n₂+1)/(m+1) − 1 where m is the
+    digest overlap. The crawl-planning readout: how much total
+    content do two feeds jointly cover, and how much of a new feed
+    is ALREADY captured — before paying to ingest it.
+
+    Exactness: n₁, n₂, m are exact distinct-digest counts; the
+    estimator is one truncating integer division (reported floor
+    form; the +1s make m = 0 well-defined). Pure BIGINT.
+
+    Scale: one digest aggregate (map-side combinable) to the
+    (digest, source) distinct table; per-source counts and the pair
+    overlap are dims-level aggregates over it; the pair table is
+    sources² rows. Content bytes never shuffle — digests do.
+
+    Output: ``(source_a, source_b, n_a, n_b, overlap, chapman_est)``,
+    source_a < source_b.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ds = (docs.select("source", F.sha2("text", 256).alias("h"))
+          .distinct()
+          .localCheckpoint(eager=True))   # feeds counts AND the pair join
+    n = ds.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = ds.select(F.col("source").alias("source_a"), "h")
+    b = ds.select(F.col("source").alias("source_b"), "h")
+    m = (a.join(b, "h")
+         .where(F.col("source_a") < F.col("source_b"))
+         .groupBy("source_a", "source_b")
+         .agg(F.count("*").cast("long").alias("overlap")))
+    pairs = (n.select(F.col("source").alias("source_a"),
+                      F.col("n").alias("n_a"))
+             .crossJoin(n.select(F.col("source").alias("source_b"),
+                                 F.col("n").alias("n_b")))
+             .where(F.col("source_a") < F.col("source_b")))
+    return (pairs.join(m, ["source_a", "source_b"], "left")
+            .withColumn("overlap", F.coalesce("overlap", F.lit(0)))
+            .withColumn("chapman_est",
+                        F.expr("(n_a + 1) * (n_b + 1) DIV (overlap + 1) - 1")
+                        .cast("long"))
+            .select("source_a", "source_b", "n_a", "n_b", "overlap",
+                    "chapman_est"))
+
+
+CAPTURE_RECAPTURE_ORACLE = """
+WITH ds AS (
+  SELECT DISTINCT source, sha256(text) AS h FROM documents
+),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY 1),
+m AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT na.source AS source_a, nb.source AS source_b,
+       na.n AS n_a, nb.n AS n_b,
+       COALESCE(m.overlap, 0) AS overlap,
+       CAST((na.n + 1) * (nb.n + 1) // (COALESCE(m.overlap, 0) + 1) - 1
+            AS BIGINT) AS chapman_est
+FROM n na JOIN n nb ON na.source < nb.source
+LEFT JOIN m ON m.source_a = na.source AND m.source_b = nb.source
+"""
+
+
+REGISTRATIONS.append(("capture_recapture_sources",
+                      capture_recapture_sources,
+                      CAPTURE_RECAPTURE_ORACLE))

@@ -1335,3 +1335,71 @@ WHERE pick_rank <= {STRAT_K}
 
 REGISTRATIONS.append(("stratum_exemplar_docs", stratum_exemplar_docs,
                       STRATUM_EXEMPLAR_ORACLE))
+
+
+# --- Kish effective sample size per source (round 10) -----------------------
+
+
+def kish_ess_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of each source under LENGTH
+    weighting (Kish 1965): sampling documents proportional to token
+    count — the natural token-budget mixture weight — a source
+    contributes ESS = (Σw)²/Σw² "effective" documents, not n. A
+    source whose mass sits in a few giant documents has ESS ≪ n; the
+    mixture planner reading ``domain_mix_sample`` quotas needs THIS
+    number, not the raw document count, to judge diversity.
+
+    Exactness: w = exact whitespace token count (the
+    quality-classifier tokenization); (Σw)² and Σw² stay in
+    DECIMAL(38)/HUGEINT ((Σw)² passes int64 at ~3·10⁹ total tokens
+    per source); readouts are truncating divisions — ess_x1000
+    (ESS in milli-docs) and ess_ratio_ppm = ESS/n on the ppm grid.
+    Zero-token documents carry weight 0 and drop from both n and the
+    sums (mirrored in the oracle).
+
+    Scale: one zero-shuffle in-row token count, one per-source
+    aggregate. Output: ``(source, n_docs, sum_w, ess_x1000,
+    ess_ratio_ppm)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(F.filter(F.split("text", r"\s+"),
+                        lambda t: t != F.lit("")))
+    d = (docs.select("source", w.cast("long").alias("w"))
+         .where(F.col("w") > 0))
+    a = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("decimal(38,0)").alias("sw"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("sw2"))
+    return a.select(
+        "source", "n_docs",
+        F.col("sw").cast("long").alias("sum_w"),
+        F.expr("CAST(sw * sw * 1000 DIV sw2 AS BIGINT)")
+         .alias("ess_x1000"),
+        F.expr("CAST(sw * sw * 1000000 DIV (sw2 * n_docs) AS BIGINT)")
+         .alias("ess_ratio_ppm"))
+
+
+KISH_ESS_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS w
+  FROM documents
+),
+a AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n_docs,
+         CAST(SUM(w) AS HUGEINT) AS sw,
+         CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sw2
+  FROM d WHERE w > 0 GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sw AS BIGINT) AS sum_w,
+       CAST(sw * sw * 1000 // sw2 AS BIGINT) AS ess_x1000,
+       CAST(sw * sw * 1000000 // (sw2 * n_docs) AS BIGINT)
+         AS ess_ratio_ppm
+FROM a
+"""
+
+
+REGISTRATIONS.append(("kish_ess_sources", kish_ess_sources,
+                      KISH_ESS_ORACLE))

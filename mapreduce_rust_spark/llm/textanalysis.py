@@ -1971,3 +1971,84 @@ FROM cells GROUP BY source
 
 REGISTRATIONS.append(("zipf_fit_sources", zipf_fit_sources,
                       ZIPF_FIT_ORACLE))
+
+
+# --- lang-id agreement audit: Cohen's kappa (round 10) ----------------------
+
+
+def lang_id_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-vote language classifier
+    (``lang_id_docs``) and the corpus's labeled ``lang`` column — the
+    chance-corrected agreement readout (Cohen 1960) a curation
+    pipeline publishes when it swaps in a new classifier: raw
+    accuracy flatters any classifier on a skewed language mix; kappa
+    subtracts the agreement the marginals alone would produce.
+
+    Exactness: the confusion matrix is integer counts; with
+    n = Σ cells, a = Σ diagonal, and pe_num = Σ_k row_k·col_k,
+    kappa = (n·a − pe_num)/(n² − pe_num) — reported as signed ppm by
+    truncating division, all in DECIMAL(38)/HUGEINT (n² passes int64
+    at ~3·10⁹ docs). NULL when n² = pe_num (both sides constant —
+    kappa undefined). po_ppm = a·10⁶ DIV n rides along.
+
+    Scale: nests the lang-id scan; the confusion matrix is
+    |langs|² ≤ 25 cells, marginal joins are dims-sized. One corpus
+    scan, one doc-grain join.
+
+    Output: ``(n_docs, n_agree, po_ppm, kappa_ppm)``.
+    """
+    pred = lang_id_docs(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (docs.join(pred, "doc_id")
+             .groupBy("lang", "pred_lang")
+             .agg(F.count("*").cast("long").alias("c")))
+    r = cells.groupBy("lang").agg(F.sum("c").alias("rk"))
+    col = cells.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("c").alias("ck"))
+    pe = (r.join(col, "lang")
+          .agg(F.sum(F.expr("CAST(rk AS DECIMAL(38,0)) * ck"))
+               .alias("pe_num")))
+    a = cells.agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("c"))
+              .otherwise(F.lit(0))).cast("decimal(38,0)").alias("agree"))
+    return (a.crossJoin(pe)
+            .select(F.col("n").cast("long").alias("n_docs"),
+                    F.col("agree").cast("long").alias("n_agree"),
+                    F.expr("CAST(agree * 1000000 DIV n AS BIGINT)")
+                     .alias("po_ppm"),
+                    F.expr("CAST(CASE WHEN n * n <> pe_num THEN "
+                           "(n * agree - pe_num) * 1000000 "
+                           "DIV (n * n - pe_num) END AS BIGINT)")
+                     .alias("kappa_ppm")))
+
+
+LANG_ID_KAPPA_ORACLE = f"""
+WITH pred AS ({LANG_ID_ORACLE}),
+cells AS (
+  SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2
+),
+r AS (SELECT lang, SUM(c) AS rk FROM cells GROUP BY 1),
+col AS (SELECT pred_lang AS lang, SUM(c) AS ck FROM cells GROUP BY 1),
+pe AS (SELECT CAST(SUM(rk * ck) AS HUGEINT) AS pe_num
+       FROM r JOIN col USING (lang)),
+a AS (
+  SELECT CAST(SUM(c) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN lang = pred_lang THEN c ELSE 0 END)
+              AS HUGEINT) AS agree
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(agree AS BIGINT) AS n_agree,
+       CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+       CAST(CASE WHEN n * n <> pe_num THEN
+            (n * agree - pe_num) * 1000000 // (n * n - pe_num)
+       END AS BIGINT) AS kappa_ppm
+FROM a, pe
+"""
+
+
+REGISTRATIONS.append(("lang_id_kappa_docs", lang_id_kappa_docs,
+                      LANG_ID_KAPPA_ORACLE))

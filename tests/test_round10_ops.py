@@ -337,3 +337,61 @@ def test_qte_matches_numpy_nearest_rank(spark, tmp_path):
         qc = int(c[-(-p * len(c) // 100) - 1])
         assert (got[p].q_treat_cents, got[p].q_ctrl_cents,
                 got[p].qte_cents) == (qt, qc, qt - qc), p
+
+
+def test_lang_id_kappa_perfect_and_degenerate(spark, tmp_path):
+    """Planted extremes for Cohen's kappa: a corpus whose labels
+    exactly match the classifier's votes reads kappa = 10^6; a corpus
+    where BOTH sides are constant (n^2 = pe) reads NULL."""
+    # 'the and' votes en; 'der und' votes de (stopword lists)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a"] * 4,
+        "lang": ["en", "en", "de", "de"],
+        "text": ["the and of", "the the is", "der und die", "und der das"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from mapreduce_rust_spark.llm.textanalysis import lang_id_kappa_docs
+    r = lang_id_kappa_docs(spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.n_agree, r.po_ppm, r.kappa_ppm) == \
+        (4, 4, 1_000_000, 1_000_000)
+
+    docs2 = docs.assign(lang="en",
+                        text=["the and", "the is", "the of", "the a"])
+    docs2.to_parquet(tmp_path / "documents.parquet")
+    r = lang_id_kappa_docs(spark, str(tmp_path)).collect()[0]
+    assert r.po_ppm == 1_000_000 and r.kappa_ppm is None
+
+
+def test_capture_recapture_chapman_hand_computed(spark, tmp_path):
+    """Planted two-source overlap: n1=4, n2=3 distinct texts with
+    m=2 shared -> Chapman = 5*4//3 - 1 = 5 (true universe 5)."""
+    texts_a = ["alpha", "beta", "gamma", "delta"]
+    texts_b = ["alpha", "beta", "epsilon"]
+    docs = pd.DataFrame({
+        "doc_id": range(len(texts_a) + len(texts_b)),
+        "source": ["A"] * 4 + ["B"] * 3,
+        "text": texts_a + texts_b,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from mapreduce_rust_spark.llm.dedup import capture_recapture_sources
+    r = capture_recapture_sources(spark, str(tmp_path)).collect()[0]
+    assert (r.source_a, r.source_b, r.n_a, r.n_b, r.overlap,
+            r.chapman_est) == ("A", "B", 4, 3, 2, 5)
+
+
+def test_kish_ess_giant_doc_collapses(spark, tmp_path):
+    """A source with one giant doc among tiny ones has ESS near 1;
+    a uniform source has ESS = n (exactly, in milli-docs)."""
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["whale"] * 3 + ["flat"] * 3,
+        "text": ["w " * 10000, "a b", "c d",
+                 "a b c d", "e f g h", "i j k l"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from mapreduce_rust_spark.llm.quality import kish_ess_sources
+    got = {r.source: r for r in kish_ess_sources(spark, str(tmp_path)).collect()}
+    assert got["flat"].ess_x1000 == 3000         # uniform: ESS = n
+    assert got["flat"].ess_ratio_ppm == 1_000_000
+    assert got["whale"].ess_x1000 < 1100          # ~1 effective doc
