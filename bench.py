@@ -382,6 +382,10 @@ HEADLINE = [
     "lang_id_kappa_docs",
     "capture_recapture_sources",
     "kish_ess_sources",
+    "stream_rank_biserial",
+    "stream_qte",
+    "stream_runs_test",
+    "stream_tukey_fences",
 ]
 
 

@@ -697,12 +697,20 @@ def tukey_fences_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(o_orderpriority, n, q1_cents, q3_cents, n_low,
     n_high)``.
     """
-    from pyspark.sql import Window as W
     o = _t(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"))
     cells = o.groupBy("o_orderpriority", "vc").agg(
-        F.count("*").alias("c"))
+        F.count("*").cast("long").alias("c"))
+    return tukey_closed_form(cells)
+
+
+def tukey_closed_form(cells: DataFrame) -> DataFrame:
+    """Fence + tail-count readout from the (priority, vc, c) cells —
+    shared by the batch op and ``streaming.windows
+    .stream_tukey_fences``. Everything here is dims-grid work (the
+    cells are bounded by the cents range)."""
+    from pyspark.sql import Window as W
     wc = (W.partitionBy("o_orderpriority").orderBy("vc")
            .rowsBetween(W.unboundedPreceding, W.currentRow))
     t = cells.withColumn("cum", F.sum("c").over(wc))
@@ -720,15 +728,15 @@ def tukey_fences_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "n", "q1_cents", "q3_cents",
         (2 * F.col("q1_cents") - 3 * iqr).alias("lo2"),
         (2 * F.col("q3_cents") + 3 * iqr).alias("hi2"))
-    return (o.join(F.broadcast(fences), "o_orderpriority")
+    return (cells.join(F.broadcast(fences), "o_orderpriority")
             .groupBy("o_orderpriority")
             .agg(F.max("n").alias("n"),
                  F.max("q1_cents").alias("q1_cents"),
                  F.max("q3_cents").alias("q3_cents"),
-                 F.sum(F.when(2 * F.col("vc") < F.col("lo2"), 1)
-                        .otherwise(0)).cast("long").alias("n_low"),
-                 F.sum(F.when(2 * F.col("vc") > F.col("hi2"), 1)
-                        .otherwise(0)).cast("long").alias("n_high")))
+                 F.sum(F.when(2 * F.col("vc") < F.col("lo2"), F.col("c"))
+                        .otherwise(F.lit(0))).cast("long").alias("n_low"),
+                 F.sum(F.when(2 * F.col("vc") > F.col("hi2"), F.col("c"))
+                        .otherwise(F.lit(0))).cast("long").alias("n_high")))
 
 
 TUKEY_FENCES_ORACLE = """

@@ -1457,7 +1457,12 @@ def rank_biserial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to the (value, arm) cells grid, one dims-sized cumsum,
     one 1-row readout. Output: ``(n_treat, n_ctrl, u2, rb_ppm)``.
     """
-    mw = mw_closed_form(mw_value_counts(_cells(spark, sf_dir)))
+    return rb_from_mw(mw_closed_form(mw_value_counts(_cells(spark, sf_dir))))
+
+
+def rb_from_mw(mw: DataFrame) -> DataFrame:
+    """Rank-biserial readout from a ``mw_closed_form`` frame — shared
+    by the batch op and ``streaming.windows.stream_rank_biserial``."""
     rb = ("CAST((CAST(u2 AS DECIMAL(38,0)) - CAST(n_treat AS DECIMAL(38,0))"
           " * n_ctrl) * 1000000 DIV (CAST(n_treat AS DECIMAL(38,0))"
           " * n_ctrl) AS BIGINT)")
@@ -1595,7 +1600,12 @@ def qte_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(pct, q_treat_cents, q_ctrl_cents, qte_cents)``, one
     row per percentile.
     """
-    cnt = mw_value_counts(_cells(spark, sf_dir))
+    return qte_closed_form(mw_value_counts(_cells(spark, sf_dir)))
+
+
+def qte_closed_form(cnt: DataFrame) -> DataFrame:
+    """QTE readout from the (vc, ct, cc) counts — shared by the batch
+    op and ``streaming.windows.stream_qte``."""
     from pyspark.sql import Window as W
     wv = W.orderBy("vc").rowsBetween(W.unboundedPreceding, W.currentRow)
     t = (cnt.withColumn("cum_t", F.sum("ct").over(wv))

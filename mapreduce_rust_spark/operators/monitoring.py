@@ -2046,7 +2046,13 @@ def runs_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_runs, e_num, var_num)`` — z-scoring left to the consumer (the
     division is rational; the sufficient statistics are exact).
     """
-    daily = mk_daily_cells(load_table(spark, sf_dir, "events"))
+    return runs_closed_form(
+        mk_daily_cells(load_table(spark, sf_dir, "events")))
+
+
+def runs_closed_form(daily: DataFrame) -> DataFrame:
+    """Runs-test readout from the (type, day, c) grid — shared by the
+    batch op and ``streaming.windows.stream_runs_test``."""
     wd = W.partitionBy("event_type").orderBy("c")
     wall = W.partitionBy("event_type")
     med = (daily

@@ -850,6 +850,101 @@ def _ph_oracle() -> str:
     return PAGE_HINKLEY_ORACLE
 
 
+def _mw_stream_cells(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
+    """The Mann–Whitney family's (vc, ct, cc) value-count cells as a
+    complete-mode streaming aggregate — shared by the MW twin and the
+    round-10 rank-biserial / QTE twins (one mergeable dims-grid
+    state, the kappa family's canonical shape)."""
+    ev = (read_events_stream(spark, sf_dir)
+          .select((F.col("user_id") % 2 == 1).alias("treat"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    cnt = (ev.groupBy("vc")
+           .agg(F.sum(F.when(F.col("treat"), 1).otherwise(0))
+                .cast("long").alias("ct"),
+                F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+                .cast("long").alias("cc")))
+    return _run_to_table(cnt, sink, "complete")
+
+
+def stream_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.rank_biserial_events`` —
+    thirtieth kappa pair: the U test's twin already maintains the
+    value-count cells; the effect-size readout rides the same state,
+    so a live dashboard publishes significance AND magnitude from one
+    aggregate. Bit-identical (pure integer chain); same oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        mw_closed_form, rb_from_mw)
+    out = _mw_stream_cells(spark, sf_dir, "stream_rank_biserial")
+    return rb_from_mw(mw_closed_form(out.localCheckpoint(eager=True)))
+
+
+def _rb_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import (
+        RANK_BISERIAL_ORACLE)
+    return RANK_BISERIAL_ORACLE
+
+
+def stream_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.qte_events`` — thirty-first
+    kappa pair, third consumer of the MW cells: per-arm nearest-rank
+    quantiles are a closed-form read of the complete-mode value grid
+    (the stream_ship_delay_percentiles shape on the experiment
+    surface). Bit-identical; same oracle."""
+    from mapreduce_rust_spark.operators.experiment import qte_closed_form
+    out = _mw_stream_cells(spark, sf_dir, "stream_qte")
+    return qte_closed_form(out.localCheckpoint(eager=True))
+
+
+def _qte_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import QTE_ORACLE
+    return QTE_ORACLE
+
+
+def stream_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.runs_test_events`` —
+    thirty-second kappa pair, fifth consumer of the Mann–Kendall
+    (type, day) count grid: the median, sign sequence, lag, and run
+    count are all batch-side closed-form work over the dims-sized
+    sink. Bit-identical; same oracle."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        mk_daily_cells, runs_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    daily = mk_daily_cells(ev)
+    out = _run_to_table(daily, "stream_runs_test", "complete")
+    return runs_closed_form(out.localCheckpoint(eager=True))
+
+
+def _runs_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import RUNS_TEST_ORACLE
+    return RUNS_TEST_ORACLE
+
+
+def stream_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``dataquality.tukey_fences_orders`` —
+    thirty-third kappa pair, on the ORDERS feed: the (priority,
+    cents) value-count cells are one complete-mode aggregate
+    (range-bounded state), and the fence + tail-count readout is
+    closed-form over the sink. Bit-identical; same oracle. The
+    closed form branches the cells (quartiles + tail counts), so the
+    MemorySink table is checkpointed first."""
+    from mapreduce_rust_spark.operators.dataquality import (
+        tukey_closed_form)
+    o = (read_orders_stream(spark, sf_dir)
+         .select("o_orderpriority",
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                  .alias("vc")))
+    cells = (o.groupBy("o_orderpriority", "vc")
+             .agg(F.count("*").cast("long").alias("c")))
+    out = _run_to_table(cells, "stream_tukey_fences", "complete")
+    return tukey_closed_form(out.localCheckpoint(eager=True))
+
+
+def _tukey_oracle() -> str:
+    from mapreduce_rust_spark.operators.dataquality import (
+        TUKEY_FENCES_ORACLE)
+    return TUKEY_FENCES_ORACLE
+
+
 def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``experiment.srm_check_events`` —
     twenty-second kappa pair, and the guardrail's natural home: SRM
@@ -1060,6 +1155,10 @@ REGISTRATIONS = [
      _audio_adpcm_oracle()),
     ("stream_mann_kendall", stream_mann_kendall, _mk_oracle()),
     ("stream_page_hinkley", stream_page_hinkley, _ph_oracle()),
+    ("stream_rank_biserial", stream_rank_biserial, _rb_oracle()),
+    ("stream_qte", stream_qte, _qte_oracle()),
+    ("stream_runs_test", stream_runs_test, _runs_oracle()),
+    ("stream_tukey_fences", stream_tukey_fences, _tukey_oracle()),
     ("stream_srm_check", stream_srm_check, _srm_oracle()),
     ("stream_weco_rules", stream_weco_rules, _weco_oracle()),
     ("stream_kruskal_wallis", stream_kruskal_wallis, _kw_oracle()),
