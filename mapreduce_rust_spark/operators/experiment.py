@@ -1462,10 +1462,15 @@ def rank_biserial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rb_from_mw(mw: DataFrame) -> DataFrame:
     """Rank-biserial readout from a ``mw_closed_form`` frame — shared
-    by the batch op and ``streaming.windows.stream_rank_biserial``."""
-    rb = ("CAST((CAST(u2 AS DECIMAL(38,0)) - CAST(n_treat AS DECIMAL(38,0))"
-          " * n_ctrl) * 1000000 DIV (CAST(n_treat AS DECIMAL(38,0))"
-          " * n_ctrl) AS BIGINT)")
+    by the batch op and ``streaming.windows.stream_rank_biserial``.
+    The n_t·n_c > 0 guard keeps a one-armed (degenerate) corpus a
+    NULL readout on BOTH engines — Spark DIV-by-zero yields NULL but
+    DuckDB's ``//`` raises, so an unguarded oracle would error
+    instead of compare (the lang_id_kappa n²=pe precedent)."""
+    rb = ("CAST(CASE WHEN CAST(n_treat AS DECIMAL(38,0)) * n_ctrl > 0"
+          " THEN (CAST(u2 AS DECIMAL(38,0)) - CAST(n_treat AS"
+          " DECIMAL(38,0)) * n_ctrl) * 1000000 DIV"
+          " (CAST(n_treat AS DECIMAL(38,0)) * n_ctrl) END AS BIGINT)")
     return mw.select("n_treat", "n_ctrl", "u2",
                      F.expr(rb).alias("rb_ppm"))
 
@@ -1473,9 +1478,11 @@ def rb_from_mw(mw: DataFrame) -> DataFrame:
 RANK_BISERIAL_ORACLE = f"""
 WITH mw AS ({MANNWHITNEY_ORACLE})
 SELECT n_treat, n_ctrl, u2,
-       CAST((CAST(u2 AS HUGEINT) - CAST(n_treat AS HUGEINT) * n_ctrl)
-            * 1000000
-            // (CAST(n_treat AS HUGEINT) * n_ctrl) AS BIGINT) AS rb_ppm
+       CAST(CASE WHEN CAST(n_treat AS HUGEINT) * n_ctrl > 0
+            THEN (CAST(u2 AS HUGEINT) - CAST(n_treat AS HUGEINT) * n_ctrl)
+                 * 1000000
+                 // (CAST(n_treat AS HUGEINT) * n_ctrl)
+            END AS BIGINT) AS rb_ppm
 FROM mw
 """
 
@@ -1662,3 +1669,349 @@ FROM q
 
 
 REGISTRATIONS.append(("qte_events", qte_events, QTE_ORACLE))
+
+
+# --- Cohen's d / Hedges' g standardized effect size (round 11) ------------
+
+
+def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized mean difference between the treatment
+    and control arms' event values, with the Hedges' g small-sample
+    correction (Cohen 1988; Hedges 1981) — the PARAMETRIC effect-size
+    companion to the rank-biserial readout: d speaks the units every
+    power calculator uses, so a platform publishes the (p, r, d)
+    triple from one pass.
+
+    Exactness: per-arm n / Σx / Σx² on the cents grid are exact
+    BIGINT / DECIMAL(38,0) sums; the centered sum of squares
+    n·Σx² − (Σx)² is exact wide-integer algebra, and the remaining
+    combination (two int÷int mean divisions, the pooled-variance
+    division, one IEEE sqrt — each correctly rounded) is the same
+    fixed DAG on both engines, so the doubles hash-match bit-for-bit
+    (the trend_ols / mann_kendall discipline). Hedges' correction
+    uses the EXACT rational 1 − 3/(4·(n_t+n_c) − 9) (Hedges'
+    approximation of the gamma ratio), again the identical DAG.
+
+    Scale shape: one partial+final aggregate over a single corpus
+    scan — five exact sufficient statistics per arm, a 1-row readout.
+    No shuffle beyond the 2-group aggregate.
+
+    Output: ``(n_treat, n_ctrl, mean_diff, pooled_sd, cohens_d,
+    hedges_g)`` (mean_diff / pooled_sd in cents).
+    """
+    cells = _cells(spark, sf_dir)
+    dec = "decimal(38,0)"
+    agg = cells.agg(
+        F.sum(F.when(F.col("treat"), 1).otherwise(0))
+         .cast("long").alias("nt"),
+        F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+         .cast("long").alias("nc"),
+        F.sum(F.when(F.col("treat"), F.col("vc")).otherwise(0))
+         .cast(dec).alias("st"),
+        F.sum(F.when(~F.col("treat"), F.col("vc")).otherwise(0))
+         .cast(dec).alias("sc"),
+        F.sum(F.when(F.col("treat"), F.col("vc") * F.col("vc"))
+               .otherwise(0)).cast(dec).alias("qt"),
+        F.sum(F.when(~F.col("treat"), F.col("vc") * F.col("vc"))
+               .otherwise(0)).cast(dec).alias("qc"))
+    return agg.select(
+        F.col("nt").alias("n_treat"), F.col("nc").alias("n_ctrl"),
+        F.expr(
+            "CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)"
+            " - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)")
+         .alias("mean_diff"),
+        F.expr(_COHENS_SP).alias("pooled_sd"),
+        F.expr(
+            f"CASE WHEN nt + nc > 2 AND ({_COHENS_SP}) > 0 THEN"
+            " (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)"
+            "  - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))"
+            f" / ({_COHENS_SP}) END").alias("cohens_d"),
+        F.expr(
+            f"CASE WHEN nt + nc > 2 AND ({_COHENS_SP}) > 0 THEN"
+            " ((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)"
+            "   - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))"
+            f"  / ({_COHENS_SP}))"
+            " * (1.0 - 3.0 / CAST(4 * (nt + nc) - 9 AS DOUBLE)) END")
+         .alias("hedges_g"))
+
+
+# pooled sd: sqrt(((nt*qt - st^2)/nt + (nc*qc - sc^2)/nc) / (nt+nc-2))
+# — numerators exact DECIMAL(38,0), each division correctly rounded,
+# the same expression tree in the oracle below.
+_COHENS_SP = (
+    "SQRT((CAST(CAST(nt AS DECIMAL(38,0)) * qt - st * st AS DOUBLE)"
+    " / CAST(nt AS DOUBLE)"
+    " + CAST(CAST(nc AS DECIMAL(38,0)) * qc - sc * sc AS DOUBLE)"
+    " / CAST(nc AS DOUBLE)) / CAST(nt + nc - 2 AS DOUBLE))")
+
+
+COHENS_D_ORACLE = f"""
+WITH c AS (
+  SELECT (user_id % 2 = 1) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+a AS (
+  SELECT CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN treat THEN vc ELSE 0 END) AS HUGEINT) AS st,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE vc END) AS HUGEINT) AS sc,
+         CAST(SUM(CASE WHEN treat THEN vc * vc ELSE 0 END) AS HUGEINT)
+           AS qt,
+         CAST(SUM(CASE WHEN treat THEN 0 ELSE vc * vc END) AS HUGEINT)
+           AS qc
+  FROM c
+)
+SELECT nt AS n_treat, nc AS n_ctrl,
+       CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+         - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mean_diff,
+       {{SP}} AS pooled_sd,
+       CASE WHEN nt + nc > 2 AND ({{SP}}) > 0 THEN
+         (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+          - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) / ({{SP}})
+       END AS cohens_d,
+       CASE WHEN nt + nc > 2 AND ({{SP}}) > 0 THEN
+         ((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+           - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) / ({{SP}}))
+         * (1.0 - 3.0 / CAST(4 * (nt + nc) - 9 AS DOUBLE))
+       END AS hedges_g
+FROM a
+""".replace("{SP}", (
+    "SQRT((CAST(CAST(nt AS HUGEINT) * qt - st * st AS DOUBLE)"
+    " / CAST(nt AS DOUBLE)"
+    " + CAST(CAST(nc AS HUGEINT) * qc - sc * sc AS DOUBLE)"
+    " / CAST(nc AS DOUBLE)) / CAST(nt + nc - 2 AS DOUBLE))"))
+
+
+REGISTRATIONS.append(("cohens_d_events", cohens_d_events, COHENS_D_ORACLE))
+
+
+# --- McNemar paired-proportion test (round 11) -----------------------------
+
+
+def mcnemar_user_flags(ev: DataFrame) -> DataFrame:
+    """Per-user (pre, post) purchase flags around ``EXP_SPLIT`` — the
+    MERGEABLE sufficient statistic (two idempotent MAX bits per user,
+    the two_prop_user_conv shape), shared by the batch op and
+    ``streaming.windows.stream_mcnemar``."""
+    is_purchase = F.col("event_type") == "purchase"
+    pre = is_purchase & (F.to_date("ts") < F.lit(EXP_SPLIT).cast("date"))
+    post = is_purchase & (F.to_date("ts") >= F.lit(EXP_SPLIT).cast("date"))
+    return (ev.groupBy("user_id")
+            .agg(F.max(F.when(pre, 1).otherwise(0)).alias("pre"),
+                 F.max(F.when(post, 1).otherwise(0)).alias("post")))
+
+
+def mcnemar_closed_form(flags: DataFrame) -> DataFrame:
+    """Discordant-pair counts + the cleared McNemar statistic from
+    the per-user flag table — shared by batch and streaming twin.
+    χ² = (b−c)²/(b+c) cleared to ppm with truncating DIV on both
+    engines; the b+c = 0 guard keeps a discordant-free corpus NULL
+    on both (Spark DIV-by-zero is NULL, DuckDB ``//`` raises — the
+    rank-biserial guard precedent)."""
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when((F.col("pre") == 1) & (F.col("post") == 0), 1)
+               .otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when((F.col("pre") == 0) & (F.col("post") == 1), 1)
+               .otherwise(0)).cast("long").alias("n01"))
+    x2 = ("CAST(CASE WHEN n10 + n01 > 0 THEN"
+          " (CAST(n10 AS DECIMAL(38,0)) - n01)"
+          " * (CAST(n10 AS DECIMAL(38,0)) - n01) * 1000000"
+          " DIV (CAST(n10 AS DECIMAL(38,0)) + n01) END AS BIGINT)")
+    return agg.select("n_users", "n10", "n01",
+                      F.expr(x2).alias("mcnemar_x2_ppm"))
+
+
+def mcnemar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED proportions (McNemar 1947): did the
+    per-user purchase propensity change across the ``EXP_SPLIT``
+    midpoint? Each user is their own control — the within-subject
+    counterpart of ``two_proportion_test_events``'s between-arm z
+    (the before/after launch readout where arm randomization doesn't
+    exist). Only the discordant pairs carry signal: b = users who
+    purchased pre but not post, c = the reverse; χ² = (b−c)²/(b+c).
+
+    Exactness: the flags are idempotent integer MAXes, b/c exact
+    BIGINT counts, and the statistic is cleared to the ppm grid with
+    wide-decimal numerators and truncating DIV on both engines —
+    no float anywhere.
+
+    Scale shape: one groupBy(user) MAX aggregate (map-side
+    combinable), one 1-row readout. State in the streaming twin is
+    two bits per user — honestly user-dims-sized, the
+    stream_two_proportion argument.
+
+    Output: ``(n_users, n10, n01, mcnemar_x2_ppm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return mcnemar_closed_form(mcnemar_user_flags(ev))
+
+
+MCNEMAR_ORACLE = f"""
+WITH f AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) < DATE '{EXP_SPLIT}'
+                  THEN 1 ELSE 0 END) AS pre,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) >= DATE '{EXP_SPLIT}'
+                  THEN 1 ELSE 0 END) AS post
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01
+  FROM f
+)
+SELECT n_users, n10, n01,
+       CAST(CASE WHEN n10 + n01 > 0 THEN
+         (CAST(n10 AS HUGEINT) - n01) * (CAST(n10 AS HUGEINT) - n01)
+         * 1000000 // (CAST(n10 AS HUGEINT) + n01)
+       END AS BIGINT) AS mcnemar_x2_ppm
+FROM a
+"""
+
+
+REGISTRATIONS.append(("mcnemar_events", mcnemar_events, MCNEMAR_ORACLE))
+
+
+# --- Jonckheere–Terpstra ordered-alternative trend test (round 11) --------
+
+
+JT_BUCKET_HOURS = 6   # ordered exposure groups: 4 dayparts
+
+
+def jt_cells(ev: DataFrame) -> DataFrame:
+    """Per-(daypart, distinct cents value) counts — the MERGEABLE
+    sufficient statistic for the Jonckheere–Terpstra test (the
+    mw_value_counts shape with an ordered group key), shared by the
+    batch op and ``streaming.windows.stream_jonckheere``."""
+    return (ev.select(
+                (F.hour("ts") / F.lit(JT_BUCKET_HOURS)).cast("long")
+                 .alias("g"),
+                F.round(F.col("value") * 100).cast("long").alias("vc"))
+            .groupBy("g", "vc")
+            .agg(F.count("*").cast("long").alias("c")))
+
+
+def jt_closed_form(cells: DataFrame) -> DataFrame:
+    """J statistic + null moments from the (g, vc, c) cells — shared
+    by batch and streaming twin. Carried DOUBLED (j2 = 2J) so the
+    ½-credit for ties stays integer: for each value v and ordered
+    group pair i<j, the pair contributes c_j(v)·(2·below_i(v) +
+    c_i(v)). The variance uses the classic untied formula
+    [N²(2N+3) − Σ n_g²(2n_g+3)]/72 (Jonckheere 1954 — the standard
+    textbook normalization; tie correction is documented out of
+    scope), so z is conservative-approximate under heavy ties but
+    every INPUT to it is an exact integer and the z DAG is fixed."""
+    cells = cells.localCheckpoint(eager=True)
+    from pyspark.sql import Window as W
+    grid = (cells.select("vc").distinct()
+            .crossJoin(cells.select("g").distinct())
+            .join(cells, ["g", "vc"], "left")
+            .fillna(0, subset=["c"]))
+    w = W.partitionBy("g").orderBy("vc")
+    grid = grid.withColumn("below", F.sum("c").over(w) - F.col("c"))
+    a, b = grid.alias("a"), grid.alias("b")
+    j2 = (a.join(b, (F.col("a.vc") == F.col("b.vc"))
+                 & (F.col("a.g") < F.col("b.g")))
+          .agg(F.sum(F.col("b.c")
+                     * (2 * F.col("a.below") + F.col("a.c")))
+               .cast("long").alias("j2")))
+    ns = (cells.groupBy("g").agg(F.sum("c").alias("ng"))
+          .agg(F.sum("ng").cast("long").alias("n_total"),
+               F.sum(F.expr("ng * ng")).cast("long").alias("sum_n2"),
+               F.sum(F.expr("CAST(ng AS DECIMAL(38,0)) * ng"
+                            " * (2 * ng + 3)")).alias("sum_n23")))
+    out = ns.crossJoin(j2).select(
+        "n_total", "j2",
+        # E[2J] = Σ_{i<j} n_i n_j = (N² − Σ n_g²)  (even by symmetry)
+        F.expr("CAST((CAST(n_total AS DECIMAL(38,0)) * n_total - sum_n2)"
+               " AS DECIMAL(38,0))").cast("long").alias("e_j2"),
+        F.expr("CAST(CAST(n_total AS DECIMAL(38,0)) * n_total"
+               " * (2 * n_total + 3) - sum_n23 AS DECIMAL(38,0))")
+         .cast("long").alias("var_num"))
+    return out.select(
+        "n_total", "j2", "e_j2", "var_num",
+        F.expr("CASE WHEN var_num > 0 THEN"
+               " CAST(j2 - e_j2 AS DOUBLE)"
+               " / (2.0 * SQRT(CAST(var_num AS DOUBLE) / 72.0)) END")
+         .alias("z"))
+
+
+def jonckheere_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative across the
+    four dayparts (Jonckheere 1954; Terpstra 1952): J = Σ_{i<j} U_ij
+    sums the pairwise Mann–Whitney counts over ordered group pairs —
+    strictly more powerful than Kruskal–Wallis when the hypothesis is
+    monotone ("spend rises through the day"), the dose-response
+    rank test beside ``ca_trend_events``' binary Cochran–Armitage.
+
+    Exactness: rides the doubled-tie-credit identity on the
+    (daypart, cents) cells — j2 = 2J, E[2J], and the variance
+    numerator are pure wide-integer algebra, z one fixed IEEE DAG
+    (see ``jt_closed_form``).
+
+    Scale shape: one map-side-combinable aggregate to the 4×values
+    cells grid; the pair scan joins the VALUE GRID to itself (≤ 6
+    ordered group pairs per distinct value — dims² work bounded by
+    the cents grid, never event-grain; the mann_kendall discipline).
+
+    Output: ``(n_total, j2, e_j2, var_num, z)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return jt_closed_form(jt_cells(ev))
+
+
+JONCKHEERE_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(hour(ts) // {JT_BUCKET_HOURS} AS BIGINT) AS g,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.g, v.vc, COALESCE(cells.c, 0) AS c
+  FROM (SELECT DISTINCT vc FROM cells) v
+  CROSS JOIN (SELECT DISTINCT g FROM cells) g
+  LEFT JOIN cells ON cells.g = g.g AND cells.vc = v.vc
+),
+cum AS (
+  SELECT g, vc, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY vc) - c AS below
+  FROM grid
+),
+jj AS (
+  SELECT CAST(SUM(b.c * (2 * a.below + a.c)) AS BIGINT) AS j2
+  FROM cum a JOIN cum b ON a.vc = b.vc AND a.g < b.g
+),
+ns AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+         CAST(SUM(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sum_n2,
+         CAST(SUM(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS HUGEINT)
+           AS sum_n23
+  FROM (SELECT g, SUM(c) AS ng FROM cells GROUP BY g)
+),
+base AS (
+  SELECT n_total, j2,
+         CAST(CAST(n_total AS HUGEINT) * n_total - sum_n2 AS BIGINT)
+           AS e_j2,
+         CAST(CAST(n_total AS HUGEINT) * n_total * (2 * n_total + 3)
+              - sum_n23 AS BIGINT) AS var_num
+  FROM ns CROSS JOIN jj
+)
+SELECT n_total, j2, e_j2, var_num,
+       CASE WHEN var_num > 0 THEN
+         CAST(j2 - e_j2 AS DOUBLE)
+         / (2.0 * SQRT(CAST(var_num AS DOUBLE) / 72.0))
+       END AS z
+FROM base
+"""
+
+
+REGISTRATIONS.append(("jonckheere_events", jonckheere_events,
+                      JONCKHEERE_ORACLE))

@@ -41,52 +41,50 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-10 window (the round-9 window went 50/50 green — see
-# COVERAGE.md): the 33-query round-9 crop first (every new statistic
-# with its kappa twin beside its batch op, the three
-# rows-only→oracled conversions knn_lsh / bpe_train_merges /
-# bpe_encode_docs, dHash near-dup, video scene cuts, Zipf fit, RRF
-# fusion), then staleness Tier A (the 16 r2-proven relational rows, 8
-# rounds stale), then Tier B's head (q4_order_priority). Tier B's
-# tail, Tiers C/D, and the r4-proven mass roll to the round-11 queue
-# written in COVERAGE.md. Ledger invariant: after a green round-N
-# artifact, every query oracled BEFORE round N carries a
-# hash-verified driver row; queries oracled DURING round N are
-# judge-mirror green and queued for the round-N+1 window.
+# Round-11 window (the round-10 window went 50/50 green — see
+# COVERAGE.md): the 20-query round-10 crop first (the knn_ivf
+# rows-only→oracled conversion, IMA ADPCM decode + its kappa twin,
+# the MinHash Jaccard-estimator audit, the rank-statistics batch ops
+# with their four kappa twins scheduled together, Palma / Kish /
+# capture–recapture / lang-id-kappa / label-centroid-distances), then
+# staleness Tier B's tail (12 r3-proven TPC-H + relational rows),
+# Tier C (the 15 r3-proven LLM-flagship rows), and Tier D's head
+# (3 of the 5 r5-proven displacements). D's tail
+# (pps_sample_docs, snapshot_diff_orders) rolls with the r4-proven
+# mass into the round-12 queue written in COVERAGE.md. Ledger
+# invariant: after a green round-N artifact, every query oracled
+# BEFORE round N carries a hash-verified driver row; queries oracled
+# DURING round N are judge-mirror green and queued for round N+1.
 DRIVER_WINDOW = [
-    # --- round-9 crop: graph ---
-    "ktruss_edges_parts", "linkpred_resource_allocation",
-    "rich_club_copurchase",
-    # --- round-9 crop: multimodal (audio decode + its kappa twin) ---
-    "multimodal_audio_pcm_stats", "stream_audio_pcm_stats",
-    "image_dhash_neardup", "video_scene_cuts",
-    # --- round-9 crop: monitoring rank statistics + kappa twins ---
-    "mann_kendall_events", "stream_mann_kendall",
-    "weco_rules_events", "stream_weco_rules",
-    "pettitt_changepoint_events", "stream_pettitt_changepoint",
-    "seasonal_kendall_events", "stream_seasonal_kendall",
-    # --- round-9 crop: experimentation + kappa twins ---
-    "srm_check_events", "stream_srm_check",
-    "kruskal_wallis_events", "stream_kruskal_wallis",
-    "brown_forsythe_events", "stream_brown_forsythe",
-    "spearman_corr_events", "ca_trend_events", "stream_ca_trend",
-    # --- round-9 crop: OLAP / privacy ---
-    "hhi_revenue_nations", "contribution_cap_events",
-    # --- round-9 crop: text / retrieval ---
-    "good_turing_counts_docs", "zipf_fit_sources", "rrf_hybrid_search",
-    # --- round-9 crop: similarity ---
-    "embedding_drift_sources",
-    # --- round-9 crop: rows-only→oracled conversions ---
-    "knn_lsh", "bpe_train_merges", "bpe_encode_docs",
-    # --- staleness Tier A (newest row r2, 8 rounds stale) ---
-    "agg_collect_sources", "agg_distinct_suppliers",
-    "array_funcs_docs", "cube_qty", "date_funcs_orders",
-    "distinct_segments", "join_cross_regions", "math_funcs_lineitem",
-    "percentile_exact_price", "pivot_status_qty", "posexplode_tokens",
-    "rollup_qty", "set_except_all_keys", "set_intersect_all_keys",
-    "string_funcs_part", "topk_orders_global",
-    # --- staleness Tier B head (r3; tail rolls to round 11) ---
-    "q4_order_priority",
+    # --- round-10 crop: similarity / dedup ---
+    "knn_ivf", "dedup_minhash_jaccard_est",
+    # --- round-10 crop: multimodal (ADPCM decode + its kappa twin) ---
+    "multimodal_audio_adpcm_stats", "stream_audio_adpcm_stats",
+    # --- round-10 crop: rank statistics + kappa twins (scheduled together) ---
+    "rank_biserial_events", "stream_rank_biserial",
+    "qte_events", "stream_qte",
+    "runs_test_events", "stream_runs_test",
+    "page_hinkley_events", "stream_page_hinkley",
+    "tukey_fences_orders", "stream_tukey_fences",
+    "hodges_lehmann_events",
+    # --- round-10 crop: OLAP / sources / text ---
+    "palma_ratio_nations", "label_centroid_distances",
+    "lang_id_kappa_docs", "capture_recapture_sources",
+    "kish_ess_sources",
+    # --- staleness Tier B tail (newest row r3) ---
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q18_large_volume", "q21_waiting_supplier",
+    "grouping_sets_revenue", "map_funcs_events", "rollup_merge_events",
+    "window_range_hour_events", "winsorize_prices",
+    "dq_check_orders_lineitem", "stateful_session_flush",
+    # --- staleness Tier C (r3-proven LLM flagship) ---
+    "exact_dedup_docs", "segment_dedup_docs", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash_docs", "embedding_neardup_pairs",
+    "knn_bruteforce", "token_stats_docs", "build_vocab", "tf_df_docs",
+    "lang_id_docs", "quality_score_docs", "gopher_rules_docs",
+    "contamination_docs", "pack_sequences_docs",
+    # --- staleness Tier D head (r5-proven displacements) ---
+    "interevent_gap_stats", "fuzzy_match_parts", "tv_drift_sources",
 ]
 
 

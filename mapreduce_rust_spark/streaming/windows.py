@@ -88,11 +88,21 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
         if q.name == name:
             q.stop()
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    # recentProgress is a ring buffer capped by
+    # spark.sql.streaming.numRecentProgressUpdates (default 100), so
+    # num_batches/trigger_ms_sum would silently undercount any stream
+    # exceeding 100 micro-batches at larger SFs; raise it for the
+    # query's lifetime (bound at start) and flag saturation anyway.
+    _PROG_CAP = 10_000
+    old_prog = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100")
     try:
         # == cores measured fastest for the state store locally (2x
         # adds task overhead, fewer underuses cores)
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(spark.sparkContext.defaultParallelism))
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                       str(_PROG_CAP))
         q = (df.writeStream.outputMode(mode)
                .format("memory").queryName(name)
                .trigger(availableNow=True)
@@ -106,11 +116,16 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
                 "trigger_ms_sum": sum(
                     int(p["durationMs"].get("triggerExecution", 0))
                     for p in prog),
+                # True would mean the ring buffer saturated and the
+                # two fields above are lower bounds, not totals.
+                "progress_truncated": len(prog) >= _PROG_CAP,
             }
         except Exception:  # noqa: BLE001 — accounting must never fail a query
             LAST_STREAM_STATS = None
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                       old_prog)
     return spark.table(name)
 
 
@@ -829,7 +844,7 @@ def _mk_oracle() -> str:
 
 def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``monitoring.page_hinkley_events`` —
-    twenty-ninth kappa pair (registered round 10 with the ADPCM
+    thirtieth kappa pair (registered round 10 after the ADPCM
     twin): the per-(type, day) value-sum grid is ONE complete-mode
     mergeable aggregate (dims-sized state), and the shared closed
     form runs the cleared running-min/argmax scan batch-side over the
@@ -868,7 +883,7 @@ def _mw_stream_cells(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
 
 def stream_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``experiment.rank_biserial_events`` —
-    thirtieth kappa pair: the U test's twin already maintains the
+    thirty-first kappa pair: the U test's twin already maintains the
     value-count cells; the effect-size readout rides the same state,
     so a live dashboard publishes significance AND magnitude from one
     aggregate. Bit-identical (pure integer chain); same oracle."""
@@ -885,7 +900,7 @@ def _rb_oracle() -> str:
 
 
 def stream_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of ``experiment.qte_events`` — thirty-first
+    """Streaming twin of ``experiment.qte_events`` — thirty-second
     kappa pair, third consumer of the MW cells: per-arm nearest-rank
     quantiles are a closed-form read of the complete-mode value grid
     (the stream_ship_delay_percentiles shape on the experiment
@@ -902,7 +917,7 @@ def _qte_oracle() -> str:
 
 def stream_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``monitoring.runs_test_events`` —
-    thirty-second kappa pair, fifth consumer of the Mann–Kendall
+    thirty-third kappa pair, fifth consumer of the Mann–Kendall
     (type, day) count grid: the median, sign sequence, lag, and run
     count are all batch-side closed-form work over the dims-sized
     sink. Bit-identical; same oracle."""
@@ -921,7 +936,7 @@ def _runs_oracle() -> str:
 
 def stream_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``dataquality.tukey_fences_orders`` —
-    thirty-third kappa pair, on the ORDERS feed: the (priority,
+    thirty-fourth kappa pair, on the ORDERS feed: the (priority,
     cents) value-count cells are one complete-mode aggregate
     (range-bounded state), and the fence + tail-count readout is
     closed-form over the sink. Bit-identical; same oracle. The
@@ -943,6 +958,48 @@ def _tukey_oracle() -> str:
     from mapreduce_rust_spark.operators.dataquality import (
         TUKEY_FENCES_ORACLE)
     return TUKEY_FENCES_ORACLE
+
+
+def stream_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.mcnemar_events`` — thirty-fifth
+    kappa pair: the per-user (pre, post) purchase flags are ONE
+    complete-mode idempotent-max aggregate (two bits per user — the
+    stream_two_proportion shape), and the shared closed form counts
+    the discordant pairs and clears the (b−c)²/(b+c) statistic
+    batch-side. Bit-identical (pure integer chain); same oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        mcnemar_closed_form, mcnemar_user_flags)
+    ev = read_events_stream(spark, sf_dir)
+    flags = mcnemar_user_flags(ev)
+    out = _run_to_table(flags, "stream_mcnemar", "complete")
+    return mcnemar_closed_form(out)
+
+
+def _mcnemar_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import MCNEMAR_ORACLE
+    return MCNEMAR_ORACLE
+
+
+def stream_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.jonckheere_events`` —
+    thirty-sixth kappa pair: the (daypart, cents) value-count cells
+    are ONE complete-mode mergeable aggregate (4 × values grid —
+    the mw_value_counts state shape with an ordered group key), and
+    the shared closed form runs the doubled-tie-credit pair scan and
+    the z DAG batch-side over the dims grid. Bit-identical; same
+    oracle. The closed form branches the cells (grid + group sizes),
+    so the MemorySink table is checkpointed inside it."""
+    from mapreduce_rust_spark.operators.experiment import (
+        jt_cells, jt_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    cells = jt_cells(ev)
+    out = _run_to_table(cells, "stream_jonckheere", "complete")
+    return jt_closed_form(out)
+
+
+def _jt_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import JONCKHEERE_ORACLE
+    return JONCKHEERE_ORACLE
 
 
 def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,4 +1224,6 @@ REGISTRATIONS = [
      _pettitt_oracle()),
     ("stream_ca_trend", stream_ca_trend, _ca_oracle()),
     ("stream_seasonal_kendall", stream_seasonal_kendall, _sk_oracle()),
+    ("stream_mcnemar", stream_mcnemar, _mcnemar_oracle()),
+    ("stream_jonckheere", stream_jonckheere, _jt_oracle()),
 ]

@@ -247,8 +247,10 @@ def test_page_hinkley_alarm_fires_on_planted_level_shift(spark, tmp_path):
 
 def test_runs_test_detects_clustering_and_oscillation(spark, tmp_path):
     """Planted extremes: a step series (all lows then all highs)
-    must give the minimum 2 runs; a perfectly alternating series
-    must give the maximum n runs."""
+    collapses to a SINGLE run — the 10 low days all equal the median
+    and drop out of the sign sequence, leaving only the high days
+    (n_runs == 1); a perfectly alternating series must give the
+    maximum n runs."""
     import numpy as np
 
     rows = []
