@@ -1929,9 +1929,10 @@ def jt_closed_form(cells: DataFrame) -> DataFrame:
                             " * (2 * ng + 3)")).alias("sum_n23")))
     out = ns.crossJoin(j2).select(
         "n_total", "j2",
-        # E[2J] = Σ_{i<j} n_i n_j = (N² − Σ n_g²)  (even by symmetry)
+        # E[2J] = Σ_{i<j} n_i n_j = (N² − Σ n_g²) DIV 2 (even: the
+        # off-diagonal of the n×n product counts every pair twice)
         F.expr("CAST((CAST(n_total AS DECIMAL(38,0)) * n_total - sum_n2)"
-               " AS DECIMAL(38,0))").cast("long").alias("e_j2"),
+               " DIV 2 AS DECIMAL(38,0))").cast("long").alias("e_j2"),
         F.expr("CAST(CAST(n_total AS DECIMAL(38,0)) * n_total"
                " * (2 * n_total + 3) - sum_n23 AS DECIMAL(38,0))")
          .cast("long").alias("var_num"))
@@ -1998,8 +1999,8 @@ ns AS (
 ),
 base AS (
   SELECT n_total, j2,
-         CAST(CAST(n_total AS HUGEINT) * n_total - sum_n2 AS BIGINT)
-           AS e_j2,
+         CAST((CAST(n_total AS HUGEINT) * n_total - sum_n2) // 2
+              AS BIGINT) AS e_j2,
          CAST(CAST(n_total AS HUGEINT) * n_total * (2 * n_total + 3)
               - sum_n23 AS BIGINT) AS var_num
   FROM ns CROSS JOIN jj

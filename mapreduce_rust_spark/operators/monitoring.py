@@ -2126,3 +2126,557 @@ FROM runs
 
 REGISTRATIONS.append(("runs_test_events", runs_test_events,
                       RUNS_TEST_ORACLE))
+
+
+# --- k-sample Mood's median test across event types (round 11) ------------
+
+
+def mood_median_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-SAMPLE Mood's median test (Brown & Mood 1951): did every
+    event type draw its values from a distribution with the same
+    median? The k-group generalization of the two-arm
+    ``median_sign_test_events``, the median-grain sibling of
+    Kruskal–Wallis — coarser but immune to anything but the middle
+    (the robustness screen a mixed-metric events feed wants).
+
+    Per type the 2×k contingency row is (above grand median, not
+    above); the χ² contribution is cleared EXACTLY to the ppm grid:
+    term = (a_g·N − n_g·A)² / (A·(N−A)·n_g·N) · 10⁶ with wide-integer
+    numerator/denominator and truncating DIV on both engines (the
+    grand median is the lower nearest-rank order statistic, the
+    median_sign convention). No float anywhere.
+
+    Scale shape: one aggregate to the (type, cents) cells, one
+    dims-sized cumsum for the grand median, one broadcast of the
+    1-row median, one per-type readout. Degenerate corpora (all
+    values equal ⇒ A = 0) yield NULL terms on both engines.
+
+    Output: ``(event_type, n_g, n_above, mood_term_ppm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.select("event_type",
+                       F.round(F.col("value") * 100).cast("long")
+                        .alias("vc"))
+             .groupBy("event_type", "vc")
+             .agg(F.count("*").cast("long").alias("c"))
+             .localCheckpoint(eager=True))
+    vals = (cells.groupBy("vc").agg(F.sum("c").alias("c"))
+            .withColumn("cum", F.sum("c").over(W.orderBy("vc"))))
+    tot = vals.agg(F.sum("c").cast("long").alias("n"))
+    med = (vals.crossJoin(F.broadcast(tot))
+           .where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+           .agg(F.min("vc").alias("median_c")))
+    per = (cells.crossJoin(F.broadcast(med))
+           .groupBy("event_type")
+           .agg(F.sum("c").cast("long").alias("n_g"),
+                F.sum(F.when(F.col("vc") > F.col("median_c"),
+                             F.col("c")).otherwise(0))
+                 .cast("long").alias("n_above")))
+    glob = per.agg(F.sum("n_g").cast("long").alias("nn"),
+                   F.sum("n_above").cast("long").alias("aa"))
+    term = ("CAST(CASE WHEN aa > 0 AND aa < nn THEN"
+            " (CAST(n_above AS DECIMAL(38,0)) * nn"
+            "  - CAST(n_g AS DECIMAL(38,0)) * aa)"
+            " * (CAST(n_above AS DECIMAL(38,0)) * nn"
+            "    - CAST(n_g AS DECIMAL(38,0)) * aa) * 1000000"
+            " DIV (CAST(aa AS DECIMAL(38,0)) * (nn - aa) * n_g * nn)"
+            " END AS BIGINT)")
+    return (per.crossJoin(F.broadcast(glob))
+            .select("event_type", "n_g", "n_above",
+                    F.expr(term).alias("mood_term_ppm")))
+
+
+MOOD_MEDIAN_K_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+vals AS (
+  SELECT vc, SUM(c) AS c, SUM(SUM(c)) OVER (ORDER BY vc) AS cum
+  FROM cells GROUP BY vc
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+med AS (
+  SELECT MIN(vc) AS median_c FROM vals, tot
+  WHERE cum >= (n + 1) // 2
+),
+per AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_g,
+         CAST(SUM(CASE WHEN vc > median_c THEN c ELSE 0 END) AS BIGINT)
+           AS n_above
+  FROM cells, med GROUP BY event_type
+),
+gtot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+         CAST(SUM(n_above) AS BIGINT) AS aa
+  FROM per
+)
+SELECT event_type, n_g, n_above,
+       CAST(CASE WHEN aa > 0 AND aa < nn THEN
+         (CAST(n_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * aa)
+         * (CAST(n_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * aa)
+         * 1000000
+         // (CAST(aa AS HUGEINT) * (nn - aa) * n_g * nn)
+       END AS BIGINT) AS mood_term_ppm
+FROM per, gtot
+"""
+
+
+REGISTRATIONS.append(("mood_median_k_events", mood_median_k_events,
+                      MOOD_MEDIAN_K_ORACLE))
+
+
+# --- Cramér's V association strength (round 11) ----------------------------
+
+
+def cramers_v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and ISO weekday — the bounded
+    [0,1] ASSOCIATION-STRENGTH readout on top of the
+    ``chisq_cells_events`` independence cells (Cramér 1946):
+    V = sqrt(χ² / (N·min(r−1, k−1))). The χ² test says "the weekly
+    mix shifted"; V says by HOW MUCH on a scale dashboards can
+    threshold (the effect-size/p-value discipline of the
+    rank-biserial pair, applied to the drift family).
+
+    Exactness: each cell's χ² term is the chisq_cells fixed IEEE DAG
+    over exact integers; the TOTAL is an ORDER-FIXED sequential fold
+    over the (type, dow)-sorted term array (Spark ``F.aggregate`` ≡
+    DuckDB ``list_reduce`` — the identical left-fold IEEE sequence,
+    the ewma/list-fold precedent), never an unordered float SUM; the
+    final sqrt/divisions are one shared DAG. Cells are dims-sized
+    (types × 7), so the collected array is bounded.
+
+    Output: ``(n, n_rows, n_cols, chi2, cramers_v)``.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  (F.weekday("ts") + 1).cast("long").alias("dow")))
+    seen = (ev.groupBy("event_type", "dow")
+            .agg(F.count("*").cast("long").alias("o"))
+            .localCheckpoint(eager=True))
+    # χ² needs the EMPTY cells too ((0−E)²/E = E) — groupBy only
+    # emits observed combinations, so complete the r×k grid first
+    cells = (seen.select("event_type").distinct()
+             .crossJoin(seen.select("dow").distinct())
+             .join(seen, ["event_type", "dow"], "left")
+             .fillna(0, subset=["o"]))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("nn"),
+                  F.countDistinct("event_type").cast("long").alias("r"),
+                  F.countDistinct("dow").cast("long").alias("k"))
+    dec = "decimal(38,0)"
+    j = (cells.join(F.broadcast(rows), "event_type")
+              .join(F.broadcast(cols), "dow")
+              .crossJoin(F.broadcast(n)))
+    e = ((F.col("rt").cast(dec) * F.col("ct").cast(dec)).cast("double")
+         / F.col("nn").cast("double"))
+    o = F.col("o").cast("double")
+    terms = j.select(
+        "nn", "r", "k", "event_type", "dow",
+        ((o - e) * (o - e) / e).alias("term"))
+    agg = (terms.groupBy("nn", "r", "k")
+           .agg(F.array_sort(
+                    F.collect_list(F.struct("event_type", "dow", "term")))
+                 .alias("arr")))
+    chi2 = F.aggregate(F.expr("transform(arr, x -> x.term)"),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    return agg.select(
+        F.col("nn").alias("n"), F.col("r").alias("n_rows"),
+        F.col("k").alias("n_cols"), chi2.alias("chi2"),
+        F.sqrt(chi2 / (F.col("nn").cast("double")
+                       * F.expr("CAST(least(r - 1, k - 1) AS DOUBLE)")))
+         .alias("cramers_v"))
+
+
+CRAMERS_V_ORACLE = """
+WITH seen AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, isodow(ts)
+),
+cells AS (
+  SELECT et.event_type, dw.dow, COALESCE(seen.o, 0) AS o
+  FROM (SELECT DISTINCT event_type FROM seen) et
+  CROSS JOIN (SELECT DISTINCT dow FROM seen) dw
+  LEFT JOIN seen ON seen.event_type = et.event_type
+                AND seen.dow = dw.dow
+),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+      FROM cells GROUP BY event_type),
+c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY dow),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS rr,
+             CAST(COUNT(DISTINCT dow) AS BIGINT) AS kk
+      FROM cells),
+terms AS (
+  SELECT nn, rr, kk, cells.event_type, cells.dow,
+         (CAST(o AS DOUBLE)
+            - CAST(CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0))
+                   AS DOUBLE) / CAST(nn AS DOUBLE))
+         * (CAST(o AS DOUBLE)
+            - CAST(CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0))
+                   AS DOUBLE) / CAST(nn AS DOUBLE))
+         / (CAST(CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0))
+                 AS DOUBLE) / CAST(nn AS DOUBLE)) AS term
+  FROM cells JOIN r ON cells.event_type = r.event_type
+             JOIN c ON cells.dow = c.dow
+             CROSS JOIN n
+),
+folded AS (
+  SELECT nn, rr, kk,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             CAST(LIST(term ORDER BY event_type, dow) AS DOUBLE[])),
+           (a, b) -> a + b) AS chi2
+  FROM terms GROUP BY nn, rr, kk
+)
+SELECT nn AS n, rr AS n_rows, kk AS n_cols, chi2,
+       SQRT(chi2 / (CAST(nn AS DOUBLE)
+                    * CAST(least(rr - 1, kk - 1) AS DOUBLE)))
+         AS cramers_v
+FROM folded
+"""
+
+
+REGISTRATIONS.append(("cramers_v_events", cramers_v_events,
+                      CRAMERS_V_ORACLE))
+
+
+# --- Bartels rank von Neumann serial-randomness test (round 11) -----------
+
+
+def bartels_daily_cells(ev: DataFrame) -> DataFrame:
+    """Per-(type, day) value-sum grid in cents — the MERGEABLE
+    sufficient statistic for the Bartels test (the ph_daily_cells
+    shape), shared by the batch op and ``streaming.windows.
+    stream_bartels_rank``."""
+    return (ev.select("event_type", F.to_date("ts").alias("d"),
+                      F.round(F.col("value") * 100).cast("long")
+                       .alias("vc"))
+            .groupBy("event_type", "d")
+            .agg(F.sum("vc").cast("long").alias("v")))
+
+
+def bartels_closed_form(daily: DataFrame) -> DataFrame:
+    """Bartels statistic from the (type, day, value) grid — shared by
+    batch and streaming twin. Midranks carried DOUBLED (2R = 2p+c+1),
+    so the successive-difference sum NM4 = Σ(2R_i − 2R_{i+1})² = 4·NM
+    and the centering sum D4 = Σ(2R_i − (n+1))² = 4·D are exact
+    BIGINTs and RVN = NM/D = NM4/D4 clears to the ppm grid with one
+    truncating DIV (expected value 2·10⁶ under randomness)."""
+    daily = daily.localCheckpoint(eager=True)
+    vg = (daily.groupBy("event_type", "v")
+          .agg(F.count("*").cast("long").alias("c")))
+    w = W.partitionBy("event_type").orderBy("v")
+    vg = vg.withColumn("below", F.sum("c").over(w) - F.col("c"))
+    ranked = (daily.join(vg, ["event_type", "v"])
+              .select("event_type", "d",
+                      (2 * F.col("below") + F.col("c") + 1)
+                      .cast("long").alias("r2")))
+    wd = W.partitionBy("event_type").orderBy("d")
+    diffed = ranked.withColumn("dr2", F.col("r2") - F.lag("r2").over(wd))
+    nn = daily.groupBy("event_type").agg(F.count("*").cast("long")
+                                         .alias("n_days"))
+    d4 = (ranked.join(nn, "event_type")
+          .groupBy("event_type")
+          .agg(F.sum(F.expr("(r2 - (n_days + 1)) * (r2 - (n_days + 1))"))
+               .cast("long").alias("d4")))
+    nm = (diffed.where(F.col("dr2").isNotNull())
+          .groupBy("event_type")
+          .agg(F.sum(F.expr("dr2 * dr2")).cast("long").alias("nm4")))
+    return (nn.join(nm, "event_type").join(d4, "event_type")
+            .select("event_type", "n_days", "nm4", "d4",
+                    F.expr("CAST(CASE WHEN d4 > 0 THEN"
+                           " CAST(nm4 AS DECIMAL(38,0)) * 1000000 DIV d4"
+                           " END AS BIGINT)").alias("rvn_ppm")))
+
+
+def bartels_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann ratio test for SERIAL randomness of
+    the daily value series per event type (Bartels 1982): the
+    rank-based successive-difference ratio RVN = Σ(R_i − R_{i+1})² /
+    Σ(R_i − R̄)², ≈2 under independence, <2 under positive serial
+    dependence (trending), >2 under oscillation — the RANK complement
+    of ``runs_test_events`` (which sees only the above/below-median
+    sign) and the serial-dependence screen beside Mann–Kendall's
+    monotone trend.
+
+    Exactness: doubled midranks make every sum a pure BIGINT; the
+    ratio clears to ppm with truncating DIV on both engines (see
+    ``bartels_closed_form``). No float anywhere.
+
+    Scale shape: one map-side-combinable aggregate to the (type, day)
+    grid; ranking and differencing are dims-sized window work (days
+    per type), never event-grain. Streaming twin shares the cells
+    and this closed form.
+
+    Output: ``(event_type, n_days, nm4, d4, rvn_ppm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return bartels_closed_form(bartels_daily_cells(ev))
+
+
+BARTELS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+vg AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c,
+         SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY v)
+           - COUNT(*) AS below
+  FROM daily GROUP BY event_type, v
+),
+ranked AS (
+  SELECT daily.event_type, daily.d,
+         CAST(2 * vg.below + vg.c + 1 AS BIGINT) AS r2
+  FROM daily JOIN vg ON daily.event_type = vg.event_type
+                    AND daily.v = vg.v
+),
+diffed AS (
+  SELECT event_type, r2,
+         r2 - LAG(r2) OVER (PARTITION BY event_type ORDER BY d) AS dr2
+  FROM ranked
+),
+nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM daily GROUP BY 1),
+nm AS (SELECT event_type, CAST(SUM(dr2 * dr2) AS BIGINT) AS nm4
+       FROM diffed WHERE dr2 IS NOT NULL GROUP BY 1),
+d4 AS (
+  SELECT ranked.event_type,
+         CAST(SUM((r2 - (n_days + 1)) * (r2 - (n_days + 1))) AS BIGINT)
+           AS d4
+  FROM ranked JOIN nn ON ranked.event_type = nn.event_type
+  GROUP BY 1
+)
+SELECT nn.event_type, nn.n_days, nm.nm4, d4.d4,
+       CAST(CASE WHEN d4.d4 > 0 THEN
+         CAST(nm.nm4 AS HUGEINT) * 1000000 // d4.d4
+       END AS BIGINT) AS rvn_ppm
+FROM nn JOIN nm ON nn.event_type = nm.event_type
+        JOIN d4 ON nn.event_type = d4.event_type
+"""
+
+
+REGISTRATIONS.append(("bartels_rank_events", bartels_rank_events,
+                      BARTELS_ORACLE))
+
+
+# --- Cox–Stuart trend sign test (round 11) ---------------------------------
+
+
+def cox_stuart_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox–Stuart trend test on the daily value series per event type
+    (Cox & Stuart 1955): pair day i with day i + ⌈n/2⌉ (the middle
+    day of an odd series drops), count rises vs falls, and apply the
+    sign test — the 30-second trend screen that needs ONE pass and
+    no rank machinery (the cheap triage before Mann–Kendall's full
+    pairwise S; they disagree only on pathological series).
+
+    Exactness: pure integer counts; the sign-test statistic
+    (n⁺ − n⁻)²/(n⁺ + n⁻) clears to ppm with truncating DIV, NULL on
+    tie-only series (the rank-biserial guard pattern on both
+    engines).
+
+    Scale shape: one aggregate to the (type, day) grid, one
+    row_number window over dims-sized days, one half-offset
+    self-join per type. Never event-grain.
+
+    Output: ``(event_type, n_days, n_plus, n_minus, cs_x2_ppm,
+    trend_sign)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type", F.to_date("ts").alias("d"),
+                       F.round(F.col("value") * 100).cast("long")
+                        .alias("vc"))
+             .groupBy("event_type", "d")
+             .agg(F.sum("vc").cast("long").alias("v"))
+             .localCheckpoint(eager=True))
+    wd = W.partitionBy("event_type").orderBy("d")
+    rn = daily.select("event_type", "v",
+                      F.row_number().over(wd).cast("long").alias("rn"))
+    nn = daily.groupBy("event_type").agg(F.count("*").cast("long")
+                                         .alias("n_days"))
+    half = rn.join(nn, "event_type").withColumn(
+        "c", F.expr("(n_days + 1) DIV 2"))
+    a = half.where(F.col("rn") <= F.col("n_days") - F.col("c")).alias("a")
+    b = rn.select(F.col("event_type").alias("et_b"),
+                  F.col("rn").alias("rn_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, (F.col("a.event_type") == F.col("et_b"))
+                   & (F.col("a.rn") + F.col("a.c") == F.col("rn_b"))) \
+             .select(F.col("a.event_type").alias("event_type"),
+                     F.col("a.v").alias("v"), "v_b")
+    agg = (pairs.groupBy("event_type")
+           .agg(F.sum(F.when(F.col("v_b") > F.col("v"), 1).otherwise(0))
+                 .cast("long").alias("n_plus"),
+                F.sum(F.when(F.col("v_b") < F.col("v"), 1).otherwise(0))
+                 .cast("long").alias("n_minus")))
+    x2 = ("CAST(CASE WHEN n_plus + n_minus > 0 THEN"
+          " (CAST(n_plus AS DECIMAL(38,0)) - n_minus)"
+          " * (CAST(n_plus AS DECIMAL(38,0)) - n_minus) * 1000000"
+          " DIV (CAST(n_plus AS DECIMAL(38,0)) + n_minus)"
+          " END AS BIGINT)")
+    return (nn.join(agg, "event_type")
+            .select("event_type", "n_days", "n_plus", "n_minus",
+                    F.expr(x2).alias("cs_x2_ppm"),
+                    F.expr("CAST(CASE WHEN n_plus > n_minus THEN 1"
+                           " WHEN n_plus < n_minus THEN -1 ELSE 0 END"
+                           " AS BIGINT)").alias("trend_sign")))
+
+
+COX_STUART_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+rn AS (
+  SELECT event_type, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS rn
+  FROM daily
+),
+nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM daily GROUP BY 1),
+pairs AS (
+  SELECT a.event_type, a.v AS v, b.v AS v_b
+  FROM rn a JOIN nn USING (event_type)
+       JOIN rn b ON a.event_type = b.event_type
+                AND a.rn + (nn.n_days + 1) // 2 = b.rn
+  WHERE a.rn <= nn.n_days - (nn.n_days + 1) // 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN v_b > v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_plus,
+         CAST(SUM(CASE WHEN v_b < v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_minus
+  FROM pairs GROUP BY 1
+)
+SELECT nn.event_type, nn.n_days, agg.n_plus, agg.n_minus,
+       CAST(CASE WHEN n_plus + n_minus > 0 THEN
+         (CAST(n_plus AS HUGEINT) - n_minus)
+         * (CAST(n_plus AS HUGEINT) - n_minus) * 1000000
+         // (CAST(n_plus AS HUGEINT) + n_minus)
+       END AS BIGINT) AS cs_x2_ppm,
+       CAST(CASE WHEN n_plus > n_minus THEN 1
+                 WHEN n_plus < n_minus THEN -1 ELSE 0 END AS BIGINT)
+         AS trend_sign
+FROM nn JOIN agg ON nn.event_type = agg.event_type
+"""
+
+
+REGISTRATIONS.append(("cox_stuart_events", cox_stuart_events,
+                      COX_STUART_ORACLE))
+
+
+# --- Hampel rolling-MAD outlier filter (round 11) --------------------------
+
+
+HAMPEL_HALF_DAYS = 3   # centered window: ±3 calendar days
+HAMPEL_K = 3           # flag |x − med| > K · MAD
+
+
+def hampel_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily value series per event type
+    (Hampel 1974; the SPC-standard robust outlier rule): within a
+    centered ±``HAMPEL_HALF_DAYS``-calendar-day window, flag days
+    where |x − rolling_median| > K·MAD — the rolling, breakdown-proof
+    sibling of the global ``mad_outlier_orders`` (a level shift or a
+    weekly cycle doesn't poison the baseline the way it poisons a
+    global median).
+
+    Exactness: the window median and the MAD are lower nearest-rank
+    order statistics over ≤ 2h+1 integer cents values — selected via
+    sorted-array indexing on BOTH engines (Spark array_sort /
+    element_at ≡ DuckDB list_sort / [i]; window-function MEDIAN would
+    interpolate halves and is avoided on purpose). The flag is a pure
+    integer inequality (no 1.4826 consistency scaling — K absorbs
+    it). Calendar-day windows (not row windows), so gaps shrink the
+    neighborhood honestly.
+
+    Scale shape: everything after the first aggregate is dims-sized —
+    two ≤(2h+1)-fanout self-joins of the (type, day) grid, never
+    event-grain.
+
+    Output: ``(event_type, d, v, med, mad, is_outlier)`` for every
+    day on the grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type", F.to_date("ts").alias("d"),
+                       F.round(F.col("value") * 100).cast("long")
+                        .alias("vc"))
+             .groupBy("event_type", "d")
+             .agg(F.sum("vc").cast("long").alias("v"))
+             .localCheckpoint(eager=True))
+    a, b = daily.alias("a"), daily.alias("b")
+    win = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                  & (F.datediff(F.col("b.d"), F.col("a.d"))
+                     .between(-HAMPEL_HALF_DAYS, HAMPEL_HALF_DAYS)))
+           .select(F.col("a.event_type").alias("event_type"),
+                   F.col("a.d").alias("d"), F.col("a.v").alias("v"),
+                   F.col("b.v").alias("bv")))
+    med = (win.groupBy("event_type", "d", "v")
+           .agg(F.expr("element_at(array_sort(collect_list(bv)),"
+                       " CAST((count(1) + 1) DIV 2 AS INT))")
+                .alias("med")))
+    m = med.alias("m")
+    dev = (m.join(b, (F.col("m.event_type") == F.col("b.event_type"))
+                  & (F.datediff(F.col("b.d"), F.col("m.d"))
+                     .between(-HAMPEL_HALF_DAYS, HAMPEL_HALF_DAYS)))
+           .select(F.col("m.event_type").alias("event_type"),
+                   F.col("m.d").alias("d"), F.col("m.v").alias("v"),
+                   F.col("m.med").alias("med"),
+                   F.abs(F.col("b.v") - F.col("m.med")).alias("adev")))
+    mad = (dev.groupBy("event_type", "d", "v", "med")
+           .agg(F.expr("element_at(array_sort(collect_list(adev)),"
+                       " CAST((count(1) + 1) DIV 2 AS INT))")
+                .alias("mad")))
+    return mad.select(
+        "event_type", "d", "v", "med", "mad",
+        (F.abs(F.col("v") - F.col("med"))
+         > F.lit(HAMPEL_K) * F.col("mad")).alias("is_outlier"))
+
+
+HAMPEL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT a.event_type, a.d, a.v, b.v AS bv
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type
+   AND b.d BETWEEN a.d - {HAMPEL_HALF_DAYS} AND a.d + {HAMPEL_HALF_DAYS}
+),
+med AS (
+  SELECT event_type, d, v,
+         list_sort(LIST(bv))[CAST((COUNT(*) + 1) // 2 AS BIGINT)] AS med
+  FROM win GROUP BY event_type, d, v
+),
+dev AS (
+  SELECT med.event_type, med.d, med.v, med.med,
+         abs(b.v - med.med) AS adev
+  FROM med JOIN daily b
+    ON med.event_type = b.event_type
+   AND b.d BETWEEN med.d - {HAMPEL_HALF_DAYS}
+               AND med.d + {HAMPEL_HALF_DAYS}
+),
+mad AS (
+  SELECT event_type, d, v, med,
+         list_sort(LIST(adev))[CAST((COUNT(*) + 1) // 2 AS BIGINT)]
+           AS mad
+  FROM dev GROUP BY event_type, d, v, med
+)
+SELECT event_type, d, v, med, mad,
+       abs(v - med) > {HAMPEL_K} * mad AS is_outlier
+FROM mad
+"""
+
+
+REGISTRATIONS.append(("hampel_outliers_events", hampel_outliers_events,
+                      HAMPEL_ORACLE))

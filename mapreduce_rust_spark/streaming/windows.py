@@ -1002,6 +1002,28 @@ def _jt_oracle() -> str:
     return JONCKHEERE_ORACLE
 
 
+def stream_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.bartels_rank_events`` —
+    thirty-seventh kappa pair, sixth consumer of the (type, day)
+    grid family: the per-day value sums are ONE complete-mode
+    mergeable aggregate (dims-sized state, the stream_page_hinkley
+    shape), and the shared closed form runs the doubled-midrank
+    differencing batch-side over the sink. Bit-identical (pure
+    BIGINT chain); same oracle. The closed form branches the cells
+    (ranks + counts), so it checkpoints internally."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        bartels_closed_form, bartels_daily_cells)
+    ev = read_events_stream(spark, sf_dir)
+    daily = bartels_daily_cells(ev)
+    out = _run_to_table(daily, "stream_bartels_rank", "complete")
+    return bartels_closed_form(out)
+
+
+def _bartels_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import BARTELS_ORACLE
+    return BARTELS_ORACLE
+
+
 def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``experiment.srm_check_events`` —
     twenty-second kappa pair, and the guardrail's natural home: SRM
@@ -1226,4 +1248,5 @@ REGISTRATIONS = [
     ("stream_seasonal_kendall", stream_seasonal_kendall, _sk_oracle()),
     ("stream_mcnemar", stream_mcnemar, _mcnemar_oracle()),
     ("stream_jonckheere", stream_jonckheere, _jt_oracle()),
+    ("stream_bartels_rank", stream_bartels_rank, _bartels_oracle()),
 ]

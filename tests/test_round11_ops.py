@@ -1,0 +1,241 @@
+"""Behavioral tests for the round-11 crop — planted extremes and
+degenerate inputs the fixture-driven oracle mirror cannot see."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def _duck_on(tmp_path, *tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')")
+    return con
+
+
+def _events(tmp_path, rows):
+    """rows: list of (event_type, ts, user_id, value)."""
+    ev = pd.DataFrame({
+        "event_id": np.arange(len(rows)),
+        "ts": [r[1] for r in rows],
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[0] for r in rows],
+        "value": [float(r[3]) for r in rows],
+        "props": "{}"})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+
+def test_cohens_d_hand_computed(spark, tmp_path):
+    """treat = user 1 with values 1.00/3.00, ctrl = user 2 with
+    1.00/1.00: pooled sd = 100 cents, d = 1.0 exactly, and Hedges'
+    g = d·(1 − 3/7) = 4/7."""
+    t = pd.Timestamp("2024-01-10")
+    _events(tmp_path, [("view", t, 1, 1.00), ("view", t, 1, 3.00),
+                       ("view", t, 2, 1.00), ("view", t, 2, 1.00)])
+    from mapreduce_rust_spark.operators.experiment import cohens_d_events
+    r = cohens_d_events(spark, str(tmp_path)).collect()[0]
+    assert (r.n_treat, r.n_ctrl) == (2, 2)
+    assert r.mean_diff == 100.0 and r.pooled_sd == 100.0
+    assert r.cohens_d == 1.0
+    assert abs(r.hedges_g - 4.0 / 7.0) < 1e-15
+
+
+def test_mcnemar_counts_discordant_pairs_and_guards_zero(spark, tmp_path):
+    """3 users purchase only pre, 1 only post: b=3, c=1, χ² = 4/4 = 1
+    (ppm 10⁶). A corpus with NO discordant users must yield NULL on
+    BOTH engines (the guarded division), not an oracle error."""
+    pre = pd.Timestamp("2024-01-10")
+    post = pd.Timestamp("2024-01-20")
+    rows = []
+    for u in (1, 2, 3):                       # pre-only purchasers
+        rows.append(("purchase", pre, u, 1.0))
+        rows.append(("view", post, u, 1.0))
+    rows.append(("view", pre, 4, 1.0))        # post-only purchaser
+    rows.append(("purchase", post, 4, 1.0))
+    rows.append(("purchase", pre, 5, 1.0))    # concordant both
+    rows.append(("purchase", post, 5, 1.0))
+    rows.append(("view", pre, 6, 1.0))        # concordant neither
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.experiment import (
+        MCNEMAR_ORACLE, mcnemar_events)
+    r = mcnemar_events(spark, str(tmp_path)).collect()[0]
+    assert (r.n_users, r.n10, r.n01) == (6, 3, 1)
+    assert r.mcnemar_x2_ppm == 1_000_000
+    con = _duck_on(tmp_path, "events")
+    assert tuple(con.execute(MCNEMAR_ORACLE).fetchone()) == (6, 3, 1,
+                                                             1_000_000)
+
+    # degenerate: all concordant -> b+c = 0 -> NULL, no engine error
+    _events(tmp_path, [("purchase", pre, 1, 1.0),
+                       ("purchase", post, 1, 1.0),
+                       ("view", pre, 2, 1.0)])
+    r = mcnemar_events(spark, str(tmp_path)).collect()[0]
+    assert r.mcnemar_x2_ppm is None
+    con = _duck_on(tmp_path, "events")
+    w = con.execute(MCNEMAR_ORACLE).fetchone()
+    assert w[3] is None
+
+
+def test_jonckheere_hand_computed_two_groups(spark, tmp_path):
+    """Group 0 (hours 0–5) values {1.00, 2.00}, group 3 (hours
+    18–23) values {3.00, 4.00}: every cross pair rises, so
+    J = 4 (j2 = 8), E[2J] = n₀·n₃ = 4, var = [N²(2N+3) −
+    Σn²(2n+3)]/72 = [16·11 − 2·4·7]/72 = 120/72, and
+    z = (8−4)/(2·sqrt(120/72))."""
+    lo = pd.Timestamp("2024-01-10 03:00:00")
+    hi = pd.Timestamp("2024-01-10 20:00:00")
+    _events(tmp_path, [("view", lo, 1, 1.00), ("view", lo, 1, 2.00),
+                       ("view", hi, 1, 3.00), ("view", hi, 1, 4.00)])
+    from mapreduce_rust_spark.operators.experiment import (
+        JONCKHEERE_ORACLE, jonckheere_events)
+    r = jonckheere_events(spark, str(tmp_path)).collect()[0]
+    assert (r.n_total, r.j2, r.e_j2, r.var_num) == (4, 8, 4, 120)
+    assert abs(r.z - (8 - 4) / (2 * (120 / 72.0) ** 0.5)) < 1e-15
+    con = _duck_on(tmp_path, "events")
+    assert tuple(con.execute(JONCKHEERE_ORACLE).fetchone()) == \
+        (4, 8, 4, 120, r.z)
+
+
+def test_mood_median_k_split_types(spark, tmp_path):
+    """Type A all at 1.00, type B all at 3.00 (n each): the grand
+    lower median is 1.00, every B value is above it, and BOTH types'
+    cleared χ² terms equal exactly 500000 ppm (= n/2 per cell
+    pair)."""
+    t = pd.Timestamp("2024-01-10")
+    rows = [("A", t, i, 1.00) for i in range(10)] + \
+           [("B", t, i, 3.00) for i in range(10)]
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.monitoring import (
+        MOOD_MEDIAN_K_ORACLE, mood_median_k_events)
+    got = {r.event_type: r for r in
+           mood_median_k_events(spark, str(tmp_path)).collect()}
+    assert (got["A"].n_g, got["A"].n_above) == (10, 0)
+    assert (got["B"].n_g, got["B"].n_above) == (10, 10)
+    assert got["A"].mood_term_ppm == 500_000
+    assert got["B"].mood_term_ppm == 500_000
+
+    # degenerate: every value equal -> A = 0 -> NULL terms, no error
+    _events(tmp_path, [("A", t, 1, 2.0), ("B", t, 2, 2.0)])
+    got = {r.event_type: r.mood_term_ppm for r in
+           mood_median_k_events(spark, str(tmp_path)).collect()}
+    assert got == {"A": None, "B": None}
+    con = _duck_on(tmp_path, "events")
+    for _, r in con.execute(MOOD_MEDIAN_K_ORACLE).fetchdf().iterrows():
+        assert pd.isna(r["mood_term_ppm"])
+
+
+def test_cramers_v_perfect_and_independent(spark, tmp_path):
+    """Perfect association (each type on its own weekday) gives
+    V = 1; a uniform grid gives χ² = 0 and V = 0."""
+    mon = pd.Timestamp("2024-01-01")   # Monday
+    tue = pd.Timestamp("2024-01-02")
+    from mapreduce_rust_spark.operators.monitoring import (
+        cramers_v_events)
+    _events(tmp_path, [("X", mon, 1, 1.0)] * 5 + [("Y", tue, 1, 1.0)] * 5)
+    r = cramers_v_events(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.n_rows, r.n_cols) == (10, 2, 2)
+    assert r.cramers_v == 1.0
+
+    rows = [(t, d, 1, 1.0) for t in ("X", "Y") for d in (mon, tue)
+            for _ in range(5)]
+    _events(tmp_path, rows)
+    r = cramers_v_events(spark, str(tmp_path)).collect()[0]
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+
+def test_bartels_rank_monotone_vs_alternating(spark, tmp_path):
+    """A strictly increasing 20-day series: successive rank diffs are
+    all 1, so NM4 = 4·19 = 76 and D4 = Σ(2i−21)² = 2660 →
+    rvn_ppm = 28571 (strong positive serial dependence, RVN ≪ 2).
+    An alternating series must read ABOVE 2·10⁶ (here ranks
+    interleave 1,11,2,12,… so NM4 = 4·(10·10² + 9·9²) = 6916 and
+    RVN = 2.6 exactly)."""
+    rows = []
+    for d in range(20):
+        rows.append(("up", pd.Timestamp("2024-03-01")
+                     + pd.Timedelta(days=d), 1, 1.0 + d))
+        rows.append(("alt", pd.Timestamp("2024-03-01")
+                     + pd.Timedelta(days=d), 1,
+                     100.0 + (d % 2) * 50 + d * 0.01))
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.monitoring import (
+        BARTELS_ORACLE, bartels_rank_events)
+    got = {r.event_type: r for r in
+           bartels_rank_events(spark, str(tmp_path)).collect()}
+    assert (got["up"].n_days, got["up"].nm4, got["up"].d4) == \
+        (20, 76, 2660)
+    assert got["up"].rvn_ppm == 76 * 1_000_000 // 2660
+    assert got["alt"].nm4 == 6916
+    assert got["alt"].rvn_ppm == 2_600_000
+    con = _duck_on(tmp_path, "events")
+    want = {r[0]: r for r in con.execute(BARTELS_ORACLE).fetchall()}
+    for k, g in got.items():
+        assert (g.n_days, g.nm4, g.d4, g.rvn_ppm) == tuple(want[k][1:])
+
+
+def test_cox_stuart_monotone_series(spark, tmp_path):
+    """21 strictly increasing days: c = 11, ten pairs all rising →
+    n_plus = 10, n_minus = 0, cleared χ² = 10⁶·100/10 = 10⁷, the
+    middle day dropped."""
+    rows = [("up", pd.Timestamp("2024-03-01") + pd.Timedelta(days=d),
+             1, 1.0 + d) for d in range(21)]
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.monitoring import (
+        COX_STUART_ORACLE, cox_stuart_events)
+    r = cox_stuart_events(spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_plus, r.n_minus) == (21, 10, 0)
+    assert r.cs_x2_ppm == 10_000_000 and r.trend_sign == 1
+    con = _duck_on(tmp_path, "events")
+    assert tuple(con.execute(COX_STUART_ORACLE).fetchone()) == \
+        ("up", 21, 10, 0, 10_000_000, 1)
+
+
+def test_hampel_flags_exactly_the_planted_spike(spark, tmp_path):
+    """A flat 15-day series with one 100× spike: the spike day's
+    window median stays flat and the MAD is 0, so only the spike is
+    flagged (|v − med| > 3·0); its flat neighbors are not."""
+    rows = []
+    for d in range(15):
+        v = 100.0 if d == 7 else 1.0
+        rows.append(("m", pd.Timestamp("2024-03-01")
+                     + pd.Timedelta(days=d), 1, v))
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.monitoring import (
+        hampel_outliers_events)
+    got = hampel_outliers_events(spark, str(tmp_path)).collect()
+    flagged = sorted(str(r.d) for r in got if r.is_outlier)
+    assert flagged == ["2024-03-08"]
+    assert len(got) == 15
+
+
+def test_stream_twins_match_batch_round11(spark, tmp_path):
+    """The three round-11 kappa twins must be bit-identical to their
+    batch ops on a fixture with ties, gaps, and both arms."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        d = int(rng.integers(0, 25))
+        if d in (5, 13):          # calendar gaps
+            d += 1
+        rows.append((["view", "purchase"][int(rng.integers(0, 2))],
+                     pd.Timestamp("2024-01-02")
+                     + pd.Timedelta(days=d, hours=int(rng.integers(0, 24))),
+                     int(rng.integers(1, 40)),
+                     float(rng.integers(1, 30)) / 2))
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.experiment import (
+        jonckheere_events, mcnemar_events)
+    from mapreduce_rust_spark.operators.monitoring import (
+        bartels_rank_events)
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_bartels_rank, stream_jonckheere, stream_mcnemar)
+    for batch, stream in [(mcnemar_events, stream_mcnemar),
+                          (jonckheere_events, stream_jonckheere),
+                          (bartels_rank_events, stream_bartels_rank)]:
+        b = sorted(map(tuple, batch(spark, str(tmp_path)).collect()))
+        s = sorted(map(tuple, stream(spark, str(tmp_path)).collect()))
+        assert b == s, batch.__name__
