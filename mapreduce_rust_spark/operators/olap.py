@@ -2724,3 +2724,301 @@ FROM a
 
 REGISTRATIONS.append(("palma_ratio_nations", palma_ratio_nations,
                       PALMA_ORACLE))
+
+
+# --- Lorenz curve decile points (round 11) ---------------------------------
+
+
+def lorenz_curve_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer-revenue concentration within each
+    nation, read at the ten decile points (Lorenz 1905): for
+    d = 1..10, the revenue share of the bottom d·10% of customers —
+    the FULL inequality curve behind the scalar tails
+    (``palma_ratio_nations`` reads two points of this curve,
+    ``hhi_revenue_nations`` a quadratic moment of it; an analyst
+    plotting "how concentrated is revenue" wants the curve itself).
+
+    Exactness: the Palma machinery verbatim — exact micro-unit
+    revenues, nearest-rank decile boundaries k_d = (d·n) DIV 10 over
+    the ``scalable_rank`` ascending order, DECIMAL(38)/HUGEINT cum
+    sums, ppm shares via one floor division. Decile 10 always reads
+    exactly 10⁶ ppm (k₁₀ = n), pinning the normalization.
+
+    Scale: identical to palma — per-customer aggregate, partitioned
+    bucket-decomposed ranks (never a per-nation data window), one
+    broadcast of nation counts, one nation-grain aggregate fanned to
+    ten conditional sums (plan-constant, no extra shuffle).
+
+    Output: ``(n_name, decile, k_customers, cum_rev_u, share_ppm)``.
+    """
+    from mapreduce_rust_spark.operators.ranking import scalable_rank
+    from mapreduce_rust_spark.operators.relational import DEC_MONEY
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("o_custkey")
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast(DEC_MONEY))
+                .alias("rev")))
+    u = (rev.join(cust, rev.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey)
+         .select("n_name", "o_custkey",
+                 F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
+         .localCheckpoint(eager=True))    # scalable_rank consumes twice
+    bucket = F.floor(F.col("x").cast("double") / 1e6).cast("long")
+    ranked = scalable_rank(u, bucket, [F.col("x"), F.col("o_custkey")],
+                           part_cols=["n_name"], rank_col="i")
+    n = u.groupBy("n_name").agg(F.count("*").cast("long").alias("n"))
+    j = ranked.join(F.broadcast(n), "n_name")
+    aggs = [F.max("n").alias("n")]
+    for d in range(1, 11):
+        aggs.append(
+            F.sum(F.when(F.col("i") <= F.expr(f"({d} * n) DIV 10"),
+                         F.col("x")).otherwise(F.lit(0)))
+             .alias(f"cum{d}"))
+    aggs.append(F.sum("x").alias("tot"))
+    a = j.groupBy("n_name").agg(*aggs)
+    stack = ", ".join(f"{d}L, cum{d}" for d in range(1, 11))
+    return (a.selectExpr("n_name", "n", "tot",
+                         f"stack(10, {stack}) AS (decile, cum)")
+            .select("n_name", F.col("decile").cast("long").alias("decile"),
+                    F.expr("CAST((decile * n) DIV 10 AS BIGINT)")
+                     .alias("k_customers"),
+                    F.col("cum").cast("long").alias("cum_rev_u"),
+                    F.expr("CASE WHEN tot > 0 THEN "
+                           "CAST(cum * 1000000 DIV tot AS BIGINT) END")
+                     .alias("share_ppm")))
+
+
+LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6))) * 1000000
+              AS HUGEINT) AS x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+j AS (
+  SELECT n.n_name, rev.o_custkey, x
+  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+r AS (
+  SELECT n_name, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                                 ORDER BY x, o_custkey)
+              AS HUGEINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY n_name) AS HUGEINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY n_name) AS HUGEINT) AS tot
+  FROM j
+),
+d AS (SELECT UNNEST(generate_series(1, 10)) AS decile)
+SELECT r.n_name, CAST(d.decile AS BIGINT) AS decile,
+       CAST((d.decile * MAX(r.n)) // 10 AS BIGINT) AS k_customers,
+       CAST(SUM(CASE WHEN r.i <= (d.decile * r.n) // 10
+                     THEN r.x ELSE 0 END) AS BIGINT) AS cum_rev_u,
+       CAST(CASE WHEN MAX(r.tot) > 0 THEN
+         SUM(CASE WHEN r.i <= (d.decile * r.n) // 10
+                  THEN r.x ELSE 0 END) * 1000000 // MAX(r.tot)
+       END AS BIGINT) AS share_ppm
+FROM r CROSS JOIN d
+GROUP BY r.n_name, d.decile
+"""
+
+
+REGISTRATIONS.append(("lorenz_curve_nations", lorenz_curve_nations,
+                      LORENZ_ORACLE))
+
+
+# --- CR4 / CR8 supplier concentration ratios (round 11) --------------------
+
+
+def cr_concentration_suppliers(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Four- and eight-firm concentration ratios of supplier revenue
+    within each nation (the industrial-organization standard CR_k —
+    the antitrust screen read BEFORE the HHI): the revenue share of
+    the top 4 / top 8 suppliers, in exact ppm.
+
+    Exactness: exact micro-unit revenues; "top k" selected as the
+    LAST k ascending ranks (i > n − k over the scalable_rank order
+    with supplier-key tiebreak — the palma top-tail idiom), so no
+    descending window is needed; shares are one floor division each.
+
+    Scale: per-supplier aggregate with map-side combine; partitioned
+    bucket-decomposed ranks; one broadcast nation-count join; one
+    nation-grain readout. Never a per-nation data window.
+
+    Output: ``(n_name, n_suppliers, top4_rev_u, top8_rev_u, cr4_ppm,
+    cr8_ppm)``.
+    """
+    from mapreduce_rust_spark.operators.ranking import scalable_rank
+    from mapreduce_rust_spark.operators.relational import DEC_MONEY
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast(DEC_MONEY))
+                .alias("rev")))
+    u = (rev.join(supp, rev.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(nation),
+               supp.s_nationkey == nation.n_nationkey)
+         .select("n_name", "l_suppkey",
+                 F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
+         .localCheckpoint(eager=True))
+    bucket = F.floor(F.col("x").cast("double") / 1e6).cast("long")
+    ranked = scalable_rank(u, bucket, [F.col("x"), F.col("l_suppkey")],
+                           part_cols=["n_name"], rank_col="i")
+    n = u.groupBy("n_name").agg(F.count("*").cast("long").alias("n"))
+    a = (ranked.join(F.broadcast(n), "n_name")
+         .groupBy("n_name")
+         .agg(F.max("n").alias("n_suppliers"),
+              F.sum(F.when(F.col("i") > F.col("n") - 4, F.col("x"))
+                     .otherwise(F.lit(0))).alias("top4"),
+              F.sum(F.when(F.col("i") > F.col("n") - 8, F.col("x"))
+                     .otherwise(F.lit(0))).alias("top8"),
+              F.sum("x").alias("tot")))
+    return a.select(
+        "n_name", "n_suppliers",
+        F.col("top4").cast("long").alias("top4_rev_u"),
+        F.col("top8").cast("long").alias("top8_rev_u"),
+        F.expr("CASE WHEN tot > 0 THEN "
+               "CAST(top4 * 1000000 DIV tot AS BIGINT) END")
+         .alias("cr4_ppm"),
+        F.expr("CASE WHEN tot > 0 THEN "
+               "CAST(top8 * 1000000 DIV tot AS BIGINT) END")
+         .alias("cr8_ppm"))
+
+
+CR_CONC_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) * 1000000
+              AS HUGEINT) AS x
+  FROM lineitem GROUP BY l_suppkey
+),
+j AS (
+  SELECT n.n_name, rev.l_suppkey, x
+  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+r AS (
+  SELECT n_name, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                                 ORDER BY x, l_suppkey)
+              AS HUGEINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY n_name) AS HUGEINT) AS n
+  FROM j
+)
+SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN i > n - 4 THEN x ELSE 0 END) AS BIGINT)
+         AS top4_rev_u,
+       CAST(SUM(CASE WHEN i > n - 8 THEN x ELSE 0 END) AS BIGINT)
+         AS top8_rev_u,
+       CAST(CASE WHEN SUM(x) > 0 THEN
+         SUM(CASE WHEN i > n - 4 THEN x ELSE 0 END) * 1000000 // SUM(x)
+       END AS BIGINT) AS cr4_ppm,
+       CAST(CASE WHEN SUM(x) > 0 THEN
+         SUM(CASE WHEN i > n - 8 THEN x ELSE 0 END) * 1000000 // SUM(x)
+       END AS BIGINT) AS cr8_ppm
+FROM r GROUP BY n_name
+"""
+
+
+REGISTRATIONS.append(("cr_concentration_suppliers",
+                      cr_concentration_suppliers, CR_CONC_ORACLE))
+
+
+# --- Gini mean difference (round 11) ---------------------------------------
+
+
+def gini_mean_difference_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Gini mean difference of order values (the GMD — Gini 1912's
+    original dispersion measure): the mean |x_i − x_j| over all
+    C(n,2) order pairs, plus its mean-relative form (= 2·Gini
+    coefficient). Unlike the variance it is FIRST-order in the data,
+    so heavy tails don't square their way into dominance — the
+    dispersion companion of ``mad_outlier_orders``' location
+    robustness.
+
+    Exactness: on the cents value-count grid, Σ|diff| has the exact
+    sorted-cumsum closed form Σ_v c_v·(v·m_<v − s_<v) (each pair
+    counted once, larger minus smaller), carried in DECIMAL(38)/
+    HUGEINT; the readouts are truncating divisions (gmd in cents,
+    rel ppm = GMD·n·10⁶ DIV (C(n,2)·mean-sum algebra)). int64
+    ceiling: Σ|diff| ~ n²·spread/2 leaves BIGINT near ~10⁹ orders —
+    the sum stays DECIMAL(38) internally and only the bounded
+    readouts are BIGINT.
+
+    Scale: one aggregate to the cents grid, one dims-sized cumsum
+    (the mannwhitney window discipline), one 1-row readout.
+
+    Output: ``(n, gmd_cents, rel_gmd_ppm)``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = (orders.select(F.round(F.col("o_totalprice") * 100)
+                          .cast("long").alias("vc"))
+           .groupBy("vc").agg(F.count("*").cast("long").alias("c")))
+    t = (cnt.withColumn("m", F.sum("c").over(W.orderBy("vc")) - F.col("c"))
+            .withColumn("s", F.sum(F.col("c").cast("decimal(38,0)")
+                                   * F.col("vc")).over(W.orderBy("vc"))
+                             - F.col("c").cast("decimal(38,0)")
+                             * F.col("vc")))
+    agg = t.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("vc"))
+         .cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)")
+              * (F.col("vc") * F.col("m") - F.col("s")))
+         .cast("decimal(38,0)").alias("sabs"))
+    return agg.select(
+        "n",
+        F.expr("CAST(CASE WHEN n > 1 THEN"
+               " sabs DIV (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2)"
+               " END AS BIGINT)").alias("gmd_cents"),
+        F.expr("CAST(CASE WHEN n > 1 AND sx > 0 THEN"
+               " sabs * n * 1000000"
+               " DIV ((CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2) * sx)"
+               " END AS BIGINT)").alias("rel_gmd_ppm"))
+
+
+GMD_ORACLE = """
+WITH cnt AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS vc,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT vc, c,
+         SUM(c) OVER (ORDER BY vc) - c AS m,
+         SUM(CAST(c AS HUGEINT) * vc) OVER (ORDER BY vc)
+           - CAST(c AS HUGEINT) * vc AS s
+  FROM cnt
+),
+a AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS HUGEINT) * vc) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(c AS HUGEINT) * (vc * m - s)) AS HUGEINT) AS sabs
+  FROM t
+)
+SELECT n,
+       CAST(CASE WHEN n > 1 THEN
+         sabs // (CAST(n AS HUGEINT) * (n - 1) // 2)
+       END AS BIGINT) AS gmd_cents,
+       CAST(CASE WHEN n > 1 AND sx > 0 THEN
+         sabs * n * 1000000
+         // ((CAST(n AS HUGEINT) * (n - 1) // 2) * sx)
+       END AS BIGINT) AS rel_gmd_ppm
+FROM a
+"""
+
+
+REGISTRATIONS.append(("gini_mean_difference_orders",
+                      gini_mean_difference_orders, GMD_ORACLE))

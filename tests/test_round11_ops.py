@@ -239,3 +239,94 @@ def test_stream_twins_match_batch_round11(spark, tmp_path):
         b = sorted(map(tuple, batch(spark, str(tmp_path)).collect()))
         s = sorted(map(tuple, stream(spark, str(tmp_path)).collect()))
         assert b == s, batch.__name__
+
+
+def _tpch_mini(tmp_path, cust_revs=None, supp_revs=None):
+    """Single-nation TPC-H micro-fixture: one order+lineitem per
+    customer (revenue = list value, discount 0), optional suppliers."""
+    cust_revs = cust_revs or []
+    supp_revs = supp_revs or [1.0]
+    pd.DataFrame({"n_nationkey": [0], "n_name": ["AAA"],
+                  "n_regionkey": [0], "n_comment": [""]}).to_parquet(
+        tmp_path / "nation.parquet")
+    nc = len(cust_revs) if cust_revs else 1
+    pd.DataFrame({"c_custkey": range(1, nc + 1),
+                  "c_nationkey": 0, "c_name": "c",
+                  "c_acctbal": 0.0}).to_parquet(
+        tmp_path / "customer.parquet")
+    pd.DataFrame({"s_suppkey": range(1, len(supp_revs) + 1),
+                  "s_nationkey": 0, "s_name": "s"}).to_parquet(
+        tmp_path / "supplier.parquet")
+    n_orders = max(len(cust_revs), 1)
+    pd.DataFrame({
+        "o_orderkey": range(1, n_orders + 1),
+        "o_custkey": range(1, n_orders + 1),
+        "o_orderstatus": "F",
+        "o_totalprice": [float(r) for r in (cust_revs or [1.0])],
+        "o_orderdate": pd.Timestamp("2024-01-01"),
+        "o_orderpriority": "1-URGENT"}).to_parquet(
+        tmp_path / "orders.parquet")
+    li = []
+    for i, r in enumerate(cust_revs or [0.0]):
+        li.append((i + 1, 1, r))
+    for j, r in enumerate(supp_revs):
+        li.append((1, j + 1, r))
+    pd.DataFrame({
+        "l_orderkey": [x[0] for x in li],
+        "l_suppkey": [x[1] for x in li],
+        "l_partkey": 1, "l_quantity": 1.0,
+        "l_extendedprice": [float(x[2]) for x in li],
+        "l_discount": 0.0, "l_tax": 0.0,
+        "l_returnflag": "N", "l_linestatus": "O",
+        "l_shipdate": pd.Timestamp("2024-01-01"),
+        "l_commitdate": pd.Timestamp("2024-01-01"),
+        "l_receiptdate": pd.Timestamp("2024-01-02")}).to_parquet(
+        tmp_path / "lineitem.parquet")
+
+
+def test_lorenz_curve_hand_computed(spark, tmp_path):
+    """Four customers with revenues 1,1,1,7 (per-customer lineitem
+    revenue INCLUDING the supplier rows landing on customer 1):
+    decile boundaries (d·4) DIV 10 = 0,0,0,1,2,2,2,3,3,4 and the
+    bottom-k shares follow the sorted revenue prefix; decile 10
+    always reads exactly 10⁶."""
+    _tpch_mini(tmp_path, cust_revs=[1.0, 1.0, 1.0, 7.0],
+               supp_revs=[0.0])
+    from mapreduce_rust_spark.operators.olap import lorenz_curve_nations
+    got = {r.decile: r for r in
+           lorenz_curve_nations(spark, str(tmp_path)).collect()}
+    assert len(got) == 10
+    assert [got[d].k_customers for d in range(1, 11)] == \
+        [0, 0, 1, 1, 2, 2, 2, 3, 3, 4]
+    assert got[10].share_ppm == 1_000_000
+    assert got[5].share_ppm == 200_000          # bottom 2 of total 10
+    assert got[8].share_ppm == 300_000          # bottom 3
+    mono = [got[d].share_ppm for d in range(1, 11)]
+    assert mono == sorted(mono)
+
+
+def test_cr_concentration_dominant_supplier(spark, tmp_path):
+    """Ten suppliers where one takes 91% of revenue: CR4 counts the
+    top FOUR ascending-tail ranks (dominant + three 1% peers)."""
+    _tpch_mini(tmp_path, cust_revs=[1.0],
+               supp_revs=[91.0] + [1.0] * 9)
+    from mapreduce_rust_spark.operators.olap import (
+        cr_concentration_suppliers)
+    r = cr_concentration_suppliers(spark, str(tmp_path)).collect()[0]
+    # total = 91 + 9 + the 1.0 customer lineitem on supplier 1 = 101
+    assert r.n_suppliers == 10
+    assert r.cr4_ppm == (92 + 3) * 1_000_000 // 101
+    assert r.cr8_ppm == (92 + 7) * 1_000_000 // 101
+
+
+def test_gmd_hand_computed(spark, tmp_path):
+    """Orders at 1.00/2.00/4.00: pairwise |diffs| 100+300+200 = 600
+    cents over 3 pairs → GMD 200 cents; relative GMD
+    = 600·3·10⁶ DIV (3·700) = 857142 ppm."""
+    _tpch_mini(tmp_path, cust_revs=[1.0, 2.0, 4.0])
+    from mapreduce_rust_spark.operators.olap import (
+        GMD_ORACLE, gini_mean_difference_orders)
+    r = gini_mean_difference_orders(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.gmd_cents, r.rel_gmd_ppm) == (3, 200, 857142)
+    con = _duck_on(tmp_path, "orders")
+    assert tuple(con.execute(GMD_ORACLE).fetchone()) == (3, 200, 857142)
