@@ -835,9 +835,26 @@ def decode_wav_pcm(data: bytes) -> tuple[int, int, np.ndarray]:
         if bits != 4:
             raise ValueError(f"IMA ADPCM requires 4-bit codes, got {bits}")
         return rate, channels, _ima_adpcm_decode(pcm, block_align)
+    if code == 7:      # G.711 µ-law — round-11 gate narrowing
+        if channels != 1:
+            raise NotImplementedError("multi-channel µ-law unsupported")
+        if bits != 8:
+            raise ValueError(f"µ-law requires 8-bit codes, got {bits}")
+        return rate, channels, _ulaw_decode(pcm)
     raise NotImplementedError(
-        f"WAVE format code {code} needs a codec this container "
-        "lacks; integer PCM (1) and IMA ADPCM (0x11) decode here")
+        f"WAVE format code {code} needs a codec this container lacks; "
+        "integer PCM (1), µ-law (7), and IMA ADPCM (0x11) decode here")
+
+
+def _ulaw_decode(pcm: bytes) -> np.ndarray:
+    """REAL G.711 µ-law expansion (ITU-T G.711's segmented-companding
+    decode, the classic ulaw2linear): complement the code byte, then
+    sample = ±(((mantissa << 3) + 0x84) << exponent − 0x84) — pure
+    integer shifts, vectorized. The silence byte 0xFF decodes to 0.
+    """
+    u = 255 - np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+    t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
 
 
 # --- IMA ADPCM (round 10: the audio gate narrows one more notch) --------
@@ -1357,3 +1374,250 @@ FROM d GROUP BY doc_id
 
 REGISTRATIONS.append(("video_scene_cuts", video_scene_cuts,
                       VIDEO_SCENE_CUTS_ORACLE))
+
+
+# --- G.711 µ-law audio (round 11: the audio gate narrows again) ----------
+
+
+def _pack_wav_ulaw(text: str) -> bytes:
+    """Build the synthetic RIFF/WAVE µ-law (format 7) container for
+    one document: n = min(AUDIO_PCM_CAP, L) mono 8-bit µ-law code
+    bytes at ``AUDIO_PCM_RATE``, code i = byte i of the text verbatim
+    (every codepoint mod 256 is a valid µ-law code). Every container
+    field is real: a third-party G.711 WAV reader decodes it
+    identically."""
+    import struct as _struct
+    L = len(text)
+    n = min(AUDIO_PCM_CAP, L)
+    data = bytes(ord(text[i]) % 256 for i in range(n))
+    fmt = _struct.pack("<HHIIHH", 7, 1, AUDIO_PCM_RATE,
+                       AUDIO_PCM_RATE, 1, 8)
+    body = (b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data)
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _audio_ulaw_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the µ-law path: pack the document as a
+    true format-7 WAV, then — the operator under test — parse the
+    container, run the REAL G.711 expansion, and window the decoded
+    samples into exact integer stats (the PCM kernel's windowing)."""
+    for pdf in batches:
+        out = {"doc_id": [], "win_idx": [], "n_samples": [],
+               "sum_sq": [], "peak": [], "silence": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            text = payload.decode("utf-8")
+            if not text:
+                continue
+            rate, channels, samples = decode_wav_pcm(_pack_wav_ulaw(text))
+            assert rate == AUDIO_PCM_RATE and channels == 1
+            s = samples.astype(np.int64)
+            for i in range(0, (len(s) + AUDIO_PCM_WIN - 1) // AUDIO_PCM_WIN):
+                w = s[i * AUDIO_PCM_WIN:(i + 1) * AUDIO_PCM_WIN]
+                ssq = int((w * w).sum())
+                out["doc_id"].append(doc_id)
+                out["win_idx"].append(i)
+                out["n_samples"].append(len(w))
+                out["sum_sq"].append(ssq)
+                out["peak"].append(int(np.abs(w).max()))
+                out["silence"].append(ssq < AUDIO_PCM_SILENCE * len(w))
+        yield pd.DataFrame(out)
+
+
+def multimodal_audio_ulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS/peak/silence stats over samples decoded from a
+    REAL G.711 µ-law (WAVE format 7) container — the round-11 audio
+    gate narrowing after PCM (r9) and IMA ADPCM (r10):
+    ``decode_wav_pcm``'s NotImplementedError now covers only float
+    PCM, A-law, and compressed codecs. µ-law is the telephony/call-
+    center archive format, a real corpus class for speech-data
+    curation.
+
+    Exactness: the expansion is STATELESS pure-integer shift algebra
+    per code byte (no cross-sample recurrence, unlike ADPCM), so the
+    DuckDB oracle re-derives every sample from the text in one
+    UNNEST — complement, segment shift, ±0x84 bias — and the window
+    stats are the PCM oracle's exact integer sums.
+
+    Scale: identical shape to ``multimodal_audio_pcm_stats`` — all
+    decode work in-row in one Arrow-batched kernel (≤ CAP/WIN rows
+    per doc), bytes never shuffle, kernel runs once per DISTINCT
+    text with results joined back on the digest.
+
+    Reference scope note: the reference engine
+    (Freebirdgo/MapReduce_Rust, src/mr/worker.rs) has no media
+    surface; this is the 100 TB training-pipeline extension mandate.
+    """
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 1)
+    key = (docs.select("doc_id", F.sha2("text", 256).alias("h"))
+               .localCheckpoint(eager=True))
+    reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
+    per_rep = (with_payload(rep_docs)
+               .mapInPandas(_audio_ulaw_batches, AUDIO_PCM_SCHEMA)
+               .withColumnRenamed("doc_id", "rep_id"))
+    return (key.join(reps, "h").join(per_rep, "rep_id")
+            .select("doc_id", "win_idx", "n_samples", "sum_sq", "peak",
+                    "silence"))
+
+
+# ASCII fixture text (byte == codepoint): code byte b -> u = 255 - b,
+# t = ((u%16)*8 + 132) * 2^((u//16)%8), sample = ±(t - 132) by the
+# complemented sign bit — the identical G.711 expansion in SQL.
+AUDIO_ULAW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, LEAST({AUDIO_PCM_CAP}, LENGTH(text)) AS n
+  FROM documents WHERE LENGTH(text) >= 1
+),
+s AS (
+  SELECT doc_id, i // {AUDIO_PCM_WIN} AS win_idx,
+         CAST(CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS BIGINT)
+           AS smp
+  FROM (
+    SELECT doc_id, i, u,
+           ((u % 16) * 8 + 132)
+           * (CASE (u // 16) % 8 WHEN 0 THEN 1 WHEN 1 THEN 2
+              WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16
+              WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END) AS t
+    FROM (
+      SELECT doc_id, i,
+             255 - (unicode(substr(text, i + 1, 1)) % 256) AS u
+      FROM d, UNNEST(range(0, n)) AS un(i))
+  )
+),
+w AS (
+  SELECT doc_id, win_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+         CAST(MAX(ABS(smp)) AS BIGINT) AS peak
+  FROM s GROUP BY doc_id, win_idx
+)
+SELECT doc_id, win_idx, n_samples, sum_sq, peak,
+       sum_sq < {AUDIO_PCM_SILENCE} * n_samples AS silence
+FROM w
+"""
+
+
+REGISTRATIONS.append(("multimodal_audio_ulaw_stats",
+                      multimodal_audio_ulaw_stats, AUDIO_ULAW_ORACLE))
+
+
+# --- 56-bit average hash near-dup (round 11) --------------------------------
+
+AHASH_ROWS = 7          # 7 rows x 8 sampled cols = 56 bits (BIGINT-safe)
+AHASH_COLS = 8
+AHASH_COL_STRIDE = 4    # sample every 4th column of the 32-wide strip
+AHASH_BITS = AHASH_ROWS * AHASH_COLS
+AHASH_MAX_HAM = 6
+AHASH_BUCKET_CAP = 64
+AHASH_MIN_LEN = (AHASH_ROWS - 1) * DHASH_WIDTH \
+    + (AHASH_COLS - 1) * AHASH_COL_STRIDE + 1   # = 221
+
+
+def _ahash_pixels(col: str = "text") -> list[str]:
+    return [f"ascii(substr({col}, "
+            f"{r * DHASH_WIDTH + c * AHASH_COL_STRIDE + 1}, 1))"
+            for r in range(AHASH_ROWS) for c in range(AHASH_COLS)]
+
+
+def _ahash_total(col: str = "text") -> str:
+    return " + ".join(_ahash_pixels(col))
+
+
+def _ahash_expr(total: str = "at", col: str = "text") -> str:
+    """56-bit AVERAGE hash of the document's byte strip: bit i is set
+    iff sampled pixel i is strictly above the 56-pixel mean —
+    compared as ``56·p > total`` so the mean never materializes as a
+    float (the cleared-inequality discipline). Same identical-string
+    Spark/DuckDB property as ``_dhash_expr``."""
+    terms = []
+    for i, p in enumerate(_ahash_pixels(col)):
+        terms.append(f"(CASE WHEN {AHASH_BITS} * {p} > {total} "
+                     f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash) perceptual near-dup pairs over the image
+    byte strips — the BRIGHTNESS-THRESHOLD complement of
+    ``image_dhash_neardup``'s gradient signs: aHash sees global
+    tone-mapped copies the gradient hash shrugs at, dHash sees
+    local-contrast edits aHash misses; a crawl dedup pass runs both
+    and unions the pair sets (the standard pHash-family portfolio).
+
+    Same 100 TB shape as dHash verbatim: exact-duplicate collapse to
+    min-doc_id representatives first, 4×14-bit band-bucket LSH
+    candidates (pigeonhole: Hamming ≤ 3 guaranteed, ≤ 6 reported),
+    hot buckets past ``AHASH_BUCKET_CAP`` leave the join, full
+    ``bit_count`` only on bucket-mates. The mean threshold is the
+    cleared integer inequality 56·p > Σp — no float, no UDF.
+
+    Output: ``(doc_a, doc_b, hamming)``, doc_a < doc_b, distinct,
+    hamming ≤ ``AHASH_MAX_HAM``.
+    """
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.length("text") >= AHASH_MIN_LEN)
+            .select("doc_id", F.md5("text").alias("sig"),
+                    F.expr(_ahash_total()).alias("at"), "text"))
+    docs = docs.select("doc_id", "sig", F.expr(_ahash_expr()).alias("ah"))
+    rep = (docs.groupBy("sig")
+               .agg(F.min("doc_id").alias("doc_id"),
+                    F.min("ah").alias("ah")))
+    bands = rep.select(
+        "doc_id", "ah",
+        F.explode(F.array(*[
+            F.expr(f"CAST({b} AS BIGINT)") for b in range(DHASH_BANDS)
+        ])).alias("b"))
+    bands = bands.withColumn(
+        "bv", F.expr("shiftright(ah, CAST(b * 14 AS INT)) & 16383"))
+    sizes = bands.groupBy("b", "bv").agg(F.count("*").alias("bn"))
+    bands = (bands.join(F.broadcast(
+                sizes.filter(F.col("bn") <= AHASH_BUCKET_CAP)
+                     .select("b", "bv")), ["b", "bv"]))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("ah").alias("ah_a"), "b", "bv")
+    bb = bands.select(F.col("doc_id").alias("doc_b"),
+                      F.col("ah").alias("ah_b"), "b", "bv")
+    return (a.join(bb, ["b", "bv"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     F.expr("bit_count(ah_a ^ ah_b)").cast("long")
+                      .alias("hamming"))
+             .filter(F.col("hamming") <= AHASH_MAX_HAM)
+             .distinct())
+
+
+IMAGE_AHASH_ORACLE = f"""
+WITH h0 AS (
+  SELECT doc_id, md5(text) AS sig, text, ({_ahash_total()}) AS at
+  FROM documents WHERE length(text) >= {AHASH_MIN_LEN}
+),
+h AS (SELECT doc_id, sig, ({_ahash_expr()}) AS ah FROM h0),
+rep AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(ah) AS ah FROM h GROUP BY sig
+),
+bands0 AS (
+  SELECT doc_id, ah, b, (ah >> (CAST(b AS INT) * 14)) & 16383 AS bv
+  FROM rep, UNNEST([0, 1, 2, 3]) AS u(b)
+),
+keep AS (
+  SELECT b, bv FROM (SELECT b, bv, COUNT(*) AS bn
+                     FROM bands0 GROUP BY b, bv)
+  WHERE bn <= {AHASH_BUCKET_CAP}
+),
+bands AS (SELECT bands0.* FROM bands0 JOIN keep USING (b, bv))
+SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ah, bb.ah)) AS BIGINT) AS hamming
+FROM bands a JOIN bands bb
+  ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id
+WHERE bit_count(xor(a.ah, bb.ah)) <= {AHASH_MAX_HAM}
+"""
+
+
+REGISTRATIONS.append(("image_ahash_neardup", image_ahash_neardup,
+                      IMAGE_AHASH_ORACLE))

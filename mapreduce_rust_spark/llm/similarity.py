@@ -253,6 +253,30 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def _int8_arrays(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv) with qv the int8-quantized unit vector — quantize
+    ARRAY-NATIVE (identical grid/arithmetic to
+    embedding_normalize_quantize: per-dim v² on the 1e-12 HALF_EVEN
+    grid, exact long sum, one sqrt, per-dim HALF_EVEN int8) as pure
+    JVM array expressions: zero shuffles, where the long-format route
+    paid explode + window + collect_list reassembly just to get back
+    the array this computes in place. Shared by ``knn_quantized`` and
+    ``knn_prefix_dim_recall``."""
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(
+        "vd", F.lit(0).cast("long"),
+        lambda acc, x: acc + F.bround(x * x * F.lit(1e12), 0).cast("long"))
+    return (emb.select("vec_id", vd.alias("vd"))
+            .withColumn("norm", F.sqrt(sumsq.cast("double") / F.lit(1e12)))
+            .select("vec_id", F.when(
+                F.col("norm") > 0,
+                F.transform("vd", lambda x: F.bround(
+                    F.lit(127.0) * x / F.col("norm"), 0).cast("long")))
+                .otherwise(F.transform("vd",
+                                       lambda x: F.lit(0).cast("long")))
+                .alias("qv")))
+
+
 def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k search over INT8-QUANTIZED vectors — the serving-side
     form of ANN: 4x less memory/IO than float32 and integer dot
@@ -263,25 +287,7 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as knn_bruteforce: the corpus is never shuffled — only
     grouped once to assemble arrays. Quantization recall vs the exact
     float ranking is measured in tests."""
-    # Quantize ARRAY-NATIVE (identical grid/arithmetic to
-    # embedding_normalize_quantize: per-dim v² on the 1e-12 HALF_EVEN
-    # grid, exact long sum, one sqrt, per-dim HALF_EVEN int8) — but as
-    # pure JVM array expressions: zero shuffles, where the long-format
-    # route paid explode + window + collect_list reassembly just to
-    # get back the array this computes in place.
-    emb = load_table(spark, sf_dir, "embeddings")
-    vd = F.transform("embedding", lambda x: x.cast("double"))
-    sumsq = F.aggregate(
-        "vd", F.lit(0).cast("long"),
-        lambda acc, x: acc + F.bround(x * x * F.lit(1e12), 0).cast("long"))
-    arr = (emb.select("vec_id", vd.alias("vd"))
-           .withColumn("norm", F.sqrt(sumsq.cast("double") / F.lit(1e12)))
-           .select("vec_id", F.when(
-               F.col("norm") > 0,
-               F.transform("vd", lambda x: F.bround(
-                   F.lit(127.0) * x / F.col("norm"), 0).cast("long")))
-               .otherwise(F.transform("vd", lambda x: F.lit(0).cast("long")))
-               .alias("qv")))
+    arr = _int8_arrays(load_table(spark, sf_dir, "embeddings"))
     probes = arr.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("pa"))
     corpus = arr.select(F.col("vec_id").alias("neighbor_id"),
@@ -1522,3 +1528,115 @@ FROM agg
 
 REGISTRATIONS.append(("label_centroid_distances", label_centroid_distances,
                       LABEL_CENTROID_DIST_ORACLE))
+
+
+# --- Matryoshka prefix-dimension recall (round 11) -------------------------
+
+
+PREFIX_DIMS = 16   # truncated head length evaluated against full dims
+
+
+def knn_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of PREFIX-TRUNCATED search against full-dimension
+    search — the Matryoshka/MRL question (Kusupati et al. 2022):
+    if the index stores only the first ``PREFIX_DIMS`` of each
+    embedding (4× less memory and bandwidth again on top of int8),
+    how much of the true top-k survives? The evaluation an
+    embedding-serving team runs before committing to dimension
+    truncation, beside ``knn_eval_recall``'s LSH audit.
+
+    Exactness: BOTH rankings are exact integer dot products on the
+    shared int8 grid (``_int8_arrays``), so both top-k sets are total
+    orders (score DESC, neighbor_id) and the overlap count + recall
+    ppm are pure integers — the whole evaluation is oracle-checkable,
+    unlike float-cosine recall.
+
+    Scale: one broadcast of the probe rows against the corpus scan
+    (corpus never shuffles), two window top-ks over the per-query
+    candidate sets, one join on (query, neighbor). The prefix score
+    is a slice of the SAME pair rows — one cross join, not two.
+
+    Output: ``(query_id, k, n_hits, recall_ppm)``.
+    """
+    arr = _int8_arrays(load_table(spark, sf_dir, "embeddings"))
+    probes = arr.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pa"))
+    corpus = arr.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("qv").alias("na"))
+
+    def iscore(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    cand = (F.broadcast(probes).crossJoin(corpus)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("s_full", iscore(F.col("pa"), F.col("na")))
+            .withColumn("s_pre", iscore(
+                F.slice("pa", 1, PREFIX_DIMS),
+                F.slice("na", 1, PREFIX_DIMS)))
+            .localCheckpoint(eager=True))   # two window branches
+    wf = W.partitionBy("query_id").orderBy(F.col("s_full").desc(),
+                                           F.col("neighbor_id"))
+    wp = W.partitionBy("query_id").orderBy(F.col("s_pre").desc(),
+                                           F.col("neighbor_id"))
+    full = (cand.withColumn("r", F.row_number().over(wf))
+            .filter(F.col("r") <= K).select("query_id", "neighbor_id"))
+    pre = (cand.withColumn("r", F.row_number().over(wp))
+           .filter(F.col("r") <= K).select("query_id", "neighbor_id"))
+    hits = (full.join(pre, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    return (full.groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("k"))
+            .join(hits, "query_id", "left")
+            .fillna(0, subset=["n_hits"])
+            .select("query_id", "k", "n_hits",
+                    F.expr("CAST(n_hits * 1000000 DIV k AS BIGINT)")
+                     .alias("recall_ppm")))
+
+
+KNN_PREFIX_ORACLE = f"""
+WITH q8 AS ({EMB_QUANTIZE_ORACLE}),
+arr AS (SELECT vec_id, list(q ORDER BY dim) AS qv FROM q8 GROUP BY vec_id),
+cand AS (
+  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_dot_product(p.qv::DOUBLE[], n.qv::DOUBLE[]) AS BIGINT)
+           AS s_full,
+         CAST(list_dot_product(p.qv[1:{PREFIX_DIMS}]::DOUBLE[],
+                               n.qv[1:{PREFIX_DIMS}]::DOUBLE[]) AS BIGINT)
+           AS s_pre
+  FROM arr p JOIN arr n ON p.vec_id <> n.vec_id
+  WHERE p.vec_id < {N_QUERIES}
+),
+fullk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s_full DESC, neighbor_id) AS r
+    FROM cand) WHERE r <= {K}
+),
+prek AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s_pre DESC, neighbor_id) AS r
+    FROM cand) WHERE r <= {K}
+),
+hits AS (
+  SELECT f.query_id, CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits
+  FROM fullk f LEFT JOIN prek p
+    ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+  GROUP BY f.query_id
+),
+kk AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM fullk GROUP BY query_id
+)
+SELECT kk.query_id, kk.k, hits.n_hits,
+       CAST(hits.n_hits * 1000000 // kk.k AS BIGINT) AS recall_ppm
+FROM kk JOIN hits ON kk.query_id = hits.query_id
+"""
+
+
+REGISTRATIONS.append(("knn_prefix_dim_recall", knn_prefix_dim_recall,
+                      KNN_PREFIX_ORACLE))

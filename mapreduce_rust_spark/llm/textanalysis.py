@@ -2052,3 +2052,169 @@ FROM a, pe
 
 REGISTRATIONS.append(("lang_id_kappa_docs", lang_id_kappa_docs,
                       LANG_ID_KAPPA_ORACLE))
+
+
+# --- token burstiness (round 11) -------------------------------------------
+
+
+BURST_MIN_TF = 20   # score only tokens with corpus frequency >= this
+
+
+def token_burstiness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness via the variance-to-mean ratio of per-document
+    counts (Church & Gale 1995's deviation-from-Poisson diagnostic):
+    VMR = 1 for a Poisson-scattered token, ≫1 for a BURSTY one that
+    piles into few documents (content words, boilerplate blocks —
+    the words dedup and quality filters care about), ≈1−mean for
+    near-uniform function words. The per-token companion of the
+    corpus-level ``repetition_stats``.
+
+    Exactness: over the FULL denominator of N docs (zero counts
+    included — absorbed algebraically): population variance/mean
+    clears to vmr_ppm = (N·Σc² − (Σc)²)·10⁶ DIV (N·Σc), pure
+    wide-integer with one truncating division; df and tf are exact
+    counts. Tokens below ``BURST_MIN_TF`` corpus occurrences are cut
+    (mirrored in the oracle) — VMR of a 2-occurrence token is noise
+    and the cut bounds the output to the heavy vocabulary.
+
+    Scale: one token explode + (token, doc) aggregate with map-side
+    combine, one token-grain aggregate. Never a driver loop.
+
+    Output: ``(tok, df, tf, vmr_ppm)``.
+    """
+    tok = _tok_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs_row = docs.agg(F.count("*").cast("long").alias("__n"))
+    per = (tok.groupBy("doc_id", "tok")
+           .agg(F.count("*").cast("long").alias("c")))
+    agg = (per.groupBy("tok")
+           .agg(F.count("*").cast("long").alias("df"),
+                F.sum("c").cast("long").alias("tf"),
+                F.sum(F.expr("c * c")).cast("decimal(38,0)").alias("q")))
+    return (agg.where(F.col("tf") >= BURST_MIN_TF)
+            .crossJoin(F.broadcast(n_docs_row))
+            .select("tok", "df", "tf",
+                    F.expr("CAST((CAST(__n AS DECIMAL(38,0)) * q"
+                           " - CAST(tf AS DECIMAL(38,0)) * tf) * 1000000"
+                           " DIV (CAST(__n AS DECIMAL(38,0)) * tf)"
+                           " AS BIGINT)").alias("vmr_ppm")))
+
+
+TOKEN_BURSTINESS_ORACLE = f"""
+WITH tk AS (SELECT doc_id,
+                   UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents),
+per AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk WHERE tok <> '' GROUP BY doc_id, tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+agg AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS tf,
+         CAST(SUM(c * c) AS HUGEINT) AS q
+  FROM per GROUP BY tok
+)
+SELECT tok, df, tf,
+       CAST((CAST(nn AS HUGEINT) * q - CAST(tf AS HUGEINT) * tf)
+            * 1000000 // (CAST(nn AS HUGEINT) * tf) AS BIGINT)
+         AS vmr_ppm
+FROM agg, n
+WHERE tf >= {BURST_MIN_TF}
+"""
+
+
+REGISTRATIONS.append(("token_burstiness_docs", token_burstiness_docs,
+                      TOKEN_BURSTINESS_ORACLE))
+
+
+# --- encoding-quality profile (round 11) ------------------------------------
+
+
+def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health profile — the ingest screen a
+    web-scale text pipeline runs before any language work: counts of
+    U+FFFD replacement characters (decoder already gave up), C0
+    control characters other than tab/newline/CR (binary bleed,
+    terminal junk), and non-ASCII characters (the legitimate-unicode
+    baseline the other two are judged against), with per-million-char
+    rates. A source whose fffd_ppm climbs is shipping mojibake —
+    cut it before it poisons dedup shingles and lang-id n-grams
+    (the ``char_class_profile_docs`` sibling, aimed at decode health
+    rather than script mix).
+
+    Exactness: counts via length-difference after regexp_replace with
+    explicit codepoint classes (identical regex semantics both
+    engines); rates are integer ppm divisions. No float.
+
+    Scale: one linear scan, per-source map-side-combinable aggregate.
+
+    Output: ``(source, n_docs, n_chars, fffd, ctrl, non_ascii,
+    fffd_ppm, ctrl_ppm, non_ascii_ppm)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_match(pat: str) -> F.Column:
+        return (F.length("text")
+                - F.length(F.regexp_replace("text", pat, ""))).cast("long")
+
+    per = docs.select(
+        "source", F.length("text").cast("long").alias("nc"),
+        n_match("�").alias("f"),
+        n_match("[\x00-\x08\x0B\x0C\x0E-\x1F]").alias("c"),
+        n_match("[^\x00-\x7F]").alias("a"))
+    agg = (per.groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("nc").cast("long").alias("n_chars"),
+                F.sum("f").cast("long").alias("fffd"),
+                F.sum("c").cast("long").alias("ctrl"),
+                F.sum("a").cast("long").alias("non_ascii")))
+    ppm = ("CAST(CASE WHEN n_chars > 0 THEN"
+           " CAST({c} AS DECIMAL(38,0)) * 1000000 DIV n_chars"
+           " END AS BIGINT)")
+    return agg.select(
+        "source", "n_docs", "n_chars", "fffd", "ctrl", "non_ascii",
+        F.expr(ppm.format(c="fffd")).alias("fffd_ppm"),
+        F.expr(ppm.format(c="ctrl")).alias("ctrl_ppm"),
+        F.expr(ppm.format(c="non_ascii")).alias("non_ascii_ppm"))
+
+
+ENCODING_QUALITY_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(LENGTH(text) AS BIGINT) AS nc,
+         CAST(LENGTH(text)
+              - LENGTH(regexp_replace(text, '\\x{FFFD}', '', 'g'))
+              AS BIGINT) AS f,
+         CAST(LENGTH(text)
+              - LENGTH(regexp_replace(text,
+                  '[\\x{0}-\\x{8}\\x{B}\\x{C}\\x{E}-\\x{1F}]', '', 'g'))
+              AS BIGINT) AS c,
+         CAST(LENGTH(text)
+              - LENGTH(regexp_replace(text, '[^\\x{0}-\\x{7F}]', '', 'g'))
+              AS BIGINT) AS a
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS n_chars,
+         CAST(SUM(f) AS BIGINT) AS fffd,
+         CAST(SUM(c) AS BIGINT) AS ctrl,
+         CAST(SUM(a) AS BIGINT) AS non_ascii
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_chars, fffd, ctrl, non_ascii,
+       CAST(CASE WHEN n_chars > 0 THEN
+         CAST(fffd AS HUGEINT) * 1000000 // n_chars END AS BIGINT)
+         AS fffd_ppm,
+       CAST(CASE WHEN n_chars > 0 THEN
+         CAST(ctrl AS HUGEINT) * 1000000 // n_chars END AS BIGINT)
+         AS ctrl_ppm,
+       CAST(CASE WHEN n_chars > 0 THEN
+         CAST(non_ascii AS HUGEINT) * 1000000 // n_chars END AS BIGINT)
+         AS non_ascii_ppm
+FROM agg
+"""
+
+
+REGISTRATIONS.append(("encoding_quality_docs", encoding_quality_docs,
+                      ENCODING_QUALITY_ORACLE))

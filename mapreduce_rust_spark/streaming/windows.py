@@ -797,6 +797,28 @@ def _audio_pcm_oracle() -> str:
     return AUDIO_PCM_ORACLE
 
 
+def stream_audio_ulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``multimodal_audio_ulaw_stats`` —
+    thirty-eighth kappa pair, the third STATELESS one: the G.711
+    expansion kernel as an append-mode ingest transform, same
+    map-only shape as ``stream_audio_pcm_stats`` (per-document
+    windows never span batches, so output is row-identical to the
+    batch op); same DuckDB oracle."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_PCM_SCHEMA, _audio_ulaw_batches, with_payload)
+    _ensure_self_shipping()
+    docs = read_docs_stream(spark, sf_dir).where(F.length("text") >= 1)
+    stats = with_payload(docs).mapInPandas(
+        _audio_ulaw_batches, AUDIO_PCM_SCHEMA)
+    return _run_to_table(stats, "stream_audio_ulaw_stats", "append")
+
+
+def _audio_ulaw_oracle() -> str:
+    from mapreduce_rust_spark.llm.multimodal import AUDIO_ULAW_ORACLE
+    return AUDIO_ULAW_ORACLE
+
+
 def stream_audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``multimodal_audio_adpcm_stats`` —
     twenty-ninth kappa pair, the second STATELESS one: the IMA-ADPCM
@@ -1249,4 +1271,6 @@ REGISTRATIONS = [
     ("stream_mcnemar", stream_mcnemar, _mcnemar_oracle()),
     ("stream_jonckheere", stream_jonckheere, _jt_oracle()),
     ("stream_bartels_rank", stream_bartels_rank, _bartels_oracle()),
+    ("stream_audio_ulaw_stats", stream_audio_ulaw_stats,
+     _audio_ulaw_oracle()),
 ]

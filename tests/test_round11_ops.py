@@ -330,3 +330,111 @@ def test_gmd_hand_computed(spark, tmp_path):
     assert (r.n, r.gmd_cents, r.rel_gmd_ppm) == (3, 200, 857142)
     con = _duck_on(tmp_path, "orders")
     assert tuple(con.execute(GMD_ORACLE).fetchone()) == (3, 200, 857142)
+
+
+def _docs(tmp_path, texts, sources=None, langs=None):
+    pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": langs or ["en"] * len(texts),
+        "source": sources or ["s0"] * len(texts),
+        "n_chars": [len(t) for t in texts]}).to_parquet(
+        tmp_path / "documents.parquet")
+
+
+def test_token_burstiness_uniform_vs_bursty(spark, tmp_path):
+    """A token appearing once in every one of 20 docs has zero
+    variance (vmr_ppm = 0); a token with all 20 occurrences in ONE
+    doc has population VMR = (20·400 − 400)/(20·20) = 19."""
+    texts = ["uni " + ("bur " * 20 if i == 0 else "pad")
+             for i in range(20)]
+    _docs(tmp_path, texts)
+    from mapreduce_rust_spark.llm.textanalysis import (
+        token_burstiness_docs)
+    got = {r.tok: r for r in
+           token_burstiness_docs(spark, str(tmp_path)).collect()}
+    assert got["uni"].vmr_ppm == 0 and got["uni"].df == 20
+    assert got["bur"].vmr_ppm == 19_000_000 and got["bur"].df == 1
+    assert "pad" not in got            # tf 19 < BURST_MIN_TF
+
+
+def test_encoding_quality_counts_planted_junk(spark, tmp_path):
+    """Two U+FFFD, one C0 control byte, and two non-ASCII letters in
+    one doc; a clean ASCII doc alongside — counts and ppm exact on
+    both engines."""
+    bad = "ab��c\x01dé é"            # len 10, fffd 2, ctrl 1
+    _docs(tmp_path, [bad, "clean ascii"], sources=["dirty", "clean"])
+    from mapreduce_rust_spark.llm.textanalysis import (
+        ENCODING_QUALITY_ORACLE, encoding_quality_docs)
+    got = {r.source: r for r in
+           encoding_quality_docs(spark, str(tmp_path)).collect()}
+    d = got["dirty"]
+    assert (d.n_chars, d.fffd, d.ctrl, d.non_ascii) == (10, 2, 1, 4)
+    assert d.fffd_ppm == 200_000 and d.ctrl_ppm == 100_000
+    c = got["clean"]
+    assert (c.fffd, c.ctrl, c.non_ascii) == (0, 0, 0)
+    con = _duck_on(tmp_path, "documents")
+    want = {r[0]: r for r in
+            con.execute(ENCODING_QUALITY_ORACLE).fetchall()}
+    for k, g in got.items():
+        assert tuple(g) == tuple(want[k])
+
+
+def test_knn_prefix_recall_is_total_when_tail_dims_are_zero(
+        spark, tmp_path):
+    """Embeddings whose dims beyond PREFIX_DIMS are all zero: the
+    truncated ranking IS the full ranking, so recall_ppm = 10⁶ for
+    every query."""
+    rng = np.random.default_rng(3)
+    vecs = []
+    for _ in range(30):
+        v = np.zeros(64, dtype=np.float32)
+        v[:16] = rng.normal(size=16).astype(np.float32)
+        vecs.append(v)
+    pd.DataFrame({"vec_id": range(30),
+                  "embedding": [list(v) for v in vecs],
+                  "label": 0}).to_parquet(tmp_path / "embeddings.parquet")
+    from mapreduce_rust_spark.llm.similarity import knn_prefix_dim_recall
+    got = knn_prefix_dim_recall(spark, str(tmp_path)).collect()
+    assert len(got) == 10
+    assert all(r.recall_ppm == 1_000_000 for r in got)
+
+
+def test_ulaw_decode_hand_computed_window(spark, tmp_path):
+    """One-char doc 'a' (code 97): u = 158 → negative segment-1
+    sample 132 − ((14·8 + 132)·2) = −356; the single window must
+    read sum_sq = 356², peak = 356."""
+    _docs(tmp_path, ["a"])
+    from mapreduce_rust_spark.llm.multimodal import (
+        multimodal_audio_ulaw_stats)
+    r = multimodal_audio_ulaw_stats(spark, str(tmp_path)).collect()[0]
+    assert (r.n_samples, r.sum_sq, r.peak) == (1, 356 * 356, 356)
+    # 356² = 126736 is under the 2e6 mean-square threshold
+    assert r.silence
+
+
+def test_ahash_flags_single_bit_neighbor(spark, tmp_path):
+    """Doc B = doc A with ONE sampled pixel pushed from far-below-mean
+    to far-above-mean (all sampled pixels sit at 48 or 122, so the
+    +74 mean shift of ~1.3 flips nothing else): exactly one hash bit
+    differs, the other three bands stay identical (so LSH keeps the
+    candidate), and the pair surfaces with hamming 1. An exact copy
+    of A collapses into A's representative and produces no pair."""
+    from mapreduce_rust_spark.llm.multimodal import (
+        AHASH_COL_STRIDE, AHASH_COLS, AHASH_ROWS, DHASH_WIDTH)
+    base = ["m"] * 300
+    sampled = [r * DHASH_WIDTH + c * AHASH_COL_STRIDE
+               for r in range(AHASH_ROWS) for c in range(AHASH_COLS)]
+    for i, pos in enumerate(sampled):
+        base[pos] = "z" if i % 2 == 0 else "0"   # 122 / 48, mean 85
+    a = base.copy()
+    b = base.copy(); b[sampled[1]] = "z"         # flip bit 1 only
+    _docs(tmp_path, ["".join(a), "".join(b), "".join(a)])
+    from mapreduce_rust_spark.llm.multimodal import (
+        IMAGE_AHASH_ORACLE, image_ahash_neardup)
+    got = sorted(map(tuple,
+                     image_ahash_neardup(spark, str(tmp_path)).collect()))
+    assert got == [(0, 1, 1)]
+    con = _duck_on(tmp_path, "documents")
+    assert sorted(map(tuple, con.execute(IMAGE_AHASH_ORACLE).fetchall())) \
+        == got
