@@ -2016,3 +2016,210 @@ FROM base
 
 REGISTRATIONS.append(("jonckheere_events", jonckheere_events,
                       JONCKHEERE_ORACLE))
+
+
+# --- odds ratio / relative risk (round 11) ----------------------------------
+
+
+def odds_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk of per-user conversion between
+    the arms — the epidemiology-standard 2×2 effect measures a
+    product team quotes beside the two-proportion z ("treatment users
+    convert at 1.3× the odds"): OR = ad/bc, RR = [a/(a+b)]/[c/(c+d)].
+
+    Exactness: the 2×2 cells ride ``two_prop_user_conv``'s idempotent
+    per-user MAX flags (exact BIGINT counts); both ratios clear to
+    the ppm grid with wide-decimal cross products and truncating DIV,
+    NULL-guarded when a denominator cell is empty (the rank-biserial
+    guard discipline on both engines).
+
+    Scale: one groupBy(user) MAX aggregate, one 1-row readout.
+
+    Output: ``(conv_treat, noconv_treat, conv_ctrl, noconv_ctrl,
+    odds_ratio_ppm, rel_risk_ppm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return or_closed_form(two_prop_user_conv(ev))
+
+
+def or_closed_form(user_conv: DataFrame) -> DataFrame:
+    """2×2 cells + cleared OR/RR from the (user_id, conv) flags —
+    shared by the batch op and ``streaming.windows.stream_odds_ratio``."""
+    users = user_conv.select((F.col("user_id") % 2 == 1).alias("treat"),
+                             "conv")
+    g = users.agg(
+        F.sum(F.when(F.col("treat") & (F.col("conv") == 1), 1)
+               .otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("treat") & (F.col("conv") == 0), 1)
+               .otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~F.col("treat") & (F.col("conv") == 1), 1)
+               .otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~F.col("treat") & (F.col("conv") == 0), 1)
+               .otherwise(0)).cast("long").alias("d"))
+    orx = ("CAST(CASE WHEN b > 0 AND c > 0 THEN"
+           " CAST(a AS DECIMAL(38,0)) * d * 1000000"
+           " DIV (CAST(b AS DECIMAL(38,0)) * c) END AS BIGINT)")
+    rr = ("CAST(CASE WHEN c > 0 AND a + b > 0 THEN"
+          " CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000"
+          " DIV (CAST(c AS DECIMAL(38,0)) * (a + b)) END AS BIGINT)")
+    return g.select(F.col("a").alias("conv_treat"),
+                    F.col("b").alias("noconv_treat"),
+                    F.col("c").alias("conv_ctrl"),
+                    F.col("d").alias("noconv_ctrl"),
+                    F.expr(orx).alias("odds_ratio_ppm"),
+                    F.expr(rr).alias("rel_risk_ppm"))
+
+
+ODDS_RATIO_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 AND conv = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d
+  FROM f
+)
+SELECT a AS conv_treat, b AS noconv_treat, c AS conv_ctrl,
+       d AS noconv_ctrl,
+       CAST(CASE WHEN b > 0 AND c > 0 THEN
+         CAST(a AS HUGEINT) * d * 1000000
+         // (CAST(b AS HUGEINT) * c) END AS BIGINT) AS odds_ratio_ppm,
+       CAST(CASE WHEN c > 0 AND a + b > 0 THEN
+         CAST(a AS HUGEINT) * (c + d) * 1000000
+         // (CAST(c AS HUGEINT) * (a + b)) END AS BIGINT)
+         AS rel_risk_ppm
+FROM g
+"""
+
+
+REGISTRATIONS.append(("odds_ratio_events", odds_ratio_events,
+                      ODDS_RATIO_ORACLE))
+
+
+# --- Friedman within-block rank test (round 11) -----------------------------
+
+
+FRIEDMAN_K = 4   # treatments = the four dayparts (JT_BUCKET_HOURS wide)
+
+
+def friedman_cells(ev: DataFrame) -> DataFrame:
+    """Per-(user, daypart) value sums in cents — the MERGEABLE
+    sufficient statistic (user×4 state, honestly user-dims-sized),
+    shared by the batch op and ``streaming.windows.stream_friedman``."""
+    return (ev.select("user_id",
+                      (F.hour("ts") / F.lit(JT_BUCKET_HOURS))
+                       .cast("long").alias("g"),
+                      F.round(F.col("value") * 100).cast("long")
+                       .alias("vc"))
+            .groupBy("user_id", "g")
+            .agg(F.sum("vc").cast("long").alias("v")))
+
+
+def friedman_closed_form(cells: DataFrame) -> DataFrame:
+    """Friedman statistic from the (user, daypart, value) cells —
+    shared by batch and streaming twin. Only COMPLETE blocks (users
+    active in all k dayparts) enter, per the test's definition;
+    within-block midranks are carried DOUBLED (2R = 2p+c+1) so the
+    column rank sums R2_j and χ²_F = [3ΣR2_j² − 3n²k(k+1)²] /
+    (nk(k+1)) clear to exact ppm integers (the classic untied
+    normalization — the Jonckheere variance convention; ties only
+    make the reported value conservative)."""
+    cells = cells.localCheckpoint(eager=True)
+    from pyspark.sql import Window as W
+    full_u = (cells.groupBy("user_id")
+              .agg(F.count("*").alias("ng"))
+              .where(F.col("ng") == FRIEDMAN_K)
+              .select("user_id"))
+    p = cells.join(full_u, "user_id").localCheckpoint(eager=True)
+    vg = (p.groupBy("user_id", "v")
+          .agg(F.count("*").cast("long").alias("c")))
+    wv = W.partitionBy("user_id").orderBy("v")
+    vg = vg.withColumn("below", F.sum("c").over(wv) - F.col("c"))
+    r = (p.join(vg, ["user_id", "v"])
+         .select("g", (2 * F.col("below") + F.col("c") + 1)
+                 .cast("long").alias("r2")))
+    rj = r.groupBy("g").agg(F.sum("r2").cast("long").alias("r2_sum"))
+    nn = full_u.agg(F.count("*").cast("long").alias("n"))
+    st = rj.agg(F.sum(F.expr("CAST(r2_sum AS DECIMAL(38,0)) * r2_sum"))
+                 .alias("s2"),
+                F.count("*").cast("long").alias("k"))
+    chi = ("CAST(CASE WHEN n > 0 THEN"
+           " (3 * s2 - 3 * CAST(n AS DECIMAL(38,0)) * n * k"
+           "  * (k + 1) * (k + 1)) * 1000000"
+           " DIV (CAST(n AS DECIMAL(38,0)) * k * (k + 1))"
+           " END AS BIGINT)")
+    return (rj.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(st))
+            .select("g", "r2_sum", F.col("n").alias("n_blocks"),
+                    F.expr(chi).alias("friedman_chi2_ppm")))
+
+
+def friedman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman two-way rank test (Friedman 1937): does spend differ
+    across the four dayparts once EACH USER serves as their own
+    block? The within-subject counterpart of Kruskal–Wallis — user
+    effects (whales vs casuals) cancel inside each block instead of
+    inflating the between-group variance; the nonparametric
+    repeated-measures ANOVA every experimentation platform reaches
+    for on daypart/weekday questions.
+
+    Exactness: complete blocks only, doubled within-block midranks,
+    the classic statistic cleared to exact ppm (see
+    ``friedman_closed_form``). No float anywhere.
+
+    Scale: one (user, daypart) aggregate with map-side combine; the
+    ranking window is PER USER over k=4 rows — massively parallel,
+    never a global window. State in the streaming twin is the same
+    user×4 grid (the stream_two_proportion user-dims argument).
+
+    Output: ``(g, r2_sum, n_blocks, friedman_chi2_ppm)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return friedman_closed_form(friedman_cells(ev))
+
+
+FRIEDMAN_ORACLE = f"""
+WITH pg AS (
+  SELECT user_id, CAST(hour(ts) // {JT_BUCKET_HOURS} AS BIGINT) AS g,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+full_u AS (
+  SELECT user_id FROM pg GROUP BY user_id
+  HAVING COUNT(*) = {FRIEDMAN_K}
+),
+p AS (SELECT pg.* FROM pg JOIN full_u USING (user_id)),
+vg AS (
+  SELECT user_id, v, CAST(COUNT(*) AS BIGINT) AS c,
+         SUM(COUNT(*)) OVER (PARTITION BY user_id ORDER BY v)
+           - COUNT(*) AS below
+  FROM p GROUP BY user_id, v
+),
+r AS (
+  SELECT p.g, CAST(2 * vg.below + vg.c + 1 AS BIGINT) AS r2
+  FROM p JOIN vg ON p.user_id = vg.user_id AND p.v = vg.v
+),
+rj AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS r2_sum FROM r GROUP BY g),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM full_u),
+st AS (SELECT CAST(SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS HUGEINT)
+         AS s2,
+       CAST(COUNT(*) AS BIGINT) AS k FROM rj)
+SELECT rj.g, rj.r2_sum, nn.n AS n_blocks,
+       CAST(CASE WHEN n > 0 THEN
+         (3 * s2 - 3 * CAST(n AS HUGEINT) * n * k * (k + 1) * (k + 1))
+         * 1000000 // (CAST(n AS HUGEINT) * k * (k + 1))
+       END AS BIGINT) AS friedman_chi2_ppm
+FROM rj, nn, st
+"""
+
+
+REGISTRATIONS.append(("friedman_events", friedman_events, FRIEDMAN_ORACLE))

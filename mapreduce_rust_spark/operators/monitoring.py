@@ -2154,12 +2154,24 @@ def mood_median_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(event_type, n_g, n_above, mood_term_ppm)``.
     """
     ev = load_table(spark, sf_dir, "events")
-    cells = (ev.select("event_type",
-                       F.round(F.col("value") * 100).cast("long")
-                        .alias("vc"))
-             .groupBy("event_type", "vc")
-             .agg(F.count("*").cast("long").alias("c"))
-             .localCheckpoint(eager=True))
+    return mood_k_closed_form(mood_k_cells(ev))
+
+
+def mood_k_cells(ev: DataFrame) -> DataFrame:
+    """Per-(type, cents) value counts — the MERGEABLE sufficient
+    statistic (the mw_value_counts shape keyed by type), shared by
+    the batch op and ``streaming.windows.stream_mood_median_k``."""
+    return (ev.select("event_type",
+                      F.round(F.col("value") * 100).cast("long")
+                       .alias("vc"))
+            .groupBy("event_type", "vc")
+            .agg(F.count("*").cast("long").alias("c")))
+
+
+def mood_k_closed_form(cells: DataFrame) -> DataFrame:
+    """Grand median + per-type cleared χ² terms from the (type, vc, c)
+    cells — shared by batch and streaming twin."""
+    cells = cells.localCheckpoint(eager=True)
     vals = (cells.groupBy("vc").agg(F.sum("c").alias("c"))
             .withColumn("cum", F.sum("c").over(W.orderBy("vc"))))
     tot = vals.agg(F.sum("c").cast("long").alias("n"))
@@ -2252,9 +2264,22 @@ def cramers_v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .select("event_type",
                   (F.weekday("ts") + 1).cast("long").alias("dow")))
-    seen = (ev.groupBy("event_type", "dow")
-            .agg(F.count("*").cast("long").alias("o"))
-            .localCheckpoint(eager=True))
+    return cramers_v_closed_form(cramers_v_cells(ev))
+
+
+def cramers_v_cells(ev: DataFrame) -> DataFrame:
+    """Observed (type, weekday) contingency counts — the MERGEABLE
+    sufficient statistic (types × 7 state), shared by the batch op
+    and ``streaming.windows.stream_cramers_v``. Expects columns
+    (event_type, dow)."""
+    return (ev.groupBy("event_type", "dow")
+            .agg(F.count("*").cast("long").alias("o")))
+
+
+def cramers_v_closed_form(seen: DataFrame) -> DataFrame:
+    """χ² (order-fixed fold) + V from the observed counts — shared by
+    batch and streaming twin."""
+    seen = seen.localCheckpoint(eager=True)
     # χ² needs the EMPTY cells too ((0−E)²/E = E) — groupBy only
     # emits observed combinations, so complete the r×k grid first
     cells = (seen.select("event_type").distinct()
@@ -2489,12 +2514,15 @@ def cox_stuart_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend_sign)``.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = (ev.select("event_type", F.to_date("ts").alias("d"),
-                       F.round(F.col("value") * 100).cast("long")
-                        .alias("vc"))
-             .groupBy("event_type", "d")
-             .agg(F.sum("vc").cast("long").alias("v"))
-             .localCheckpoint(eager=True))
+    return cox_stuart_closed_form(bartels_daily_cells(ev))
+
+
+def cox_stuart_closed_form(daily: DataFrame) -> DataFrame:
+    """Half-offset sign counts + cleared statistic from the
+    (type, day, value) grid — shared by the batch op and
+    ``streaming.windows.stream_cox_stuart`` (the cells are
+    ``bartels_daily_cells``, one complete-mode aggregate)."""
+    daily = daily.localCheckpoint(eager=True)
     wd = W.partitionBy("event_type").orderBy("d")
     rn = daily.select("event_type", "v",
                       F.row_number().over(wd).cast("long").alias("rn"))
@@ -2606,12 +2634,14 @@ def hampel_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     day on the grid.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = (ev.select("event_type", F.to_date("ts").alias("d"),
-                       F.round(F.col("value") * 100).cast("long")
-                        .alias("vc"))
-             .groupBy("event_type", "d")
-             .agg(F.sum("vc").cast("long").alias("v"))
-             .localCheckpoint(eager=True))
+    return hampel_closed_form(bartels_daily_cells(ev))
+
+
+def hampel_closed_form(daily: DataFrame) -> DataFrame:
+    """Rolling median/MAD flags from the (type, day, value) grid —
+    shared by the batch op and ``streaming.windows.stream_hampel``
+    (the cells are ``bartels_daily_cells``)."""
+    daily = daily.localCheckpoint(eager=True)
     a, b = daily.alias("a"), daily.alias("b")
     win = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
                   & (F.datediff(F.col("b.d"), F.col("a.d"))

@@ -819,6 +819,129 @@ def _audio_ulaw_oracle() -> str:
     return AUDIO_ULAW_ORACLE
 
 
+def stream_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.cramers_v_events`` —
+    thirty-ninth kappa pair: the (type, weekday) contingency counts
+    are ONE complete-mode aggregate (types × 7 state, the
+    stream_chisq_cells grid), and the shared closed form completes
+    the zero cells, runs the order-fixed fold, and takes the one
+    sqrt batch-side. Bit-identical; same oracle."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        cramers_v_cells, cramers_v_closed_form)
+    ev = (read_events_stream(spark, sf_dir)
+          .select("event_type",
+                  (F.weekday("ts") + 1).cast("long").alias("dow")))
+    out = _run_to_table(cramers_v_cells(ev), "stream_cramers_v",
+                        "complete")
+    return cramers_v_closed_form(out)
+
+
+def _cramers_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import CRAMERS_V_ORACLE
+    return CRAMERS_V_ORACLE
+
+
+def stream_mood_median_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.mood_median_k_events`` —
+    fortieth kappa pair: the (type, cents) value counts are ONE
+    complete-mode mergeable aggregate (the mw_value_counts state
+    shape keyed by type), and the shared closed form derives the
+    grand median and the cleared per-type terms batch-side.
+    Bit-identical (pure integer chain); same oracle."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        mood_k_cells, mood_k_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    out = _run_to_table(mood_k_cells(ev), "stream_mood_median_k",
+                        "complete")
+    return mood_k_closed_form(out)
+
+
+def _mood_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import (
+        MOOD_MEDIAN_K_ORACLE)
+    return MOOD_MEDIAN_K_ORACLE
+
+
+def stream_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.cox_stuart_events`` —
+    forty-first kappa pair, seventh consumer of the (type, day)
+    grid family: the per-day value sums are ONE complete-mode
+    aggregate (``bartels_daily_cells``), and the shared closed form
+    runs the half-offset sign scan batch-side. Bit-identical; same
+    oracle."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        bartels_daily_cells, cox_stuart_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    out = _run_to_table(bartels_daily_cells(ev), "stream_cox_stuart",
+                        "complete")
+    return cox_stuart_closed_form(out)
+
+
+def _cox_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import COX_STUART_ORACLE
+    return COX_STUART_ORACLE
+
+
+def stream_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``monitoring.hampel_outliers_events`` —
+    forty-second kappa pair, eighth consumer of the (type, day) grid
+    family: same complete-mode daily cells, with the rolling
+    median/MAD flag work batch-side over the dims-sized sink.
+    Bit-identical; same oracle."""
+    from mapreduce_rust_spark.operators.monitoring import (
+        bartels_daily_cells, hampel_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    out = _run_to_table(bartels_daily_cells(ev), "stream_hampel",
+                        "complete")
+    return hampel_closed_form(out)
+
+
+def _hampel_oracle() -> str:
+    from mapreduce_rust_spark.operators.monitoring import HAMPEL_ORACLE
+    return HAMPEL_ORACLE
+
+
+def stream_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.odds_ratio_events`` —
+    forty-third kappa pair: the per-user conversion flag is the SAME
+    idempotent-max aggregate the two-proportion twin maintains (one
+    bit per user), and the shared closed form clears OR/RR
+    batch-side. Bit-identical; same oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        or_closed_form, two_prop_user_conv)
+    ev = read_events_stream(spark, sf_dir)
+    out = _run_to_table(two_prop_user_conv(ev), "stream_odds_ratio",
+                        "complete")
+    return or_closed_form(out)
+
+
+def _or_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import ODDS_RATIO_ORACLE
+    return ODDS_RATIO_ORACLE
+
+
+def stream_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.friedman_events`` —
+    forty-fourth kappa pair: the (user, daypart) value sums are ONE
+    complete-mode mergeable aggregate (user×4 state — the
+    user-dims-sized class), and the shared closed form filters to
+    complete blocks and ranks within user batch-side. Bit-identical
+    (pure integer chain); same oracle. The closed form branches the
+    cells (complete-block filter + rank grid), so it checkpoints
+    internally."""
+    from mapreduce_rust_spark.operators.experiment import (
+        friedman_cells, friedman_closed_form)
+    ev = read_events_stream(spark, sf_dir)
+    out = _run_to_table(friedman_cells(ev), "stream_friedman",
+                        "complete")
+    return friedman_closed_form(out)
+
+
+def _friedman_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import FRIEDMAN_ORACLE
+    return FRIEDMAN_ORACLE
+
+
 def stream_audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``multimodal_audio_adpcm_stats`` —
     twenty-ninth kappa pair, the second STATELESS one: the IMA-ADPCM
@@ -1273,4 +1396,10 @@ REGISTRATIONS = [
     ("stream_bartels_rank", stream_bartels_rank, _bartels_oracle()),
     ("stream_audio_ulaw_stats", stream_audio_ulaw_stats,
      _audio_ulaw_oracle()),
+    ("stream_cramers_v", stream_cramers_v, _cramers_oracle()),
+    ("stream_mood_median_k", stream_mood_median_k, _mood_oracle()),
+    ("stream_cox_stuart", stream_cox_stuart, _cox_oracle()),
+    ("stream_hampel", stream_hampel, _hampel_oracle()),
+    ("stream_odds_ratio", stream_odds_ratio, _or_oracle()),
+    ("stream_friedman", stream_friedman, _friedman_oracle()),
 ]

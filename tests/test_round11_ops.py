@@ -438,3 +438,89 @@ def test_ahash_flags_single_bit_neighbor(spark, tmp_path):
     con = _duck_on(tmp_path, "documents")
     assert sorted(map(tuple, con.execute(IMAGE_AHASH_ORACLE).fetchall())) \
         == got
+
+
+def test_odds_ratio_hand_computed_and_guarded(spark, tmp_path):
+    """2×2 = (a=2, b=1, c=1, d=2): OR = 4 (4·10⁶ ppm), RR = 2.
+    With an empty b·c denominator the OR is NULL on both engines."""
+    t = pd.Timestamp("2024-01-10")
+    rows = [("purchase", t, 1, 1.0), ("purchase", t, 3, 1.0),  # a = 2
+            ("view", t, 5, 1.0),                                # b = 1
+            ("purchase", t, 2, 1.0),                            # c = 1
+            ("view", t, 4, 1.0), ("view", t, 6, 1.0)]           # d = 2
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.experiment import (
+        ODDS_RATIO_ORACLE, odds_ratio_events)
+    r = odds_ratio_events(spark, str(tmp_path)).collect()[0]
+    assert (r.conv_treat, r.noconv_treat, r.conv_ctrl, r.noconv_ctrl) \
+        == (2, 1, 1, 2)
+    assert r.odds_ratio_ppm == 4_000_000 and r.rel_risk_ppm == 2_000_000
+    con = _duck_on(tmp_path, "events")
+    assert tuple(con.execute(ODDS_RATIO_ORACLE).fetchone()) == \
+        (2, 1, 1, 2, 4_000_000, 2_000_000)
+
+    # all treatment users convert -> b = 0 -> OR NULL, RR defined
+    _events(tmp_path, [("purchase", t, 1, 1.0), ("purchase", t, 2, 1.0),
+                       ("view", t, 4, 1.0)])
+    r = odds_ratio_events(spark, str(tmp_path)).collect()[0]
+    assert r.odds_ratio_ppm is None
+
+
+def test_friedman_perfect_agreement(spark, tmp_path):
+    """Three users whose spend strictly rises through the dayparts:
+    every block ranks them 1<2<3<4, so χ²_F hits its maximum
+    n(k−1) = 9 (9·10⁶ ppm); a user missing a daypart is excluded
+    from the blocks."""
+    rows = []
+    for u in (1, 2, 3):
+        for g, hour in enumerate((3, 9, 15, 21)):
+            rows.append(("view",
+                         pd.Timestamp(f"2024-01-10 {hour:02d}:00:00"),
+                         u, float(g + 1)))
+    rows.append(("view", pd.Timestamp("2024-01-10 03:00:00"), 9, 5.0))
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.experiment import (
+        FRIEDMAN_ORACLE, friedman_events)
+    got = {r.g: r for r in friedman_events(spark, str(tmp_path)).collect()}
+    assert len(got) == 4
+    assert all(r.n_blocks == 3 for r in got.values())
+    # doubled rank sums: R2_j = 2·3·(j+1)
+    assert [got[g].r2_sum for g in range(4)] == [6, 12, 18, 24]
+    assert got[0].friedman_chi2_ppm == 9_000_000
+    con = _duck_on(tmp_path, "events")
+    want = {r[0]: r for r in con.execute(FRIEDMAN_ORACLE).fetchall()}
+    for g, r in got.items():
+        assert (r.r2_sum, r.n_blocks, r.friedman_chi2_ppm) == \
+            tuple(want[g][1:])
+
+
+def test_stream_twins_match_batch_round11_wave2(spark, tmp_path):
+    """The six second-wave round-11 kappa twins must be bit-identical
+    to their batch ops on a mixed fixture."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(500):
+        rows.append((["view", "purchase", "click"][int(rng.integers(0, 3))],
+                     pd.Timestamp("2024-01-02")
+                     + pd.Timedelta(days=int(rng.integers(0, 20)),
+                                    hours=int(rng.integers(0, 24))),
+                     int(rng.integers(1, 30)),
+                     float(rng.integers(1, 40)) / 4))
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.experiment import (
+        friedman_events, odds_ratio_events)
+    from mapreduce_rust_spark.operators.monitoring import (
+        cox_stuart_events, cramers_v_events, hampel_outliers_events,
+        mood_median_k_events)
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_cox_stuart, stream_cramers_v, stream_friedman,
+        stream_hampel, stream_mood_median_k, stream_odds_ratio)
+    for batch, stream in [(cramers_v_events, stream_cramers_v),
+                          (mood_median_k_events, stream_mood_median_k),
+                          (cox_stuart_events, stream_cox_stuart),
+                          (hampel_outliers_events, stream_hampel),
+                          (odds_ratio_events, stream_odds_ratio),
+                          (friedman_events, stream_friedman)]:
+        b = sorted(map(tuple, batch(spark, str(tmp_path)).collect()))
+        s = sorted(map(tuple, stream(spark, str(tmp_path)).collect()))
+        assert b == s, batch.__name__
