@@ -1525,7 +1525,15 @@ def hodges_lehmann_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(n_pairs, hl_shift_cents)`` — the median difference in
     cents, a multiple of HL_COARSE.
     """
-    cnt = (mw_value_counts(_cells(spark, sf_dir))
+    return hl_closed_form(mw_value_counts(_cells(spark, sf_dir)))
+
+
+def hl_closed_form(mwcnt: DataFrame) -> DataFrame:
+    """Dime-grid difference distribution + nearest-rank median from
+    the (vc, ct, cc) Mann–Whitney cells — shared by the batch op and
+    ``streaming.windows.stream_hodges_lehmann`` (fourth consumer of
+    the MW cell state)."""
+    cnt = (mwcnt
            .groupBy(F.expr(f"vc DIV {HL_COARSE}").alias("vq"))
            .agg(F.sum("ct").alias("ct"), F.sum("cc").alias("cc")))
     t = cnt.where(F.col("ct") > 0).select(F.col("vq").alias("vt"),
@@ -1699,9 +1707,15 @@ def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(n_treat, n_ctrl, mean_diff, pooled_sd, cohens_d,
     hedges_g)`` (mean_diff / pooled_sd in cents).
     """
-    cells = _cells(spark, sf_dir)
+    return cohens_readout(cohens_agg(_cells(spark, sf_dir)))
+
+
+def cohens_agg(cells: DataFrame) -> DataFrame:
+    """The six exact sufficient statistics (n/Σx/Σx² per arm) — ONE
+    mergeable no-key aggregate (6-value state), shared by the batch
+    op and ``streaming.windows.stream_cohens_d``."""
     dec = "decimal(38,0)"
-    agg = cells.agg(
+    return cells.agg(
         F.sum(F.when(F.col("treat"), 1).otherwise(0))
          .cast("long").alias("nt"),
         F.sum(F.when(~F.col("treat"), 1).otherwise(0))
@@ -1714,6 +1728,11 @@ def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(0)).cast(dec).alias("qt"),
         F.sum(F.when(~F.col("treat"), F.col("vc") * F.col("vc"))
                .otherwise(0)).cast(dec).alias("qc"))
+
+
+def cohens_readout(agg: DataFrame) -> DataFrame:
+    """The fixed IEEE effect-size DAG over the six sufficient
+    statistics — shared by batch and streaming twin."""
     return agg.select(
         F.col("nt").alias("n_treat"), F.col("nc").alias("n_ctrl"),
         F.expr(

@@ -2963,9 +2963,21 @@ def gini_mean_difference_orders(spark: SparkSession,
     Output: ``(n, gmd_cents, rel_gmd_ppm)``.
     """
     orders = load_table(spark, sf_dir, "orders")
-    cnt = (orders.select(F.round(F.col("o_totalprice") * 100)
+    return gmd_closed_form(gmd_cells(orders))
+
+
+def gmd_cells(orders: DataFrame) -> DataFrame:
+    """Cents value counts of order totals — the MERGEABLE sufficient
+    statistic (range-bounded grid state), shared by the batch op and
+    ``streaming.windows.stream_gmd``."""
+    return (orders.select(F.round(F.col("o_totalprice") * 100)
                           .cast("long").alias("vc"))
-           .groupBy("vc").agg(F.count("*").cast("long").alias("c")))
+            .groupBy("vc").agg(F.count("*").cast("long").alias("c")))
+
+
+def gmd_closed_form(cnt: DataFrame) -> DataFrame:
+    """Sorted-cumsum pairwise |diff| algebra from the (vc, c) grid —
+    shared by batch and streaming twin."""
     t = (cnt.withColumn("m", F.sum("c").over(W.orderBy("vc")) - F.col("c"))
             .withColumn("s", F.sum(F.col("c").cast("decimal(38,0)")
                                    * F.col("vc")).over(W.orderBy("vc"))

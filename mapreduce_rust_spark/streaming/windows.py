@@ -942,6 +942,65 @@ def _friedman_oracle() -> str:
     return FRIEDMAN_ORACLE
 
 
+def stream_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.cohens_d_events`` — forty-fifth
+    kappa pair, and the SMALLEST state in the fleet alongside the CA
+    twin: the six exact sufficient statistics (n/Σx/Σx² per arm) are
+    ONE no-key complete-mode aggregate, and the shared readout runs
+    the fixed effect-size DAG batch-side. Bit-identical; same
+    oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        cohens_agg, cohens_readout)
+    ev = (read_events_stream(spark, sf_dir)
+          .select((F.col("user_id") % 2 == 1).alias("treat"),
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    out = _run_to_table(cohens_agg(ev), "stream_cohens_d", "complete")
+    return cohens_readout(out)
+
+
+def _cohens_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import COHENS_D_ORACLE
+    return COHENS_D_ORACLE
+
+
+def stream_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.hodges_lehmann_events`` —
+    forty-sixth kappa pair, fourth consumer of the Mann–Whitney
+    value-count cells: the dime-grid difference cross join and the
+    nearest-rank median run batch-side over the dims-sized sink.
+    Bit-identical (pure integer chain); same oracle. The closed form
+    branches the cells (two arm projections), so the MemorySink
+    table is checkpointed first."""
+    from mapreduce_rust_spark.operators.experiment import hl_closed_form
+    out = _mw_stream_cells(spark, sf_dir, "stream_hodges_lehmann")
+    return hl_closed_form(out.localCheckpoint(eager=True))
+
+
+def _hl_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import (
+        HODGES_LEHMANN_ORACLE)
+    return HODGES_LEHMANN_ORACLE
+
+
+def stream_gmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``olap.gini_mean_difference_orders`` —
+    forty-seventh kappa pair, on the ORDERS feed: the cents
+    value-count grid is ONE complete-mode aggregate (range-bounded
+    state, the stream_tukey_fences shape without the priority key),
+    and the sorted-cumsum |diff| algebra runs batch-side.
+    Bit-identical; same oracle."""
+    from mapreduce_rust_spark.operators.olap import (
+        gmd_cells, gmd_closed_form)
+    orders = read_orders_stream(spark, sf_dir)
+    out = _run_to_table(gmd_cells(orders), "stream_gmd", "complete")
+    return gmd_closed_form(out)
+
+
+def _gmd_oracle() -> str:
+    from mapreduce_rust_spark.operators.olap import GMD_ORACLE
+    return GMD_ORACLE
+
+
 def stream_audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``multimodal_audio_adpcm_stats`` —
     twenty-ninth kappa pair, the second STATELESS one: the IMA-ADPCM
@@ -1402,4 +1461,7 @@ REGISTRATIONS = [
     ("stream_hampel", stream_hampel, _hampel_oracle()),
     ("stream_odds_ratio", stream_odds_ratio, _or_oracle()),
     ("stream_friedman", stream_friedman, _friedman_oracle()),
+    ("stream_cohens_d", stream_cohens_d, _cohens_oracle()),
+    ("stream_hodges_lehmann", stream_hodges_lehmann, _hl_oracle()),
+    ("stream_gmd", stream_gmd, _gmd_oracle()),
 ]

@@ -524,3 +524,35 @@ def test_stream_twins_match_batch_round11_wave2(spark, tmp_path):
         b = sorted(map(tuple, batch(spark, str(tmp_path)).collect()))
         s = sorted(map(tuple, stream(spark, str(tmp_path)).collect()))
         assert b == s, batch.__name__
+
+
+def test_stream_twins_match_batch_round11_wave3(spark, tmp_path):
+    """Third-wave twins (Cohen's d, Hodges–Lehmann, GMD) bit-identical
+    to their batch ops."""
+    rng = np.random.default_rng(23)
+    rows = [(["view", "purchase"][int(rng.integers(0, 2))],
+             pd.Timestamp("2024-01-02")
+             + pd.Timedelta(days=int(rng.integers(0, 20))),
+             int(rng.integers(1, 50)),
+             float(rng.integers(1, 60)) / 3) for _ in range(400)]
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.experiment import (
+        cohens_d_events, hodges_lehmann_events)
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_cohens_d, stream_hodges_lehmann)
+    for batch, stream in [(cohens_d_events, stream_cohens_d),
+                          (hodges_lehmann_events, stream_hodges_lehmann)]:
+        b = sorted(map(tuple, batch(spark, str(tmp_path)).collect()))
+        s = sorted(map(tuple, stream(spark, str(tmp_path)).collect()))
+        assert b == s, batch.__name__
+
+    _tpch_mini(tmp_path, cust_revs=[float(x) for x in
+                                    rng.integers(1, 500, size=40)])
+    from mapreduce_rust_spark.operators.olap import (
+        gini_mean_difference_orders)
+    from mapreduce_rust_spark.streaming.windows import stream_gmd
+    b = sorted(map(tuple,
+                   gini_mean_difference_orders(spark,
+                                               str(tmp_path)).collect()))
+    s = sorted(map(tuple, stream_gmd(spark, str(tmp_path)).collect()))
+    assert b == s
