@@ -2666,7 +2666,12 @@ def hampel_closed_form(daily: DataFrame) -> DataFrame:
                        " CAST((count(1) + 1) DIV 2 AS INT))")
                 .alias("mad")))
     return mad.select(
-        "event_type", "d", "v", "med", "mad",
+        "event_type",
+        # ISO string, not raw DATE — raw temporals render differently
+        # through the two engines' pandas paths (the verify-skill
+        # timestamp rule; Spark CAST(date AS STRING) ≡ DuckDB VARCHAR)
+        F.col("d").cast("string").alias("d"),
+        "v", "med", "mad",
         (F.abs(F.col("v") - F.col("med"))
          > F.lit(HAMPEL_K) * F.col("mad")).alias("is_outlier"))
 
@@ -2702,7 +2707,7 @@ mad AS (
            AS mad
   FROM dev GROUP BY event_type, d, v, med
 )
-SELECT event_type, d, v, med, mad,
+SELECT event_type, CAST(d AS VARCHAR) AS d, v, med, mad,
        abs(v - med) > {HAMPEL_K} * mad AS is_outlier
 FROM mad
 """
