@@ -1952,14 +1952,18 @@ def jt_closed_form(cells: DataFrame) -> DataFrame:
         # off-diagonal of the n×n product counts every pair twice)
         F.expr("CAST((CAST(n_total AS DECIMAL(38,0)) * n_total - sum_n2)"
                " DIV 2 AS DECIMAL(38,0))").cast("long").alias("e_j2"),
+        # var_num ≈ 2N³ leaves int64 near ~1.6·10⁶ events (caught by
+        # the ×100 check), so it stays DECIMAL and exports through
+        # the correctly-rounded DOUBLE cast (the chisq marginal
+        # precedent); z consumes the same double.
         F.expr("CAST(CAST(n_total AS DECIMAL(38,0)) * n_total"
                " * (2 * n_total + 3) - sum_n23 AS DECIMAL(38,0))")
-         .cast("long").alias("var_num"))
+         .cast("double").alias("var_num"))
     return out.select(
         "n_total", "j2", "e_j2", "var_num",
         F.expr("CASE WHEN var_num > 0 THEN"
                " CAST(j2 - e_j2 AS DOUBLE)"
-               " / (2.0 * SQRT(CAST(var_num AS DOUBLE) / 72.0)) END")
+               " / (2.0 * SQRT(var_num / 72.0)) END")
          .alias("z"))
 
 
@@ -2021,13 +2025,13 @@ base AS (
          CAST((CAST(n_total AS HUGEINT) * n_total - sum_n2) // 2
               AS BIGINT) AS e_j2,
          CAST(CAST(n_total AS HUGEINT) * n_total * (2 * n_total + 3)
-              - sum_n23 AS BIGINT) AS var_num
+              - sum_n23 AS DOUBLE) AS var_num
   FROM ns CROSS JOIN jj
 )
 SELECT n_total, j2, e_j2, var_num,
        CASE WHEN var_num > 0 THEN
          CAST(j2 - e_j2 AS DOUBLE)
-         / (2.0 * SQRT(CAST(var_num AS DOUBLE) / 72.0))
+         / (2.0 * SQRT(var_num / 72.0))
        END AS z
 FROM base
 """
