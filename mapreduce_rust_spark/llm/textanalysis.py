@@ -2218,3 +2218,68 @@ FROM agg
 
 REGISTRATIONS.append(("encoding_quality_docs", encoding_quality_docs,
                       ENCODING_QUALITY_ORACLE))
+
+
+# --- higher-order-function surface (round 11) -------------------------------
+
+
+HOF_MIN_TOKEN_LEN = 5   # "long token" threshold for the filter leg
+
+
+def hof_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM higher-order-function surface exercised end-to-end on
+    real documents — transform / filter / aggregate (fold) / exists /
+    array_sort / array_max in ONE zero-shuffle projection, each
+    mirrored by its DuckDB list_* twin. This is the engine's
+    "stay-JVM-side" claim as a driver-checkable query: every other
+    operator COMPOSES these primitives; this one pins their
+    semantics (empty-token filtering, left-fold order, lexicographic
+    sort) directly.
+
+    All outputs are integers/booleans/strings — the fold sums LONGs,
+    so cross-engine float order is moot.
+
+    Output: ``(doc_id, n_tokens, n_long, len_sum, max_len,
+    first_token_sorted, has_the)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", WS_RE), lambda x: x != "")
+    lens = F.transform(toks, lambda x: F.length(x).cast("long"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x:
+                        F.length(x) >= HOF_MIN_TOKEN_LEN))
+         .cast("long").alias("n_long"),
+        F.aggregate(lens, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("len_sum"),
+        F.array_max(lens).alias("max_len"),
+        F.element_at(F.array_sort(toks), 1).alias("first_token_sorted"),
+        F.exists(toks, lambda x: x == "the").alias("has_the"))
+
+
+HOF_FUNCS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(toks) AS BIGINT) AS n_tokens,
+       CAST(length(list_filter(toks,
+                               x -> length(x) >= {HOF_MIN_TOKEN_LEN}))
+            AS BIGINT) AS n_long,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+              (a, b) -> a + b) AS BIGINT) AS len_sum,
+       CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+         AS max_len,
+       list_sort(toks)[1] AS first_token_sorted,
+       length(list_filter(toks, x -> x = 'the')) > 0 AS has_the
+FROM t
+"""
+
+
+REGISTRATIONS.append(("hof_funcs_docs", hof_funcs_docs, HOF_FUNCS_ORACLE))

@@ -784,3 +784,107 @@ GROUP BY 1
 
 REGISTRATIONS.append(("tukey_fences_orders", tukey_fences_orders,
                       TUKEY_FENCES_ORACLE))
+
+
+# --- k-anonymity generalization ladder (round 11) ---------------------------
+
+
+KANON_GEN_K = 5
+# cents, dollars, $10/$100 bands, then full price suppression (the
+# Samarati ladder's guaranteed-terminating top: QI collapses to
+# priority alone)
+KANON_GEN_DIVS = (1, 100, 1_000, 10_000, 10_000_000_000)
+
+
+def k_anon_generalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MECHANISM beside the ``k_anonymity_orders`` audit: walk a
+    price-generalization ladder (exact cents → dollars → $10 bands →
+    $100 bands → price fully suppressed) over the (priority, price)
+    quasi-identifier and
+    report, per level, the equivalence-class profile and whether
+    that level is the FIRST to satisfy k ≥ ``KANON_GEN_K`` — the
+    standard Samarati-style full-domain generalization search, made
+    a single declarative query (Samarati 2001; the release pipeline
+    picks the ``chosen`` level and publishes that recoding).
+
+    Exactness: pure integer class counts; band = cents DIV divisor
+    (truncating both engines); at-risk share integer ppm.
+
+    Scale: ONE corpus scan — the ladder explodes each row into
+    |levels| (4) generalized rows and aggregates (level, QI) with
+    map-side combine; class tables are dims-sized. The chosen flag
+    is a broadcast of the 4-row level profile against itself.
+
+    Output: ``(level, n_classes, min_class, at_risk_rows,
+    at_risk_ppm, chosen)``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lv = F.array(*[
+        F.struct(F.lit(i).cast("long").alias("level"),
+                 F.lit(d).cast("long").alias("dv"))
+        for i, d in enumerate(KANON_GEN_DIVS)])
+    rows = (orders.select(
+                "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("vc"),
+                F.explode(lv).alias("l"))
+            .select("o_orderpriority", F.col("l.level").alias("level"),
+                    F.expr("vc DIV l.dv").alias("qi")))
+    classes = (rows.groupBy("level", "o_orderpriority", "qi")
+               .agg(F.count("*").cast("long").alias("cn")))
+    per = (classes.groupBy("level")
+           .agg(F.count("*").cast("long").alias("n_classes"),
+                F.min("cn").cast("long").alias("min_class"),
+                F.sum(F.when(F.col("cn") < KANON_GEN_K, F.col("cn"))
+                       .otherwise(0)).cast("long").alias("at_risk_rows"),
+                F.sum("cn").cast("long").alias("n_rows")))
+    best = (per.where(F.col("min_class") >= KANON_GEN_K)
+            .agg(F.min("level").alias("best_level")))
+    return (per.crossJoin(F.broadcast(best))
+            .select("level", "n_classes", "min_class", "at_risk_rows",
+                    F.expr("CAST(CASE WHEN n_rows > 0 THEN"
+                           " at_risk_rows * 1000000 DIV n_rows END"
+                           " AS BIGINT)").alias("at_risk_ppm"),
+                    # COALESCE: a NULL best_level (no qualifying
+                    # level) must read FALSE on both engines — raw
+                    # NULL booleans round-trip None vs NaN through
+                    # the two pandas paths and break the value hash
+                    F.expr("COALESCE(level = best_level, FALSE)")
+                     .alias("chosen")))
+
+
+K_ANON_GEN_ORACLE = f"""
+WITH rows_g AS (
+  SELECT o_orderpriority, u.level,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           // [{", ".join(str(d) for d in KANON_GEN_DIVS)}][u.level + 1]
+           AS qi
+  FROM orders, UNNEST(range(0, {len(KANON_GEN_DIVS)})) AS u(level)
+),
+classes AS (
+  SELECT level, o_orderpriority, qi, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM rows_g GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(MIN(cn) AS BIGINT) AS min_class,
+         CAST(SUM(CASE WHEN cn < {KANON_GEN_K} THEN cn ELSE 0 END)
+              AS BIGINT) AS at_risk_rows,
+         CAST(SUM(cn) AS BIGINT) AS n_rows
+  FROM classes GROUP BY level
+),
+best AS (
+  SELECT MIN(level) AS best_level FROM per
+  WHERE min_class >= {KANON_GEN_K}
+)
+SELECT CAST(level AS BIGINT) AS level, n_classes, min_class,
+       at_risk_rows,
+       CAST(CASE WHEN n_rows > 0 THEN
+         at_risk_rows * 1000000 // n_rows END AS BIGINT) AS at_risk_ppm,
+       COALESCE(level = best_level, FALSE) AS chosen
+FROM per, best
+"""
+
+
+REGISTRATIONS.append(("k_anon_generalize_orders", k_anon_generalize_orders,
+                      K_ANON_GEN_ORACLE))

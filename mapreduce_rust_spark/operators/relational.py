@@ -996,3 +996,39 @@ REGISTRATIONS: list[tuple[str, object, str | None]] = [
     ("sessionize_events_scalable", sessionize_events_scalable,
      SESSIONIZE_ORACLE),
 ]
+
+
+# --- GROUPING / GROUPING_ID flags (round 11) --------------------------------
+
+
+def grouping_id_rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``rollup_qty`` aggregate with the ANSI GROUPING machinery
+    exposed: ``grouping(col)`` per rollup column and the composite
+    ``grouping_id()`` bitmask — what a BI layer keys on to tell a
+    real NULL group from a rollup subtotal row (the one thing the
+    plain rollup output cannot disambiguate). Spark ``F.grouping`` /
+    ``F.grouping_id`` ≡ DuckDB ``GROUPING(col)`` / ``GROUPING(a, b)``
+    (same bit order: leading column = high bit). Pure integer flags
+    over the same partial-aggregable rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity").alias("sum_qty"),
+               F.count("*").alias("n"),
+               F.grouping("l_returnflag").cast("long").alias("g_rf"),
+               F.grouping("l_linestatus").cast("long").alias("g_ls"),
+               F.grouping_id().cast("long").alias("gid")))
+
+
+GROUPING_ID_ORACLE = """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+REGISTRATIONS.append(("grouping_id_rollup_qty", grouping_id_rollup_qty,
+                      GROUPING_ID_ORACLE))

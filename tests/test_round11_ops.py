@@ -556,3 +556,50 @@ def test_stream_twins_match_batch_round11_wave3(spark, tmp_path):
                                                str(tmp_path)).collect()))
     s = sorted(map(tuple, stream_gmd(spark, str(tmp_path)).collect()))
     assert b == s
+
+
+def test_grouping_id_flags_subtotal_rows(spark, tmp_path):
+    """GROUPING flags: detail rows gid=0, the per-returnflag subtotal
+    gid=1 (linestatus bit), the grand total gid=3 — same bit order
+    both engines."""
+    _tpch_mini(tmp_path, cust_revs=[1.0, 2.0])
+    from mapreduce_rust_spark.operators.relational import (
+        GROUPING_ID_ORACLE, grouping_id_rollup_qty)
+    got = sorted(map(tuple,
+                     grouping_id_rollup_qty(spark,
+                                            str(tmp_path)).collect()),
+                 key=lambda t: (t[6], str(t[0])))
+    gids = [r[6] for r in got]
+    assert gids == [0, 1, 3]
+    assert got[-1][4:7] == (1, 1, 3)       # grand total row flags
+    con = _duck_on(tmp_path, "lineitem")
+    want = sorted(map(tuple, con.execute(GROUPING_ID_ORACLE).fetchall()),
+                  key=lambda t: (t[6], str(t[0])))
+    assert [tuple(map(str, r)) for r in got] == \
+        [tuple(map(str, r)) for r in want]
+
+
+def test_hof_funcs_hand_computed(spark, tmp_path):
+    """One doc 'the cat catalogue  x': 4 tokens after empty-filter,
+    one ≥5 chars, fold length sum 3+3+9+1=16, sorted head 'cat'."""
+    _docs(tmp_path, ["the cat catalogue  x"])
+    from mapreduce_rust_spark.llm.textanalysis import hof_funcs_docs
+    r = hof_funcs_docs(spark, str(tmp_path)).collect()[0]
+    assert (r.n_tokens, r.n_long, r.len_sum, r.max_len) == (4, 1, 16, 9)
+    assert r.first_token_sorted == "cat" and r.has_the
+
+
+def test_k_anon_generalize_picks_first_qualifying_level(spark, tmp_path):
+    """Ten orders at distinct cents within one dollar: exact level
+    fails (classes of 1), the dollars level collapses them into one
+    class of 10 ≥ k=5 → chosen level 1, everything above unchosen."""
+    _tpch_mini(tmp_path, cust_revs=[1.00 + i / 100 for i in range(10)])
+    from mapreduce_rust_spark.operators.dataquality import (
+        k_anon_generalize_orders)
+    got = {r.level: r for r in
+           k_anon_generalize_orders(spark, str(tmp_path)).collect()}
+    assert got[0].min_class == 1 and not got[0].chosen
+    assert got[0].at_risk_ppm == 1_000_000
+    assert got[1].min_class == 10 and got[1].chosen
+    assert got[1].at_risk_rows == 0
+    assert not got[2].chosen and not got[4].chosen
