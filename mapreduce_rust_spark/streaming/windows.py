@@ -237,6 +237,79 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "click_id", "purchase_id")
 
 
+def stream_interval_join_left(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the state-eviction
+    semantics ``stream_interval_join`` (inner) cannot exercise: a
+    click with no same-user purchase within 30 minutes emits a
+    NULL-padded row only when the GLOBAL watermark passes the end of
+    its join window (click_ts + 30 min), i.e. when Spark can prove
+    no future match exists and evicts the buffered row. State stays
+    bounded by watermark + interval on both sides.
+
+    Determinism under AvailableNow: matched pairs are the batch
+    inner join; unmatched clicks emit iff their join window closed
+    strictly before the FINAL watermark = min(max click_ts,
+    max buy_ts) − 1 h (per-side maxima — each withWatermark tracks
+    its own input; the trailing ~90 min of clicks stay in state and
+    never emit). The oracle mirrors exactly that cutoff, so the
+    stream is hash-checkable even though a pure batch left join
+    would disagree on the watermark tail.
+
+    Output: ``(user_id, click_id, purchase_id)`` — purchase_id NULL
+    on the emitted unmatched rows.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("event_id").alias("click_id"),
+                        F.col("ts").alias("click_ts"))
+                .withWatermark("click_ts", "1 hour"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+              .select(F.col("user_id").alias("b_user_id"),
+                      F.col("event_id").alias("purchase_id"),
+                      F.col("ts").alias("buy_ts"))
+              .withWatermark("buy_ts", "1 hour"))
+    joined = clicks.join(
+        buys,
+        F.expr("""user_id = b_user_id AND
+                  buy_ts >= click_ts AND
+                  buy_ts <= click_ts + INTERVAL 30 MINUTES"""),
+        "leftOuter")
+    out = _run_to_table(joined, "stream_interval_join_left", "append")
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+STREAM_INTERVAL_LEFT_ORACLE = """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS buy_ts
+      FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT MAX(click_ts) FROM c),
+               (SELECT MAX(buy_ts) FROM p))
+         - INTERVAL '1 hour' AS w
+),
+matched AS (
+  SELECT c.user_id, c.click_id, p.purchase_id
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.buy_ts >= c.click_ts
+   AND p.buy_ts <= c.click_ts + INTERVAL '30 minutes'
+),
+unmatched AS (
+  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+  FROM c, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.buy_ts >= c.click_ts
+            AND p.buy_ts <= c.click_ts + INTERVAL '30 minutes')
+    AND c.click_ts + INTERVAL '30 minutes' < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
 def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: first-seen (user_id, event_type)
     pairs, state bounded by the watermark
@@ -1408,6 +1481,8 @@ REGISTRATIONS = [
     ("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_ORACLE),
     ("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE),
     ("stream_interval_join", stream_interval_join, INTERVAL_JOIN_ORACLE),
+    ("stream_interval_join_left", stream_interval_join_left,
+     STREAM_INTERVAL_LEFT_ORACLE),
     ("stream_dedup_users", stream_dedup_users, STREAM_DEDUP_ORACLE),
     # twin shares the batch op's oracle (kappa parity)
     ("stream_active_users_7d", stream_active_users_7d,

@@ -603,3 +603,36 @@ def test_k_anon_generalize_picks_first_qualifying_level(spark, tmp_path):
     assert got[1].min_class == 10 and got[1].chosen
     assert got[1].at_risk_rows == 0
     assert not got[2].chosen and not got[4].chosen
+
+
+def test_stream_interval_join_left_watermark_tail(spark, tmp_path):
+    """Left-outer stream-stream interval join: an early unmatched
+    click (window long closed before the final watermark) emits a
+    NULL purchase row; a trailing unmatched click inside the
+    watermark+interval tail stays in state and must NOT emit.
+    Matched pairs equal the batch inner join."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        ("click", t0, 1, 1.0),                                  # early, no buy
+        ("click", t0 + pd.Timedelta(hours=5), 2, 1.0),          # matched
+        ("purchase", t0 + pd.Timedelta(hours=5, minutes=10), 2, 1.0),
+        ("click", t0 + pd.Timedelta(hours=9, minutes=30), 3, 1.0),  # tail
+        # late sentinels push both sides' watermarks to t0+10h:
+        ("click", t0 + pd.Timedelta(hours=10), 8, 1.0),
+        ("purchase", t0 + pd.Timedelta(hours=10), 9, 1.0),
+    ]
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.streaming.windows import (
+        STREAM_INTERVAL_LEFT_ORACLE, stream_interval_join_left)
+    got = sorted(map(tuple, stream_interval_join_left(
+        spark, str(tmp_path)).collect()))
+    # final watermark = 10h − 1h = 9h; user-1 click window closed at
+    # 0:30 < 9h -> emits unmatched; user-3 click window closes at
+    # 10h > 9h -> held in state; user-8 click window closes 10:30 >
+    # 9h -> held; user-2 pair matches.
+    assert got == [(1, 0, None), (2, 1, 2)]
+    con = _duck_on(tmp_path, "events")
+    want = sorted(map(tuple, con.execute(
+        STREAM_INTERVAL_LEFT_ORACLE).fetchall()))
+    assert [(a, b, c) for a, b, c in want] == \
+        [(g[0], g[1], g[2]) for g in got]
