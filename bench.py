@@ -386,6 +386,46 @@ HEADLINE = [
     "stream_qte",
     "stream_runs_test",
     "stream_tukey_fences",
+    # round 11: effect sizes + paired/ordered/blocked tests, the
+    # serial-randomness/robust-outlier monitors, the inequality
+    # curve family, LLM-curation text screens, Matryoshka recall,
+    # µ-law decode, aHash, the HOF/GROUPING surface, the k-anon
+    # ladder, and the left-outer stream-stream join
+    "cohens_d_events",
+    "stream_cohens_d",
+    "mcnemar_events",
+    "stream_mcnemar",
+    "jonckheere_events",
+    "stream_jonckheere",
+    "odds_ratio_events",
+    "stream_odds_ratio",
+    "friedman_events",
+    "stream_friedman",
+    "mood_median_k_events",
+    "stream_mood_median_k",
+    "cramers_v_events",
+    "stream_cramers_v",
+    "bartels_rank_events",
+    "stream_bartels_rank",
+    "cox_stuart_events",
+    "stream_cox_stuart",
+    "hampel_outliers_events",
+    "stream_hampel",
+    "stream_hodges_lehmann",
+    "lorenz_curve_nations",
+    "cr_concentration_suppliers",
+    "gini_mean_difference_orders",
+    "stream_gmd",
+    "token_burstiness_docs",
+    "encoding_quality_docs",
+    "knn_prefix_dim_recall",
+    "multimodal_audio_ulaw_stats",
+    "stream_audio_ulaw_stats",
+    "image_ahash_neardup",
+    "grouping_id_rollup_qty",
+    "hof_funcs_docs",
+    "k_anon_generalize_orders",
+    "stream_interval_join_left",
 ]
 
 
