@@ -426,6 +426,7 @@ HEADLINE = [
     "hof_funcs_docs",
     "k_anon_generalize_orders",
     "stream_interval_join_left",
+    "stream_tumbling_append",
 ]
 
 

@@ -152,6 +152,49 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation in APPEND mode — the FINALIZATION
+    semantics the complete-mode twin cannot exercise, and the
+    production default for append-only sinks (files, Kafka): a
+    window's row emits ONCE, only after the watermark passes the
+    window end and its state is dropped. Deterministic under
+    AvailableNow: every window whose end ≤ final watermark
+    (max event time − delay) emits; the trailing windows stay in
+    state and never appear. The oracle mirrors that cutoff exactly —
+    the batch aggregate FILTERED to finalized windows — so the
+    emit-once machinery is hash-checkable (the
+    stream_interval_join_left discipline applied to aggregation).
+
+    Output: ``(bucket_start, event_type, n, sum_value)`` for
+    finalized windows only.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (ev.withWatermark("ts", WATERMARK)
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("value").cast(DEC_FINE)).cast("double")
+                   .alias("sum_value")))
+    out = _run_to_table(agg, "stream_tumbling_append", "append")
+    return out.select(F.unix_timestamp(F.col("w.start"))
+                      .alias("bucket_start"),
+                      "event_type", "n", "sum_value")
+
+
+STREAM_TUMBLING_APPEND_ORACLE = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events
+)
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+         AS bucket_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS sum_value
+FROM events, wm
+GROUP BY 1, 2, wm.w
+HAVING time_bucket(INTERVAL '1 hour', MAX(ts)) + INTERVAL '1 hour'
+         <= wm.w
+"""
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 hour / 15 min slide): each event lands in 4
     overlapping windows."""
@@ -1471,6 +1514,8 @@ def _sk_oracle() -> str:
 
 REGISTRATIONS = [
     ("stream_tumbling_counts", stream_tumbling_counts, STREAM_TUMBLING_ORACLE),
+    ("stream_tumbling_append", stream_tumbling_append,
+     STREAM_TUMBLING_APPEND_ORACLE),
     ("stream_trend_ols", stream_trend_ols, STREAM_TREND_ORACLE),
     # twins share the batch op's oracle on purpose (kappa parity)
     ("stream_dow_profile", stream_dow_profile, _dow_oracle()),

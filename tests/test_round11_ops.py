@@ -636,3 +636,22 @@ def test_stream_interval_join_left_watermark_tail(spark, tmp_path):
         STREAM_INTERVAL_LEFT_ORACLE).fetchall()))
     assert [(a, b, c) for a, b, c in want] == \
         [(g[0], g[1], g[2]) for g in got]
+
+
+def test_stream_tumbling_append_emits_only_finalized_windows(
+        spark, tmp_path):
+    """Append mode: a window emits once its end passes the final
+    watermark (max ts − 10 min); open windows never appear. Data
+    ending at 02:05 → watermark 01:55 → only [00,01) (end 01:00 ≤
+    01:55) emits; [01,02) (end 02:00 > 01:55) and [02,03) are both
+    still open and held in state."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [("view", t0 + pd.Timedelta(minutes=m), 1, 1.0)
+            for m in (5, 30, 65, 90, 125)]
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.streaming.windows import (
+        stream_tumbling_append)
+    got = sorted((r.bucket_start, r.n) for r in
+                 stream_tumbling_append(spark, str(tmp_path)).collect())
+    e = int(t0.timestamp())
+    assert got == [(e, 2)]
