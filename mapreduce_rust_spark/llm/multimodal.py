@@ -1251,9 +1251,12 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.length("text") >= DHASH_MIN_LEN)
             .select("doc_id", F.md5("text").alias("sig"),
                     F.expr(_dhash_expr()).alias("dh")))
+    # rep is tiny; checkpoint keeps the 112-substr hash projection
+    # to one corpus scan across the band/size/pair branches
     rep = (docs.groupBy("sig")
                .agg(F.min("doc_id").alias("doc_id"),
-                    F.min("dh").alias("dh")))
+                    F.min("dh").alias("dh"))
+               .localCheckpoint(eager=True))
     bands = rep.select(
         "doc_id", "dh",
         F.explode(F.array(*[
@@ -1565,9 +1568,13 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.md5("text").alias("sig"),
                     F.expr(_ahash_total()).alias("at"), "text"))
     docs = docs.select("doc_id", "sig", F.expr(_ahash_expr()).alias("ah"))
+    # rep is tiny (one row per distinct payload); checkpointing it
+    # keeps the 112-substr hash projection to ONE corpus scan — the
+    # band/size/pair branches would otherwise each re-run it
     rep = (docs.groupBy("sig")
                .agg(F.min("doc_id").alias("doc_id"),
-                    F.min("ah").alias("ah")))
+                    F.min("ah").alias("ah"))
+               .localCheckpoint(eager=True))
     bands = rep.select(
         "doc_id", "ah",
         F.explode(F.array(*[
