@@ -655,3 +655,35 @@ def test_stream_tumbling_append_emits_only_finalized_windows(
                  stream_tumbling_append(spark, str(tmp_path)).collect())
     e = int(t0.timestamp())
     assert got == [(e, 2)]
+
+
+def test_round11_self_joins_never_plan_cartesian(spark):
+    """The round-11 dims-grid self-joins (Jonckheere value grid,
+    Hampel/Cox–Stuart day grids, aHash band buckets) must plan as
+    hash joins on their equi keys — a lost key would degrade to
+    BroadcastNestedLoop/CartesianProduct, the shapes that die at
+    scale."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as e
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("jonckheere_events", "hampel_outliers_events",
+                 "cox_stuart_events", "image_ahash_neardup",
+                 "knn_prefix_dim_recall"):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            qs[name](spark, sf).explain("formatted")
+        plan = buf.getvalue()
+        # CartesianProduct = two UNbroadcast sides with no key — the
+        # always-fatal shape. (BroadcastNestedLoop appears here only
+        # for legitimate tiny-side cross joins: 1-row stat rows, the
+        # 4-row daypart grid, the 10-row probe set — so it is not
+        # asserted on.)
+        assert "CartesianProduct" not in plan, name
+        # every pair scan must keep its equi key: at least one hash
+        # join must survive in each of these multi-join plans
+        assert ("BroadcastHashJoin" in plan
+                or "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan), name
