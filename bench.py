@@ -427,6 +427,8 @@ HEADLINE = [
     "k_anon_generalize_orders",
     "stream_interval_join_left",
     "stream_tumbling_append",
+    "kendall_tau_events",
+    "stream_kendall_tau",
 ]
 
 

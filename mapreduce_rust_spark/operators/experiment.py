@@ -2246,3 +2246,175 @@ FROM rj, nn, st
 
 
 REGISTRATIONS.append(("friedman_events", friedman_events, FRIEDMAN_ORACLE))
+
+
+# --- Kendall tau-b on the user decile grid (round 11) -----------------------
+
+
+TAU_TILES = 10   # decile grid — |cells| ≤ 100 at ANY corpus size
+
+
+def tau_user_cells(ev: DataFrame) -> DataFrame:
+    """Per-user (n_events, spend cents) sums — the MERGEABLE
+    sufficient statistic (user-dims-sized, the stream_two_proportion
+    class), shared by the batch op and ``streaming.windows.
+    stream_kendall_tau``."""
+    return (ev.select("user_id",
+                      F.round(F.col("value") * 100).cast("long")
+                       .alias("vc"))
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("na"),
+                 F.sum("vc").cast("long").alias("sp")))
+
+
+def tau_closed_form(users: DataFrame) -> DataFrame:
+    """Kendall τ-b from the per-user (activity, spend) table — shared
+    by batch and streaming twin. Both metrics rank into deciles via
+    ``scalable_rank`` + the closed-form ``ntile_expr`` (user_id
+    tiebreak ⇒ total order ⇒ deterministic tiles), so the pair
+    counting runs on an ALWAYS-≤100-cell grid no matter the corpus
+    size: n_c/n_d are cell-pair cross sums with strict double
+    inequalities, tie-pair counts come from the marginals, and τ-b =
+    (n_c − n_d)/√((T−T_x)(T−T_y)) is one fixed IEEE DAG over exact
+    DECIMAL(38) pair counts (T ~ n²/2 leaves int64 near ~4·10⁹
+    users — the MW ceiling class; pair counts are DOUBLE-exported
+    via the correctly-rounded cast, the Jonckheere var_num rule)."""
+    from mapreduce_rust_spark.operators.ranking import (
+        ntile_expr, scalable_rank)
+    users = users.localCheckpoint(eager=True)   # ranked twice
+    n_row = users.agg(F.count("*").cast("long").alias("n"))
+    ra = scalable_rank(users, F.col("na"), [F.col("na"), F.col("user_id")],
+                       rank_col="r_a")
+    rb = scalable_rank(users, F.col("sp"), [F.col("sp"), F.col("user_id")],
+                       rank_col="r_s")
+    j = (ra.select("user_id", "r_a")
+         .join(rb.select("user_id", "r_s"), "user_id")
+         .crossJoin(F.broadcast(n_row)))
+    tiles = j.select(
+        ntile_expr(TAU_TILES, "r_a").alias("ta"),
+        ntile_expr(TAU_TILES, "r_s").alias("ts"))
+    cells = (tiles.groupBy("ta", "ts")
+             .agg(F.count("*").cast("long").alias("c"))
+             .localCheckpoint(eager=True))    # 5 consumers
+    a, b = cells.alias("a"), cells.alias("b")
+    dec = "decimal(38,0)"
+    conc = (a.join(b, (F.col("a.ta") < F.col("b.ta"))
+                   & (F.col("a.ts") < F.col("b.ts")))
+            .agg(F.sum(F.col("a.c").cast(dec) * F.col("b.c"))
+                 .cast(dec).alias("nc")))
+    disc = (a.join(b, (F.col("a.ta") < F.col("b.ta"))
+                   & (F.col("a.ts") > F.col("b.ts")))
+            .agg(F.sum(F.col("a.c").cast(dec) * F.col("b.c"))
+                 .cast(dec).alias("nd")))
+    tx = (cells.groupBy("ta").agg(F.sum("c").alias("rc"))
+          .agg(F.sum(F.expr("CAST(rc AS DECIMAL(38,0)) * (rc - 1)"
+                            " DIV 2")).cast(dec).alias("tx")))
+    ty = (cells.groupBy("ts").agg(F.sum("c").alias("cc"))
+          .agg(F.sum(F.expr("CAST(cc AS DECIMAL(38,0)) * (cc - 1)"
+                            " DIV 2")).cast(dec).alias("ty")))
+    # a perfectly concordant (or discordant) grid leaves the other
+    # pair join EMPTY — SUM over no rows is NULL on both engines, so
+    # the counts coalesce to 0 (mirrored in the oracle)
+    base = (n_row.crossJoin(conc).crossJoin(disc)
+            .crossJoin(tx).crossJoin(ty)
+            .select("n",
+                    F.expr("COALESCE(nc, CAST(0 AS DECIMAL(38,0)))")
+                     .alias("nc"),
+                    F.expr("COALESCE(nd, CAST(0 AS DECIMAL(38,0)))")
+                     .alias("nd"),
+                    "tx", "ty",
+                    F.expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1)"
+                           " DIV 2 AS DECIMAL(38,0))").alias("tt")))
+    return base.select(
+        F.col("n").alias("n_users"),
+        F.col("nc").cast("double").alias("nc_pairs"),
+        F.col("nd").cast("double").alias("nd_pairs"),
+        F.col("tx").cast("double").alias("tie_x_pairs"),
+        F.col("ty").cast("double").alias("tie_y_pairs"),
+        F.expr("CASE WHEN (CAST(tt AS DOUBLE) - CAST(tx AS DOUBLE)) > 0"
+               " AND (CAST(tt AS DOUBLE) - CAST(ty AS DOUBLE)) > 0 THEN"
+               " (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))"
+               " / SQRT((CAST(tt AS DOUBLE) - CAST(tx AS DOUBLE))"
+               "        * (CAST(tt AS DOUBLE) - CAST(ty AS DOUBLE)))"
+               " END").alias("tau_b"))
+
+
+def kendall_tau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between per-user ACTIVITY and SPEND deciles —
+    completing the engine's rank-correlation trio (Spearman ρ gives
+    the rank-linear view, Theil–Sen the robust slope; τ answers the
+    bare ordinal question "do bigger users spend more", with the
+    cleanest interpretation: P(concordant) − P(discordant)).
+
+    Grid discipline (what makes τ 100 TB-shaped): raw τ-b pair
+    counting is O(n log n) at best and the (activity, spend) value
+    grid is UNBOUNDED (a bot user's activity is unbounded, spend
+    sums with corpus size — no KS-style range argument). Ranking
+    both metrics into ``TAU_TILES`` deciles first makes the
+    statistic a DECILE-association τ on an always-≤100-cell grid —
+    scale-free, outlier-proof, and exactly what the "bigger users
+    spend more" dashboard actually plots. Deciles are deterministic
+    (scalable_rank + closed-form ntile, user_id tiebreak — the
+    equidepth machinery, no per-metric data window).
+
+    Output: ``(n_users, nc_pairs, nd_pairs, tie_x_pairs,
+    tie_y_pairs, tau_b)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return tau_closed_form(tau_user_cells(ev))
+
+
+KENDALL_TAU_ORACLE = f"""
+WITH users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS na,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sp
+  FROM events GROUP BY user_id
+),
+n_row AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM users),
+tiles AS (
+  SELECT NTILE({TAU_TILES}) OVER (ORDER BY na, user_id) AS ta,
+         NTILE({TAU_TILES}) OVER (ORDER BY sp, user_id) AS ts
+  FROM users
+),
+cells AS (
+  SELECT ta, ts, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tiles GROUP BY ta, ts
+),
+conc AS (
+  SELECT CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS nc
+  FROM cells a JOIN cells b ON a.ta < b.ta AND a.ts < b.ts
+),
+disc AS (
+  SELECT CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS nd
+  FROM cells a JOIN cells b ON a.ta < b.ta AND a.ts > b.ts
+),
+tx AS (
+  SELECT CAST(SUM(CAST(rc AS HUGEINT) * (rc - 1) // 2) AS HUGEINT) AS tx
+  FROM (SELECT ta, SUM(c) AS rc FROM cells GROUP BY ta)
+),
+ty AS (
+  SELECT CAST(SUM(CAST(cc AS HUGEINT) * (cc - 1) // 2) AS HUGEINT) AS ty
+  FROM (SELECT ts, SUM(c) AS cc FROM cells GROUP BY ts)
+),
+base AS (
+  SELECT n, COALESCE(nc, 0) AS nc, COALESCE(nd, 0) AS nd, tx, ty,
+         CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS HUGEINT) AS tt
+  FROM n_row, conc, disc, tx, ty
+)
+SELECT n AS n_users,
+       CAST(nc AS DOUBLE) AS nc_pairs,
+       CAST(nd AS DOUBLE) AS nd_pairs,
+       CAST(tx AS DOUBLE) AS tie_x_pairs,
+       CAST(ty AS DOUBLE) AS tie_y_pairs,
+       CASE WHEN (CAST(tt AS DOUBLE) - CAST(tx AS DOUBLE)) > 0
+             AND (CAST(tt AS DOUBLE) - CAST(ty AS DOUBLE)) > 0 THEN
+         (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+         / SQRT((CAST(tt AS DOUBLE) - CAST(tx AS DOUBLE))
+                * (CAST(tt AS DOUBLE) - CAST(ty AS DOUBLE)))
+       END AS tau_b
+FROM base
+"""
+
+
+REGISTRATIONS.append(("kendall_tau_events", kendall_tau_events,
+                      KENDALL_TAU_ORACLE))

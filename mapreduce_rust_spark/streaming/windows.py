@@ -1117,6 +1117,28 @@ def _gmd_oracle() -> str:
     return GMD_ORACLE
 
 
+def stream_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``experiment.kendall_tau_events`` —
+    forty-eighth kappa pair: the per-user (activity, spend) sums are
+    ONE complete-mode mergeable aggregate (user-dims-sized state,
+    the stream_two_proportion class), and the shared closed form
+    runs the decile ranking and the ≤100-cell pair scan batch-side.
+    Bit-identical (exact pair counts + one shared IEEE DAG); same
+    oracle."""
+    from mapreduce_rust_spark.operators.experiment import (
+        tau_closed_form, tau_user_cells)
+    ev = read_events_stream(spark, sf_dir)
+    out = _run_to_table(tau_user_cells(ev), "stream_kendall_tau",
+                        "complete")
+    return tau_closed_form(out)
+
+
+def _tau_oracle() -> str:
+    from mapreduce_rust_spark.operators.experiment import (
+        KENDALL_TAU_ORACLE)
+    return KENDALL_TAU_ORACLE
+
+
 def stream_audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``multimodal_audio_adpcm_stats`` —
     twenty-ninth kappa pair, the second STATELESS one: the IMA-ADPCM
@@ -1584,4 +1606,5 @@ REGISTRATIONS = [
     ("stream_cohens_d", stream_cohens_d, _cohens_oracle()),
     ("stream_hodges_lehmann", stream_hodges_lehmann, _hl_oracle()),
     ("stream_gmd", stream_gmd, _gmd_oracle()),
+    ("stream_kendall_tau", stream_kendall_tau, _tau_oracle()),
 ]

@@ -687,3 +687,54 @@ def test_round11_self_joins_never_plan_cartesian(spark):
         assert ("BroadcastHashJoin" in plan
                 or "SortMergeJoin" in plan
                 or "ShuffledHashJoin" in plan), name
+
+
+def test_kendall_tau_perfect_and_reversed(spark, tmp_path):
+    """20 users where spend is a strictly increasing function of
+    activity: every decile pair is concordant → τ_b = 1. Reversing
+    spend flips every pair → τ_b = −1."""
+    rows = []
+    for u in range(1, 21):
+        for i in range(u):             # activity = u events
+            rows.append(("view", pd.Timestamp("2024-01-05"), u,
+                         float(u)))    # spend = u·u cents·100
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.experiment import (
+        KENDALL_TAU_ORACLE, kendall_tau_events)
+    r = kendall_tau_events(spark, str(tmp_path)).collect()[0]
+    assert r.n_users == 20 and r.tau_b == 1.0
+    # 20 users over 10 tiles -> 2 per tile -> 10·1 = 10 tie pairs
+    assert r.tie_x_pairs == 10.0 and r.tie_y_pairs == 10.0
+    con = _duck_on(tmp_path, "events")
+    assert con.execute(KENDALL_TAU_ORACLE).fetchone()[5] == 1.0
+
+    # reversed: activity u but TOTAL spend (21−u) dollars — zero
+    # filler events plus one carrier event (a per-event value of
+    # 21−u would make total spend u·(21−u), a parabola with τ = 0)
+    rows = []
+    for u in range(1, 21):
+        for i in range(u - 1):
+            rows.append(("view", pd.Timestamp("2024-01-05"), u, 0.0))
+        rows.append(("view", pd.Timestamp("2024-01-05"), u,
+                     float(21 - u)))
+    _events(tmp_path, rows)
+    r = kendall_tau_events(spark, str(tmp_path)).collect()[0]
+    assert r.tau_b == -1.0
+
+
+def test_stream_kendall_tau_matches_batch(spark, tmp_path):
+    rng = np.random.default_rng(31)
+    rows = [(["view", "purchase"][int(rng.integers(0, 2))],
+             pd.Timestamp("2024-01-02")
+             + pd.Timedelta(days=int(rng.integers(0, 20))),
+             int(rng.integers(1, 60)),
+             float(rng.integers(1, 50)) / 2) for _ in range(600)]
+    _events(tmp_path, rows)
+    from mapreduce_rust_spark.operators.experiment import (
+        kendall_tau_events)
+    from mapreduce_rust_spark.streaming.windows import stream_kendall_tau
+    b = sorted(map(tuple, kendall_tau_events(spark,
+                                             str(tmp_path)).collect()))
+    s = sorted(map(tuple, stream_kendall_tau(spark,
+                                             str(tmp_path)).collect()))
+    assert b == s
