@@ -142,14 +142,16 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_GRID = 10_000   # assignment quantization grid (HALF_EVEN, both engines)
+IVF_NPROBE = 4      # cells probed per query (recall/cost knob — see
+                    # ivf_eval_recall + SCALE.md's recall frontier)
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: a trained coarse quantizer (per-label
     centroids — at scale: k-means cells) assigns every vector to its
     nearest centroid cell; queries probe their own cell plus the
-    runner-up (nprobe=2). Candidates per query ≈ 2/n_cells of the
-    corpus. The centroid table is tiny and broadcast; assignment is
+    ``IVF_NPROBE − 1`` runners-up. Candidates per query ≈
+    nprobe/n_cells of the corpus. The centroid table is tiny and broadcast; assignment is
     one scan — no pairwise work outside probe-cell candidates.
 
     Oracled since round 10 (the last ANN path to convert — VERDICT r9
@@ -185,7 +187,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (ev.crossJoin(F.broadcast(cents))
              .withColumn("d2", d2)
              .withColumn("r", F.row_number().over(w_assign))
-             .filter(F.col("r") <= 2)  # nprobe=2 for queries; rank 1 = home
+             .filter(F.col("r") <= IVF_NPROBE)  # probes for queries; rank 1 = home
              .select("vec_id", "e", "cell", "r"))
     home = cells.filter(F.col("r") == 1).select("vec_id", "e", "cell")
 
@@ -239,7 +241,7 @@ home AS (
 probes AS (
   SELECT a.vec_id AS query_id, e AS qe, cell AS qc
   FROM asg a JOIN ev ON a.vec_id = ev.vec_id
-  WHERE a.vec_id < {N_QUERIES} AND r <= 2
+  WHERE a.vec_id < {N_QUERIES} AND r <= {IVF_NPROBE}
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
   SELECT p.query_id, h.neighbor_id,
@@ -1070,6 +1072,57 @@ GROUP BY b.query_id
 
 REGISTRATIONS.append(("knn_eval_recall", knn_eval_recall,
                       KNN_EVAL_RECALL_ORACLE))
+
+
+def ivf_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the IVF path (``knn_ivf``) against the
+    exact brute-force baseline — the IVF twin of ``knn_eval_recall``
+    (VERDICT r10 item 3 / r11 item 3): the measurement that justifies
+    the ``IVF_NPROBE`` setting before a rollout swaps brute force for
+    cell-probed search. Composition, not reimplementation: both
+    inputs are the registered queries; the oracle nests their two
+    registered oracle strings verbatim as parenthesized CTE bodies
+    (the ``dedup_eval_lsh`` recipe).
+
+    Recall/cost frontier on the fixture (SCALE.md round 12): the
+    label-cell quantizer has 10 cells; measured recall@5 by nprobe is
+    1→0.18, 2→0.38, 3→0.52, 4→0.68, 5→0.74 — ``IVF_NPROBE=4`` is the
+    first setting clearing the 0.6 bar the LSH path is held to, at
+    ~4/10 of the corpus per query. Recorded by this operator,
+    watched by bench.py.
+
+    Scale: the eval join is |Q|·k vs |Q|·k rows — negligible.
+
+    Output: ``(query_id, hits, k_eval, recall_bp)``.
+    """
+    ivf = knn_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    j = bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+    return (j.groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                  .cast("long").alias("hits"),
+                 F.count("*").cast("long").alias("k_eval"))
+            .select("query_id", "hits", "k_eval",
+                    F.expr("hits * 10000 DIV k_eval").alias("recall_bp")))
+
+
+IVF_EVAL_RECALL_ORACLE = f"""
+WITH bf AS ({KNN_BRUTEFORCE_ORACLE}),
+ivf AS ({KNN_IVF_ORACLE})
+SELECT b.query_id,
+       CAST(COUNT(l.query_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS k_eval,
+       CAST(COUNT(l.query_id) AS BIGINT) * 10000
+         // CAST(COUNT(*) AS BIGINT) AS recall_bp
+FROM bf b LEFT JOIN ivf l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+REGISTRATIONS.append(("ivf_eval_recall", ivf_eval_recall,
+                      IVF_EVAL_RECALL_ORACLE))
 
 
 CENT_GRID = 10_000   # quantization grid for the centroid-distance screen

@@ -2090,7 +2090,10 @@ def token_burstiness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (per.groupBy("tok")
            .agg(F.count("*").cast("long").alias("df"),
                 F.sum("c").cast("long").alias("tf"),
-                F.sum(F.expr("c * c")).cast("decimal(38,0)").alias("q")))
+                # cast BEFORE the sum: a LongType Σc² overflows int64
+                # at scale while the oracle accumulates in HUGEINT
+                F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c"))
+                 .cast("decimal(38,0)").alias("q")))
     return (agg.where(F.col("tf") >= BURST_MIN_TF)
             .crossJoin(F.broadcast(n_docs_row))
             .select("tok", "df", "tf",

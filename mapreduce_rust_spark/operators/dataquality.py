@@ -811,7 +811,7 @@ def k_anon_generalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (truncating both engines); at-risk share integer ppm.
 
     Scale: ONE corpus scan — the ladder explodes each row into
-    |levels| (4) generalized rows and aggregates (level, QI) with
+    |levels| (5) generalized rows and aggregates (level, QI) with
     map-side combine; class tables are dims-sized. The chosen flag
     is a broadcast of the 4-row level profile against itself.
 

@@ -1714,32 +1714,41 @@ def cohens_agg(cells: DataFrame) -> DataFrame:
     """The six exact sufficient statistics (n/Σx/Σx² per arm) — ONE
     mergeable no-key aggregate (6-value state), shared by the batch
     op and ``streaming.windows.stream_cohens_d``."""
+    # cast the OPERAND before aggregating (the gmd_cells /
+    # tau_closed_form discipline): a LongType sum of vc*vc overflows
+    # int64 at scale while the DuckDB oracle accumulates in HUGEINT
     dec = "decimal(38,0)"
+    vdec = F.col("vc").cast(dec)
     return cells.agg(
         F.sum(F.when(F.col("treat"), 1).otherwise(0))
          .cast("long").alias("nt"),
         F.sum(F.when(~F.col("treat"), 1).otherwise(0))
          .cast("long").alias("nc"),
-        F.sum(F.when(F.col("treat"), F.col("vc")).otherwise(0))
+        F.sum(F.when(F.col("treat"), vdec).otherwise(F.lit(0).cast(dec)))
          .cast(dec).alias("st"),
-        F.sum(F.when(~F.col("treat"), F.col("vc")).otherwise(0))
+        F.sum(F.when(~F.col("treat"), vdec).otherwise(F.lit(0).cast(dec)))
          .cast(dec).alias("sc"),
-        F.sum(F.when(F.col("treat"), F.col("vc") * F.col("vc"))
-               .otherwise(0)).cast(dec).alias("qt"),
-        F.sum(F.when(~F.col("treat"), F.col("vc") * F.col("vc"))
-               .otherwise(0)).cast(dec).alias("qc"))
+        F.sum(F.when(F.col("treat"), vdec * F.col("vc"))
+               .otherwise(F.lit(0).cast(dec))).cast(dec).alias("qt"),
+        F.sum(F.when(~F.col("treat"), vdec * F.col("vc"))
+               .otherwise(F.lit(0).cast(dec))).cast(dec).alias("qc"))
 
 
 def cohens_readout(agg: DataFrame) -> DataFrame:
     """The fixed IEEE effect-size DAG over the six sufficient
     statistics — shared by batch and streaming twin."""
+    # one-armed guard (the rank-biserial precedent): with nt=0 or
+    # nc=0 the 0/0 path yields NULL on Spark but NaN through DuckDB's
+    # IEEE division — the degenerate-corpus hash-mismatch class
     return agg.select(
         F.col("nt").alias("n_treat"), F.col("nc").alias("n_ctrl"),
         F.expr(
-            "CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)"
-            " - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)")
+            "CASE WHEN nt > 0 AND nc > 0 THEN"
+            " CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)"
+            " - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) END")
          .alias("mean_diff"),
-        F.expr(_COHENS_SP).alias("pooled_sd"),
+        F.expr(f"CASE WHEN nt > 0 AND nc > 0 THEN {_COHENS_SP} END")
+         .alias("pooled_sd"),
         F.expr(
             f"CASE WHEN nt + nc > 2 AND ({_COHENS_SP}) > 0 THEN"
             " (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)"
@@ -1782,9 +1791,11 @@ a AS (
   FROM c
 )
 SELECT nt AS n_treat, nc AS n_ctrl,
-       CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
-         - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mean_diff,
-       {{SP}} AS pooled_sd,
+       CASE WHEN nt > 0 AND nc > 0 THEN
+         CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+           - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+       END AS mean_diff,
+       CASE WHEN nt > 0 AND nc > 0 THEN {{SP}} END AS pooled_sd,
        CASE WHEN nt + nc > 2 AND ({{SP}}) > 0 THEN
          (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
           - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) / ({{SP}})
@@ -2296,7 +2307,11 @@ def tau_closed_form(users: DataFrame) -> DataFrame:
     cells = (tiles.groupBy("ta", "ts")
              .agg(F.count("*").cast("long").alias("c"))
              .localCheckpoint(eager=True))    # 5 consumers
-    a, b = cells.alias("a"), cells.alias("b")
+    # broadcast the ≤100-cell right side: the pure-inequality join
+    # conditions would otherwise plan a CartesianProduct — with a
+    # broadcast hint Spark plans the (bounded, deterministic)
+    # BroadcastNestedLoopJoin the engine-wide plan invariant allows
+    a, b = cells.alias("a"), F.broadcast(cells.alias("b"))
     dec = "decimal(38,0)"
     conc = (a.join(b, (F.col("a.ta") < F.col("b.ta"))
                    & (F.col("a.ts") < F.col("b.ts")))

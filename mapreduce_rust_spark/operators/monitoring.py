@@ -2141,7 +2141,7 @@ def mood_median_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per type the 2×k contingency row is (above grand median, not
     above); the χ² contribution is cleared EXACTLY to the ppm grid:
-    term = (a_g·N − n_g·A)² / (A·(N−A)·n_g·N) · 10⁶ with wide-integer
+    term = (a_g·N − n_g·A)² / (A·(N−A)·n_g) · 10⁶ with wide-integer
     numerator/denominator and truncating DIV on both engines (the
     grand median is the lower nearest-rank order statistic, the
     median_sign convention). No float anywhere.
@@ -2191,7 +2191,7 @@ def mood_k_closed_form(cells: DataFrame) -> DataFrame:
             "  - CAST(n_g AS DECIMAL(38,0)) * aa)"
             " * (CAST(n_above AS DECIMAL(38,0)) * nn"
             "    - CAST(n_g AS DECIMAL(38,0)) * aa) * 1000000"
-            " DIV (CAST(aa AS DECIMAL(38,0)) * (nn - aa) * n_g * nn)"
+            " DIV (CAST(aa AS DECIMAL(38,0)) * (nn - aa) * n_g)"
             " END AS BIGINT)")
     return (per.crossJoin(F.broadcast(glob))
             .select("event_type", "n_g", "n_above",
@@ -2229,7 +2229,7 @@ SELECT event_type, n_g, n_above,
          (CAST(n_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * aa)
          * (CAST(n_above AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * aa)
          * 1000000
-         // (CAST(aa AS HUGEINT) * (nn - aa) * n_g * nn)
+         // (CAST(aa AS HUGEINT) * (nn - aa) * n_g)
        END AS BIGINT) AS mood_term_ppm
 FROM per, gtot
 """

@@ -41,9 +41,29 @@ def test_knn_ivf_recall(spark):
     assert approx
     recall = len(exact & approx) / len(exact)
     print(f"knn_ivf recall vs bruteforce: {recall:.2f}")
-    # random embeddings have weak cluster structure; the machinery
-    # (train/assign/probe) is what's under test
-    assert recall > 0.15, f"recall {recall}"
+    # IVF_NPROBE=4 measured 0.68 on the sf0.01 fixture (frontier in
+    # the ivf_eval_recall docstring + SCALE.md); hold the 0.6 bar the
+    # LSH path is held to, with slack for fixture regeneration
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_eval_recall_matches_set_arithmetic(spark):
+    """The registered evaluator must report exactly the recall the
+    direct set intersection gives (composition correctness)."""
+    from mapreduce_rust_spark.llm.similarity import (
+        ivf_eval_recall, knn_bruteforce, knn_ivf)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in knn_bruteforce(spark, SF_CORRECT).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in knn_ivf(spark, SF_CORRECT).collect()}
+    got = {r.query_id: (r.hits, r.k_eval, r.recall_bp)
+           for r in ivf_eval_recall(spark, SF_CORRECT).collect()}
+    for qid, (hits, k_eval, bp) in got.items():
+        want_hits = len({(a, b) for a, b in exact if a == qid}
+                        & approx)
+        want_k = len([1 for a, _ in exact if a == qid])
+        assert (hits, k_eval) == (want_hits, want_k), qid
+        assert bp == hits * 10000 // k_eval
 
 
 def test_knn_rank_adjacent_gap(spark):
