@@ -841,9 +841,16 @@ def decode_wav_pcm(data: bytes) -> tuple[int, int, np.ndarray]:
         if bits != 8:
             raise ValueError(f"µ-law requires 8-bit codes, got {bits}")
         return rate, channels, _ulaw_decode(pcm)
+    if code == 6:      # G.711 A-law — round-12 gate narrowing
+        if channels != 1:
+            raise NotImplementedError("multi-channel A-law unsupported")
+        if bits != 8:
+            raise ValueError(f"A-law requires 8-bit codes, got {bits}")
+        return rate, channels, _alaw_decode(pcm)
     raise NotImplementedError(
         f"WAVE format code {code} needs a codec this container lacks; "
-        "integer PCM (1), µ-law (7), and IMA ADPCM (0x11) decode here")
+        "integer PCM (1), A-law (6), µ-law (7), and IMA ADPCM (0x11) "
+        "decode here")
 
 
 def _ulaw_decode(pcm: bytes) -> np.ndarray:
@@ -855,6 +862,23 @@ def _ulaw_decode(pcm: bytes) -> np.ndarray:
     u = 255 - np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
     t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
     return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_decode(pcm: bytes) -> np.ndarray:
+    """REAL G.711 A-law expansion (ITU-T G.711's other companding
+    half, the classic alaw2linear): toggle the even bits (code XOR
+    0x55), then per segment seg = (a >> 4) & 7 the magnitude is
+    seg 0 → (m<<4)+8, seg 1 → (m<<4)+0x108, else ((m<<4)+0x108) <<
+    (seg−1), with the (untoggled) sign bit SET meaning POSITIVE —
+    the convention opposite µ-law's. Pure integer shifts, vectorized.
+    """
+    a = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) ^ 0x55
+    m = (a & 0xF) << 4
+    seg = (a >> 4) & 7
+    t = np.where(seg == 0, m + 8,
+                 np.where(seg == 1, m + 0x108,
+                          (m + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
 
 
 # --- IMA ADPCM (round 10: the audio gate narrows one more notch) --------
@@ -1433,9 +1457,9 @@ def multimodal_audio_ulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL G.711 µ-law (WAVE format 7) container — the round-11 audio
     gate narrowing after PCM (r9) and IMA ADPCM (r10):
     ``decode_wav_pcm``'s NotImplementedError now covers only float
-    PCM, A-law, and compressed codecs. µ-law is the telephony/call-
-    center archive format, a real corpus class for speech-data
-    curation.
+    PCM and compressed codecs (A-law joined in round 12). µ-law is
+    the telephony/call-center archive format, a real corpus class
+    for speech-data curation.
 
     Exactness: the expansion is STATELESS pure-integer shift algebra
     per code byte (no cross-sample recurrence, unlike ADPCM), so the
@@ -1508,6 +1532,140 @@ FROM w
 
 REGISTRATIONS.append(("multimodal_audio_ulaw_stats",
                       multimodal_audio_ulaw_stats, AUDIO_ULAW_ORACLE))
+
+
+# --- G.711 A-law audio (round 12: the audio gate narrows again) ----------
+
+
+def _pack_wav_alaw(text: str) -> bytes:
+    """Build the synthetic RIFF/WAVE A-law (format 6) container for
+    one document — the ``_pack_wav_ulaw`` shape with the format code
+    and codec swapped: code i = byte i of the text verbatim (every
+    codepoint mod 256 is a valid A-law code)."""
+    import struct as _struct
+    L = len(text)
+    n = min(AUDIO_PCM_CAP, L)
+    data = bytes(ord(text[i]) % 256 for i in range(n))
+    fmt = _struct.pack("<HHIIHH", 6, 1, AUDIO_PCM_RATE,
+                       AUDIO_PCM_RATE, 1, 8)
+    body = (b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data)
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _audio_alaw_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the A-law path: pack the document as a
+    true format-6 WAV, then parse the container, run the REAL G.711
+    A-law expansion, and window the decoded samples into exact
+    integer stats (the PCM kernel's windowing)."""
+    for pdf in batches:
+        out = {"doc_id": [], "win_idx": [], "n_samples": [],
+               "sum_sq": [], "peak": [], "silence": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            text = payload.decode("utf-8")
+            if not text:
+                continue
+            rate, channels, samples = decode_wav_pcm(_pack_wav_alaw(text))
+            assert rate == AUDIO_PCM_RATE and channels == 1
+            s = samples.astype(np.int64)
+            for i in range(0, (len(s) + AUDIO_PCM_WIN - 1) // AUDIO_PCM_WIN):
+                w = s[i * AUDIO_PCM_WIN:(i + 1) * AUDIO_PCM_WIN]
+                ssq = int((w * w).sum())
+                out["doc_id"].append(doc_id)
+                out["win_idx"].append(i)
+                out["n_samples"].append(len(w))
+                out["sum_sq"].append(ssq)
+                out["peak"].append(int(np.abs(w).max()))
+                out["silence"].append(ssq < AUDIO_PCM_SILENCE * len(w))
+        yield pd.DataFrame(out)
+
+
+def multimodal_audio_alaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS/peak/silence stats over samples decoded from a
+    REAL G.711 A-law (WAVE format 6) container — the round-12 audio
+    gate narrowing completing G.711 (PCM r9, IMA ADPCM r10, µ-law
+    r11): ``decode_wav_pcm``'s NotImplementedError now covers only
+    float PCM and compressed codecs. A-law is the E1/European
+    telephony archive half of G.711 — the same real corpus class for
+    speech-data curation as µ-law.
+
+    Exactness: like µ-law the expansion is STATELESS pure-integer
+    shift algebra per code byte (XOR 0x55 toggle, segment shift,
+    sign bit SET = positive — the convention opposite µ-law's), so
+    the DuckDB oracle re-derives every sample from the text in one
+    UNNEST and the window stats are the PCM oracle's exact integer
+    sums.
+
+    Scale: identical shape to ``multimodal_audio_ulaw_stats`` — all
+    decode work in-row in one Arrow-batched kernel, bytes never
+    shuffle, kernel runs once per DISTINCT text with results joined
+    back on the digest.
+
+    Reference scope note: the reference engine
+    (Freebirdgo/MapReduce_Rust, src/mr/worker.rs) has no media
+    surface; this is the 100 TB training-pipeline extension mandate.
+    """
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 1)
+    key = (docs.select("doc_id", F.sha2("text", 256).alias("h"))
+               .localCheckpoint(eager=True))
+    reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
+    per_rep = (with_payload(rep_docs)
+               .mapInPandas(_audio_alaw_batches, AUDIO_PCM_SCHEMA)
+               .withColumnRenamed("doc_id", "rep_id"))
+    return (key.join(reps, "h").join(per_rep, "rep_id")
+            .select("doc_id", "win_idx", "n_samples", "sum_sq", "peak",
+                    "silence"))
+
+
+# ASCII fixture text (byte == codepoint): code byte b -> a = b XOR 85,
+# m = (a%16)*16, seg = (a//16)%8, t = seg=0 ? m+8 : seg=1 ? m+264 :
+# (m+264)*2^(seg-1), sample = ±t by the sign bit (SET = positive) —
+# the identical G.711 A-law expansion in SQL.
+AUDIO_ALAW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, LEAST({AUDIO_PCM_CAP}, LENGTH(text)) AS n
+  FROM documents WHERE LENGTH(text) >= 1
+),
+s AS (
+  SELECT doc_id, i // {AUDIO_PCM_WIN} AS win_idx,
+         CAST(CASE WHEN a >= 128 THEN t ELSE -t END AS BIGINT) AS smp
+  FROM (
+    SELECT doc_id, i, a,
+           CASE (a // 16) % 8
+             WHEN 0 THEN (a % 16) * 16 + 8
+             WHEN 1 THEN (a % 16) * 16 + 264
+             ELSE ((a % 16) * 16 + 264)
+                  * (CASE (a // 16) % 8 WHEN 2 THEN 2 WHEN 3 THEN 4
+                     WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32
+                     ELSE 64 END)
+           END AS t
+    FROM (
+      SELECT doc_id, i,
+             xor(unicode(substr(text, i + 1, 1)) % 256, 85) AS a
+      FROM d, UNNEST(range(0, n)) AS un(i))
+  )
+),
+w AS (
+  SELECT doc_id, win_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+         CAST(MAX(ABS(smp)) AS BIGINT) AS peak
+  FROM s GROUP BY doc_id, win_idx
+)
+SELECT doc_id, win_idx, n_samples, sum_sq, peak,
+       sum_sq < {AUDIO_PCM_SILENCE} * n_samples AS silence
+FROM w
+"""
+
+
+REGISTRATIONS.append(("multimodal_audio_alaw_stats",
+                      multimodal_audio_alaw_stats, AUDIO_ALAW_ORACLE))
 
 
 # --- 56-bit average hash near-dup (round 11) --------------------------------

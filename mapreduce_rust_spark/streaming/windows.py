@@ -935,6 +935,28 @@ def _audio_ulaw_oracle() -> str:
     return AUDIO_ULAW_ORACLE
 
 
+def stream_audio_alaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``multimodal_audio_alaw_stats`` —
+    forty-ninth kappa pair, the fourth STATELESS one: the G.711
+    A-law expansion kernel as an append-mode ingest transform, same
+    map-only shape as ``stream_audio_ulaw_stats`` (per-document
+    windows never span batches, so output is row-identical to the
+    batch op); same DuckDB oracle."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_PCM_SCHEMA, _audio_alaw_batches, with_payload)
+    _ensure_self_shipping()
+    docs = read_docs_stream(spark, sf_dir).where(F.length("text") >= 1)
+    stats = with_payload(docs).mapInPandas(
+        _audio_alaw_batches, AUDIO_PCM_SCHEMA)
+    return _run_to_table(stats, "stream_audio_alaw_stats", "append")
+
+
+def _audio_alaw_oracle() -> str:
+    from mapreduce_rust_spark.llm.multimodal import AUDIO_ALAW_ORACLE
+    return AUDIO_ALAW_ORACLE
+
+
 def stream_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``monitoring.cramers_v_events`` —
     thirty-ninth kappa pair: the (type, weekday) contingency counts
@@ -1597,6 +1619,8 @@ REGISTRATIONS = [
     ("stream_bartels_rank", stream_bartels_rank, _bartels_oracle()),
     ("stream_audio_ulaw_stats", stream_audio_ulaw_stats,
      _audio_ulaw_oracle()),
+    ("stream_audio_alaw_stats", stream_audio_alaw_stats,
+     _audio_alaw_oracle()),
     ("stream_cramers_v", stream_cramers_v, _cramers_oracle()),
     ("stream_mood_median_k", stream_mood_median_k, _mood_oracle()),
     ("stream_cox_stuart", stream_cox_stuart, _cox_oracle()),
