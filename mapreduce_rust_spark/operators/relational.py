@@ -732,15 +732,140 @@ FROM lineitem GROUP BY l_returnflag
 
 # --- approximate sketches --------------------------------------------------
 
+# --- deterministic HLL (round-12 rows-only → ORACLED conversion) ---------
+# Explicit register algebra instead of the engine's built-in
+# approx_count_distinct: a murmur3-finalized 32-bit hash (wide-decimal
+# multiplies so the mod-2^32 wrap is identical on engines that
+# raise vs wrap on int64 overflow), top-9-bit bucketing (m = 512),
+# leading-zero rank via a pure-comparison CASE ladder, and the
+# harmonic sum kept as the EXACT integer Σ2^(32−reg) — so every
+# column is order-independent integer algebra except the final
+# estimate, which is ONE correctly-rounded double division. The
+# sketch stays one-pass and mergeable (register max commutes), and
+# the DuckDB oracle re-derives the identical registers.
+HLL_P = 9
+HLL_M = 1 << HLL_P               # 512 registers
+HLL_W = 32 - HLL_P               # 23-bit rho field
+HLL_C1 = 0x85EBCA6B              # murmur3 fmix32 constants
+HLL_C2 = 0xC2B2AE35
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_EST_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 32)
+
+
+def _hll_rho_sql(w: str) -> str:
+    """rho = 1 + leading zeros of the 23-bit field ``w`` — a pure
+    integer-comparison ladder (identical text both engines; no
+    log2/bit_length libm)."""
+    cases = [f"WHEN {w} >= {1 << (HLL_W - 1 - i)} THEN {i + 1}"
+             for i in range(HLL_W)]
+    return (f"CASE WHEN {w} = 0 THEN {HLL_W + 1} "
+            + " ".join(cases) + " END")
+
+
+def _hll_mix_sql(key: str, xor: str, idiv: str) -> list[str]:
+    """The murmur3 fmix32 pipeline as engine-templated statements:
+    ``xor``/``idiv`` are format strings for bitwise-xor and integer
+    division ('({0} ^ {1})' / '({0} DIV {1})' on Spark,
+    'xor({0}, {1})' / '({0} // {1})' on DuckDB). Multiplies route
+    through DECIMAL(38,0)/HUGEINT so the mod-2^32 wrap never
+    overflows int64 on either engine."""
+    m32 = 4294967296
+    h0 = f"({key} % {m32})"
+    h1 = xor.format(h0, idiv.format(h0, 65536))
+    h2 = (f"CAST(CAST({h1} AS DECIMAL(38,0)) * {HLL_C1} % {m32}"
+          f" AS BIGINT)")
+    h3 = xor.format(h2, idiv.format(h2, 8192))
+    h4 = (f"CAST(CAST({h3} AS DECIMAL(38,0)) * {HLL_C2} % {m32}"
+          f" AS BIGINT)")
+    return [xor.format(h4, idiv.format(h4, 65536))]
+
+
 def sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counting — the 100 TB substitute for
-    exact COUNT(DISTINCT) (no expand, one pass, mergeable sketches).
-    No oracle: sketch estimates are implementation-defined; accuracy
-    is asserted against the exact count in tests."""
+    """HyperLogLog distinct counting — the 100 TB substitute for
+    exact COUNT(DISTINCT) (no expand, one pass, mergeable register
+    maxima). ORACLED since round 12 (previously rows-only on the
+    engine's implementation-defined approx_count_distinct): the
+    sketch is now explicit deterministic register algebra (module
+    comment above), so DuckDB re-derives it bit-for-bit. Output
+    carries the exact integer sufficient statistics — clients in the
+    small-range regime (n ≲ 2.5·m) apply the linear-counting
+    correction m·ln(m/zero_regs) themselves (ln is libm, excluded
+    from oracle-checked output by engine rule) — plus ``est_raw``,
+    the standard-regime estimate as one fixed IEEE division.
+    Accuracy vs exact distinct is asserted in tests (−3.3% on the
+    sf0.01 fixture at m = 512).
+
+    Scale: hash + bucket + rho are per-row projections; the only
+    shuffle is the (flag, bucket) register aggregate — ≤ flags·512
+    cells with map-side max combine. Register maxima merge
+    associatively, so partials roll up from any partitioning (the
+    mergeable-cells story of rollup_merge_events for a non-additive
+    measure).
+
+    Output: ``(l_returnflag, n_rows, m, seen_buckets, zero_regs,
+    sum_scaled, reg_sum, est_raw)``.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-              .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-                   F.count("*").alias("n_rows")))
+    [h] = _hll_mix_sql("l_partkey", "({0} ^ {1})", "({0} DIV {1})")
+    per = (li.select("l_returnflag", F.expr(h).alias("h"))
+           .select("l_returnflag",
+                   F.expr(f"h DIV {1 << HLL_W}").alias("bucket"),
+                   F.expr(_hll_rho_sql(f"(h % {1 << HLL_W})"))
+                    .alias("rho"))
+           .groupBy("l_returnflag", "bucket")
+           .agg(F.max("rho").alias("reg"),
+                F.count("*").alias("cnt")))
+    return (per.groupBy("l_returnflag")
+            .agg(F.sum("cnt").cast("long").alias("n_rows"),
+                 F.count("*").cast("long").alias("seen_buckets"),
+                 F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - reg)"))
+                  .cast("long").alias("sum_seen"),
+                 F.sum("reg").cast("long").alias("reg_sum"))
+            .select("l_returnflag", "n_rows",
+                    F.lit(HLL_M).cast("long").alias("m"),
+                    "seen_buckets",
+                    (F.lit(HLL_M) - F.col("seen_buckets")).cast("long")
+                     .alias("zero_regs"),
+                    (F.col("sum_seen")
+                     + (F.lit(HLL_M) - F.col("seen_buckets"))
+                     * F.lit(4294967296)).cast("long").alias("sum_scaled"),
+                    "reg_sum")
+            .withColumn("est_raw",
+                        F.expr(f"CAST({HLL_EST_NUM!r} AS DOUBLE)"
+                               " / CAST(sum_scaled AS DOUBLE)")))
+
+
+def _hll_oracle() -> str:
+    [h] = _hll_mix_sql("l_partkey", "xor({0}, {1})", "({0} // {1})")
+    return f"""
+WITH hashed AS (
+  SELECT l_returnflag, {h} AS h
+  FROM lineitem
+),
+per AS (
+  SELECT l_returnflag, h // {1 << HLL_W} AS bucket,
+         MAX({_hll_rho_sql(f"(h % {1 << HLL_W})")}) AS reg,
+         COUNT(*) AS cnt
+  FROM hashed GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST({HLL_M} AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS seen_buckets,
+       CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_regs,
+       CAST(SUM(CAST(1 AS BIGINT) << (32 - reg))
+            + ({HLL_M} - COUNT(*)) * 4294967296 AS BIGINT)
+         AS sum_scaled,
+       CAST(SUM(reg) AS BIGINT) AS reg_sum,
+       CAST({HLL_EST_NUM!r} AS DOUBLE)
+         / CAST(CAST(SUM(CAST(1 AS BIGINT) << (32 - reg))
+                     + ({HLL_M} - COUNT(*)) * 4294967296 AS BIGINT)
+                AS DOUBLE) AS est_raw
+FROM per GROUP BY l_returnflag
+"""
+
+
+SKETCH_DISTINCT_ORACLE = _hll_oracle()
 
 
 def sketch_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,7 +1110,8 @@ REGISTRATIONS: list[tuple[str, object, str | None]] = [
     ("json_funcs_events", json_funcs_events, JSON_FUNCS_ORACLE),
     ("agg_collect_sources", agg_collect_sources, AGG_COLLECT_ORACLE),
     ("percentile_exact_price", percentile_exact_price, PERCENTILE_EXACT_ORACLE),
-    ("sketch_distinct_parts", sketch_distinct_parts, None),
+    ("sketch_distinct_parts", sketch_distinct_parts,
+     SKETCH_DISTINCT_ORACLE),
     ("sketch_quantile_price", sketch_quantile_price, None),
     ("sketch_quantile_by_partkey", sketch_quantile_by_partkey, None),
     ("scalar_subquery_orders", scalar_subquery_orders, SCALAR_SUBQUERY_ORACLE),

@@ -95,7 +95,7 @@ def test_sketches_close_to_exact(spark):
              for r in li.groupBy("l_returnflag")
                         .agg(F.countDistinct("l_partkey").alias("n")).collect()}
     for r in sketch_distinct_parts(spark, SF_CORRECT).collect():
-        assert abs(r.approx_parts - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.1
+        assert abs(r.est_raw - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.1
     [q] = sketch_quantile_price(spark, SF_CORRECT).collect()
     p50, p90, p99 = q.approx_p50_p90_p99
     exact_q = li.approxQuantile("l_extendedprice", [0.5, 0.9, 0.99], 0.0)

@@ -110,3 +110,54 @@ def test_alaw_gate_still_honest():
         decode_wav_pcm(wav(3, 32, b"\x00" * 8))
     with pytest.raises(NotImplementedError):
         decode_wav_pcm(wav(0x55, 0, b""))
+
+
+def _hll_mix_reference(k: int) -> int:
+    """Independent murmur3-fmix32 transcription (shift/xor/multiply
+    on Python ints), NOT the SQL-templated production path."""
+    h = k % (1 << 32)
+    h ^= h >> 16
+    h = h * 0x85EBCA6B % (1 << 32)
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 % (1 << 32)
+    h ^= h >> 16
+    return h
+
+
+def test_hll_registers_match_python_reference(spark, tmp_path):
+    """The deterministic HLL's sufficient statistics must equal a
+    from-scratch Python HLL over the same keys (hash, bucketing, rho
+    ladder, integer-scaled harmonic sum, raw-estimate DAG)."""
+    keys = list(range(1, 301)) + [7, 7, 7]   # dups must not matter
+    pd.DataFrame({
+        "l_orderkey": range(len(keys)),
+        "l_partkey": keys,
+        "l_suppkey": 1, "l_linenumber": 1, "l_quantity": 1.0,
+        "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+        "l_returnflag": "A", "l_linestatus": "O",
+        "l_shipdate": pd.Timestamp("2024-01-01"),
+        "l_commitdate": pd.Timestamp("2024-01-01"),
+        "l_receiptdate": pd.Timestamp("2024-01-01"),
+        "l_shipinstruct": "x", "l_shipmode": "MAIL",
+        "l_comment": "c"}).to_parquet(tmp_path / "lineitem.parquet")
+    from mapreduce_rust_spark.operators.relational import (
+        HLL_EST_NUM, HLL_M, HLL_W, SKETCH_DISTINCT_ORACLE,
+        sketch_distinct_parts)
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = _hll_mix_reference(k)
+        b, w = h >> HLL_W, h % (1 << HLL_W)
+        rho = (HLL_W + 1) if w == 0 else (HLL_W - w.bit_length() + 1)
+        regs[b] = max(regs.get(b, 0), rho)
+    zero = HLL_M - len(regs)
+    sum_scaled = zero * (1 << 32) + sum(1 << (32 - v)
+                                       for v in regs.values())
+    r = sketch_distinct_parts(spark, str(tmp_path)).collect()[0]
+    assert (r.n_rows, r.m, r.seen_buckets, r.zero_regs) == \
+        (len(keys), HLL_M, len(regs), zero)
+    assert r.sum_scaled == sum_scaled
+    assert r.reg_sum == sum(regs.values())
+    assert r.est_raw == HLL_EST_NUM / float(sum_scaled)
+    con = _duck_on(tmp_path, "lineitem")
+    want = con.execute(SKETCH_DISTINCT_ORACLE).fetchone()
+    assert tuple(want) == tuple(r)
