@@ -429,6 +429,16 @@ HEADLINE = [
     "stream_tumbling_append",
     "kendall_tau_events",
     "stream_kendall_tau",
+    # round 12: IVF recall evaluator (the recall number the bench
+    # watches), the A-law kappa pair completing G.711, and the
+    # deterministic-HLL conversion
+    "ivf_eval_recall",
+    "multimodal_audio_alaw_stats",
+    "stream_audio_alaw_stats",
+    "sketch_distinct_parts",
+    "sketch_hll_mergeable",
+    "stream_approx_distinct_users",
+    "jpeg_color_roundtrip",
 ]
 
 

@@ -824,23 +824,69 @@ FROM w WHERE prev_best IS NULL OR cents > prev_best
 
 
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
-    per-(returnflag, month) sketches built in one pass, then
-    ``hll_union_agg``-merged up to per-returnflag totals — the
-    pre-aggregated rollup pattern that makes 100 TB distinct counts
-    incremental (store tiny sketch partials per partition/day; any
-    rollup is a union of sketches, never a rescan — the same
-    continuous-aggregate story as rollup_merge_events, for a
-    non-additive measure). No SQL oracle (sketch internals);
-    accuracy vs exact asserted in tests."""
+    """MERGEABLE distinct-count sketches: per-(returnflag, month)
+    register tables built in one pass, then max-merged up to
+    per-returnflag totals — the pre-aggregated rollup pattern that
+    makes 100 TB distinct counts incremental (store tiny register
+    partials per partition/day; any rollup is a union of maxima,
+    never a rescan — the same continuous-aggregate story as
+    rollup_merge_events, for a non-additive measure).
+
+    ORACLED since round 12 (previously rows-only on the engine's
+    DataSketches HLL whose serialized sketch internals have no SQL
+    mirror): the sketch is the engine's own deterministic register
+    algebra (``relational.sketch_distinct_parts``), and because
+    register max is associative the DuckDB oracle may skip the
+    monthly staging entirely and derive per-flag registers DIRECTLY
+    — the oracle match IS the merge-correctness proof, stronger than
+    the old accuracy bound. ``n_sketches`` (months merged per flag)
+    is checked too.
+
+    Output: ``(l_returnflag, n_sketches, n_rows, m, seen_buckets,
+    zero_regs, sum_scaled, reg_sum, est_raw)``.
+    """
+    from mapreduce_rust_spark.operators.relational import (
+        hll_readout, hll_rho_select)
     li = _t(spark, sf_dir, "lineitem")
-    monthly = (li.groupBy("l_returnflag",
-                          F.date_format("l_shipdate", "yyyy-MM").alias("mon"))
-                 .agg(F.hll_sketch_agg("l_partkey").alias("sk")))
-    return (monthly.groupBy("l_returnflag")
-                   .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                         .alias("approx_parts"),
-                        F.count("*").alias("n_sketches")))
+    monthly = (hll_rho_select(
+                   li.withColumn("mon", F.date_format("l_shipdate",
+                                                      "yyyy-MM")),
+                   ["l_returnflag", "mon"], "l_partkey")
+               .groupBy("l_returnflag", "mon", "bucket")
+               .agg(F.max("rho").alias("reg"),
+                    F.count("*").alias("cnt")))
+    merged = (monthly.groupBy("l_returnflag", "bucket")
+              .agg(F.max("reg").alias("reg"),
+                   F.sum("cnt").alias("cnt")))
+    n_sk = (monthly.select("l_returnflag", "mon").distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("n_sketches")))
+    return (hll_readout(merged, ["l_returnflag"])
+            .join(F.broadcast(n_sk), "l_returnflag")
+            .select("l_returnflag", "n_sketches", "n_rows", "m",
+                    "seen_buckets", "zero_regs", "sum_scaled",
+                    "reg_sum", "est_raw"))
+
+
+def _hll_mergeable_oracle() -> str:
+    from mapreduce_rust_spark.operators.relational import hll_oracle_sql
+    inner = hll_oracle_sql("lineitem", "l_returnflag", "l_partkey",
+                           "l_returnflag")
+    return f"""
+WITH direct AS ({inner}),
+n_sk AS (
+  SELECT l_returnflag,
+         CAST(COUNT(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT)
+           AS n_sketches
+  FROM lineitem GROUP BY 1
+)
+SELECT d.l_returnflag, n.n_sketches, d.n_rows, d.m, d.seen_buckets,
+       d.zero_regs, d.sum_scaled, d.reg_sum, d.est_raw
+FROM direct d JOIN n_sk n ON d.l_returnflag = n.l_returnflag
+"""
+
+
+SKETCH_HLL_MERGEABLE_ORACLE = _hll_mergeable_oracle()
 
 
 REGISTRATIONS = [
@@ -867,5 +913,6 @@ REGISTRATIONS = [
     ("stats_agg_lineitem", stats_agg_lineitem, STATS_AGG_ORACLE),
     ("argmax_orders_by_priority", argmax_orders_by_priority, ARGMAX_ORACLE),
     ("record_high_orders", record_high_orders, RECORD_HIGH_ORACLE),
-    ("sketch_hll_mergeable", sketch_hll_mergeable, None),
+    ("sketch_hll_mergeable", sketch_hll_mergeable,
+     SKETCH_HLL_MERGEABLE_ORACLE),
 ]

@@ -868,6 +868,80 @@ FROM per GROUP BY l_returnflag
 SKETCH_DISTINCT_ORACLE = _hll_oracle()
 
 
+# Generic forms of the deterministic-HLL pieces, shared by the
+# mergeable rollup (analytic.sketch_hll_mergeable) and the streaming
+# twin (streaming.windows.stream_approx_distinct_users):
+
+def hll_rho_select(df: DataFrame, key_cols: list[str],
+                   id_col: str) -> DataFrame:
+    """(key..., bucket, rho) projection — the per-row sketch input."""
+    [h] = _hll_mix_sql(id_col, "({0} ^ {1})", "({0} DIV {1})")
+    return (df.select(*key_cols, F.expr(h).alias("h"))
+            .select(*key_cols,
+                    F.expr(f"h DIV {1 << HLL_W}").alias("bucket"),
+                    F.expr(_hll_rho_sql(f"(h % {1 << HLL_W})"))
+                     .alias("rho")))
+
+
+def hll_readout(per: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key sufficient statistics + raw estimate from a register
+    table ``(key..., bucket, reg, cnt)`` — the sketch_distinct_parts
+    readout keyed generically."""
+    return (per.groupBy(*key_cols)
+            .agg(F.sum("cnt").cast("long").alias("n_rows"),
+                 F.count("*").cast("long").alias("seen_buckets"),
+                 F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - reg)"))
+                  .cast("long").alias("sum_seen"),
+                 F.sum("reg").cast("long").alias("reg_sum"))
+            .select(*key_cols, "n_rows",
+                    F.lit(HLL_M).cast("long").alias("m"),
+                    "seen_buckets",
+                    (F.lit(HLL_M) - F.col("seen_buckets")).cast("long")
+                     .alias("zero_regs"),
+                    (F.col("sum_seen")
+                     + (F.lit(HLL_M) - F.col("seen_buckets"))
+                     * F.lit(4294967296)).cast("long").alias("sum_scaled"),
+                    "reg_sum")
+            .withColumn("est_raw",
+                        F.expr(f"CAST({HLL_EST_NUM!r} AS DOUBLE)"
+                               " / CAST(sum_scaled AS DOUBLE)")))
+
+
+def hll_oracle_sql(source_sql: str, key_sql: str, id_sql: str,
+                   key_out: str) -> str:
+    """The full hashed→registers→readout pipeline as one DuckDB CTE
+    chain over ``source_sql`` (a FROM-able relation), keyed by
+    ``key_sql`` (one expression, aliased ``k``) and hashed on
+    ``id_sql``; ``key_out`` names the key in the output."""
+    [h] = _hll_mix_sql(id_sql, "xor({0}, {1})", "({0} // {1})")
+    return f"""
+WITH hashed AS (
+  SELECT {key_sql} AS k, {h} AS h
+  FROM {source_sql}
+),
+per AS (
+  SELECT k, h // {1 << HLL_W} AS bucket,
+         MAX({_hll_rho_sql(f"(h % {1 << HLL_W})")}) AS reg,
+         COUNT(*) AS cnt
+  FROM hashed GROUP BY 1, 2
+)
+SELECT k AS {key_out},
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST({HLL_M} AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS seen_buckets,
+       CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_regs,
+       CAST(SUM(CAST(1 AS BIGINT) << (32 - reg))
+            + ({HLL_M} - COUNT(*)) * 4294967296 AS BIGINT)
+         AS sum_scaled,
+       CAST(SUM(reg) AS BIGINT) AS reg_sum,
+       CAST({HLL_EST_NUM!r} AS DOUBLE)
+         / CAST(CAST(SUM(CAST(1 AS BIGINT) << (32 - reg))
+                     + ({HLL_M} - COUNT(*)) * 4294967296 AS BIGINT)
+                AS DOUBLE) AS est_raw
+FROM per GROUP BY k
+"""
+
+
 def sketch_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald-Khanna) over extendedprice —
     mergeable, single-pass; tested against exact quantiles."""

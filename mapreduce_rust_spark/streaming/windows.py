@@ -441,23 +441,47 @@ GROUP BY 1, 2
 
 
 def stream_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed APPROXIMATE distinct users on the stream —
-    ``approx_count_distinct`` inside a watermarked tumbling window.
-    The sketch state is constant-size per window (vs an exact
-    distinct whose state grows with cardinality — the difference
-    between bounded and unbounded state at 100 TB/day). HLL++ merges
-    are commutative/associative, so the result is deterministic under
-    any micro-batching — asserted batch-equal in tests; driver check
-    is rows-only (DuckDB's approx sketch differs by design)."""
+    """Windowed APPROXIMATE distinct users on the stream — a
+    deterministic HLL register table inside a watermarked tumbling
+    window. The sketch state is constant-size per window (≤ 512
+    register cells vs an exact distinct whose state grows with
+    cardinality — the difference between bounded and unbounded state
+    at 100 TB/day). Register maxima are commutative/associative, so
+    the result is identical under any micro-batching.
+
+    ORACLED since round 12 (previously rows-only on the engine's
+    built-in approx_count_distinct, whose HLL++ internals DuckDB
+    cannot mirror): the in-stream aggregate is the engine's own
+    register algebra (``relational.sketch_distinct_parts``), the
+    per-window readout runs batch-side, and the oracle re-derives
+    both exactly. Estimation note: ~70 users per 6 h window fill
+    m = 512 sparsely, so consumers apply the standard linear-counting
+    correction m·ln(m/zero_regs) client-side (ln is libm, excluded
+    from oracle-checked output); ``est_raw`` is the standard-regime
+    estimator, exact-DAG-checked like the batch op's."""
+    from mapreduce_rust_spark.operators.relational import (
+        hll_readout, hll_rho_select)
     ev = read_events_stream(spark, sf_dir)
-    agg = (ev.withWatermark("ts", WATERMARK)
-             .groupBy(F.window("ts", "6 hours").alias("w"))
-             .agg(F.approx_count_distinct("user_id", rsd=0.02)
-                   .alias("approx_users"),
-                  F.count("*").alias("n")))
+    rho = hll_rho_select(
+        ev.withWatermark("ts", WATERMARK)
+          .withColumn("w", F.window("ts", "6 hours")),
+        ["w"], "user_id")
+    agg = (rho.groupBy("w", "bucket")
+              .agg(F.max("rho").alias("reg"),
+                   F.count("*").alias("cnt")))
     out = _run_to_table(agg, "stream_approx_distinct", "complete")
-    return out.select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
-                      "approx_users", "n")
+    per = out.select(F.unix_timestamp(F.col("w.start"))
+                     .alias("bucket_start"), "bucket", "reg", "cnt")
+    return hll_readout(per, ["bucket_start"])
+
+
+def _approx_distinct_oracle() -> str:
+    from mapreduce_rust_spark.operators.relational import hll_oracle_sql
+    return hll_oracle_sql(
+        "events",
+        "CAST(FLOOR(epoch(ts)) AS BIGINT)"
+        " - CAST(FLOOR(epoch(ts)) AS BIGINT) % 21600",
+        "user_id", "bucket_start")
 
 
 # Fixed x-origin for the streaming OLS twin: 2024-01-01T00:00:00 as
@@ -1564,7 +1588,8 @@ REGISTRATIONS = [
     # twins share the batch op's oracle on purpose (kappa parity)
     ("stream_dow_profile", stream_dow_profile, _dow_oracle()),
     ("stream_chisq_cells", stream_chisq_cells, _chisq_oracle()),
-    ("stream_approx_distinct_users", stream_approx_distinct_users, None),
+    ("stream_approx_distinct_users", stream_approx_distinct_users,
+     _approx_distinct_oracle()),
     ("stream_static_enrich", stream_static_enrich,
      STREAM_STATIC_ENRICH_ORACLE),
     ("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_ORACLE),

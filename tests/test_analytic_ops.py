@@ -161,20 +161,29 @@ def test_embedding_quantize_range_and_norm(spark):
 
 
 def test_hll_mergeable_sketch_accuracy(spark):
-    """Sketch-merge rollup must estimate distinct parts within 5% of
-    exact, proving partial sketches union losslessly enough for the
-    incremental-rollup pattern."""
+    """The max-merged monthly register rollup must (a) equal the
+    directly-computed per-flag registers (merge is LOSSLESS, not
+    just 'close' — the round-12 deterministic-HLL upgrade) and
+    (b) estimate distinct parts within 10% of exact."""
     from mapreduce_rust_spark.operators.analytic import sketch_hll_mergeable
+    from mapreduce_rust_spark.operators.relational import (
+        sketch_distinct_parts)
     from mapreduce_rust_spark.tables import load_table
-    est = {r.l_returnflag: r.approx_parts
-           for r in sketch_hll_mergeable(spark, SF_CORRECT).collect()}
+    merged = {r.l_returnflag: r
+              for r in sketch_hll_mergeable(spark, SF_CORRECT).collect()}
+    direct = {r.l_returnflag: r
+              for r in sketch_distinct_parts(spark, SF_CORRECT).collect()}
     exact = {r.l_returnflag: r.x for r in
              load_table(spark, SF_CORRECT, "lineitem")
              .groupBy("l_returnflag")
              .agg(F.countDistinct("l_partkey").alias("x")).collect()}
-    assert set(est) == set(exact)
+    assert set(merged) == set(exact) == set(direct)
     for k in exact:
-        assert abs(est[k] - exact[k]) <= 0.05 * exact[k]
+        m, d = merged[k], direct[k]
+        assert (m.sum_scaled, m.reg_sum, m.zero_regs, m.est_raw) == \
+            (d.sum_scaled, d.reg_sum, d.zero_regs, d.est_raw)
+        assert m.n_sketches >= 1
+        assert abs(m.est_raw - exact[k]) <= 0.10 * exact[k]
 
 
 def test_stats_agg_matches_numpy(spark):

