@@ -439,6 +439,8 @@ HEADLINE = [
     "sketch_hll_mergeable",
     "stream_approx_distinct_users",
     "jpeg_color_roundtrip",
+    "multimodal_audio_float_stats",
+    "stream_audio_float_stats",
 ]
 
 

@@ -890,11 +890,13 @@ def _pack_wav_pcm(text: str) -> bytes:
 def decode_wav_pcm(data: bytes) -> tuple[int, int, np.ndarray]:
     """REAL RIFF/WAVE parse + PCM decode (pure stdlib ``struct``, no
     native codec): walks the chunk list, validates the ``fmt `` chunk,
-    and returns (sample_rate, n_channels, int16 sample array) from
-    the ``data`` chunk. Raises ValueError on corrupt containers and
+    and returns (sample_rate, n_channels, sample array — int16 for
+    the integer codecs, float32 for IEEE-float PCM) from the
+    ``data`` chunk. Raises ValueError on corrupt containers and
     — the honest gate, same discipline as ``decode_image_stub`` —
-    NotImplementedError for format codes other than integer PCM
-    (float PCM, A-law, MP3-in-WAV need codecs this container lacks).
+    NotImplementedError for format codes without a codec here
+    (compressed formats like MP3-in-WAV need codecs this container
+    lacks).
     """
     import struct as _struct
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -944,10 +946,19 @@ def decode_wav_pcm(data: bytes) -> tuple[int, int, np.ndarray]:
         if bits != 8:
             raise ValueError(f"A-law requires 8-bit codes, got {bits}")
         return rate, channels, _alaw_decode(pcm)
+    if code == 3:      # IEEE float PCM — round-12 gate narrowing #2
+        if channels != 1:
+            raise NotImplementedError("multi-channel float PCM unsupported")
+        if bits != 32:
+            raise NotImplementedError(
+                f"{bits}-bit float PCM unsupported (32 only)")
+        if len(pcm) % 4:
+            raise ValueError("data chunk not a whole number of frames")
+        return rate, channels, np.frombuffer(pcm, dtype="<f4")
     raise NotImplementedError(
         f"WAVE format code {code} needs a codec this container lacks; "
-        "integer PCM (1), A-law (6), µ-law (7), and IMA ADPCM (0x11) "
-        "decode here")
+        "integer PCM (1), float PCM (3), A-law (6), µ-law (7), and "
+        "IMA ADPCM (0x11) decode here")
 
 
 def _ulaw_decode(pcm: bytes) -> np.ndarray:
@@ -1763,6 +1774,135 @@ FROM w
 
 REGISTRATIONS.append(("multimodal_audio_alaw_stats",
                       multimodal_audio_alaw_stats, AUDIO_ALAW_ORACLE))
+
+
+def _pack_wav_float(text: str) -> bytes:
+    """Build a synthetic RIFF/WAVE IEEE-float (format 3, 32-bit)
+    container for one document. Byte i of the text (mod 256 → b)
+    becomes the float32 sample ((b − 128)·256 + b) / 65536 — a
+    16-significant-bit dyadic rational in [−0.5, 0.5), EXACTLY
+    representable in float32 (24-bit mantissa), with the exponent
+    varying across the byte range so real normalized/denormal-free
+    IEEE encode paths are exercised; the struct round-trip is
+    bit-faithful by IEEE-754."""
+    import struct as _struct
+    L = len(text)
+    n = min(AUDIO_PCM_CAP, L)
+    q = np.array([ord(text[i]) % 256 for i in range(n)], dtype=np.int64)
+    samples = (((q - 128) * 256 + q) / 65536.0).astype("<f4")
+    data = samples.tobytes()
+    fmt = _struct.pack("<HHIIHH", 3, 1, AUDIO_PCM_RATE,
+                       AUDIO_PCM_RATE * 4, 4, 32)
+    body = (b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data)
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _audio_float_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the float-PCM path: pack the document
+    as a true format-3 WAV, parse the container, decode the IEEE
+    float32 samples, and quantize to the q16 integer grid
+    (round(v · 65536) — EXACT for this corpus class: every sample is
+    a dyadic rational with denominator 2¹⁶, so the product is an
+    integer before rounding) before the PCM kernel's exact
+    integer-window stats."""
+    for pdf in batches:
+        out = {"doc_id": [], "win_idx": [], "n_samples": [],
+               "sum_sq": [], "peak": [], "silence": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            text = payload.decode("utf-8")
+            if not text:
+                continue
+            rate, channels, samples = decode_wav_pcm(_pack_wav_float(text))
+            assert rate == AUDIO_PCM_RATE and channels == 1
+            s = np.rint(samples.astype(np.float64) * 65536.0).astype(np.int64)
+            for i in range(0, (len(s) + AUDIO_PCM_WIN - 1) // AUDIO_PCM_WIN):
+                w = s[i * AUDIO_PCM_WIN:(i + 1) * AUDIO_PCM_WIN]
+                ssq = int((w * w).sum())
+                out["doc_id"].append(doc_id)
+                out["win_idx"].append(i)
+                out["n_samples"].append(len(w))
+                out["sum_sq"].append(ssq)
+                out["peak"].append(int(np.abs(w).max()))
+                out["silence"].append(ssq < AUDIO_PCM_SILENCE * len(w))
+        yield pd.DataFrame(out)
+
+
+def multimodal_audio_float_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS/peak/silence stats over samples decoded from a
+    REAL IEEE-float (WAVE format 3, 32-bit) container — the final
+    round-12 audio-gate narrowing (PCM r9, IMA ADPCM r10, µ-law r11,
+    A-law r12): ``decode_wav_pcm``'s NotImplementedError now covers
+    only compressed codecs (MP3-in-WAV etc.) and exotic widths.
+    Float WAV is the DAW/scientific-recording archive format — the
+    remaining uncompressed-audio corpus class for speech curation.
+
+    Exactness: the synthetic corpus maps each byte to a dyadic
+    rational with denominator 2¹⁶ that float32 represents exactly;
+    decode → q16 quantization (×65536) is then integer-exact, so the
+    DuckDB oracle re-derives every sample from the text with PURE
+    INTEGER arithmetic ((b−128)·256 + b) and the window stats are
+    the PCM oracle's exact integer sums. The float32 encode/decode
+    byte path (struct/IEEE-754) is fully exercised; no float reaches
+    the oracle-checked columns.
+
+    Scale: identical shape to ``multimodal_audio_alaw_stats`` — all
+    decode work in-row in one Arrow-batched kernel, bytes never
+    shuffle, kernel runs once per DISTINCT text with results joined
+    back on the digest.
+
+    Reference scope note: the reference engine
+    (Freebirdgo/MapReduce_Rust, src/mr/worker.rs) has no media
+    surface; this is the 100 TB training-pipeline extension mandate.
+    """
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 1)
+    key = (docs.select("doc_id", F.sha2("text", 256).alias("h"))
+               .localCheckpoint(eager=True))
+    reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
+    per_rep = (with_payload(rep_docs)
+               .mapInPandas(_audio_float_batches, AUDIO_PCM_SCHEMA)
+               .withColumnRenamed("doc_id", "rep_id"))
+    return (key.join(reps, "h").join(per_rep, "rep_id")
+            .select("doc_id", "win_idx", "n_samples", "sum_sq", "peak",
+                    "silence"))
+
+
+# ASCII fixture text (byte == codepoint): byte b → q16 sample
+# (b − 128)·256 + b — the float32 value ((b−128)·256+b)/2¹⁶ decoded
+# and re-scaled, all-integer in SQL.
+AUDIO_FLOAT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, LEAST({AUDIO_PCM_CAP}, LENGTH(text)) AS n
+  FROM documents WHERE LENGTH(text) >= 1
+),
+s AS (
+  SELECT doc_id, i // {AUDIO_PCM_WIN} AS win_idx,
+         CAST((b - 128) * 256 + b AS BIGINT) AS smp
+  FROM (
+    SELECT doc_id, i, unicode(substr(text, i + 1, 1)) % 256 AS b
+    FROM d, UNNEST(range(0, n)) AS un(i))
+),
+w AS (
+  SELECT doc_id, win_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+         CAST(MAX(ABS(smp)) AS BIGINT) AS peak
+  FROM s GROUP BY doc_id, win_idx
+)
+SELECT doc_id, win_idx, n_samples, sum_sq, peak,
+       sum_sq < {AUDIO_PCM_SILENCE} * n_samples AS silence
+FROM w
+"""
+
+
+REGISTRATIONS.append(("multimodal_audio_float_stats",
+                      multimodal_audio_float_stats, AUDIO_FLOAT_ORACLE))
 
 
 # --- 56-bit average hash near-dup (round 11) --------------------------------

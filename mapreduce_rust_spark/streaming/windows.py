@@ -981,6 +981,28 @@ def _audio_alaw_oracle() -> str:
     return AUDIO_ALAW_ORACLE
 
 
+def stream_audio_float_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``multimodal_audio_float_stats`` — fiftieth
+    kappa pair, the fifth STATELESS one: the IEEE-float PCM decode +
+    q16 quantization kernel as an append-mode ingest transform, same
+    map-only shape as ``stream_audio_alaw_stats`` (per-document
+    windows never span batches, so output is row-identical to the
+    batch op); same DuckDB oracle."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_PCM_SCHEMA, _audio_float_batches, with_payload)
+    _ensure_self_shipping()
+    docs = read_docs_stream(spark, sf_dir).where(F.length("text") >= 1)
+    stats = with_payload(docs).mapInPandas(
+        _audio_float_batches, AUDIO_PCM_SCHEMA)
+    return _run_to_table(stats, "stream_audio_float_stats", "append")
+
+
+def _audio_float_oracle() -> str:
+    from mapreduce_rust_spark.llm.multimodal import AUDIO_FLOAT_ORACLE
+    return AUDIO_FLOAT_ORACLE
+
+
 def stream_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``monitoring.cramers_v_events`` —
     thirty-ninth kappa pair: the (type, weekday) contingency counts
@@ -1646,6 +1668,8 @@ REGISTRATIONS = [
      _audio_ulaw_oracle()),
     ("stream_audio_alaw_stats", stream_audio_alaw_stats,
      _audio_alaw_oracle()),
+    ("stream_audio_float_stats", stream_audio_float_stats,
+     _audio_float_oracle()),
     ("stream_cramers_v", stream_cramers_v, _cramers_oracle()),
     ("stream_mood_median_k", stream_mood_median_k, _mood_oracle()),
     ("stream_cox_stuart", stream_cox_stuart, _cox_oracle()),

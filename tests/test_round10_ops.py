@@ -132,12 +132,16 @@ def test_adpcm_gate_still_honest():
                 + b"data" + struct.pack("<I", 0))
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
+    # float PCM (3) and A-law (6) gained real decoders in round 12;
+    # at the wrong bit width they refuse loudly rather than misparse
     with pytest.raises(NotImplementedError):
-        decode_wav_pcm(wav_with_code(3))      # float PCM
-    with pytest.raises(NotImplementedError):
-        decode_wav_pcm(wav_with_code(6))      # A-law
+        decode_wav_pcm(wav_with_code(3))      # 4-bit float: no such width
+    with pytest.raises(ValueError):
+        decode_wav_pcm(wav_with_code(6))      # A-law needs 8-bit codes
     with pytest.raises(NotImplementedError):
         decode_wav_pcm(wav_with_code(0x11, channels=2))
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm(wav_with_code(0x55))   # MP3-in-WAV: still gated
 
 
 def test_adpcm_spark_oracle_parity_tiny_corpus(spark, tmp_path):

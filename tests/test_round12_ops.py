@@ -91,25 +91,67 @@ def test_alaw_oracle_matches_on_planted_corpus(spark, tmp_path):
     assert d0 == d2
 
 
-def test_alaw_gate_still_honest():
-    """Format codes without a codec (float PCM 3, MP3 0x55) must
-    still raise NotImplementedError; A-law (6) must not."""
+def test_audio_gate_still_honest():
+    """Format codes without a codec (MP3-in-WAV 0x55, 16-bit float)
+    must still raise NotImplementedError; A-law (6) and 32-bit IEEE
+    float (3) must not — the two round-12 gate narrowings."""
     import struct
     import pytest
     from mapreduce_rust_spark.llm.multimodal import decode_wav_pcm
 
-    def wav(code, bits, data):
-        fmt = struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, bits)
+    def wav(code, bits, data, channels=1):
+        fmt = struct.pack("<HHIIHH", code, channels, 8000, 8000, 1, bits)
         body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 + b"data" + struct.pack("<I", len(data)) + data)
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
     rate, ch, s = decode_wav_pcm(wav(6, 8, b"\x55\xd5"))
     assert (rate, ch, s.tolist()) == (8000, 1, [-8, 8])
+    rate, ch, s = decode_wav_pcm(
+        wav(3, 32, struct.pack("<ff", 0.25, -1.5)))
+    assert (rate, ch, s.tolist()) == (8000, 1, [0.25, -1.5])
     with pytest.raises(NotImplementedError):
-        decode_wav_pcm(wav(3, 32, b"\x00" * 8))
+        decode_wav_pcm(wav(3, 16, b"\x00" * 8))     # half-float width
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm(wav(3, 32, b"\x00" * 8, channels=2))
     with pytest.raises(NotImplementedError):
         decode_wav_pcm(wav(0x55, 0, b""))
+
+
+def test_float_pcm_q16_exact_all_bytes():
+    """Every byte's float32 sample must quantize back to EXACTLY
+    (b−128)·256 + b — the dyadic-exactness claim underpinning the
+    oracle — via the real pack → RIFF-parse → IEEE-decode path."""
+    from mapreduce_rust_spark.llm.multimodal import (
+        _pack_wav_float, decode_wav_pcm)
+    text = "".join(chr(b) for b in range(256))
+    rate, ch, samples = decode_wav_pcm(_pack_wav_float(text))
+    assert (rate, ch, samples.dtype.str) == (8000, 1, "<f4")
+    q = np.rint(samples.astype(np.float64) * 65536.0).astype(np.int64)
+    want = [(b - 128) * 256 + b for b in range(256)]
+    assert q.tolist() == want
+    # re-scaled values really are exact dyadics: no rounding happened
+    assert np.array_equal(samples.astype(np.float64) * 65536.0,
+                          q.astype(np.float64))
+
+
+def test_float_pcm_oracle_matches_on_planted_corpus(spark, tmp_path):
+    """Spark kernel vs the integer-arithmetic oracle on a planted
+    corpus: extremes (0x00 → −32768), multi-window docs, dup docs
+    (digest collapse), and a short tail window."""
+    from mapreduce_rust_spark.llm.multimodal import (
+        AUDIO_FLOAT_ORACLE, multimodal_audio_float_stats)
+    texts = ["\x00\x7fALL extremes \xff" * 20,
+             "quiet " * 60,                      # multi-window
+             "quiet " * 60,                      # exact dup
+             "x"]                                # single-sample tail
+    _docs(tmp_path, texts)
+    got = sorted(map(tuple, multimodal_audio_float_stats(
+        spark, str(tmp_path)).toPandas().astype(str).values.tolist()))
+    con = _duck_on(tmp_path, "documents")
+    want = sorted(map(tuple, con.execute(
+        AUDIO_FLOAT_ORACLE).fetchdf().astype(str).values.tolist()))
+    assert got == want and len(got) >= 5
 
 
 def _hll_mix_reference(k: int) -> int:
