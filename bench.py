@@ -441,6 +441,8 @@ HEADLINE = [
     "jpeg_color_roundtrip",
     "multimodal_audio_float_stats",
     "stream_audio_float_stats",
+    "sketch_quantile_price",
+    "sketch_quantile_by_partkey",
 ]
 
 

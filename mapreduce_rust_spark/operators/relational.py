@@ -942,28 +942,153 @@ FROM per GROUP BY k
 """
 
 
+QSK_WIDTH = 8192       # coarse histogram bucket width in cents ($81.92)
+QSK_PCTS = (50, 90, 99)
+
+
 def sketch_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles (Greenwald-Khanna) over extendedprice —
-    mergeable, single-pass; tested against exact quantiles."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-         .alias("approx_p50_p90_p99"))
+    """EXACT distributed quantiles (p50/p90/p99 of extendedprice)
+    via the two-phase histogram algorithm — the scale shape that
+    replaces a global sort: phase 1 builds a fixed-width cents
+    histogram (≤ ~1.4k buckets — a mergeable, order-independent
+    map-side partial, the same sketch-partial story as the
+    deterministic HLL), locates each target rank's bucket by a
+    dims-sized cumulative walk; phase 2 re-scans ONLY the selected
+    buckets (3 of them) and resolves the exact order statistic from
+    the per-cents counts inside — no row sort anywhere, windows only
+    over dims-sized tables.
+
+    ORACLED since round 12 (previously rows-only on
+    ``percentile_approx``'s GK sketch, whose compaction is
+    partition-order-dependent with no cross-engine mirror): the
+    two-phase result is the EXACT rank-``ceil(p·n/100)`` order
+    statistic, which DuckDB re-derives directly by row_number — the
+    hash match proves the histogram refinement exact, stronger than
+    the old 5%-accuracy bound. GK remains available through
+    ``percentile_approx`` when a one-pass streaming sketch is wanted.
+
+    Output: ``(pct, n_rows, rank, cents, price)``, one row per
+    target percentile. At 100 TB both phases are full scans but each
+    shuffles only (bucket,count) / (cents,count) pairs; phase 2's
+    per-bucket distinct-cents is ≤ QSK_WIDTH by construction.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.bround(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    hist = (li.groupBy(F.expr(f"c DIV {QSK_WIDTH}").alias("b"))
+              .agg(F.count("*").alias("bn")))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("bn").over(wb))
+    tot = cum.agg(F.max("cum").cast("long").alias("n_rows"))
+    qs = (tot.select(F.explode(F.array(
+              *[F.lit(p) for p in QSK_PCTS])).alias("pct"), "n_rows")
+             .withColumn("rank", F.expr(
+                 "CAST((pct * n_rows + 99) DIV 100 AS BIGINT)")))
+    sel = (F.broadcast(qs)
+           .join(cum, (F.col("cum") >= F.col("rank"))
+                 & (F.col("cum") - F.col("bn") < F.col("rank")))
+           .select("pct", "n_rows", "rank", "b",
+                   (F.col("rank") - (F.col("cum") - F.col("bn")))
+                   .alias("wr")))
+    fine = (li.join(F.broadcast(sel),
+                    F.expr(f"c DIV {QSK_WIDTH}") == F.col("b"))
+              .groupBy("pct", "n_rows", "rank", "wr", "c")
+              .agg(F.count("*").alias("m")))
+    wc = (W.partitionBy("pct").orderBy("c")
+          .rowsBetween(W.unboundedPreceding, 0))
+    return (fine.withColumn("cum2", F.sum("m").over(wc))
+            .where((F.col("cum2") >= F.col("wr"))
+                   & (F.col("cum2") - F.col("m") < F.col("wr")))
+            .select("pct", "n_rows", "rank", F.col("c").alias("cents"),
+                    (F.col("c").cast("double") / 100).alias("price")))
+
+
+SKETCH_QUANTILE_ORACLE = """
+WITH c AS (
+  SELECT CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM c),
+q AS (
+  SELECT pct, n_rows,
+         CAST((pct * n_rows + 99) // 100 AS BIGINT) AS rank
+  FROM n, UNNEST([50, 90, 99]) t(pct)
+),
+o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM c)
+SELECT q.pct, q.n_rows, q.rank, o.c AS cents,
+       CAST(o.c AS DOUBLE) / 100 AS price
+FROM q JOIN o ON o.rn = q.rank
+"""
 
 
 def sketch_quantile_by_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped approximate median at a HIGH-CARDINALITY key (one GK
-    sketch per l_partkey, ~2k groups at sf0.01 / 20M at TPC-H sf100) —
-    the shape ``percentile_exact_price``'s docstring tells you to use
-    at scale: per-group sketches are mergeable map-side partials, so
-    the shuffle carries one small sketch per (partition, key) instead
-    of every row sorting inside its group. Approximate ⇒ no SQL
-    oracle; pytest bounds the error vs exact per-group medians."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_partkey")
-              .agg(F.percentile_approx("l_extendedprice", 0.5, 1000)
-                    .alias("approx_p50"),
-                   F.count("*").alias("n_rows")))
+    """Grouped approximate median at a HIGH-CARDINALITY key (one
+    sketch per l_partkey, ~2k groups at sf0.01 / 20M at TPC-H sf100)
+    — the shape ``percentile_exact_price``'s docstring tells you to
+    use at scale: the per-group sketch is a FIXED-WIDTH cents
+    histogram (≤ ~1.4k cells of (bucket, count), usually far fewer),
+    whose cells are mergeable map-side partials, so the shuffle
+    carries one bounded sketch per (partition, key) instead of every
+    row sorting inside its group.
+
+    ORACLED since round 12 (previously rows-only on
+    ``percentile_approx``'s GK sketch — partition-order-dependent
+    compaction, no cross-engine mirror): the fixed-boundary grid is
+    deterministic and order-independent, so DuckDB re-derives the
+    identical readout — the bucket holding the lower-median rank
+    ``(n+1) DIV 2`` — with pure integer arithmetic. The estimate
+    ``approx_p50`` is the bucket midpoint: |approx − exact median| ≤
+    QSK_WIDTH/2 cents by construction (pinned in tests). GK remains
+    available through ``percentile_approx``.
+
+    Output: ``(l_partkey, n_rows, med_rank, bucket, approx_p50)``.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.bround(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    sk = (li.groupBy("l_partkey", F.expr(f"c DIV {QSK_WIDTH}").alias("b"))
+            .agg(F.count("*").alias("m")))
+    wk = (W.partitionBy("l_partkey").orderBy("b")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wall = (W.partitionBy("l_partkey")
+            .rowsBetween(W.unboundedPreceding,
+                         W.unboundedFollowing))
+    return (sk.withColumn("cum", F.sum("m").over(wk))
+              .withColumn("n_rows", F.sum("m").over(wall).cast("long"))
+              .withColumn("med_rank", F.expr(
+                  "CAST((n_rows + 1) DIV 2 AS BIGINT)"))
+              .where((F.col("cum") >= F.col("med_rank"))
+                     & (F.col("cum") - F.col("m") < F.col("med_rank")))
+              .select("l_partkey", "n_rows", "med_rank",
+                      F.col("b").cast("long").alias("bucket"),
+                      ((F.col("b") * QSK_WIDTH + QSK_WIDTH // 2)
+                       .cast("double") / 100).alias("approx_p50")))
+
+
+SKETCH_QUANTILE_BY_PARTKEY_ORACLE = f"""
+WITH c AS (
+  SELECT l_partkey,
+         CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem
+),
+sk AS (
+  SELECT l_partkey, c // {QSK_WIDTH} AS b,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM c GROUP BY 1, 2
+),
+r AS (
+  SELECT l_partkey, b, m,
+         SUM(m) OVER (PARTITION BY l_partkey ORDER BY b) AS cum,
+         SUM(m) OVER (PARTITION BY l_partkey) AS n_rows
+  FROM sk
+)
+SELECT l_partkey, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows + 1) // 2 AS BIGINT) AS med_rank,
+       CAST(b AS BIGINT) AS bucket,
+       CAST(b * {QSK_WIDTH} + {QSK_WIDTH // 2} AS DOUBLE) / 100
+         AS approx_p50
+FROM r
+WHERE cum >= (n_rows + 1) // 2 AND cum - m < (n_rows + 1) // 2
+"""
 
 
 def rollup_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,8 +1311,10 @@ REGISTRATIONS: list[tuple[str, object, str | None]] = [
     ("percentile_exact_price", percentile_exact_price, PERCENTILE_EXACT_ORACLE),
     ("sketch_distinct_parts", sketch_distinct_parts,
      SKETCH_DISTINCT_ORACLE),
-    ("sketch_quantile_price", sketch_quantile_price, None),
-    ("sketch_quantile_by_partkey", sketch_quantile_by_partkey, None),
+    ("sketch_quantile_price", sketch_quantile_price,
+     SKETCH_QUANTILE_ORACLE),
+    ("sketch_quantile_by_partkey", sketch_quantile_by_partkey,
+     SKETCH_QUANTILE_BY_PARTKEY_ORACLE),
     ("scalar_subquery_orders", scalar_subquery_orders, SCALAR_SUBQUERY_ORACLE),
     ("in_subquery_lineitem", in_subquery_lineitem, IN_SUBQUERY_ORACLE),
     ("tumbling_event_counts", tumbling_event_counts, TUMBLING_ORACLE),

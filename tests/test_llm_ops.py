@@ -96,33 +96,43 @@ def test_sketches_close_to_exact(spark):
                         .agg(F.countDistinct("l_partkey").alias("n")).collect()}
     for r in sketch_distinct_parts(spark, SF_CORRECT).collect():
         assert abs(r.est_raw - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.1
-    [q] = sketch_quantile_price(spark, SF_CORRECT).collect()
-    p50, p90, p99 = q.approx_p50_p90_p99
-    exact_q = li.approxQuantile("l_extendedprice", [0.5, 0.9, 0.99], 0.0)
-    assert abs(p50 - exact_q[0]) / exact_q[0] < 0.05
-    assert p50 < p90 < p99
+    # round 12: the two-phase histogram quantile is EXACT — each row
+    # must equal the true rank-ceil(p·n/100) order statistic
+    rows = {r.pct: r for r in
+            sketch_quantile_price(spark, SF_CORRECT).collect()}
+    assert set(rows) == {50, 90, 99}
+    cents = sorted(int(round(v * 100)) for v in
+                   (r.l_extendedprice for r in
+                    li.select("l_extendedprice").collect()))
+    n = len(cents)
+    for pct, r in rows.items():
+        rank = -(-pct * n // 100)     # ceil
+        assert (r.n_rows, r.rank) == (n, rank)
+        assert r.cents == cents[rank - 1], (pct, r.cents, cents[rank - 1])
+    assert rows[50].cents < rows[90].cents < rows[99].cents
 
 
 def test_grouped_sketch_quantile_close_to_exact(spark):
-    """Per-partkey GK sketches vs exact per-group medians — every
-    group within GK's rank-error bound (values, not just aggregate)."""
+    """Per-partkey grid-histogram sketches vs exact per-group lower
+    medians — every group within the PROVEN bound: the true median
+    lies inside the reported bucket, so |approx − exact| ≤ half the
+    bucket width (QSK_WIDTH/2 cents), and the rank bracketing
+    (n_rows, med_rank) must be exact."""
     from mapreduce_rust_spark.operators.relational import (
-        sketch_quantile_by_partkey)
+        QSK_WIDTH, sketch_quantile_by_partkey)
     li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
-    exact = {r.l_partkey: (r.lo, r.hi)
-             for r in li.groupBy("l_partkey")
-                        .agg(F.expr("percentile(l_extendedprice, 0.4)")
-                              .alias("lo"),
-                             F.expr("percentile(l_extendedprice, 0.6)")
-                              .alias("hi")).collect()}
+    exact = {}
+    for r in li.select("l_partkey", "l_extendedprice").collect():
+        exact.setdefault(r.l_partkey, []).append(
+            int(round(r.l_extendedprice * 100)))
     rows = sketch_quantile_by_partkey(spark, SF_CORRECT).collect()
     assert len(rows) == len(exact)
     for r in rows:
-        # GK returns an actual group element (no interpolation); with
-        # accuracy=1000 its rank error on these ~30-row groups is 0,
-        # so it must land inside the exact p40..p60 band of its group
-        lo, hi = exact[r.l_partkey]
-        assert lo <= r.approx_p50 <= hi, (r, lo, hi)
+        vals = sorted(exact[r.l_partkey])
+        med = vals[(len(vals) + 1) // 2 - 1]        # lower median
+        assert (r.n_rows, r.med_rank) == (len(vals), (len(vals) + 1) // 2)
+        assert r.bucket == med // QSK_WIDTH, (r, med)
+        assert abs(r.approx_p50 * 100 - med) <= QSK_WIDTH / 2, (r, med)
 
 
 def test_multimodal_batch_shape(spark):
