@@ -443,6 +443,10 @@ HEADLINE = [
     "stream_audio_float_stats",
     "sketch_quantile_price",
     "sketch_quantile_by_partkey",
+    "grid_median_event_value",
+    "stream_grid_median",
+    "pq_assign_embeddings",
+    "knn_pq_adc",
 ]
 
 
@@ -478,12 +482,22 @@ def main() -> None:
     # they are topped up to ≥3 runs and report the median — one spike
     # can no longer move the recorded number. Keyed on the timing
     # cutoff alone, independent of SPARK_GRAFT_BENCH_REPS (r8 advice).
+    # Round 12: STREAM queries get the ≥3-rep median UNCONDITIONALLY
+    # — their wall time is dominated by harness/state-store setup
+    # whose stalls are one-sided and land on whole runs, so a noisy
+    # day pushes them over the 3 s cutoff and (before this change)
+    # demoted them to min-of-2, which two same-day runs showed is
+    # irreproducible per query (22/61 within ±30%) even while the
+    # stream-family SUM agrees within 4%. Per-query stream rows are
+    # therefore medians; regression triage on stream rows should use
+    # the family sum (recorded as stream_sum) or trigger_ms_sum.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     noisy_cutoff = 3.0
     timings: dict[str, float] = {}
     stream_detail: dict[str, dict] = {}
     from mapreduce_rust_spark.streaming import windows as _sw
     for name in names:
+        is_stream = name.startswith("stream")
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -491,11 +505,11 @@ def main() -> None:
             n = df.count()  # force full execution
             runs.append(time.perf_counter() - t0)
             assert n >= 0
-        while min(runs) < noisy_cutoff and len(runs) < 3:
+        while (min(runs) < noisy_cutoff or is_stream) and len(runs) < 3:
             t0 = time.perf_counter()
             assert qs[name](spark, SF_DIR).count() >= 0
             runs.append(time.perf_counter() - t0)
-        if min(runs) < noisy_cutoff:
+        if min(runs) < noisy_cutoff or is_stream:
             # lower-middle median (robust for any rep count)
             timings[name] = round(sorted(runs)[(len(runs) - 1) // 2], 3)
         else:
@@ -517,6 +531,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    stream_total = sum(v for k, v in timings.items()
+                       if k.startswith("stream"))
+    if stream_total:
+        # the reproducible stream statistic (see the reps comment):
+        # same-day runs agree on this sum within a few percent while
+        # individual rows swing ±4x
+        payload["stream_sum"] = round(stream_total, 3)
     if stream_detail:
         payload["stream_detail"] = stream_detail
     # Round-over-round triage needs only the BENCH artifacts: compare

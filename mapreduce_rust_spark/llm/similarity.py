@@ -1693,3 +1693,202 @@ FROM kk JOIN hits ON kk.query_id = hits.query_id
 
 REGISTRATIONS.append(("knn_prefix_dim_recall", knn_prefix_dim_recall,
                       KNN_PREFIX_ORACLE))
+
+
+# --- product quantization (round 12) ---------------------------------------
+# The fourth leg of the ANN family (brute force -> LSH -> IVF -> PQ):
+# PQ stores the corpus as PQ_M sub-codes instead of d numbers, and
+# ADC search scores a probe against a vector with PQ_M table lookups
+# instead of d multiplies — the memory/IO design that makes
+# billion-vector search fit a cluster (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+PQ_M = 16         # subspaces
+PQ_DSUB = 4       # dims per subspace (64 = PQ_M * PQ_DSUB)
+PQ_KC = 256       # codewords per subspace — sampled codebook
+# Config chosen on the measured frontier (SCALE.md round 12): with
+# sampled codebooks, (m=8,kc=16) reads recall@5 0.22 vs exact int8,
+# (m=16,kc=64) 0.54, (m=16,kc=256) 0.76, (m=32,kc=256) 0.82. m=16 x
+# 8-bit codes is the canonical PQ16x8: 16 B/vector vs 256 B float32
+# (16x), recall 0.76 >= the 0.6 bar LSH/IVF are held to.
+
+
+def _pq_subvectors(arr: DataFrame) -> DataFrame:
+    """(vec_id, s, sv): the int8 grid vectors cut into PQ_M
+    contiguous PQ_DSUB-dim subvectors — pure array expressions, no
+    shuffle."""
+    return (arr.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("si"),
+        "qv")
+        .select("vec_id", F.col("si").cast("long").alias("s"),
+                F.expr(f"slice(qv, si * {PQ_DSUB} + 1, {PQ_DSUB})")
+                 .alias("sv")))
+
+
+def _pq_codes(sub: DataFrame) -> DataFrame:
+    """(vec_id, s, code, dist): per-subspace nearest-codeword
+    assignment. The codebook is SAMPLED — codeword j of subspace s
+    is vec_id j's subvector (the standard data-dependent seeding; a
+    k-means-refined codebook drops in without changing this
+    assignment operator, exactly as the IVF op's integer-grid cells
+    stand in for k-means centroids). Distances are exact integer
+    sums on the int8 grid (≤ 8·254² per subspace), so argmin with
+    the (dist, code) tie-break is a total order — fully
+    deterministic and SQL-mirrorable."""
+    cb = (sub.filter(F.col("vec_id") < PQ_KC)
+          .select(F.col("vec_id").alias("code"), "s",
+                  F.col("sv").alias("cv")))
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w = W.partitionBy("vec_id", "s").orderBy("dist", "code")
+    return (sub.join(F.broadcast(cb), "s")
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "code", "dist"))
+
+
+def pq_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the corpus: every vector →
+    PQ_M codes (+ per-subspace squared quantization error). Output
+    is the long-format code table ``(vec_id, s, code, dist)``.
+
+    Scale: the codebook (PQ_M·PQ_KC subvectors) broadcasts; encoding
+    is map-side (each vector meets only its PQ_KC·PQ_M candidate
+    codewords in-row after the broadcast join); the shuffle carries
+    4-bit-sized codes, never vectors. At 100 TB the corpus's resident
+    footprint drops d·4 bytes → PQ_M·log2(PQ_KC) bits per vector
+    (64-dim float32: 256 B → 4 B).
+
+    Exactness: int8-grid subvectors (``_int8_arrays``), integer
+    squared distances, total-order argmin — the DuckDB oracle
+    re-derives every code and distance.
+    """
+    arr = _int8_arrays(load_table(spark, sf_dir, "embeddings"))
+    return _pq_codes(_pq_subvectors(arr))
+
+
+PQ_ASSIGN_ORACLE = f"""
+WITH q8 AS ({EMB_QUANTIZE_ORACLE}),
+sub AS (
+  SELECT vec_id, dim // {PQ_DSUB} AS s, dim % {PQ_DSUB} AS d, q
+  FROM q8
+),
+cb AS (
+  SELECT vec_id AS code, s, d, q AS cq FROM sub WHERE vec_id < {PQ_KC}
+),
+dist AS (
+  SELECT x.vec_id, x.s, c.code,
+         CAST(SUM((x.q - c.cq) * (x.q - c.cq)) AS BIGINT) AS dist
+  FROM sub x JOIN cb c ON x.s = c.s AND x.d = c.d
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, CAST(s AS BIGINT) AS s, code, dist FROM (
+  SELECT vec_id, s, code, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                            ORDER BY dist, code) AS rn
+  FROM dist
+) WHERE rn = 1
+"""
+
+
+REGISTRATIONS.append(("pq_assign_embeddings", pq_assign_embeddings,
+                      PQ_ASSIGN_ORACLE))
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search by ASYMMETRIC DISTANCE COMPUTATION over the PQ
+    codes: each probe precomputes a lookup table (subspace × codeword
+    → integer dot product with the probe's exact subvector), and a
+    corpus vector's score is the sum of PQ_M table lookups selected
+    by its codes — the probe side stays exact, the corpus side is
+    its PQ approximation (Jégou et al. 2011, Eq. 12 shape, inner-
+    product form).
+
+    Scale: the LUT is N_QUERIES·PQ_M·PQ_KC small integers —
+    broadcast; the corpus contributes only its code table (already
+    computed once by ``pq_assign_embeddings`` in a real pipeline), so
+    the scoring join shuffles nothing row-sized and does PQ_M integer
+    adds per (probe, vector) instead of d multiplies. Exact integer
+    arithmetic end to end ⇒ the full score is oracle-checked, not
+    just the ranking.
+
+    Output: ``(query_id, neighbor_id, adc_score, rank)``, top-K per
+    probe; recall vs exact quantized search measured in tests.
+    """
+    arr = _int8_arrays(load_table(spark, sf_dir, "embeddings"))
+    sub = _pq_subvectors(arr)
+    codes = _pq_codes(sub)
+    cb = (sub.filter(F.col("vec_id") < PQ_KC)
+          .select(F.col("vec_id").alias("code"), "s",
+                  F.col("sv").alias("cv")))
+    ldot = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    lut = (sub.filter(F.col("vec_id") < N_QUERIES)
+           .select(F.col("vec_id").alias("query_id"), "s", "sv")
+           .join(F.broadcast(cb), "s")
+           .withColumn("ldot", ldot)
+           .select("query_id", "s", "code", "ldot"))
+    cand = (codes.join(F.broadcast(lut), ["s", "code"])
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.sum("ldot").cast("long").alias("adc_score")))
+    w = W.partitionBy("query_id").orderBy(F.col("adc_score").desc(),
+                                          F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= K)
+                .select("query_id", "neighbor_id", "adc_score",
+                        F.col("rank").cast("long").alias("rank")))
+
+
+KNN_PQ_ADC_ORACLE = f"""
+WITH q8 AS ({EMB_QUANTIZE_ORACLE}),
+sub AS (
+  SELECT vec_id, dim // {PQ_DSUB} AS s, dim % {PQ_DSUB} AS d, q
+  FROM q8
+),
+cb AS (
+  SELECT vec_id AS code, s, d, q AS cq FROM sub WHERE vec_id < {PQ_KC}
+),
+dist AS (
+  SELECT x.vec_id, x.s, c.code,
+         CAST(SUM((x.q - c.cq) * (x.q - c.cq)) AS BIGINT) AS dist
+  FROM sub x JOIN cb c ON x.s = c.s AND x.d = c.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT x.vec_id AS query_id, x.s, c.code,
+         CAST(SUM(x.q * c.cq) AS BIGINT) AS ldot
+  FROM sub x JOIN cb c ON x.s = c.s AND x.d = c.d
+  WHERE x.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(l.ldot) AS BIGINT) AS adc_score
+  FROM codes k JOIN lut l ON k.s = l.s AND k.code = l.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_score, rank FROM (
+  SELECT query_id, neighbor_id, adc_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_score DESC, neighbor_id) AS rank
+  FROM scores
+) WHERE rank <= {K}
+"""
+
+
+REGISTRATIONS.append(("knn_pq_adc", knn_pq_adc, KNN_PQ_ADC_ORACLE))

@@ -889,6 +889,90 @@ FROM direct d JOIN n_sk n ON d.l_returnflag = n.l_returnflag
 SKETCH_HLL_MERGEABLE_ORACLE = _hll_mergeable_oracle()
 
 
+GRIDQ_WIDTH = 256   # cents per grid bucket ($2.56) — error ≤ $1.28
+
+
+def grid_median_cells(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, count) grid-histogram cells over event
+    values — the mergeable sketch partial shared by the batch op and
+    its streaming twin. Cells are order-independent (counts sum), so
+    any partitioning/micro-batching yields the same table."""
+    return (ev.select("event_type",
+                      F.bround(F.col("value") * 100).cast("long")
+                       .alias("c"))
+              .groupBy("event_type",
+                       F.expr(f"c DIV {GRIDQ_WIDTH}").alias("b"))
+              .agg(F.count("*").alias("m")))
+
+
+def grid_median_readout(cells: DataFrame) -> DataFrame:
+    """Median readout from a grid-cell table: the bucket holding the
+    lower-median rank ``(n+1) DIV 2`` per event_type, windows only
+    over the ≤ ~200-cell dims-sized grid."""
+    wk = (W.partitionBy("event_type").orderBy("b")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wall = (W.partitionBy("event_type")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (cells.withColumn("cum", F.sum("m").over(wk))
+            .withColumn("n_rows", F.sum("m").over(wall).cast("long"))
+            .withColumn("med_rank", F.expr(
+                "CAST((n_rows + 1) DIV 2 AS BIGINT)"))
+            .where((F.col("cum") >= F.col("med_rank"))
+                   & (F.col("cum") - F.col("m") < F.col("med_rank")))
+            .select("event_type", "n_rows", "med_rank",
+                    F.col("b").cast("long").alias("bucket"),
+                    ((F.col("b") * GRIDQ_WIDTH + GRIDQ_WIDTH // 2)
+                     .cast("double") / 100).alias("approx_med")))
+
+
+def grid_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type median value via the fixed-boundary grid
+    histogram (the ``sketch_quantile_by_partkey`` design pointed at
+    the monitoring surface): cells are bounded mergeable partials
+    (≤ ~200 per type at these value ranges), the readout picks the
+    bucket bracketing the lower-median rank, and
+    |approx − exact median| ≤ GRIDQ_WIDTH/2 cents by construction.
+
+    The point of this registration is its STREAMING twin
+    (``stream_grid_median``): the cell table is exactly the bounded
+    complete-mode state a 100 TB/day value-distribution monitor
+    keeps per key — a median tracker whose state never grows with
+    cardinality, unlike a reservoir or a full value log. Both pass
+    the SAME integer-arithmetic oracle (fifty-first kappa pair).
+
+    Output: ``(event_type, n_rows, med_rank, bucket, approx_med)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return grid_median_readout(grid_median_cells(ev))
+
+
+GRID_MEDIAN_ORACLE = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+sk AS (
+  SELECT event_type, c // {GRIDQ_WIDTH} AS b,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM c GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, b, m,
+         SUM(m) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         SUM(m) OVER (PARTITION BY event_type) AS n_rows
+  FROM sk
+)
+SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows + 1) // 2 AS BIGINT) AS med_rank,
+       CAST(b AS BIGINT) AS bucket,
+       CAST(b * {GRIDQ_WIDTH} + {GRIDQ_WIDTH // 2} AS DOUBLE) / 100
+         AS approx_med
+FROM r
+WHERE cum >= (n_rows + 1) // 2 AND cum - m < (n_rows + 1) // 2
+"""
+
+
 REGISTRATIONS = [
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
     ("q5_local_supplier", q5_local_supplier, Q5_ORACLE),
@@ -915,4 +999,6 @@ REGISTRATIONS = [
     ("record_high_orders", record_high_orders, RECORD_HIGH_ORACLE),
     ("sketch_hll_mergeable", sketch_hll_mergeable,
      SKETCH_HLL_MERGEABLE_ORACLE),
+    ("grid_median_event_value", grid_median_event_value,
+     GRID_MEDIAN_ORACLE),
 ]

@@ -1003,6 +1003,29 @@ def _audio_float_oracle() -> str:
     return AUDIO_FLOAT_ORACLE
 
 
+def stream_grid_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``analytic.grid_median_event_value`` —
+    fifty-first kappa pair: the per-type value-median monitor whose
+    ENTIRE state is the fixed-boundary grid-cell table (≤ ~200
+    (type, bucket) counts per type — bounded regardless of event
+    cardinality, the state-size contrast to a reservoir or full
+    value log). Cells are order-independent mergeable counts, so any
+    micro-batching yields the identical table; the median readout
+    runs batch-side on the result. Same integer-arithmetic oracle.
+    """
+    from mapreduce_rust_spark.operators.analytic import (
+        grid_median_cells, grid_median_readout)
+    ev = read_events_stream(spark, sf_dir)
+    out = _run_to_table(grid_median_cells(ev), "stream_grid_median",
+                        "complete")
+    return grid_median_readout(out)
+
+
+def _grid_median_oracle() -> str:
+    from mapreduce_rust_spark.operators.analytic import GRID_MEDIAN_ORACLE
+    return GRID_MEDIAN_ORACLE
+
+
 def stream_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``monitoring.cramers_v_events`` —
     thirty-ninth kappa pair: the (type, weekday) contingency counts
@@ -1670,6 +1693,8 @@ REGISTRATIONS = [
      _audio_alaw_oracle()),
     ("stream_audio_float_stats", stream_audio_float_stats,
      _audio_float_oracle()),
+    ("stream_grid_median", stream_grid_median,
+     _grid_median_oracle()),
     ("stream_cramers_v", stream_cramers_v, _cramers_oracle()),
     ("stream_mood_median_k", stream_mood_median_k, _mood_oracle()),
     ("stream_cox_stuart", stream_cox_stuart, _cox_oracle()),

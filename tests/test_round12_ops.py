@@ -331,3 +331,78 @@ def test_jpeg_color_roundtrip_kernel_hand_computed():
         img.tobytes()).hexdigest()
     assert (int(out.loc[0, "width"]), int(out.loc[0, "height"]),
             int(out.loc[0, "n_mcus"])) == (64, 64, 16)
+
+
+def test_grid_median_within_half_bucket_of_exact(spark):
+    """The grid-median monitor must land within GRIDQ_WIDTH/2 cents
+    of the exact per-type lower median, with exact rank bracketing —
+    the proven bound of the fixed-boundary design."""
+    from mapreduce_rust_spark.operators.analytic import (
+        GRIDQ_WIDTH, grid_median_event_value)
+    from tests.conftest import SF_CORRECT
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    exact = {}
+    for r in ev.select("event_type", "value").collect():
+        exact.setdefault(r.event_type, []).append(
+            int(round(r.value * 100)))
+    rows = grid_median_event_value(spark, SF_CORRECT).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        vals = sorted(exact[r.event_type])
+        med = vals[(len(vals) + 1) // 2 - 1]
+        assert (r.n_rows, r.med_rank) == (len(vals), (len(vals) + 1) // 2)
+        assert r.bucket == med // GRIDQ_WIDTH
+        assert abs(r.approx_med * 100 - med) <= GRIDQ_WIDTH / 2
+
+
+def test_stream_grid_median_equals_batch(spark):
+    """Kappa pair 51: the streaming grid-median must be row-identical
+    to the batch op — the cell table is order-independent, so
+    micro-batching cannot change it."""
+    from mapreduce_rust_spark.operators.analytic import (
+        grid_median_event_value)
+    from mapreduce_rust_spark.streaming.windows import stream_grid_median
+    from tests.conftest import SF_CORRECT
+    got = sorted(map(tuple, stream_grid_median(spark, SF_CORRECT)
+                     .toPandas().astype(str).values.tolist()))
+    want = sorted(map(tuple, grid_median_event_value(spark, SF_CORRECT)
+                      .toPandas().astype(str).values.tolist()))
+    assert got == want and len(got) >= 3
+
+
+def test_pq_codebook_vectors_self_assign(spark):
+    """Every codebook vector (vec_id < PQ_KC) must assign with
+    squared error 0 — its own subvector is in the codebook — and to
+    a code ≤ its own id (smaller only when an earlier codeword's
+    subvector is identical, per the (dist, code) tie-break)."""
+    from mapreduce_rust_spark.llm.similarity import (
+        PQ_KC, PQ_M, pq_assign_embeddings)
+    from tests.conftest import SF_CORRECT
+    rows = [r for r in pq_assign_embeddings(spark, SF_CORRECT).collect()
+            if r.vec_id < PQ_KC]
+    assert len(rows) >= PQ_M      # fixture may hold < PQ_KC vectors
+    assert len(rows) % PQ_M == 0
+    for r in rows:
+        assert r.dist == 0 and r.code <= r.vec_id, r
+
+
+def test_pq_adc_recall_vs_exact_quantized(spark):
+    """ADC over PQ codes must retrieve a sane fraction of the exact
+    int8 top-K (the PQ paper's headline trade: 64x less memory for
+    bounded recall loss). The floor is intentionally loose — the
+    sampled 16-codeword codebook is the recall-limiting factor, and
+    a k-means codebook would only raise it."""
+    from mapreduce_rust_spark.llm.similarity import (
+        K, knn_pq_adc, knn_quantized)
+    from tests.conftest import SF_CORRECT
+    exact = {}
+    for r in knn_quantized(spark, SF_CORRECT).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in knn_pq_adc(spark, SF_CORRECT).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact) and all(len(v) == K for v in got.values())
+    recall = (sum(len(got[q] & exact[q]) for q in exact)
+              / sum(len(exact[q]) for q in exact))
+    print(f"PQ-ADC recall@{K} vs exact int8: {recall:.2f}")
+    assert recall >= 0.6, recall
