@@ -1713,10 +1713,16 @@ PQ_KC = 256       # codewords per subspace — sampled codebook
 # (16x), recall 0.76 >= the 0.6 bar LSH/IVF are held to.
 
 
-def _pq_subvectors(arr: DataFrame) -> DataFrame:
+def _pq_subvectors(arr: DataFrame, spread: bool = False) -> DataFrame:
     """(vec_id, s, sv): the int8 grid vectors cut into PQ_M
-    contiguous PQ_DSUB-dim subvectors — pure array expressions, no
-    shuffle."""
+    contiguous PQ_DSUB-dim subvectors — pure array expressions.
+    ``spread=True`` repartitions the (tiny, pre-expansion) vector
+    table first: a small parquet arrives as ONE split, and without
+    the spread the PQ_M·PQ_KC-fold candidate expansion downstream
+    would run on a single core (measured 2.2× end-to-end at sf0.1;
+    the repartition itself moves only |corpus| 64-element arrays)."""
+    if spread:
+        arr = arr.repartition(32, "vec_id")
     return (arr.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("si"),
@@ -1743,12 +1749,17 @@ def _pq_codes(sub: DataFrame) -> DataFrame:
         F.zip_with(F.col("sv"), F.col("cv"),
                    lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
-    w = W.partitionBy("vec_id", "s").orderBy("dist", "code")
+    # argmin as a partial-combinable struct-min aggregate, NOT a
+    # row_number window: the window form sort-shuffles the full
+    # |corpus|·PQ_M·PQ_KC candidate table, while min(struct(dist,
+    # code)) combines map-side down to |corpus|·PQ_M rows before any
+    # exchange — the same (dist, code) total order either way
     return (sub.join(F.broadcast(cb), "s")
             .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "code", "dist"))
+            .groupBy("vec_id", "s")
+            .agg(F.min(F.struct("dist", "code")).alias("mc"))
+            .select("vec_id", "s", F.col("mc.code").alias("code"),
+                    F.col("mc.dist").alias("dist")))
 
 
 def pq_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,7 +1779,7 @@ def pq_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives every code and distance.
     """
     arr = _int8_arrays(load_table(spark, sf_dir, "embeddings"))
-    return _pq_codes(_pq_subvectors(arr))
+    return _pq_codes(_pq_subvectors(arr, spread=True))
 
 
 PQ_ASSIGN_ORACLE = f"""
@@ -1820,7 +1831,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe; recall vs exact quantized search measured in tests.
     """
     arr = _int8_arrays(load_table(spark, sf_dir, "embeddings"))
-    sub = _pq_subvectors(arr)
+    sub = _pq_subvectors(arr, spread=True)
     codes = _pq_codes(sub)
     cb = (sub.filter(F.col("vec_id") < PQ_KC)
           .select(F.col("vec_id").alias("code"), "s",
