@@ -92,7 +92,13 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple]:
                     F.concat(F.slice(acc, 1, F.size(acc) - 1),
                              F.array(lit_m)))
                  .otherwise(F.concat(acc, F.array(x)))).alias("syms"))
-            .localCheckpoint(eager=True))
+            # round 12: LAZY lineage cut — the next iteration's pair
+            # count is the first action over the rewritten vocab, so a
+            # non-eager checkpoint materializes it inside THAT job
+            # instead of scheduling a separate eager job per round
+            # (halves the per-iteration job count; same k·V scale
+            # shape — blocks are still pinned after first use)
+            .localCheckpoint(eager=False))
         merges.append((step, left, right, merged, count))
     return merges
 

@@ -52,6 +52,12 @@ def with_payload(docs: DataFrame) -> DataFrame:
         ).alias("meta"))
 
 
+# Round-12: spread the DISTINCT-payload kernels across the cluster —
+# see functions.spread for the measurement and the round-robin
+# rationale (the codec kernels here are exactly its target class).
+from mapreduce_rust_spark.functions import spread as _spread
+
+
 def _fake_features(payload: pd.Series) -> pd.DataFrame:
     """Deterministic stand-in for a real media decode."""
     n = payload.str.len().astype("int64")
@@ -500,7 +506,8 @@ def jpeg_gray_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("s64"))
     uniq = (keyed.select("s64").distinct()
             .select("s64", F.encode("s64", "UTF-8").alias("payload")))
-    res = uniq.mapInPandas(_jpeg_roundtrip_batches, JPEG_RT_SCHEMA)
+    res = _spread(uniq, "s64").mapInPandas(
+        _jpeg_roundtrip_batches, JPEG_RT_SCHEMA)
     return keyed.join(res, "s64").select(
         "doc_id", "width", "height", "n_blocks", "pixel_sha")
 
@@ -594,8 +601,8 @@ def jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select("doc_id", F.substring("text", 1, n).alias("s16"))
     uniq = (keyed.select("s16").distinct()
             .select("s16", F.encode("s16", "UTF-8").alias("payload")))
-    res = uniq.mapInPandas(_jpeg_color_roundtrip_batches,
-                           JPEG_COLOR_RT_SCHEMA)
+    res = _spread(uniq, "s16").mapInPandas(
+        _jpeg_color_roundtrip_batches, JPEG_COLOR_RT_SCHEMA)
     return keyed.join(res, "s16").select(
         "doc_id", "width", "height", "n_mcus", "pixel_sha")
 
@@ -695,7 +702,7 @@ def rasterize_glyph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring("text", 1, GLYPH_CHARS).alias("s16"))
     uniq = (keyed.select("s16").distinct()
             .select("s16", F.encode("s16", "UTF-8").alias("payload")))
-    res = uniq.mapInPandas(_glyph_batches, GLYPH_SCHEMA)
+    res = _spread(uniq, "s16").mapInPandas(_glyph_batches, GLYPH_SCHEMA)
     return keyed.join(res, "s16").select(
         "doc_id", "n_glyphs", "ink_pixels", "ink_ratio")
 
@@ -824,7 +831,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
-    per_rep = (with_payload(rep_docs)
+    per_rep = (with_payload(_spread(rep_docs, "doc_id"))
                .mapInPandas(_video_frame_batches, VIDEO_SCHEMA)
                .withColumnRenamed("doc_id", "rep_id"))
     return (key.join(reps, "h").join(per_rep, "rep_id")
@@ -1139,7 +1146,7 @@ def multimodal_audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
-    per_rep = (with_payload(rep_docs)
+    per_rep = (with_payload(_spread(rep_docs, "doc_id"))
                .mapInPandas(_audio_adpcm_batches, AUDIO_ADPCM_SCHEMA)
                .withColumnRenamed("doc_id", "rep_id"))
     return (key.join(reps, "h").join(per_rep, "rep_id")
@@ -1282,7 +1289,7 @@ def multimodal_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
-    per_rep = (with_payload(rep_docs)
+    per_rep = (with_payload(_spread(rep_docs, "doc_id"))
                .mapInPandas(_audio_pcm_batches, AUDIO_PCM_SCHEMA)
                .withColumnRenamed("doc_id", "rep_id"))
     return (key.join(reps, "h").join(per_rep, "rep_id")
@@ -1593,7 +1600,7 @@ def multimodal_audio_ulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
-    per_rep = (with_payload(rep_docs)
+    per_rep = (with_payload(_spread(rep_docs, "doc_id"))
                .mapInPandas(_audio_ulaw_batches, AUDIO_PCM_SCHEMA)
                .withColumnRenamed("doc_id", "rep_id"))
     return (key.join(reps, "h").join(per_rep, "rep_id")
@@ -1723,7 +1730,7 @@ def multimodal_audio_alaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
-    per_rep = (with_payload(rep_docs)
+    per_rep = (with_payload(_spread(rep_docs, "doc_id"))
                .mapInPandas(_audio_alaw_batches, AUDIO_PCM_SCHEMA)
                .withColumnRenamed("doc_id", "rep_id"))
     return (key.join(reps, "h").join(per_rep, "rep_id")
@@ -1865,7 +1872,7 @@ def multimodal_audio_float_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = key.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi")
-    per_rep = (with_payload(rep_docs)
+    per_rep = (with_payload(_spread(rep_docs, "doc_id"))
                .mapInPandas(_audio_float_batches, AUDIO_PCM_SCHEMA)
                .withColumnRenamed("doc_id", "rep_id"))
     return (key.join(reps, "h").join(per_rep, "rep_id")

@@ -26,6 +26,52 @@ N_QUERIES = 10   # vec_id < 10 are the probe set
 N_PLANES = 4     # LSH sign bits → 16 buckets
 
 
+# --- fold-exact numpy kernels (round 12, guide §4.2) ------------------
+# The pair-similarity hot paths below used to evaluate the JVM HOF
+# folds in functions.vector per PAIR; Catalyst higher-order functions
+# are CodegenFallback (interpreted lambda per element), so a 400k-pair
+# block at d=64 costs ~25M boxed lambda steps. These helpers run the
+# SAME IEEE operation sequence — sequential left fold from 0.0,
+# per-element multiply/divide — vectorized across rows/pairs with the
+# Python loop over the (small, fixed) dimension axis, so every scalar
+# result is bit-identical to the HOF expression it replaces and the
+# existing DuckDB oracles hold unchanged. Only evaluation speed moves.
+
+def _np_mat(col):
+    """pandas Series of float arrays → (n, d) float64 matrix (the
+    exact cast ``to_double`` applies — float32→float64 is exact)."""
+    import numpy as np
+    return np.stack(col.to_numpy()).astype(np.float64)
+
+
+def _np_seq_norm2(X):
+    """Row-wise ``norm2`` fold: acc = (…(0.0 + x₀²) + x₁²…)."""
+    import numpy as np
+    acc = np.zeros(len(X))
+    for d in range(X.shape[1]):
+        acc = acc + X[:, d] * X[:, d]
+    return acc
+
+
+def _np_unit(X):
+    """Row-wise ``unit``: per-element division by the IEEE sqrt of the
+    fold norm — same two ops, same order, as functions.vector.unit."""
+    import numpy as np
+    return X / np.sqrt(_np_seq_norm2(X))[:, None]
+
+
+def _np_gram(A, B):
+    """Pairwise fold-dot G[i, j] = dot(A[i], B[j]): accumulating one
+    dimension at a time makes every entry the same left-fold sequence
+    as ``functions.vector.dot`` (never a BLAS matmul, whose pairwise
+    summation rounds differently)."""
+    import numpy as np
+    G = np.zeros((len(A), len(B)))
+    for d in range(A.shape[1]):
+        G = G + A[:, d:d + 1] * B[:, d][None, :]
+    return G
+
+
 def _emb(spark, sf_dir) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double(F.col("embedding")).alias("e"))
@@ -111,6 +157,45 @@ def _bucket(e_col) -> F.Column:
     return out
 
 
+def _lsh_bucket_batches(batches) -> "pd.DataFrame":
+    """mapInPandas kernel: append the sign-random-projection bucket.
+    Bit-identical to the retired ``_bucket`` HOF column (same ±1
+    weights, same per-plane left fold, same >= 0 sign rule) — the HOF
+    form baked N_PLANES × MAX_DIM literal floats into the plan and
+    re-ran an interpreted fold per row per plane."""
+    import numpy as np
+    W_np = np.array([_plane_weights(p) for p in range(N_PLANES)])
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        X = _np_mat(pdf["e"])
+        bucket = np.zeros(len(X), dtype=np.int32)
+        for p in range(N_PLANES):
+            acc = np.zeros(len(X))
+            for d in range(X.shape[1]):
+                acc = acc + X[:, d] * W_np[p, d]
+            bucket += np.where(acc >= 0.0, np.int32(1 << p), np.int32(0))
+        yield pd.DataFrame({"vec_id": pdf["vec_id"], "e": pdf["e"],
+                            "bucket": bucket})
+
+
+def _pair_cosine_batches(batches) -> "pd.DataFrame":
+    """mapInPandas kernel over joined (query, neighbor) pairs: the
+    exact ``cosine()`` DAG — dot fold / sqrt(norm2 fold · norm2 fold)
+    — per pair, vectorized across the batch."""
+    import numpy as np
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        Q, N = _np_mat(pdf["qe"]), _np_mat(pdf["ne"])
+        acc = np.zeros(len(Q))
+        for d in range(Q.shape[1]):
+            acc = acc + Q[:, d] * N[:, d]
+        sim = acc / np.sqrt(_np_seq_norm2(Q) * _np_seq_norm2(N))
+        yield pd.DataFrame({"query_id": pdf["query_id"],
+                            "neighbor_id": pdf["neighbor_id"], "sim": sim})
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k with multi-probe: each query probes its own
     bucket plus every Hamming-1 neighbor bucket (near vectors most
@@ -120,8 +205,19 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall evaluator proved); rank parity carries the same near-tie
     caveat as ``knn_bruteforce``. Previously rows-only
     (approximation is implementation-defined); tests measure recall
-    against ``knn_bruteforce``."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    against ``knn_bruteforce``.
+
+    Round 12: bucket assignment and pair scoring run in fold-exact
+    numpy kernels (see the module helpers) instead of interpreted
+    HOF folds — same bits, ~3x the speed; the bucketed table is
+    localCheckpointed so the kernel runs ONE corpus pass even though
+    the probe and candidate branches both read it."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    emb = (_emb(spark, sf_dir).select("vec_id", "e")
+           .mapInPandas(_lsh_bucket_batches,
+                        "vec_id long, e array<double>, bucket int")
+           .localCheckpoint(eager=True))
     probes = F.array(F.col("bucket"),
                      *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
                        for p in range(N_PLANES)])
@@ -132,10 +228,12 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(emb.select(F.col("vec_id").alias("neighbor_id"),
                              F.col("e").alias("ne"), F.col("bucket")),
                   F.col("qb") == F.col("bucket"))
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("sim", cosine(F.col("qe"), F.col("ne"))))
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = (cand.select("query_id", "neighbor_id", "qe", "ne")
+              .mapInPandas(_pair_cosine_batches,
+                           "query_id long, neighbor_id long, sim double"))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= K)
                 .select("query_id", "neighbor_id",
                         F.col("rank").cast("long").alias("rank")))
@@ -342,24 +440,41 @@ def allknn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_neardup_pairs``, but argmax instead of thresholded.
     Output ranks only (similarity floats excluded: cross-engine
     cosine differs in final ulps; ranking is stable on this data —
-    the knn_bruteforce convention)."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "label", unit(F.col("e")).alias("en"))
-    a = emb.select("label", F.col("vec_id").alias("vec_id"),
-                   F.col("en").alias("ae"))
-    b = emb.select("label", F.col("vec_id").alias("nn_id"),
-                   F.col("en").alias("be"))
-    # pre-unit-normalized vectors: per pair, similarity is ONE dot
-    # fold (cosine() would re-fold both norms for every pair — 3x the
-    # work on the |block|^2 hot path). Ranks are unchanged: cosine
-    # and normalized-dot are the same ordering.
-    cand = (a.join(b, "label")
-             .filter(F.col("vec_id") != F.col("nn_id"))
-             .withColumn("sim", dot(F.col("ae"), F.col("be"))))
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
-    return (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") == 1)
-                .select("vec_id", "label", "nn_id"))
+    the knn_bruteforce convention).
+
+    Round 12: the Σ|block|² pair work runs INSIDE a per-block numpy
+    kernel (``applyInPandas`` on the block key — the IVF-cell matmul
+    any production ANN does) instead of a block self-join evaluating
+    an interpreted HOF dot per pair. Unit-normalization and the pair
+    dot are the fold-exact helpers, and argmax over ids sorted
+    ascending reproduces the (sim DESC, nn_id) tie-break bit-for-bit,
+    so the oracle is unchanged."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "e")
+    return emb.groupBy("label").applyInPandas(
+        _allknn_block_kernel, "vec_id long, label int, nn_id long")
+
+
+def _allknn_block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-block rank-1 neighbor: fold-exact unit vectors + Gram, then
+    row argmax (ids pre-sorted ascending, so numpy's first-max rule IS
+    the nn_id ascending tie-break)."""
+    import numpy as np
+    if len(pdf) < 2:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "label": pd.Series(dtype="int32"),
+                             "nn_id": pd.Series(dtype="int64")})
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    U = _np_unit(_np_mat(pdf["e"])[order])
+    G = _np_gram(U, U)
+    np.fill_diagonal(G, -np.inf)
+    best = G.argmax(axis=1)
+    return pd.DataFrame({"vec_id": ids,
+                         "label": pdf["label"].to_numpy()[order],
+                         "nn_id": ids[best]})
 
 
 ALLKNN_ORACLE = """
@@ -402,27 +517,48 @@ def knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang")
-    emb = (_emb(spark, sf_dir)
-           .select("vec_id", "label", unit(F.col("e")).alias("en"))
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    emb = (_emb(spark, sf_dir).select("vec_id", "label", "e")
            .join(F.broadcast(docs), "vec_id"))
-    a = emb.select("label", "vec_id", F.col("en").alias("ae"),
-                   F.col("lang").alias("lang"))
-    b = emb.select("label", F.col("vec_id").alias("nn_id"),
-                   F.col("en").alias("be"),
-                   F.col("lang").alias("nn_lang"))
-    cand = (a.join(b, "label")
-             .filter(F.col("vec_id") != F.col("nn_id"))
-             .withColumn("sim", dot(F.col("ae"), F.col("be"))))
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
-    top = (cand.withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= LABEL_NOISE_K))
-    return (top.groupBy("vec_id", "lang")
-            .agg(F.count("*").cast("long").alias("n_nbrs"),
-                 F.sum(F.when(F.col("nn_lang") == F.col("lang"), 1)
-                       .otherwise(0)).cast("long").alias("n_agree"))
-            .withColumn("agree_rate",
-                        F.col("n_agree").cast("double")
-                        / F.col("n_nbrs").cast("double")))
+    # Round 12: the Σ|block|² top-k agreement runs inside one
+    # per-block numpy kernel (the allknn_within_label rewrite, k > 1):
+    # fold-exact unit/Gram, per-row (sim DESC, nn_id) selection via
+    # lexsort over ascending ids, integer counts + one int÷int double
+    # division — the same output bits as the retired self-join +
+    # window + aggregate pipeline.
+    return emb.groupBy("label").applyInPandas(
+        _consensus_block_kernel,
+        "vec_id long, lang string, n_nbrs long, n_agree long, "
+        "agree_rate double")
+
+
+def _consensus_block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    import numpy as np
+    if len(pdf) < 2:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "lang": pd.Series(dtype="object"),
+                             "n_nbrs": pd.Series(dtype="int64"),
+                             "n_agree": pd.Series(dtype="int64"),
+                             "agree_rate": pd.Series(dtype="float64")})
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    langs = pdf["lang"].to_numpy()[order]
+    U = _np_unit(_np_mat(pdf["e"])[order])
+    G = _np_gram(U, U)
+    np.fill_diagonal(G, -np.inf)
+    n = len(ids)
+    kk = min(LABEL_NOISE_K, n - 1)
+    n_agree = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        # lexsort: last key is primary → (-sim, then id asc on ties)
+        nbrs = np.lexsort((ids, -G[i]))[:kk]
+        n_agree[i] = int(np.sum(langs[nbrs] == langs[i]))
+    return pd.DataFrame({"vec_id": ids, "lang": langs,
+                         "n_nbrs": np.full(n, kk, dtype=np.int64),
+                         "n_agree": n_agree,
+                         "agree_rate": n_agree / float(kk)})
 
 
 KNN_LABEL_CONSENSUS_ORACLE = f"""
@@ -582,10 +718,17 @@ COV_GRID = 1e4   # quantization grid for covariance sums: q ≤ ~5e3
                  # per value, q² ≤ ~3e7 per product, so BIGINT sums
                  # stay exact past 1e10 rows — the 100 TB embedding
                  # corpus fits in int64 with no DECIMAL upgrade
-COV_INROW_DIM_LIMIT = 128   # above this, d(d+1)/2 structs PER ROW is
-                            # the in-row analogue of a hot key (d=512
-                            # → 131k structs/row); switch to the
-                            # per-Arrow-batch Gram path
+COV_INROW_DIM_LIMIT = 0     # round-12: the per-Arrow-batch Gram path
+                            # (exact int64 QᵀQ, bit-identical to the
+                            # in-row fold — pinned by test) wins at
+                            # EVERY dim, not just d > 128: at d = 64 /
+                            # sf0.1 the in-row form explodes 4.16M
+                            # structs through an interpreted HOF and
+                            # measures 2.6-6.4 s vs 1.0-2.9 s for the
+                            # Gram kernel (guide §4.2 — hand whole
+                            # batches to vectorized native code). The
+                            # in-row form is kept for the parity test
+                            # and as the no-Python fallback.
 
 
 def _cov_pair_sums_inrow(q: DataFrame) -> DataFrame:
@@ -797,29 +940,55 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(step, vec_id, rel, mmr_score)``.
     """
-    pool = (_mmr_pool(spark, sf_dir)
-            .localCheckpoint(eager=True))   # dims; loop reads it k times
-    lam = F.lit(MMR_LAMBDA)
-    sel = (pool.orderBy(F.col("rel").desc(), "vec_id").limit(1)
-           .select("vec_id", "v", "rel",
-                   (lam * F.col("rel")).alias("mmr_score"),
-                   F.lit(1).cast("long").alias("step"))
-           .localCheckpoint(eager=True))
-    for step in range(2, MMR_K + 1):
-        rem = pool.join(sel.select("vec_id"), "vec_id", "left_anti")
-        pen = (rem.crossJoin(F.broadcast(
-                   sel.select(F.col("v").alias("sv"))))
-               .groupBy("vec_id")
-               .agg(F.max(cosine(F.col("v"), F.col("sv"))).alias("pen")))
-        nxt = (rem.join(pen, "vec_id")
-               .select("vec_id", "v", "rel",
-                       (lam * F.col("rel")
-                        - (1 - MMR_LAMBDA) * F.col("pen"))
-                       .alias("mmr_score"))
-               .orderBy(F.col("mmr_score").desc(), "vec_id").limit(1)
-               .withColumn("step", F.lit(step).cast("long")))
-        sel = sel.unionByName(nxt).localCheckpoint(eager=True)
-    return sel.select("step", "vec_id", "rel", "mmr_score")
+    # Round 12: the greedy loop runs DRIVER-SIDE over the collected
+    # pool — MMR_POOL (16) rows, the same bounded-collect class as the
+    # BPE driver loop — instead of k chained tiny plans with an eager
+    # localCheckpoint each (4 checkpoints + ~15 scheduled jobs for 16
+    # rows). Float semantics are preserved operation-for-operation:
+    # rel comes back exact from phase 1; each penalty is the identical
+    # cosine() DAG (fold dot / sqrt(fold·fold), Python floats ARE IEEE
+    # doubles); score = λ·rel − (1−λ)·max(pen) in the same op order;
+    # argmax breaks ties on vec_id ascending like the ordered LIMIT 1.
+    pool = _mmr_pool(spark, sf_dir).collect()
+
+    import math
+
+    def _cos(a, b):
+        acc = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return acc / math.sqrt(na * nb)   # cosine()'s exact DAG
+
+    rows = [(r["vec_id"], r["v"], r["rel"]) for r in pool]
+    sel: list[tuple] = []   # (step, vec_id, rel, mmr_score)
+    sel_vecs: list = []
+    for step in range(1, MMR_K + 1):
+        cand = [t for t in rows if t[0] not in {s[1] for s in sel}]
+        if not cand:
+            break
+        best = None
+        for vid, v, rel in cand:
+            if step == 1:
+                score = MMR_LAMBDA * rel
+            else:
+                pen = max(_cos(v, sv) for sv in sel_vecs)
+                score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * pen
+            # ORDER BY score DESC, vec_id — strict > keeps the
+            # smallest vec_id on exact float ties
+            if best is None or score > best[3] or (
+                    score == best[3] and vid < best[1]):
+                best = (step, vid, rel, score, v)
+        sel.append(best[:4])
+        sel_vecs.append(best[4])
+    return spark.createDataFrame(
+        [(s, int(v), float(r), float(m)) for s, v, r, m in sel],
+        "step long, vec_id long, rel double, mmr_score double")
 
 
 def _mmr_oracle() -> str:
@@ -909,6 +1078,8 @@ def cosine_hist_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(bucket, cos_lo, n_pairs)``.
     """
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
     emb = _emb(spark, sf_dir)
     nrow = emb.agg(F.count("*").alias("__n"))
     mod = F.greatest(F.lit(1),
@@ -916,18 +1087,41 @@ def cosine_hist_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (emb.crossJoin(F.broadcast(nrow))
          .where(F.col("vec_id") % mod == 0)
          .select("vec_id", unit(F.col("e")).alias("u"))
-         .localCheckpoint(eager=True))   # both pair sides
-    a = s.select(F.col("vec_id").alias("ia"), F.col("u").alias("ua"))
-    b = s.select(F.col("vec_id").alias("ib"), F.col("u").alias("ub"))
-    pairs = (a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
-             .select(F.floor(dot(F.col("ua"), F.col("ub"))
-                             * COS_HIST_SCALE).cast("long")
-                     .alias("bucket")))
-    return (pairs.groupBy("bucket")
-            .agg(F.count("*").cast("long").alias("n_pairs"))
-            .select("bucket",
-                    (F.col("bucket").cast("double") / COS_HIST_SCALE)
-                    .alias("cos_lo"), "n_pairs"))
+         .localCheckpoint(eager=True))   # distributed filter pass
+    # Round 12: the C(s,2) pair folds run in ONE numpy kernel over the
+    # TARGET-bounded checkpointed sample (coalesce(1) reads the
+    # materialized blocks into a single task — the sample is
+    # fixed-size by construction, so this is dims-scale work; the
+    # corpus filter above still runs distributed). floor(fold-dot ·
+    # SCALE) is the identical double, so buckets are unchanged.
+    hist = (s.coalesce(1)
+            .mapInPandas(_cos_hist_batches, "bucket long, n_pairs long")
+            .groupBy("bucket")
+            .agg(F.sum("n_pairs").cast("long").alias("n_pairs")))
+    return hist.select("bucket",
+                       (F.col("bucket").cast("double") / COS_HIST_SCALE)
+                       .alias("cos_lo"), "n_pairs")
+
+
+def _cos_hist_batches(batches) -> "pd.DataFrame":
+    import numpy as np
+    # one Arrow batch can cap at maxRecordsPerBatch rows — concatenate
+    # the whole (single, coalesced) partition first, or cross-batch
+    # pairs would be silently dropped
+    parts = [pdf for pdf in batches if len(pdf)]
+    if parts:
+        pdf = (pd.concat(parts, ignore_index=True)
+               if len(parts) > 1 else parts[0])
+    for pdf in ([pdf] if parts and len(pdf) >= 2 else []):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        U = _np_mat(pdf["u"])[order]     # already unit-normalized
+        G = _np_gram(U, U)
+        iu = np.triu_indices(len(ids), k=1)   # ia < ib pairs exactly
+        b = np.floor(G[iu] * COS_HIST_SCALE).astype(np.int64)
+        vals, counts = np.unique(b, return_counts=True)
+        yield pd.DataFrame({"bucket": vals,
+                            "n_pairs": counts.astype(np.int64)})
 
 
 COS_HIST_ORACLE = f"""
@@ -1222,7 +1416,11 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(bucket, n_vecs, share_bp)``.
     """
-    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    emb = (_emb(spark, sf_dir).select("vec_id", "e")
+           .mapInPandas(_lsh_bucket_batches,
+                        "vec_id long, e array<double>, bucket int"))
     cnt = emb.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
     tot = cnt.agg(F.sum("n_vecs").alias("n_all"))
     return (cnt.crossJoin(F.broadcast(tot))

@@ -69,7 +69,12 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     arrs = (li.groupBy(F.col("l_orderkey").alias("o"))
               .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
                            1, COPURCHASE_MAX_BASKET).alias("ps")))
-    return (arrs.select(F.explode(_ordered_pairs(F.col("ps"))).alias("e"))
+    # round 12: the basket aggregate lands AQE-coalesced (KB of
+    # arrays), serializing the quadratic in-row pair HOF — spread it
+    # across the cluster first (functions.spread)
+    from mapreduce_rust_spark.functions import spread
+    return (spread(arrs, "o")
+                .select(F.explode(_ordered_pairs(F.col("ps"))).alias("e"))
                 .select("e.u", "e.v")
                 .distinct())
 

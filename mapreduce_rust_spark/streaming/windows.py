@@ -72,6 +72,31 @@ def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regression can be attributed to batches vs harness.
 LAST_STREAM_STATS: dict | None = None
 
+# Shuffle (= state store) partition count bound at every twin's start.
+# Round-12 measurement (OPTIMIZATION_r12.md): per-partition state-store
+# overhead — store open, delta-file write+fsync, commit, memory-sink
+# collect task — dominates the micro-batch at ANY parallelism the
+# fixture can use, so "== cores" (the round-9 choice, 32 locally) pays
+# ~1.2 s/query over 8 partitions on identical plans, and the
+# stream-stream interval join (4 state stores per partition) pays 4x
+# that (13.4 s → 3.7 s). Every stateful shape measured faster at 8
+# (complete-mode aggs ~2.1 s → 0.9 s; applyInPandasWithState twins
+# 2.5-4.4 s → 1.8-2.5 s — Python-worker reuse means task slots, not
+# partitions, bound their parallelism). At production scale the state
+# partition count must track keyspace/throughput instead — it is fixed
+# at the query's FIRST start by the checkpoint — so a cluster overrides
+# via this conf; the default keeps the local bench comparable across
+# SPARK_GRAFT_CPUS values (the old cores-coupling made the driver's
+# low-core bench time a different plan shape, not the same one slower).
+_STATE_PARTITIONS_CONF = "spark.mapreduce_rust_spark.stream.statePartitions"
+
+
+def _stream_state_partitions(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get(_STATE_PARTITIONS_CONF, "8"))
+    except ValueError:
+        return 8
+
 
 def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     """Drain the stream into a memory sink and return the result.
@@ -97,10 +122,8 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     old_prog = spark.conf.get(
         "spark.sql.streaming.numRecentProgressUpdates", "100")
     try:
-        # == cores measured fastest for the state store locally (2x
-        # adds task overhead, fewer underuses cores)
         spark.conf.set("spark.sql.shuffle.partitions",
-                       str(spark.sparkContext.defaultParallelism))
+                       str(_stream_state_partitions(spark)))
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
                        str(_PROG_CAP))
         q = (df.writeStream.outputMode(mode)

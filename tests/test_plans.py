@@ -556,8 +556,12 @@ def test_round7_crop_plan_shapes(spark):
     assert "CartesianProduct" not in p
 
     p = _plan(cosine_hist_embeddings(spark, SF_CORRECT))
-    assert "BroadcastNestedLoopJoin" in p
-    assert "CartesianProduct" not in p
+    # round 12: the C(s,2) pair folds moved from a broadcast
+    # nested-loop join into one numpy kernel over the TARGET-bounded
+    # checkpointed sample (coalesced to a single task); the corpus
+    # filter still runs distributed before the checkpoint
+    assert "MapInPandas" in p and "Coalesce" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
 def test_round8_crop_plan_shapes(spark):
