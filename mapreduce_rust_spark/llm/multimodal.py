@@ -1024,12 +1024,10 @@ AUDIO_ADPCM_SCHEMA = ("doc_id long, block_idx long, n_samples long, "
                       "sum_sq long, peak long, silence boolean")
 
 
-def _ima_adpcm_decode(pcm: bytes, block_align: int) -> np.ndarray:
-    """REAL general IMA ADPCM block decoder (any block_align ≥ 5):
-    per block, read the (int16 predictor, uint8 step index) header,
-    emit the header sample, then decode two 4-bit codes per data byte
-    (low nibble first) through the step/index tables with int16
-    clamping. Deterministic integer state — no float, no libm."""
+def _ima_adpcm_decode_ref(pcm: bytes, block_align: int) -> np.ndarray:
+    """Scalar reference IMA ADPCM decoder — the spec transliteration
+    the vectorized ``_ima_adpcm_decode`` is parity-pinned against
+    (tests/test_round12_opt.py); kept as executable documentation."""
     import struct as _struct
     if block_align < 5 or len(pcm) % block_align:
         raise ValueError("data chunk not a whole number of ADPCM blocks")
@@ -1055,6 +1053,51 @@ def _ima_adpcm_decode(pcm: bytes, block_align: int) -> np.ndarray:
                 idx = max(0, min(88, idx + ADPCM_INDEX_TABLE[code & 7]))
                 out.append(pred)
     return np.asarray(out, dtype=np.int16)
+
+
+def _ima_adpcm_decode(pcm: bytes, block_align: int) -> np.ndarray:
+    """REAL general IMA ADPCM block decoder (any block_align ≥ 5):
+    per block, read the (int16 predictor, uint8 step index) header,
+    emit the header sample, then decode two 4-bit codes per data byte
+    (low nibble first) through the step/index tables with int16
+    clamping. Deterministic integer state — no float, no libm.
+
+    Round 12 (guide §4.2): blocks are INDEPENDENT, so the nibble
+    recurrence vectorizes ACROSS blocks — the Python loop runs the
+    2·(block_align−4) recurrence steps, each as numpy int32 ops over
+    all blocks at once, instead of per-nibble Python per block.
+    Integer-exact: every intermediate fits int32 (|pred|±diff ≤ ~95k),
+    clamps mirror the scalar min/max; parity with the scalar reference
+    is test-pinned over random blocks."""
+    if block_align < 5 or len(pcm) % block_align:
+        raise ValueError("data chunk not a whole number of ADPCM blocks")
+    raw = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, block_align)
+    pred = raw[:, 0].astype(np.int32) | (raw[:, 1].astype(np.int32) << 8)
+    pred = np.where(pred >= 32768, pred - 65536, pred)     # <h little-endian
+    idx = raw[:, 2].astype(np.int32)
+    if (idx > 88).any():
+        bad = int(idx[idx > 88][0])
+        raise ValueError(f"ADPCM step index {bad} out of range")
+    step_tab = np.asarray(ADPCM_STEP_TABLE, dtype=np.int32)
+    idx_tab = np.asarray(ADPCM_INDEX_TABLE, dtype=np.int32)
+    n_steps = 2 * (block_align - 4)
+    out = np.empty((raw.shape[0], 1 + n_steps), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    k = 1
+    for j in range(4, block_align):
+        byte = raw[:, j].astype(np.int32)
+        for code in (byte & 15, byte >> 4):
+            step = step_tab[idx]
+            diff = (step >> 3) \
+                + np.where(code & 1, step >> 2, 0) \
+                + np.where(code & 2, step >> 1, 0) \
+                + np.where(code & 4, step, 0)
+            pred = np.where(code & 8, pred - diff, pred + diff)
+            pred = np.clip(pred, -32768, 32767)
+            idx = np.clip(idx + idx_tab[code & 7], 0, 88)
+            out[:, k] = pred.astype(np.int16)
+            k += 1
+    return out.reshape(-1)
 
 
 def _pack_wav_adpcm(text: str) -> bytes:
@@ -1102,16 +1145,16 @@ def _audio_adpcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 continue
             rate, channels, samples = decode_wav_pcm(_pack_wav_adpcm(text))
             assert rate == AUDIO_PCM_RATE and channels == 1
-            s = samples.astype(np.int64)
-            for i in range(len(s) // spb):
-                w = s[i * spb:(i + 1) * spb]
-                ssq = int((w * w).sum())
-                out["doc_id"].append(doc_id)
-                out["block_idx"].append(i)
-                out["n_samples"].append(len(w))
-                out["sum_sq"].append(ssq)
-                out["peak"].append(int(np.abs(w).max()))
-                out["silence"].append(ssq < AUDIO_PCM_SILENCE * len(w))
+            nb = len(samples) // spb
+            w = samples[:nb * spb].astype(np.int64).reshape(nb, spb)
+            ssq = (w * w).sum(axis=1)
+            out["doc_id"].extend([doc_id] * nb)
+            out["block_idx"].extend(range(nb))
+            out["n_samples"].extend([spb] * nb)
+            out["sum_sq"].extend(int(x) for x in ssq)
+            out["peak"].extend(int(x) for x in np.abs(w).max(axis=1))
+            out["silence"].extend(bool(b) for b in
+                                  (ssq < AUDIO_PCM_SILENCE * spb))
         yield pd.DataFrame(out)
 
 

@@ -59,7 +59,12 @@ def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``span_tokens = n_windows + SPAN_W - 1`` is the token length of
     the maximal duplicated substring.
     """
-    return dup_spans(load_table(spark, sf_dir, "documents"))
+    # round 12: the tokenize + window-HOF + per-window md5 pass is the
+    # per-row compute hot spot and the fixture scan is one task
+    # (single-row-group parquet) — spread it first (functions.spread)
+    from mapreduce_rust_spark.functions import spread
+    return dup_spans(spread(load_table(spark, sf_dir, "documents"),
+                            "doc_id"))
 
 
 def dup_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:

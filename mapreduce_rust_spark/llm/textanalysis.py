@@ -798,7 +798,10 @@ def source_trigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(src_a, src_b, dot, cosine)`` for src_a < src_b.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # round 12: the per-row trigram pack/sort/RLE expression dominates
+    # and the fixture scan is one task — spread first (functions.spread)
+    from mapreduce_rust_spark.functions import spread
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # (gram, count) structs per doc: pack → sort → run-length encode.
     # Lambda-bound lets (the measured 12× let-binding discipline) via
     # nested transforms over single-element arrays.
@@ -1175,7 +1178,10 @@ def collocations_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffles are the pair count and the unigram count,
     both map-side combined; N, P broadcast as 1-row literals; the
     top-k is TakeOrderedAndProject."""
-    docs = load_table(spark, sf_dir, "documents")
+    # round 12: the in-row windowed pair HOF is the per-row hot spot
+    # and the fixture scan is one task — spread first (functions.spread)
+    from mapreduce_rust_spark.functions import spread
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.filter(F.split("text", WS_RE), lambda t: t != F.lit(""))
     d = docs.select(toks.alias("toks"))
     nt = F.size("toks")

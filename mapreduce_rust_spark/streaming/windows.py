@@ -149,6 +149,24 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
                        old_prog)
+        # Round 12: drop the finished query's state-store providers.
+        # Every twin drains into a FRESH temp checkpoint, so a stopped
+        # query's providers are never reused — but Spark keeps them
+        # loaded (state maps in memory + a maintenance thread listing
+        # checkpoint dirs every 60 s), so a long multi-query session
+        # (bench: 62 twins × ≥3 reps) accumulates hundreds of dead
+        # providers whose churn shows up as one-sided stream-row noise
+        # (measured ~0.3-0.5 s/query by the 12-twin A/B in
+        # OPTIMIZATION_r12.md). StateStore.stop() unloads them all and
+        # stops the maintenance pool; the next stream reloads its own
+        # providers from scratch, which it would do anyway for a new
+        # checkpoint. No other stream is active here by construction
+        # (the harness is sequential and stops same-name queries).
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:  # noqa: BLE001 — cleanup must never fail a query
+            pass
     return spark.table(name)
 
 

@@ -66,6 +66,35 @@ def test_np_gram_is_fold_exact(spark):
             assert G[i, j] == acc
 
 
+def test_adpcm_vectorized_decode_matches_scalar_reference():
+    """The block-vectorized IMA ADPCM decoder must be sample-exact
+    against the scalar spec transliteration, including clamp and
+    index-saturation paths, over random blocks and both alignments."""
+    import struct
+    from mapreduce_rust_spark.llm.multimodal import (
+        _ima_adpcm_decode, _ima_adpcm_decode_ref)
+    rng = np.random.RandomState(42)
+    for block_align in (8, 12):
+        blocks = bytearray()
+        for b in range(64):
+            pred = int(rng.randint(-32768, 32768))
+            idx = int(rng.randint(0, 89))
+            blocks += struct.pack("<hBB", pred, idx, 0)
+            blocks += bytes(rng.randint(0, 256, block_align - 4,
+                                        dtype=np.uint8).tolist())
+        got = _ima_adpcm_decode(bytes(blocks), block_align)
+        want = _ima_adpcm_decode_ref(bytes(blocks), block_align)
+        assert got.dtype == want.dtype and (got == want).all()
+    # the out-of-range index gate must survive vectorization
+    bad = struct.pack("<hBB", 0, 89, 0) + bytes(4)
+    for fn in (_ima_adpcm_decode, _ima_adpcm_decode_ref):
+        try:
+            fn(bad, 8)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "89" in str(e)
+
+
 def test_mmr_driver_greedy_matches_relational_semantics(spark):
     """The driver-side greedy emits MMR_K strictly-ranked steps whose
     step-1 row is the relevance argmax of the pool and whose scores
