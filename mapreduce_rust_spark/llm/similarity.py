@@ -1939,25 +1939,55 @@ def _pq_codes(sub: DataFrame) -> DataFrame:
     stand in for k-means centroids). Distances are exact integer
     sums on the int8 grid (≤ 8·254² per subspace), so argmin with
     the (dist, code) tie-break is a total order — fully
-    deterministic and SQL-mirrorable."""
-    cb = (sub.filter(F.col("vec_id") < PQ_KC)
-          .select(F.col("vec_id").alias("code"), "s",
-                  F.col("sv").alias("cv")))
-    dist = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
-    # argmin as a partial-combinable struct-min aggregate, NOT a
-    # row_number window: the window form sort-shuffles the full
-    # |corpus|·PQ_M·PQ_KC candidate table, while min(struct(dist,
-    # code)) combines map-side down to |corpus|·PQ_M rows before any
-    # exchange — the same (dist, code) total order either way
-    return (sub.join(F.broadcast(cb), "s")
-            .withColumn("dist", dist)
-            .groupBy("vec_id", "s")
-            .agg(F.min(F.struct("dist", "code")).alias("mc"))
-            .select("vec_id", "s", F.col("mc.code").alias("code"),
-                    F.col("mc.dist").alias("dist")))
+    deterministic and SQL-mirrorable.
+
+    Round 12 (guide §4.2): the assignment runs in a numpy kernel
+    against the driver-collected codebook (≤ PQ_M·PQ_KC rows of
+    PQ_DSUB ints — constant-bounded, the bloom-bitmap collect class)
+    instead of exploding |corpus|·PQ_M·PQ_KC candidate rows through an
+    interpreted HOF fold. Integer-exact in int64; numpy argmin's
+    first-hit rule over codes sorted ascending IS the (dist, code)
+    total order the struct-min form used. Rows of a subspace with no
+    codeword (possible only on planted sub-PQ_KC corpora) drop,
+    matching the old inner join."""
+    from mapreduce_rust_spark.core.runner import _ensure_self_shipping
+    _ensure_self_shipping()
+    import numpy as np
+    by_s: dict[int, list] = {}
+    for r in (sub.filter(F.col("vec_id") < PQ_KC)
+              .select("s", F.col("vec_id").alias("code"), "sv").collect()):
+        by_s.setdefault(int(r["s"]), []).append((int(r["code"]), r["sv"]))
+    cb_codes = {s: np.array([c for c, _ in sorted(v)], dtype=np.int64)
+                for s, v in by_s.items()}
+    cb_mat = {s: np.array([sv for _, sv in sorted(v)], dtype=np.int64)
+              for s, v in by_s.items()}
+
+    def assign(batches):
+        import numpy as _np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            S = pdf["s"].to_numpy()
+            keep = _np.isin(S, list(cb_codes))
+            if not keep.any():
+                continue
+            pdf = pdf[keep]
+            S = S[keep]
+            SV = _np.stack(pdf["sv"].to_numpy()).astype(_np.int64)
+            code = _np.empty(len(pdf), _np.int64)
+            dist = _np.empty(len(pdf), _np.int64)
+            for s in _np.unique(S):
+                m = S == s
+                d = SV[m][:, None, :] - cb_mat[int(s)][None, :, :]
+                D = (d * d).sum(axis=2)
+                j = D.argmin(axis=1)
+                code[m] = cb_codes[int(s)][j]
+                dist[m] = D[_np.arange(D.shape[0]), j]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "s": S, "code": code, "dist": dist})
+
+    return sub.mapInPandas(assign, "vec_id long, s long, code long, "
+                                   "dist long")
 
 
 def pq_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

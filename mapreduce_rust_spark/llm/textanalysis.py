@@ -798,10 +798,10 @@ def source_trigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(src_a, src_b, dot, cosine)`` for src_a < src_b.
     """
-    # round 12: the per-row trigram pack/sort/RLE expression dominates
-    # and the fixture scan is one task — spread first (functions.spread)
-    from mapreduce_rust_spark.functions import spread
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # round 12: spreading the scan was tried and REVERTED — measured
+    # 2.9 s -> 3.6 s (the in-row RLE expression is cheaper than the
+    # text exchange it buys; see OPTIMIZATION_r12.md)
+    docs = load_table(spark, sf_dir, "documents")
     # (gram, count) structs per doc: pack → sort → run-length encode.
     # Lambda-bound lets (the measured 12× let-binding discipline) via
     # nested transforms over single-element arrays.
