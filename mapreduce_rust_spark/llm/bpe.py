@@ -47,11 +47,31 @@ def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("freq")))
 
 
+# Session-scoped memo of the learned merge list. BOTH registered BPE
+# queries run the same training loop over the same corpus vocabulary
+# (bpe_train_merges reports it; bpe_encode_docs applies it), so in any
+# multi-query session each re-pays n_merges aggregate+collect rounds —
+# the production answer is to materialize the shared learned artifact
+# once, exactly like the co-purchase edge memo (`graph._EDGE_MEMO`
+# discipline: keyed by (applicationId, semanticHash of the input
+# plan, n_merges), so a new session, a different corpus, or a
+# different merge budget misses by construction; the value is a
+# driver-side list of ≤ n_merges 5-tuples, bytes not DataFrames).
+_MERGES_MEMO: dict[tuple[str, int, int], list[tuple]] = {}
+
+
 def bpe_train(words: DataFrame, n_merges: int) -> list[tuple]:
     """Learn ``n_merges`` BPE merges from a (w, freq) vocabulary.
     Returns [(step, left, right, merged, pair_count), ...].
     Deterministic: argmax ties break on (left, right) ascending."""
     spark = words.sparkSession
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _MERGES_MEMO if k[0] != app_id]:
+        del _MERGES_MEMO[k]
+    memo_key = (app_id, words.semanticHash(), n_merges)
+    cached = _MERGES_MEMO.get(memo_key)
+    if cached is not None:
+        return list(cached)
     # split each word into single-character symbols; the lookahead
     # split emits a trailing "" (the pattern matches at end-of-string),
     # which would otherwise become a phantom symbol
@@ -60,7 +80,9 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple]:
                 F.filter(F.split(F.col("w"), "(?!^)"),
                          lambda x: x != "").alias("syms"))
                   .filter(F.size("syms") >= 1)
-                  .localCheckpoint(eager=True))
+                  # lazy (round 13): the first pair-count materializes
+                  # it inside its own job — the loop-body precedent
+                  .localCheckpoint(eager=False))
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         pairs = (vocab
@@ -100,6 +122,7 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple]:
             # shape — blocks are still pinned after first use)
             .localCheckpoint(eager=False))
         merges.append((step, left, right, merged, count))
+    _MERGES_MEMO[memo_key] = list(merges)
     return merges
 
 

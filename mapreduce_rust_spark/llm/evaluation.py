@@ -249,7 +249,7 @@ def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", toks.alias("toks"))
     lens = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
     stats = lens.agg(F.count("*").cast("long").alias("n_docs"),
-                     F.sum("dl").alias("sum_dl")).localCheckpoint()
+                     F.sum("dl").alias("sum_dl")).localCheckpoint(eager=False)
     tf = (base.select("doc_id", F.explode("toks").alias("term"))
               .filter(F.col("term").isin(*SEARCH_TERMS))
               .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
@@ -365,7 +365,7 @@ def lift_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mapreduce_rust_spark.operators.ranking import (
         ntile_expr, scalable_rank)
-    d = _scored_labeled(spark, sf_dir).localCheckpoint(eager=True)
+    d = _scored_labeled(spark, sf_dir).localCheckpoint(eager=False)
     ranked = scalable_rank(
         d, (-F.floor("score")).cast("long"),
         [F.col("score").desc(), "doc_id"])
@@ -468,7 +468,7 @@ def isotonic_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return isotonic_closed_form(
         calibration_bin_counts(_scored_labeled(spark, sf_dir))
-        .localCheckpoint(eager=True))   # dims; consumed twice
+        .localCheckpoint(eager=False))   # dims; consumed twice
 
 
 def calibration_bin_counts(scored: DataFrame) -> DataFrame:

@@ -72,6 +72,31 @@ def _np_gram(A, B):
     return G
 
 
+# Row-slab width for the per-label-block Gram kernels (round 13,
+# VERDICT r12 item 8 / ADVICE): a skewed giant block used to
+# materialize the FULL n×n float64 Gram in one Python worker
+# (n = 10⁵ → 80 GB — a worker OOM where the retired streaming
+# self-join merely slowed down). Computing Gram rows one slab at a
+# time caps peak memory at O(chunk·n) with IDENTICAL bits: each
+# G[i, j] is still the same per-dimension left fold, and
+# argmax/lexsort are row-local so slabbing the row axis cannot
+# change any row's result.
+_GRAM_CHUNK = 2048
+
+
+def _np_nan_greatest(G):
+    """Map NaN similarities to +inf IN PLACE so in-kernel ranking
+    reproduces the retired Spark window's ``sim DESC`` order (Spark
+    sorts NaN as greatest; np.lexsort on -G would put them last —
+    ADVICE r12: a zero-norm embedding makes unit() emit NaN sims).
+    Ties among NaN rows then break on the id key exactly as Spark's
+    ``nn_id`` ascending tie-break (argmax first-hit / lexsort
+    secondary key over ids sorted ascending)."""
+    import numpy as np
+    G[np.isnan(G)] = np.inf
+    return G
+
+
 def _emb(spark, sf_dir) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double(F.col("embedding")).alias("e"))
@@ -469,9 +494,15 @@ def _allknn_block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
     order = np.argsort(ids)
     ids = ids[order]
     U = _np_unit(_np_mat(pdf["e"])[order])
-    G = _np_gram(U, U)
-    np.fill_diagonal(G, -np.inf)
-    best = G.argmax(axis=1)
+    n = len(ids)
+    best = np.empty(n, dtype=np.int64)
+    # row-slab Gram (see _GRAM_CHUNK): O(chunk·n) peak, same bits
+    for c0 in range(0, n, _GRAM_CHUNK):
+        c1 = min(c0 + _GRAM_CHUNK, n)
+        G = _np_gram(U[c0:c1], U)
+        G[np.arange(c1 - c0), np.arange(c0, c1)] = -np.inf  # self
+        _np_nan_greatest(G)
+        best[c0:c1] = G.argmax(axis=1)
     return pd.DataFrame({"vec_id": ids,
                          "label": pdf["label"].to_numpy()[order],
                          "nn_id": ids[best]})
@@ -546,15 +577,19 @@ def _consensus_block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
     ids = ids[order]
     langs = pdf["lang"].to_numpy()[order]
     U = _np_unit(_np_mat(pdf["e"])[order])
-    G = _np_gram(U, U)
-    np.fill_diagonal(G, -np.inf)
     n = len(ids)
     kk = min(LABEL_NOISE_K, n - 1)
     n_agree = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        # lexsort: last key is primary → (-sim, then id asc on ties)
-        nbrs = np.lexsort((ids, -G[i]))[:kk]
-        n_agree[i] = int(np.sum(langs[nbrs] == langs[i]))
+    # row-slab Gram (see _GRAM_CHUNK): O(chunk·n) peak, same bits
+    for c0 in range(0, n, _GRAM_CHUNK):
+        c1 = min(c0 + _GRAM_CHUNK, n)
+        G = _np_gram(U[c0:c1], U)
+        G[np.arange(c1 - c0), np.arange(c0, c1)] = -np.inf  # self
+        _np_nan_greatest(G)
+        for i in range(c0, c1):
+            # lexsort: last key is primary → (-sim, id asc on ties)
+            nbrs = np.lexsort((ids, -G[i - c0]))[:kk]
+            n_agree[i] = int(np.sum(langs[nbrs] == langs[i]))
     return pd.DataFrame({"vec_id": ids, "lang": langs,
                          "n_nbrs": np.full(n, kk, dtype=np.int64),
                          "n_agree": n_agree,
@@ -1940,6 +1975,16 @@ def _pq_codes(sub: DataFrame) -> DataFrame:
     sums on the int8 grid (≤ 8·254² per subspace), so argmin with
     the (dist, code) tie-break is a total order — fully
     deterministic and SQL-mirrorable.
+
+    EAGER-BUILD NOTE (ADVICE r12): composing this query runs the
+    bounded codebook collect at DataFrame-CONSTRUCTION time (one
+    small Spark job), so the codebook is a build-time snapshot —
+    plan-shape inspection of the composed query triggers that job.
+    Deferring it would need the collect inside the executor-side
+    generator (impossible — no SparkContext there) or a per-row
+    broadcast-join carry of the 256×4 codebook arrays (a ~256×
+    Arrow-transfer blowup); both rejected, semantics documented
+    instead.
 
     Round 12 (guide §4.2): the assignment runs in a numpy kernel
     against the driver-collected codebook (≤ PQ_M·PQ_KC rows of

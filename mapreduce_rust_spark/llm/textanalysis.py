@@ -840,7 +840,7 @@ def source_trigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.explode(gram_counts).alias("gc"))
            .groupBy("source", F.col("gc.g").alias("g"))
            .agg(F.sum(F.col("gc.c") * F.col("m")).alias("c"))
-           .localCheckpoint(eager=True))   # consumed by 2 branches
+           .localCheckpoint(eager=False))   # consumed by 2 branches
     norms = (cnt.groupBy("source")
              .agg(F.sum((F.col("c") * F.col("c")).cast(dec))
                   .cast("double").alias("n2")))
@@ -932,7 +932,7 @@ def editdist1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (load_table(spark, sf_dir, "customer")
             .where(F.col("c_nationkey") == 0)
             .select("c_custkey", "c_name")
-            .localCheckpoint(eager=True))   # consumed by 2 branches
+            .localCheckpoint(eager=False))   # consumed by 2 branches
     variants = F.expr(f"""
       flatten(transform(array(c_name), s ->
         transform(sequence(0, least(length(s), {EDITDIST_MAX_POS})),
@@ -1012,7 +1012,7 @@ def domain_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (tok.join(docs, "doc_id")
              .groupBy("source", "tok")
              .agg(F.count("*").alias("c_st"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     per_tok = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     per_src = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     total = per_tok.agg(F.sum("c_t").alias("n"))
@@ -1200,7 +1200,7 @@ def collocations_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("w").agg(F.count("*").alias("c_w")))
     totals = (pc.agg(F.sum("c_ab").alias("p_tot"))
                 .crossJoin(uni.agg(F.sum("c_w").alias("n_tot")))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     cand = (pc.filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
               .join(uni.withColumnRenamed("w", "w1")
                        .withColumnRenamed("c_w", "c_a"), "w1")
@@ -1435,7 +1435,7 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
     base = docs.select("doc_id", toks.alias("toks"))
     lens = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
     stats = lens.agg(F.count("*").cast("long").alias("n_docs"),
-                     F.sum("dl").alias("sum_dl")).localCheckpoint()
+                     F.sum("dl").alias("sum_dl")).localCheckpoint(eager=False)
     tf = (base.select("doc_id", F.explode("toks").alias("term"))
               .filter(F.col("term").isin(*SEARCH_TERMS))
               .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
@@ -1815,7 +1815,7 @@ def good_turing_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = toks.groupBy("tok").agg(F.count("*").alias("r"))
     nr = (cnts.groupBy("r")
           .agg(F.count("*").cast("long").alias("n_types"))
-          .localCheckpoint(eager=True))   # read by 3 plan branches
+          .localCheckpoint(eager=False))   # read by 3 plan branches
     tot = nr.agg(
         F.sum(F.col("r") * F.col("n_types")).cast("long").alias("n_tokens"),
         F.sum(F.when(F.col("r") == 1, F.col("n_types")).otherwise(0))

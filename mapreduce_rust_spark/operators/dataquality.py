@@ -318,7 +318,7 @@ def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (orders.select(digit.alias("digit"))
               .where(F.col("digit").between(1, 9))
               .groupBy("digit").agg(F.count("*").alias("n_orders")))
-    total = counts.agg(F.sum("n_orders").alias("n")).localCheckpoint()
+    total = counts.agg(F.sum("n_orders").alias("n")).localCheckpoint(eager=False)
     exp = F.element_at(F.array(*[F.lit(p) for p in BENFORD_EXP_PPM]),
                        F.col("digit").cast("int")).cast("long")
     obs = F.expr("(n_orders * 1000000) DIV n")   # exact int, ≡ oracle `//`

@@ -632,7 +632,7 @@ def propensity_strata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.round(F.col("value") * 100).cast("long"))
                    .alias("out_c"))
              .withColumn("treat", F.col("user_id") % 2 == 1)
-             .localCheckpoint(eager=True))  # consumed twice by the rank
+             .localCheckpoint(eager=False))  # consumed twice by the rank
     totals = users.agg(F.count("*").alias("n"))
     ranked = (scalable_rank(users, F.col("n_ev"), ["n_ev", "user_id"])
               .crossJoin(F.broadcast(totals)))
@@ -1938,7 +1938,7 @@ def jt_closed_form(cells: DataFrame) -> DataFrame:
     textbook normalization; tie correction is documented out of
     scope), so z is conservative-approximate under heavy ties but
     every INPUT to it is an exact integer and the z DAG is fixed."""
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.localCheckpoint(eager=False)
     from pyspark.sql import Window as W
     grid = (cells.select("vc").distinct()
             .crossJoin(cells.select("g").distinct())
@@ -2168,13 +2168,13 @@ def friedman_closed_form(cells: DataFrame) -> DataFrame:
     (nk(k+1)) clear to exact ppm integers (the classic untied
     normalization — the Jonckheere variance convention; ties only
     make the reported value conservative)."""
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.localCheckpoint(eager=False)
     from pyspark.sql import Window as W
     full_u = (cells.groupBy("user_id")
               .agg(F.count("*").alias("ng"))
               .where(F.col("ng") == FRIEDMAN_K)
               .select("user_id"))
-    p = cells.join(full_u, "user_id").localCheckpoint(eager=True)
+    p = cells.join(full_u, "user_id").localCheckpoint(eager=False)
     vg = (p.groupBy("user_id", "v")
           .agg(F.count("*").cast("long").alias("c")))
     wv = W.partitionBy("user_id").orderBy("v")
@@ -2292,7 +2292,7 @@ def tau_closed_form(users: DataFrame) -> DataFrame:
     via the correctly-rounded cast, the Jonckheere var_num rule)."""
     from mapreduce_rust_spark.operators.ranking import (
         ntile_expr, scalable_rank)
-    users = users.localCheckpoint(eager=True)   # ranked twice
+    users = users.localCheckpoint(eager=False)   # ranked twice
     n_row = users.agg(F.count("*").cast("long").alias("n"))
     ra = scalable_rank(users, F.col("na"), [F.col("na"), F.col("user_id")],
                        rank_col="r_a")
@@ -2306,7 +2306,7 @@ def tau_closed_form(users: DataFrame) -> DataFrame:
         ntile_expr(TAU_TILES, "r_s").alias("ts"))
     cells = (tiles.groupBy("ta", "ts")
              .agg(F.count("*").cast("long").alias("c"))
-             .localCheckpoint(eager=True))    # 5 consumers
+             .localCheckpoint(eager=False))    # 5 consumers
     # broadcast the ≤100-cell right side: the pure-inequality join
     # conditions would otherwise plan a CartesianProduct — with a
     # broadcast hint Spark plans the (bounded, deterministic)

@@ -829,7 +829,8 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive = (alive.join(keep, "a", "left_semi")
                       .join(keep.withColumnRenamed("a", "b"), "b",
                             "left_semi")
-                      .localCheckpoint(eager=True))
+                      # lazy (round 13): n_now count materializes it
+                      .localCheckpoint(eager=False))
         n_now = alive.count()
         if n_now == n_prev:
             break
@@ -1469,7 +1470,7 @@ def ktruss_peel(edges: DataFrame, use_memo: bool = False) -> DataFrame:
                 scored = edge_support_table_cached(edges, n_prev)
             else:
                 tri = (_triangle_corners(edges, n_prev)
-                       .localCheckpoint(eager=True))
+                       .localCheckpoint(eager=False))
                 epairs = tri.select(F.explode(F.array(
                     F.struct(F.least("s", "a").alias("u"),
                              F.greatest("s", "a").alias("v")),
@@ -1484,7 +1485,7 @@ def ktruss_peel(edges: DataFrame, use_memo: bool = False) -> DataFrame:
                           .select("u", "v",
                                   F.coalesce("supp", F.lit(0))
                                    .cast("long").alias("support"))
-                          .localCheckpoint(eager=True))
+                          .localCheckpoint(eager=False))
         else:
             # ONE scan of the carried triangle table: three broadcast
             # left joins mark which edge slots were dropped; the
@@ -1509,7 +1510,10 @@ def ktruss_peel(edges: DataFrame, use_memo: bool = False) -> DataFrame:
                 "s", "a", "b",
                 (F.coalesce("hit0", F.lit(0)) + F.coalesce("hit1", F.lit(0))
                  + F.coalesce("hit2", F.lit(0)) > 0).alias("rm"))
-                .localCheckpoint(eager=True))
+                # lazy (round 13): the round's n_now count is the
+                # first action — it materializes this scan inside its
+                # own job instead of a separate eager job per round
+                .localCheckpoint(eager=False))
             tri = marked.where(~F.col("rm")).select("s", "a", "b")
             removed = marked.where(F.col("rm")).select("s", "a", "b")
             rc = (removed.select(F.explode(F.array(
@@ -1527,7 +1531,7 @@ def ktruss_peel(edges: DataFrame, use_memo: bool = False) -> DataFrame:
                               (F.col("support")
                                - F.coalesce("rm_n", F.lit(0)))
                               .alias("support"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
         out = scored.where(F.col("support") >= thresh)
         dropped = (scored.where(F.col("support") < thresh)
                    .select(F.col("u").alias("du"), F.col("v").alias("dv")))

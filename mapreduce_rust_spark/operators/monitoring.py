@@ -455,7 +455,7 @@ def dow_profile_closed_form(stats: DataFrame) -> DataFrame:
     re-aggregate) would otherwise each re-run its upstream scan, and
     the MemorySink view a streaming twin feeds in can't resolve the
     self-join at all."""
-    stats = stats.localCheckpoint(eager=True)
+    stats = stats.localCheckpoint(eager=False)
     totals = (stats.groupBy("event_type")
               .agg(F.sum("n").alias("tn"), F.sum("sv").alias("tv")))
     j = stats.join(F.broadcast(totals), "event_type")
@@ -498,7 +498,7 @@ def lagged_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("long").alias("d"),
                   F.round(F.col("value") * 100).cast("long").alias("vc")))
     daily = (ev.groupBy("event_type", "d")
-               .agg(F.sum("vc").alias("sc"))).localCheckpoint(eager=True)
+               .agg(F.sum("vc").alias("sc"))).localCheckpoint(eager=False)
     rng = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     grid = (rng.select(F.explode(F.sequence("d0", "d1")).alias("d")))
     xa = (grid.join(daily.filter(F.col("event_type") == LAGCORR_A)
@@ -607,7 +607,7 @@ def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("long").alias("d"),
                   F.round(F.col("value") * 100).cast("long").alias("vc")))
     daily = (ev.groupBy("event_type", "d").agg(F.sum("vc").alias("sc"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     rng = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     grid = (daily.select("event_type").distinct()
             .crossJoin(F.broadcast(rng))
@@ -721,7 +721,7 @@ def conformal_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("a.event_type").alias("event_type"),
                       F.col("a.d").alias("d"), F.col("a.ds").alias("ds"),
                       F.abs(F.col("a.y") - F.col("f.y")).alias("r"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     cal = scored.where(F.col("d") < F.col("ds"))
     tst = scored.where(F.col("d") >= F.col("ds"))
     nk = (cal.groupBy("event_type")
@@ -839,7 +839,7 @@ def theil_sen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(event_type, n_days, n_pairs, sen_slope)``.
     """
     dense = (_dense_daily(spark, sf_dir)
-             .select("event_type", "d", "y").localCheckpoint(eager=True))
+             .select("event_type", "d", "y").localCheckpoint(eager=False))
     a, b = dense.alias("a"), dense.alias("b")
     pairs = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
                     & (F.col("a.d") < F.col("b.d")))
@@ -1019,7 +1019,7 @@ def chisq_closed_form(cells: DataFrame) -> DataFrame:
     aggregate runs complete-mode). The ≤ types×7-row cells table is
     checkpointed: FOUR consumers (cells + row/col/grand margins)
     would otherwise each re-run the events scan."""
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.localCheckpoint(eager=False)
     rows = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
     cols = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
     n = cells.agg(F.sum("o").alias("nn"))
@@ -1702,7 +1702,7 @@ def pettitt_closed_form(daily: DataFrame) -> DataFrame:
                                 - F.col("tix") * (F.col("n_days") + 1))
                           .cast("long"))
               .filter(F.col("tix") < F.col("n_days"))
-              .localCheckpoint(eager=True))   # consumed by two branches
+              .localCheckpoint(eager=False))   # consumed by two branches
     k = u.groupBy("event_type").agg(
         F.max(F.abs(F.col("u"))).cast("long").alias("k_stat"),
         F.max("n_days").alias("n_days"))
@@ -2171,7 +2171,7 @@ def mood_k_cells(ev: DataFrame) -> DataFrame:
 def mood_k_closed_form(cells: DataFrame) -> DataFrame:
     """Grand median + per-type cleared χ² terms from the (type, vc, c)
     cells — shared by batch and streaming twin."""
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.localCheckpoint(eager=False)
     vals = (cells.groupBy("vc").agg(F.sum("c").alias("c"))
             .withColumn("cum", F.sum("c").over(W.orderBy("vc"))))
     tot = vals.agg(F.sum("c").cast("long").alias("n"))
@@ -2279,7 +2279,7 @@ def cramers_v_cells(ev: DataFrame) -> DataFrame:
 def cramers_v_closed_form(seen: DataFrame) -> DataFrame:
     """χ² (order-fixed fold) + V from the observed counts — shared by
     batch and streaming twin."""
-    seen = seen.localCheckpoint(eager=True)
+    seen = seen.localCheckpoint(eager=False)
     # χ² needs the EMPTY cells too ((0−E)²/E = E) — groupBy only
     # emits observed combinations, so complete the r×k grid first
     cells = (seen.select("event_type").distinct()
@@ -2391,7 +2391,7 @@ def bartels_closed_form(daily: DataFrame) -> DataFrame:
     and the centering sum D4 = Σ(2R_i − (n+1))² = 4·D are exact
     BIGINTs and RVN = NM/D = NM4/D4 clears to the ppm grid with one
     truncating DIV (expected value 2·10⁶ under randomness)."""
-    daily = daily.localCheckpoint(eager=True)
+    daily = daily.localCheckpoint(eager=False)
     vg = (daily.groupBy("event_type", "v")
           .agg(F.count("*").cast("long").alias("c")))
     w = W.partitionBy("event_type").orderBy("v")
@@ -2522,7 +2522,7 @@ def cox_stuart_closed_form(daily: DataFrame) -> DataFrame:
     (type, day, value) grid — shared by the batch op and
     ``streaming.windows.stream_cox_stuart`` (the cells are
     ``bartels_daily_cells``, one complete-mode aggregate)."""
-    daily = daily.localCheckpoint(eager=True)
+    daily = daily.localCheckpoint(eager=False)
     wd = W.partitionBy("event_type").orderBy("d")
     rn = daily.select("event_type", "v",
                       F.row_number().over(wd).cast("long").alias("rn"))
@@ -2641,7 +2641,7 @@ def hampel_closed_form(daily: DataFrame) -> DataFrame:
     """Rolling median/MAD flags from the (type, day, value) grid —
     shared by the batch op and ``streaming.windows.stream_hampel``
     (the cells are ``bartels_daily_cells``)."""
-    daily = daily.localCheckpoint(eager=True)
+    daily = daily.localCheckpoint(eager=False)
     a, b = daily.alias("a"), daily.alias("b")
     win = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
                   & (F.datediff(F.col("b.d"), F.col("a.d"))

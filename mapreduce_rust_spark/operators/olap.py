@@ -89,7 +89,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ``(step_pair, n_converted, median_seconds)``.
     """
     from mapreduce_rust_spark.operators.ranking import scalable_rank
-    pu = _funnel_user_stages(spark, sf_dir).localCheckpoint(eager=True)
+    pu = _funnel_user_stages(spark, sf_dir).localCheckpoint(eager=False)
     d12 = (pu.where(F.col("t2").isNotNull())
            .select(F.lit("view_click").alias("step_pair"), "user_id",
                    F.expr("(t2 - t1) DIV 1000000").alias("secs")))
@@ -353,7 +353,7 @@ def equidepth_hist_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
             "o_orderkey")
          # narrow 2-column projection; scalable_rank consumes it twice
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     totals = c.agg(F.count("*").alias("n"))
     ranked = (scalable_rank(c, F.expr("cents DIV 500000"),
                             ["cents", "o_orderkey"])
@@ -701,9 +701,14 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey")
     item = (li.distinct()
               .groupBy("l_partkey").agg(F.count("*").alias("c_i")))
-    freq = item.filter(F.col("c_i") >= ASSOC_ITEM_MIN)
+    # round 13: freq feeds THREE broadcast builds (basket thinning +
+    # ca + cb) — without a lineage cut each build re-executes the
+    # distinct+agg subtree from the scan (AQE builds each broadcast
+    # from its own subtree). One lazy checkpoint = one execution.
+    freq = (item.filter(F.col("c_i") >= ASSOC_ITEM_MIN)
+                .localCheckpoint(eager=False))
     n_orders = li.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n")).localCheckpoint(eager=True)
+        F.count("*").alias("n")).localCheckpoint(eager=False)
     baskets = (li.join(F.broadcast(freq), "l_partkey")
                  .groupBy("l_orderkey")
                  .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
@@ -791,7 +796,7 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("rev")))
     w = W.orderBy(F.desc("rev"), "l_partkey")
     wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    total = per_part.agg(F.sum("rev").alias("tot")).localCheckpoint()
+    total = per_part.agg(F.sum("rev").alias("tot")).localCheckpoint(eager=False)
     d = (per_part
          .withColumn("rnk", F.row_number().over(w).cast("long"))
          .withColumn("cum", F.sum("rev").over(wcum))
@@ -1262,9 +1267,12 @@ def item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (li.groupBy(F.col("l_orderkey").alias("o"))
                  .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
                               1, ASSOC_MAX_BASKET).alias("ps"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
+    # round 13: n_u feeds TWO broadcast builds (nu + nv) — one lazy
+    # checkpoint keeps the explode+agg to a single execution
     n_u = (baskets.select(F.explode("ps").alias("part"))
-                  .groupBy("part").agg(F.count("*").alias("n")))
+                  .groupBy("part").agg(F.count("*").alias("n"))
+                  .localCheckpoint(eager=False))
     pairs = (baskets.select(F.explode(_ordered_pairs(F.col("ps")))
                             .alias("e"))
                     .groupBy(F.col("e.u").alias("u"),
@@ -1640,15 +1648,15 @@ def recsys_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_orders"))
             .where(F.col("n_orders") >= 2)
             .select("o_custkey", F.col("m.o_orderkey").alias("last_ok"))
-            .localCheckpoint(eager=True))   # consumed by 3 branches
+            .localCheckpoint(eager=False))   # consumed by 3 branches
     li = (load_table(spark, sf_dir, "lineitem")
           .select(F.col("l_orderkey").alias("o_orderkey"),
                   F.col("l_partkey").alias("part")).distinct())
     lines = (li.join(orders, "o_orderkey").join(last, "o_custkey")
-             .localCheckpoint(eager=True))  # hist + hold both read it
+             .localCheckpoint(eager=False))  # hist + hold both read it
     hist = (lines.where(F.col("o_orderkey") != F.col("last_ok"))
             .select("o_custkey", "part").distinct()
-            .localCheckpoint(eager=True))   # consumed by 2 branches
+            .localCheckpoint(eager=False))   # consumed by 2 branches
     hold = (lines.where(F.col("o_orderkey") == F.col("last_ok"))
             .select("o_custkey", "part").distinct())
     cf = item_cf_cached(spark, sf_dir).select(
@@ -2016,7 +2024,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (marked.withColumn(
             "sess", F.sum("new_sess").over(
                 w.rowsBetween(W.unboundedPreceding, W.currentRow)))
-         .localCheckpoint(eager=True))   # purchases + touches branches
+         .localCheckpoint(eager=False))   # purchases + touches branches
     p = (s.where(F.col("event_type") == "purchase")
          .select("user_id", "sess", F.col("us").alias("p_us"),
                  F.col("event_id").alias("p_id")))
@@ -2411,7 +2419,7 @@ def revenue_gini_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (per_part.select(
             "l_partkey",
             F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
-         .localCheckpoint(eager=True))   # scalable_rank consumes twice
+         .localCheckpoint(eager=False))   # scalable_rank consumes twice
     # dollar-granularity bucket: monotone in x (double cast + floor
     # are order-preserving), so scalable_rank's precondition holds
     bucket = F.floor(F.col("x").cast("double") / 1e6).cast("long")
@@ -2663,7 +2671,7 @@ def palma_ratio_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                cust.c_nationkey == nation.n_nationkey)
          .select("n_name", "o_custkey",
                  F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
-         .localCheckpoint(eager=True))    # scalable_rank consumes twice
+         .localCheckpoint(eager=False))    # scalable_rank consumes twice
     bucket = F.floor(F.col("x").cast("double") / 1e6).cast("long")
     ranked = scalable_rank(u, bucket, [F.col("x"), F.col("o_custkey")],
                            part_cols=["n_name"], rank_col="i")
@@ -2767,7 +2775,7 @@ def lorenz_curve_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                cust.c_nationkey == nation.n_nationkey)
          .select("n_name", "o_custkey",
                  F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
-         .localCheckpoint(eager=True))    # scalable_rank consumes twice
+         .localCheckpoint(eager=False))    # scalable_rank consumes twice
     bucket = F.floor(F.col("x").cast("double") / 1e6).cast("long")
     ranked = scalable_rank(u, bucket, [F.col("x"), F.col("o_custkey")],
                            part_cols=["n_name"], rank_col="i")
@@ -2870,7 +2878,7 @@ def cr_concentration_suppliers(spark: SparkSession,
                supp.s_nationkey == nation.n_nationkey)
          .select("n_name", "l_suppkey",
                  F.expr("CAST(rev * 1000000 AS DECIMAL(38,0))").alias("x"))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     bucket = F.floor(F.col("x").cast("double") / 1e6).cast("long")
     ranked = scalable_rank(u, bucket, [F.col("x"), F.col("l_suppkey")],
                            part_cols=["n_name"], rank_col="i")

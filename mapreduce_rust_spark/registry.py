@@ -41,54 +41,55 @@ def oracles() -> dict[str, str]:
 
 
 # The 50 queries the driver verifies this round (see module docstring).
-# Round-12 window (the round-11 window went 50/50 green — see
-# COVERAGE.md): the 38-query round-11 crop first (every query whose
-# only green so far is the round-11 judge mirror — the experiment
-# rank/effect-size family with its kappa twins scheduled together,
-# the monitoring χ²/trend/outlier ops + twins, the
-# Lorenz/CR/GMD concentration trio, burstiness/encoding/HOF text
-# ops, Matryoshka recall, µ-law + aHash multimodal, GROUPING_ID,
-# k-anon ladder, the two watermark-semantics streams, and the
-# Kendall τ-b pair), then Tier D's tail (2 r5-proven displacements)
-# and the r4-mass head (10 TPC-H rows, 8 rounds stale). The r4-mass
-# tail rolls to the round-13 queue written in COVERAGE.md. Ledger
-# invariant: after a green round-N artifact, every query oracled
-# BEFORE round N carries a hash-verified driver row; queries oracled
-# DURING round N are judge-mirror green and queued for round N+1.
+# Round-13 window (the round-12 window went 50/50 green — see
+# COVERAGE.md): VERDICT r12 item 1 verbatim — the queries most
+# heavily REWRITTEN by the round-12 optimizer (similarity-family
+# numpy kernels, the PQ code-assignment kernel, the codec spreads +
+# ADPCM vectorize, the shared co-purchase edge-table spread) have no
+# driver row on the rewritten code; front-load ALL of them so every
+# kernel rewrite gets a hash-verified row, then this round's own
+# rewrite set (BPE memo/kernel, the basket-pipeline subtree fusion)
+# and a 6-twin sample of the round-13 lazy-checkpoint change to the
+# stream closed forms (the other ~34 twins share the identical
+# one-line change and are builder-oracled at sf0.01 + sf0.1).
+# embedding_pca_topk (also rewritten, rows-only registration) is
+# deliberately NOT given a slot — a slot without a hash check proves
+# little; its exactness rides on embedding_covariance's row (same
+# Gram kernel). The r4-mass TPC-H tail stays queued in COVERAGE.md.
 DRIVER_WINDOW = [
-    # --- round-11 crop: experiment rank/effect sizes + kappa twins ---
-    "cohens_d_events", "stream_cohens_d",
-    "mcnemar_events", "stream_mcnemar",
-    "jonckheere_events", "stream_jonckheere",
-    "odds_ratio_events", "stream_odds_ratio",
-    "friedman_events", "stream_friedman",
-    "kendall_tau_events", "stream_kendall_tau",
-    "stream_hodges_lehmann",
-    # --- round-11 crop: monitoring + kappa twins ---
-    "mood_median_k_events", "stream_mood_median_k",
-    "cramers_v_events", "stream_cramers_v",
-    "bartels_rank_events", "stream_bartels_rank",
-    "cox_stuart_events", "stream_cox_stuart",
-    "hampel_outliers_events", "stream_hampel",
-    # --- round-11 crop: concentration / OLAP ---
-    "lorenz_curve_nations", "cr_concentration_suppliers",
-    "gini_mean_difference_orders", "stream_gmd",
-    # --- round-11 crop: text / similarity / multimodal ---
-    "token_burstiness_docs", "encoding_quality_docs",
-    "hof_funcs_docs", "knn_prefix_dim_recall",
-    "multimodal_audio_ulaw_stats", "stream_audio_ulaw_stats",
-    "image_ahash_neardup",
-    # --- round-11 crop: relational / privacy / watermark streams ---
-    "grouping_id_rollup_qty", "k_anon_generalize_orders",
-    "stream_interval_join_left", "stream_tumbling_append",
-    # --- staleness Tier D tail (r5-proven displacements) ---
-    "pps_sample_docs", "snapshot_diff_orders",
-    # --- r4-mass head (newest row r4, 8 rounds stale) ---
-    "q2_min_cost_supplier", "q11_important_parts",
-    "q12_priority_lines", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_diversity", "q17_small_qty_revenue",
-    "q19_disjunctive_revenue", "q20_excess_stock",
+    # --- r12 rewrites: similarity-family numpy kernels ---
+    "knn_lsh", "lsh_bucket_stats",
+    "allknn_within_label", "knn_label_consensus",
+    "knn_eval_recall", "cosine_hist_embeddings",
+    "mmr_diverse_topk", "embedding_covariance",
+    "pq_assign_embeddings", "knn_pq_adc",
+    # --- r12 rewrites: codec kernel spreads + ADPCM vectorize ---
+    "jpeg_gray_roundtrip", "jpeg_color_roundtrip",
+    "rasterize_glyph_metrics", "multimodal_video_frames",
+    "video_scene_cuts",
+    "multimodal_audio_pcm_stats", "multimodal_audio_adpcm_stats",
+    "multimodal_audio_alaw_stats", "multimodal_audio_float_stats",
+    "stream_audio_pcm_stats", "stream_audio_adpcm_stats",
+    "stream_audio_alaw_stats", "stream_audio_float_stats",
+    # --- r12 rewrites: text-stage spreads ---
+    "dup_span_docs", "collocations_pmi_docs",
+    # --- r12 rewrite: spread inside the shared co-purchase edge
+    # build — every consumer of the memoized edge table ---
+    "triangle_count_copurchase", "copurchase_degree_hist",
+    "assortativity_copurchase", "clustering_coeff_parts",
+    "kcore_parts", "ktruss_edges_parts",
+    "ppr_seeded_parts", "pagerank_exact_parts",
+    "edge_support_hist_parts", "linkpred_common_neighbors",
+    "linkpred_resource_allocation", "rich_club_copurchase",
+    "harmonic_centrality_seeds", "component_stats_parts",
+    # --- round-13 rewrites (this round's optimizer targets) ---
+    "bpe_train_merges", "bpe_encode_docs",
+    "assoc_rules_parts", "item_cf_neighbors",
+    "kmeans_exact_embeddings",
+    # --- round-13 lazy-checkpoint sample (stream closed forms) ---
+    "stream_rank_biserial", "stream_qte",
+    "stream_tukey_fences", "stream_pettitt_changepoint",
+    "stream_kruskal_wallis", "stream_mann_kendall",
 ]
 
 

@@ -13,6 +13,14 @@ store is bounded (late data beyond the watermark is dropped — the
 100 TB requirement; unbounded state OOMs long before that). With
 AvailableNow + complete/update output the fixture results stay
 deterministic and batch-equivalent, which is what the oracles check.
+
+Post-sink checkpoints (round 13): every ``localCheckpoint`` that
+breaks a closed form's MemorySink self-reference is LAZY
+(``eager=False``, the bpe_train precedent) — the self-reference fix
+is plan-level (the checkpoint's fresh LogicalRDD), not a function of
+WHEN the RDD materializes, so the first closed-form action
+materializes it inside its own job instead of paying a separate
+eager job per twin. Results identical; one fewer Spark job each.
 """
 
 from __future__ import annotations
@@ -26,6 +34,36 @@ from mapreduce_rust_spark.tables import table_path
 
 WATERMARK = "10 minutes"
 
+# Session-scoped memo of stream-source schema probes (round 13, the
+# tables._TABLE_MEMO discipline): every twin build batch-reads the
+# fixture footer just to get an explicit schema for readStream —
+# across 62 twins × reps that driver-side probe is pure fixed cost.
+# Schemas only (no DataFrames, no rows); keyed by (applicationId,
+# path); other-app entries evicted.
+_SRC_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _probe_schema(spark: SparkSession, path: str, nanos_fallback: bool):
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _SRC_SCHEMA_MEMO if k[0] != app_id]:
+        del _SRC_SCHEMA_MEMO[k]
+    key = (app_id, path)
+    schema = _SRC_SCHEMA_MEMO.get(key)
+    if schema is None:
+        if nanos_fallback:
+            try:
+                schema = spark.read.parquet(path).schema
+            except Exception:
+                # TIMESTAMP(NANOS) parquet: readable as long only via
+                # the legacy conf
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", "true")
+                schema = spark.read.parquet(path).schema
+        else:
+            schema = spark.read.parquet(path).schema
+        _SRC_SCHEMA_MEMO[key] = schema
+    return schema
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events fixture, schema-adaptive on
@@ -36,12 +74,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     an NTZ→local normalize. Hard-coding either era reads the other
     era's raw int64 as the wrong unit (silently, off by 10^3)."""
     path = table_path(sf_dir, "events")
-    try:
-        src_schema = spark.read.parquet(path).schema
-    except Exception:
-        # TIMESTAMP(NANOS) parquet: only readable as long via legacy conf
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        src_schema = spark.read.parquet(path).schema
+    src_schema = _probe_schema(spark, path, nanos_fallback=True)
     # file-stream source wants a directory/glob, not a bare file —
     # glob to the single fixture file (prod: a landing directory)
     raw = spark.readStream.schema(src_schema).parquet(path + "*")
@@ -61,7 +94,7 @@ def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_events_stream discipline) so an encoding change breaks
     loudly in one place."""
     path = table_path(sf_dir, "orders")
-    src_schema = spark.read.parquet(path).schema
+    src_schema = _probe_schema(spark, path, nanos_fallback=False)
     return spark.readStream.schema(src_schema).parquet(path + "*")
 
 
@@ -162,11 +195,21 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
         # providers from scratch, which it would do anyway for a new
         # checkpoint. No other stream is active here by construction
         # (the harness is sequential and stops same-name queries).
+        # ADVICE r12: StateStore.stop() is JVM-GLOBAL — it unloads
+        # providers of ANY active streaming query — and a private
+        # internal that may drift across Spark upgrades. Guard on
+        # "no other stream active" instead of assuming it, and WARN
+        # (not swallow) unexpected failures so API drift is visible;
+        # cleanup still never fails the query.
         try:
-            jvm = spark.sparkContext._jvm
-            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        except Exception:  # noqa: BLE001 — cleanup must never fail a query
-            pass
+            if not spark.streams.active:
+                jvm = spark.sparkContext._jvm
+                (jvm.org.apache.spark.sql.execution.streaming
+                    .state.StateStore.stop())
+        except Exception as exc:  # noqa: BLE001 — never fail the query
+            import warnings
+            warnings.warn(f"StateStore.stop() unavailable: {exc!r}",
+                          stacklevel=2)
     return spark.table(name)
 
 
@@ -728,7 +771,7 @@ def stream_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the closed form joins the cells against their own cohort
     # aggregate; checkpoint breaks the MemorySink self-reference the
     # resolver can't disambiguate (the stream_dow_profile lesson)
-    return retention_closed_form(out.localCheckpoint(eager=True))
+    return retention_closed_form(out.localCheckpoint(eager=False))
 
 
 def _retention_oracle() -> str:
@@ -755,7 +798,7 @@ def stream_winsorized_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MemorySink discipline: the closed form fans the cells into
     # multiple branches — checkpoint once so the sink lineage is not
     # recomputed per branch (matches the other round-7 twins).
-    return winsorized_closed_form(out.localCheckpoint(eager=True))
+    return winsorized_closed_form(out.localCheckpoint(eager=False))
 
 
 def _winsorized_oracle() -> str:
@@ -768,7 +811,7 @@ def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-ingest feed shape (a crawler landing directory in
     production). Plain string/bigint schema, still footer-probed."""
     path = table_path(sf_dir, "documents")
-    src_schema = spark.read.parquet(path).schema
+    src_schema = _probe_schema(spark, path, nanos_fallback=False)
     return spark.readStream.schema(src_schema).parquet(path + "*")
 
 
@@ -788,7 +831,7 @@ def stream_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_table(bins, "stream_isotonic_calibration", "complete")
     # closed form self-joins the bins; checkpoint breaks the
     # MemorySink self-reference (stream_retention_triangle lesson)
-    return isotonic_closed_form(out.localCheckpoint(eager=True))
+    return isotonic_closed_form(out.localCheckpoint(eager=False))
 
 
 def _isotonic_oracle() -> str:
@@ -801,7 +844,7 @@ def read_lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape for stream-static fact⋈dim work. Footer-probed schema,
     like every stream source here."""
     path = table_path(sf_dir, "lineitem")
-    src_schema = spark.read.parquet(path).schema
+    src_schema = _probe_schema(spark, path, nanos_fallback=False)
     return spark.readStream.schema(src_schema).parquet(path + "*")
 
 
@@ -842,7 +885,7 @@ def stream_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = shard_quality_cells(docs)
     out = _run_to_table(cells, "stream_shuffle_quality", "complete")
     # closed form reads the cells from two branches (argmax + rollup)
-    return shard_quality_closed_form(out.localCheckpoint(eager=True))
+    return shard_quality_closed_form(out.localCheckpoint(eager=False))
 
 
 def _shufq_oracle() -> str:
@@ -867,7 +910,7 @@ def stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_table(cells, "stream_t_closeness", "complete")
     # closed form fans the cells into global/total/class branches —
     # checkpoint so the MemorySink lineage is not recomputed per branch
-    return tclose_closed_form(out.localCheckpoint(eager=True))
+    return tclose_closed_form(out.localCheckpoint(eager=False))
 
 
 def _tclose_oracle() -> str:
@@ -893,7 +936,7 @@ def stream_median_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = mw_value_counts(ev)
     out = _run_to_table(cnt, "stream_median_sign_test", "complete")
     # the closed form fans the cells into cum/median/split branches
-    return median_sign_closed_form(out.localCheckpoint(eager=True))
+    return median_sign_closed_form(out.localCheckpoint(eager=False))
 
 
 def _median_sign_oracle() -> str:
@@ -920,7 +963,7 @@ def stream_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     cells = ship_delay_cells(li, orders)
     out = _run_to_table(cells, "stream_ship_delay_percentiles", "complete")
     # closed form fans the cells into cum + per-group-count branches
-    return ship_delay_closed_form(out.localCheckpoint(eager=True))
+    return ship_delay_closed_form(out.localCheckpoint(eager=False))
 
 
 def _ship_delay_oracle() -> str:
@@ -943,7 +986,7 @@ def stream_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = len_cells(docs)
     out = _run_to_table(cells, "stream_len_quantiles", "complete")
     # closed form fans the cells into cum + per-source-count branches
-    return len_quantiles_closed_form(out.localCheckpoint(eager=True))
+    return len_quantiles_closed_form(out.localCheckpoint(eager=False))
 
 
 def _len_quantiles_oracle() -> str:
@@ -1241,7 +1284,7 @@ def stream_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is checkpointed first."""
     from mapreduce_rust_spark.operators.experiment import hl_closed_form
     out = _mw_stream_cells(spark, sf_dir, "stream_hodges_lehmann")
-    return hl_closed_form(out.localCheckpoint(eager=True))
+    return hl_closed_form(out.localCheckpoint(eager=False))
 
 
 def _hl_oracle() -> str:
@@ -1332,7 +1375,7 @@ def stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     daily = mk_daily_cells(ev)
     out = _run_to_table(daily, "stream_mann_kendall", "complete")
-    return mk_closed_form(out.localCheckpoint(eager=True))
+    return mk_closed_form(out.localCheckpoint(eager=False))
 
 
 def _mk_oracle() -> str:
@@ -1355,7 +1398,7 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     daily = ph_daily_cells(ev)
     out = _run_to_table(daily, "stream_page_hinkley", "complete")
-    return ph_closed_form(out.localCheckpoint(eager=True))
+    return ph_closed_form(out.localCheckpoint(eager=False))
 
 
 def _ph_oracle() -> str:
@@ -1389,7 +1432,7 @@ def stream_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_rust_spark.operators.experiment import (
         mw_closed_form, rb_from_mw)
     out = _mw_stream_cells(spark, sf_dir, "stream_rank_biserial")
-    return rb_from_mw(mw_closed_form(out.localCheckpoint(eager=True)))
+    return rb_from_mw(mw_closed_form(out.localCheckpoint(eager=False)))
 
 
 def _rb_oracle() -> str:
@@ -1406,7 +1449,7 @@ def stream_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface). Bit-identical; same oracle."""
     from mapreduce_rust_spark.operators.experiment import qte_closed_form
     out = _mw_stream_cells(spark, sf_dir, "stream_qte")
-    return qte_closed_form(out.localCheckpoint(eager=True))
+    return qte_closed_form(out.localCheckpoint(eager=False))
 
 
 def _qte_oracle() -> str:
@@ -1425,7 +1468,7 @@ def stream_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     daily = mk_daily_cells(ev)
     out = _run_to_table(daily, "stream_runs_test", "complete")
-    return runs_closed_form(out.localCheckpoint(eager=True))
+    return runs_closed_form(out.localCheckpoint(eager=False))
 
 
 def _runs_oracle() -> str:
@@ -1450,7 +1493,7 @@ def stream_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (o.groupBy("o_orderpriority", "vc")
              .agg(F.count("*").cast("long").alias("c")))
     out = _run_to_table(cells, "stream_tukey_fences", "complete")
-    return tukey_closed_form(out.localCheckpoint(eager=True))
+    return tukey_closed_form(out.localCheckpoint(eager=False))
 
 
 def _tukey_oracle() -> str:
@@ -1559,7 +1602,7 @@ def stream_weco_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     daily = mk_daily_cells(ev)
     out = _run_to_table(daily, "stream_weco_rules", "complete")
-    return weco_closed_form(out.localCheckpoint(eager=True))
+    return weco_closed_form(out.localCheckpoint(eager=False))
 
 
 def _weco_oracle() -> str:
@@ -1584,7 +1627,7 @@ def stream_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = kw_value_counts(ev)
     out = _run_to_table(cells, "stream_kruskal_wallis", "complete")
     # the closed form fans the cells into pooled/per-group/tie branches
-    return kruskal_wallis_closed_form(out.localCheckpoint(eager=True))
+    return kruskal_wallis_closed_form(out.localCheckpoint(eager=False))
 
 
 def _kw_oracle() -> str:
@@ -1611,7 +1654,7 @@ def stream_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = mw_value_counts(ev)
     out = _run_to_table(cnt, "stream_brown_forsythe", "complete")
     # the closed form fans the cells into median/deviation branches
-    return brown_forsythe_closed_form(out.localCheckpoint(eager=True))
+    return brown_forsythe_closed_form(out.localCheckpoint(eager=False))
 
 
 def _bf_oracle() -> str:
@@ -1636,7 +1679,7 @@ def stream_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_table(daily, "stream_pettitt_changepoint", "complete")
     # checkpoint: the closed form SELF-JOINS the cells (grid ⋈ rank
     # table) and a MemorySink view can't resolve conflicting refs
-    return pettitt_closed_form(out.localCheckpoint(eager=True))
+    return pettitt_closed_form(out.localCheckpoint(eager=False))
 
 
 def _pettitt_oracle() -> str:
@@ -1682,7 +1725,7 @@ def stream_seasonal_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_table(daily, "stream_seasonal_kendall", "complete")
     # checkpoint: the closed form SELF-JOINS the day grid (the
     # Pettitt-twin MemorySink conflicting-refs lesson)
-    return sk_closed_form(out.localCheckpoint(eager=True))
+    return sk_closed_form(out.localCheckpoint(eager=False))
 
 
 def _sk_oracle() -> str:
