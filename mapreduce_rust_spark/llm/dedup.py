@@ -87,6 +87,17 @@ _SHINGLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 # J >= 0.3 over the df-capped index), so localCheckpoint is cheap.
 _JACCARD_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
+# Round 13: the same discipline for the VERIFIED MinHash-LSH pair
+# table (small by construction — near-dup pairs at J ≥ JACCARD_T).
+# Four registered queries re-ran the full signature → banding →
+# verify pipeline per build (minhash_lsh_pairs itself,
+# curation_pipeline's embedded drop list, dedup_eval_lsh's LSH side,
+# and the neardup cluster family's edge input); one memoized
+# checkpoint per (session, sf_dir) materializes it once. Planted
+# corpora go through the *_from_docs / DataFrame-level paths and
+# never touch the memo.
+_MINHASH_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
 
 def _persisted_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = _SHINGLE_CACHE.setdefault(spark, {})
@@ -129,12 +140,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both verify probes); it is persisted ONCE per (session, sf_dir)
     via ``_persisted_shingles`` and shared across every dedup operator
     — at scale this is the materialized inverted index every dedup
-    pass shares. Spark evicts it LRU when memory is needed."""
-    sh = _persisted_shingles(spark, sf_dir)
-    _, cand = _minhash_sig_candidates(sh)
-    # exact-Jaccard verification restricted to CANDIDATES (never the
-    # full shingle self-join — hot shingles make that quadratic)
-    return _verify_pairs(sh, cand)
+    pass shares. Spark evicts it LRU when memory is needed. The
+    verified pair RESULT is memoized per (session, sf_dir) — see
+    ``_MINHASH_MEMO``."""
+    per_session = _MINHASH_MEMO.setdefault(spark, {})
+    if sf_dir not in per_session:
+        sh = _persisted_shingles(spark, sf_dir)
+        _, cand = _minhash_sig_candidates(sh)
+        # exact-Jaccard verification restricted to CANDIDATES (never
+        # the full shingle self-join — hot shingles make that
+        # quadratic)
+        per_session[sf_dir] = _verify_pairs(sh, cand) \
+            .localCheckpoint(eager=True)
+    return per_session[sf_dir]
 
 
 def _minhash_sig_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:

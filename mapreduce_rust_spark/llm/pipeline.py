@@ -211,16 +211,38 @@ def connected_components(edges_df: DataFrame,
         f"connected_components did not converge in {max_iters} iterations")
 
 
+# Session-scoped memo of the near-dup cluster label table (round 13,
+# the graph._EDGE_MEMO discipline): THREE registered queries
+# (neardup_clusters, neardup_keep_best, leakage_safe_split_docs)
+# derive from the same (doc_id, rep) labels, each re-running the
+# connected-components doubling loop (~1.5 s at sf0.1) per build —
+# the production answer is to materialize the shared clustering once.
+# Keyed by (applicationId, semanticHash of the PAIRS plan): a new
+# session, another corpus directory, or planted test edges miss by
+# construction, and the checkpoint blocks die with the app.
+_CC_LABELS_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup pairs: each doc
     gets the min doc_id of its cluster as representative. Oracled
     since round 7 via a recursive-CTE transitive closure
     (``NEARDUP_CLUSTERS_ORACLE``); pytest additionally checks against
     a union-find, including a planted 12-doc chain whose diameter
-    exceeds the old fixed iteration count."""
-    labels = connected_components(
-        minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"))
-    return labels.select(F.col("node").alias("doc_id"), "rep")
+    exceeds the old fixed iteration count. Labels are memoized per
+    (session, pairs plan) — see ``_CC_LABELS_MEMO``."""
+    from mapreduce_rust_spark.operators.graph import evict_stale_memo
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    app_id = spark.sparkContext.applicationId
+    evict_stale_memo(_CC_LABELS_MEMO, app_id)
+    key = (app_id, pairs.semanticHash())
+    df = _CC_LABELS_MEMO.get(key)
+    if df is None:
+        df = (connected_components(pairs)
+              .select(F.col("node").alias("doc_id"), "rep")
+              .localCheckpoint(eager=True))
+        _CC_LABELS_MEMO[key] = df
+    return df
 
 
 def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +551,12 @@ def kmeans_exact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding"),
                 lambda x: F.bround(x.cast("double") * KM_EXACT_GRID)
                            .cast("long"))).alias("dim", "q"))
-           .localCheckpoint(eager=True))    # re-read every round
+           # lazy (round 13): no driver collect splits the rounds, so
+           # the final action materializes the whole chain as ONE job
+           # while each checkpoint still truncates lineage and pins
+           # its blocks for the per-round re-reads (the pagerank
+           # no-eager lesson applied to the quantized long table)
+           .localCheckpoint(eager=False))    # re-read every round
     seeds = (emb.select("vec_id").orderBy("vec_id").limit(KM_EXACT_K)
              .select("vec_id",
                      (F.row_number().over(
@@ -537,7 +564,7 @@ def kmeans_exact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cid")))
     cents = (vql.join(F.broadcast(seeds), "vec_id")
              .select("cid", "dim", F.col("q").alias("c"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     assign = None
     for _ in range(KM_EXACT_ITERS):
         d2 = (vql.join(F.broadcast(cents), "dim")
@@ -548,7 +575,7 @@ def kmeans_exact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign = (d2.withColumn("rk", F.row_number().over(wv))
                   .where(F.col("rk") == 1)
                   .select("vec_id", "cid", "d2")
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         upd = (vql.join(assign.select("vec_id", "cid"), "vec_id")
                .groupBy("cid", "dim")
                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
@@ -558,7 +585,7 @@ def kmeans_exact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = (cents.join(upd, ["cid", "dim"], "left")
                  .select("cid", "dim",
                          F.coalesce("cnew", "c").alias("c"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     chk = (cents.groupBy("cid")
            .agg(F.sum(F.col("c") * (F.col("dim") + 1))
                 .cast("long").alias("centroid_checksum")))

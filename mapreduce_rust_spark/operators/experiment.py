@@ -2305,53 +2305,52 @@ def tau_closed_form(users: DataFrame) -> DataFrame:
         ntile_expr(TAU_TILES, "r_a").alias("ta"),
         ntile_expr(TAU_TILES, "r_s").alias("ts"))
     cells = (tiles.groupBy("ta", "ts")
-             .agg(F.count("*").cast("long").alias("c"))
-             .localCheckpoint(eager=False))    # 5 consumers
-    # broadcast the ≤100-cell right side: the pure-inequality join
-    # conditions would otherwise plan a CartesianProduct — with a
-    # broadcast hint Spark plans the (bounded, deterministic)
-    # BroadcastNestedLoopJoin the engine-wide plan invariant allows
-    a, b = cells.alias("a"), F.broadcast(cells.alias("b"))
-    dec = "decimal(38,0)"
-    conc = (a.join(b, (F.col("a.ta") < F.col("b.ta"))
-                   & (F.col("a.ts") < F.col("b.ts")))
-            .agg(F.sum(F.col("a.c").cast(dec) * F.col("b.c"))
-                 .cast(dec).alias("nc")))
-    disc = (a.join(b, (F.col("a.ta") < F.col("b.ta"))
-                   & (F.col("a.ts") > F.col("b.ts")))
-            .agg(F.sum(F.col("a.c").cast(dec) * F.col("b.c"))
-                 .cast(dec).alias("nd")))
-    tx = (cells.groupBy("ta").agg(F.sum("c").alias("rc"))
-          .agg(F.sum(F.expr("CAST(rc AS DECIMAL(38,0)) * (rc - 1)"
-                            " DIV 2")).cast(dec).alias("tx")))
-    ty = (cells.groupBy("ts").agg(F.sum("c").alias("cc"))
-          .agg(F.sum(F.expr("CAST(cc AS DECIMAL(38,0)) * (cc - 1)"
-                            " DIV 2")).cast(dec).alias("ty")))
-    # a perfectly concordant (or discordant) grid leaves the other
-    # pair join EMPTY — SUM over no rows is NULL on both engines, so
-    # the counts coalesce to 0 (mirrored in the oracle)
-    base = (n_row.crossJoin(conc).crossJoin(disc)
-            .crossJoin(tx).crossJoin(ty)
-            .select("n",
-                    F.expr("COALESCE(nc, CAST(0 AS DECIMAL(38,0)))")
-                     .alias("nc"),
-                    F.expr("COALESCE(nd, CAST(0 AS DECIMAL(38,0)))")
-                     .alias("nd"),
-                    "tx", "ty",
-                    F.expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1)"
-                           " DIV 2 AS DECIMAL(38,0))").alias("tt")))
-    return base.select(
-        F.col("n").alias("n_users"),
-        F.col("nc").cast("double").alias("nc_pairs"),
-        F.col("nd").cast("double").alias("nd_pairs"),
-        F.col("tx").cast("double").alias("tie_x_pairs"),
-        F.col("ty").cast("double").alias("tie_y_pairs"),
-        F.expr("CASE WHEN (CAST(tt AS DOUBLE) - CAST(tx AS DOUBLE)) > 0"
-               " AND (CAST(tt AS DOUBLE) - CAST(ty AS DOUBLE)) > 0 THEN"
-               " (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))"
-               " / SQRT((CAST(tt AS DOUBLE) - CAST(tx AS DOUBLE))"
-               "        * (CAST(tt AS DOUBLE) - CAST(ty AS DOUBLE)))"
-               " END").alias("tau_b"))
+             .agg(F.count("*").cast("long").alias("c")))
+    # Round 13 (guide §1.2 / the mmr_diverse_topk + PQ-codebook
+    # bounded-collect precedent): the grid is ≤ TAU_TILES² = 100 cells
+    # by construction, yet the old 5-branch relational readout
+    # (conc/disc NestedLoop pair joins + two marginal rollups + four
+    # crossJoins) cost ~14 tiny Spark jobs per evaluation — far more
+    # than the actual ranking work. Collect the constant-bounded grid
+    # and clear the pair counting in EXACT Python integers (arbitrary
+    # precision ≡ the DECIMAL(38,0) chain: products, sums, DIV 2),
+    # then reproduce the identical IEEE DAG — float(int) is the same
+    # correctly-rounded DECIMAL→DOUBLE cast, and the subtract/
+    # multiply/sqrt/divide order is copied operator-for-operator from
+    # the retired expression — so hashes are unchanged (the oracle
+    # still runs the full relational form; equality is the proof).
+    grid = [((int(r["ta"]), int(r["ts"])), int(r["c"]))
+            for r in cells.collect()]
+    n = sum(c for _, c in grid)
+    nc = sum(ca * cb for (ta, ts), ca in grid for (tb, us), cb in grid
+             if ta < tb and ts < us)
+    nd = sum(ca * cb for (ta, ts), ca in grid for (tb, us), cb in grid
+             if ta < tb and ts > us)
+    rows_m: dict[int, int] = {}
+    cols_m: dict[int, int] = {}
+    for (ta, ts), c in grid:
+        rows_m[ta] = rows_m.get(ta, 0) + c
+        cols_m[ts] = cols_m.get(ts, 0) + c
+    # empty input: the old SUM-over-no-rows left tx/ty NULL (only
+    # nc/nd were coalesced) and the CASE fell through to NULL
+    tx = sum(rc * (rc - 1) // 2 for rc in rows_m.values()) \
+        if grid else None
+    ty = sum(cc * (cc - 1) // 2 for cc in cols_m.values()) \
+        if grid else None
+    tt = n * (n - 1) // 2
+    ncd, ndd, ttd = float(nc), float(nd), float(tt)
+    txd = float(tx) if tx is not None else None
+    tyd = float(ty) if ty is not None else None
+    tau = None
+    if txd is not None and tyd is not None \
+            and (ttd - txd) > 0 and (ttd - tyd) > 0:
+        import math
+        tau = (ncd - ndd) / math.sqrt((ttd - txd) * (ttd - tyd))
+    spark = users.sparkSession
+    return spark.createDataFrame(
+        [(n, ncd, ndd, txd, tyd, tau)],
+        "n_users long, nc_pairs double, nd_pairs double, "
+        "tie_x_pairs double, tie_y_pairs double, tau_b double")
 
 
 def kendall_tau_events(spark: SparkSession, sf_dir: str) -> DataFrame:

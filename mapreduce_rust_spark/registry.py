@@ -86,10 +86,10 @@ DRIVER_WINDOW = [
     "bpe_train_merges", "bpe_encode_docs",
     "assoc_rules_parts", "item_cf_neighbors",
     "kmeans_exact_embeddings",
+    "kendall_tau_events", "stream_kendall_tau",
     # --- round-13 lazy-checkpoint sample (stream closed forms) ---
     "stream_rank_biserial", "stream_qte",
     "stream_tukey_fences", "stream_pettitt_changepoint",
-    "stream_kruskal_wallis", "stream_mann_kendall",
 ]
 
 

@@ -10,6 +10,8 @@ a pure-Python reference implementation of Sennrich-style BPE.
 from __future__ import annotations
 
 import itertools
+
+import pytest
 import random
 from collections import Counter
 
@@ -25,6 +27,7 @@ def _brute_triangles(edge_set):
                and (a, c) in edge_set)
 
 
+@pytest.mark.heavy
 def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
     from mapreduce_rust_spark.operators.graph import triangle_count
     rng = random.Random(7)

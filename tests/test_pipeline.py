@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
@@ -38,6 +39,7 @@ def test_neardup_clusters_match_union_find(spark):
     assert any(v != k for k, v in got.items())  # non-trivial clusters exist
 
 
+@pytest.mark.heavy
 def test_connected_components_long_chain(spark):
     """A 200-node path graph (diameter 199) — the case a fixed
     iteration count silently gets wrong. With pointer jumping the
@@ -145,6 +147,7 @@ _edge_lists = st.lists(
     min_size=0, max_size=60)
 
 
+@pytest.mark.heavy
 @settings(max_examples=12, deadline=None)
 @given(edges=_edge_lists)
 def test_connected_components_property(spark, edges):

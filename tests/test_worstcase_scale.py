@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -263,6 +265,7 @@ _doc_lists = st.lists(
     min_size=2, max_size=10)
 
 
+@pytest.mark.heavy
 @settings(max_examples=10, deadline=None)
 @given(docs=_doc_lists)
 def test_ppjoin_equals_exhaustive_property(spark, docs):
@@ -523,6 +526,7 @@ def test_blocked_knn_giant_label_block(spark):
     print(f"giant-block (n={n}, d={d}) consensus: {took:.1f}s")
 
 
+@pytest.mark.heavy
 def test_editdist1_cap_bounds_mega_name(spark):
     """FastSS worst cases, planted: (a) a pathological 10k-char
     "name" must index EDITDIST_MAX_POS+1 variants, not 50k — and the
