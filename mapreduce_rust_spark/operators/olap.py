@@ -1267,12 +1267,14 @@ def item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (li.groupBy(F.col("l_orderkey").alias("o"))
                  .agg(F.slice(F.array_sort(F.collect_set("l_partkey")),
                               1, ASSOC_MAX_BASKET).alias("ps"))
-                 .localCheckpoint(eager=False))
-    # round 13: n_u feeds TWO broadcast builds (nu + nv) — one lazy
-    # checkpoint keeps the explode+agg to a single execution
+                 # EAGER on purpose (round-13 A/B): lazy moved the
+                 # heavy basket aggregation INSIDE the first n_u
+                 # broadcast-exchange build and the bench row went
+                 # 1.80 → 2.55 s; eager keeps the big agg on the full
+                 # scheduler and the broadcast builds tiny
+                 .localCheckpoint(eager=True))
     n_u = (baskets.select(F.explode("ps").alias("part"))
-                  .groupBy("part").agg(F.count("*").alias("n"))
-                  .localCheckpoint(eager=False))
+                  .groupBy("part").agg(F.count("*").alias("n")))
     pairs = (baskets.select(F.explode(_ordered_pairs(F.col("ps")))
                             .alias("e"))
                     .groupBy(F.col("e.u").alias("u"),

@@ -131,6 +131,30 @@ def _stream_state_partitions(spark: SparkSession) -> int:
         return 8
 
 
+# Scratch base for the harness's THROWAWAY stream checkpoints
+# (round 13). Each twin drains once into a memory sink and its
+# checkpoint is never restarted, but Spark's default temp checkpoint
+# lands under java.io.tmpdir — ext4 here — so every micro-batch pays
+# real disk fsyncs for WAL/offsets/state deltas that are garbage
+# seconds later. A tmpfs scratch (when the host has one) removes that
+# I/O without touching semantics. PRODUCTION NOTE: a restartable
+# deployment must point checkpointLocation at durable shared storage
+# (recovery correctness depends on it) — this conf only governs the
+# drain-once harness path, and the default falls back to the normal
+# temp dir when no tmpfs exists.
+_SCRATCH_CONF = "spark.mapreduce_rust_spark.stream.scratchDir"
+
+
+def _scratch_checkpoint_dir(spark: SparkSession) -> str:
+    import os
+    import tempfile
+    base = spark.conf.get(_SCRATCH_CONF, "")
+    if not base:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") \
+            else tempfile.gettempdir()
+    return tempfile.mkdtemp(prefix="mrs-stream-ckpt-", dir=base)
+
+
 def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     """Drain the stream into a memory sink and return the result.
 
@@ -154,13 +178,16 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     _PROG_CAP = 10_000
     old_prog = spark.conf.get(
         "spark.sql.streaming.numRecentProgressUpdates", "100")
+    ckpt = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(_stream_state_partitions(spark)))
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
                        str(_PROG_CAP))
+        ckpt = _scratch_checkpoint_dir(spark)
         q = (df.writeStream.outputMode(mode)
                .format("memory").queryName(name)
+               .option("checkpointLocation", ckpt)
                .trigger(availableNow=True)
                .start())
         q.awaitTermination()
@@ -210,6 +237,11 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
             import warnings
             warnings.warn(f"StateStore.stop() unavailable: {exc!r}",
                           stacklevel=2)
+        # an EXPLICIT checkpointLocation is not auto-deleted the way
+        # Spark's temporary one is — remove the drained scratch dir
+        if ckpt is not None:
+            import shutil
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
