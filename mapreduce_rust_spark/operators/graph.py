@@ -730,7 +730,10 @@ def pagerank_exact_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery end to end."""
     li = load_table(spark, sf_dir, "lineitem")
     adj = _bidir_adjacency(copurchase_edges_cached(li))
-    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+    # round 13: same deg dedup as ppr_seeded_parts (2 refs/round);
+    # the n count right below materializes it in its own job
+    deg = (adj.groupBy("a").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=False))
     n = deg.count()
     base = (15 * PR_EXACT_GRID) // (100 * n)
     r = deg.select(F.col("a").alias("node"),
@@ -889,7 +892,12 @@ def ppr_seeded_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     adj = _bidir_adjacency(copurchase_edges_cached(li))
-    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+    # round 13: deg is referenced 2x per unrolled round (contribution
+    # join + rank base) = 6+ subtree executions of the degree agg
+    # under the per-round broadcast builds (measured 18 jobs vs the
+    # un-hinted pagerank's 7); one lazy checkpoint executes it once
+    deg = (adj.groupBy("a").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=False))
     n_seeds = len(PPR_SEEDS)
     seed0 = PR_EXACT_GRID // n_seeds
     base = (15 * PR_EXACT_GRID) // (100 * n_seeds)
